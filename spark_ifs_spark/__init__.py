@@ -1,0 +1,43 @@
+"""spark_ifs_spark — a PySpark-native Iterative Feature Selection engine.
+
+A from-scratch rebuild of the capabilities of ``jacopocav/spark-ifs``
+(greedy forward mRMR feature selection scored by mutual information on
+categorical data, reference at /root/reference), re-expressed Spark-first:
+
+- everything is DataFrame/Catalyst (the reference drops to RDDs at
+  ``FeatureSelector.scala:82``; we never do),
+- contingency tables are never materialized as driver matrices — joint
+  counts stay distributed (``groupBy().count()``) and MI/mRMR are SQL
+  aggregates over them,
+- the only driver-side state is the greedy selection list (≤ k entries).
+
+Plus the large-scale training-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal plumbing, streaming aggregation) the
+reference never had.
+"""
+
+from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.operators.select_rows import select_rows
+from spark_ifs_spark.operators.scores import (
+    ColumnScore,
+    MrmrColumnScore,
+    MrmrRowScore,
+    RowScore,
+)
+from spark_ifs_spark.ml.feature_selector import FeatureSelector, FeatureSelectorModel
+from spark_ifs_spark.ml.row_selector import RowSelector, RowSelectorModel
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "select_columns",
+    "select_rows",
+    "ColumnScore",
+    "RowScore",
+    "MrmrColumnScore",
+    "MrmrRowScore",
+    "FeatureSelector",
+    "FeatureSelectorModel",
+    "RowSelector",
+    "RowSelectorModel",
+]

@@ -1,0 +1,71 @@
+"""Shared schema validation for the ML stages.
+
+Replicates the observable ``transformSchema`` behavior of the reference
+(``FeatureSelector.scala:101-109``, ``RowSelector.scala:144-153``): the
+label/id column must be integral, the features column must be an ML vector
+(we additionally accept ``array<numeric>`` — documented extension), and
+the output column must not already exist. The reference then *casts* the
+integral column to double inside ``fit`` (``FS:82``/``RS:118``); we do the
+same.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.linalg import VectorUDT
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    ByteType,
+    DataType,
+    IntegerType,
+    LongType,
+    NumericType,
+    ShortType,
+    StructType,
+)
+
+INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def is_vector_type(dt: DataType) -> bool:
+    return isinstance(dt, VectorUDT)
+
+
+def is_array_features(dt: DataType) -> bool:
+    return isinstance(dt, ArrayType) and isinstance(dt.elementType, NumericType)
+
+
+def validate_schema(
+    schema: StructType, integral_col: str, features_col: str, output_col: str
+) -> None:
+    if integral_col not in schema.names:
+        raise ValueError(f"column {integral_col!r} not found")
+    if features_col not in schema.names:
+        raise ValueError(f"column {features_col!r} not found")
+    dt = schema[integral_col].dataType
+    if not isinstance(dt, INTEGRAL_TYPES):
+        raise TypeError(
+            f"column {integral_col!r} must be an integral type (Byte/Short/Int/Long), got {dt.simpleString()}"
+        )
+    fdt = schema[features_col].dataType
+    if not (is_vector_type(fdt) or is_array_features(fdt)):
+        raise TypeError(
+            f"column {features_col!r} must be an ML Vector or array<numeric>, got {fdt.simpleString()}"
+        )
+    if output_col in schema.names:
+        raise ValueError(f"output column {output_col!r} already exists")
+
+
+def features_as_array(df, features_col: str):
+    """Column expression turning the features column into array<double>.
+
+    For sparse ML vectors this densifies — semantically exact for the
+    engine: implicit zeros are real categorical ``0.0`` values
+    (``extensions.scala:29``, ``MutualInformation.scala:49-51``).
+    """
+    dt = df.schema[features_col].dataType
+    if is_vector_type(dt):
+        from pyspark.ml.functions import vector_to_array
+
+        return vector_to_array(F.col(features_col), dtype="float64")
+    return F.transform(F.col(features_col), lambda x: x.cast("double"))

@@ -1,0 +1,117 @@
+"""Pluggable scoring functions (the reference's extension point).
+
+Mirrors ``ColumnWiseScore``/``RowWiseScore``
+(``/root/reference/src/main/scala/ifs/ml/stats/ColumnWiseScore.scala:9-23``,
+``RowWiseScore.scala:10-26``): a score plus an ordering direction. The
+column-wise score consumes *aggregated MI terms* rather than contingency
+matrices — in this engine contingency tables never leave Spark, so the
+plug-in surface is "combine relevance and redundancy", which is the part
+of the reference trait that actually varies.
+
+Row-wise scores run inside Arrow-batched pandas UDFs, so implementations
+must be picklable and operate on numpy arrays.
+
+mRMR semantics (``ColumnWiseScore.scala:41-52``, ``RowWiseScore.scala:47-64``):
+``score = MI(cand, label) − (1/|S|)·Σ_{s∈S} MI(cand, s)``; with an empty
+selected set the score is the relevance alone (``ColumnWiseScore.scala:51``).
+Higher is better (descending ordering, ``:32``).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+
+def mi_vec(a: np.ndarray, b: np.ndarray) -> float:
+    """MI of two same-length categorical value vectors (natural log).
+
+    numpy counterpart of the reference's vector-vs-vector MI
+    (``MutualInformation.scala:19-54``). The reference special-cases
+    sparse vectors by counting the implicit-zero cell separately
+    (``:49-51``); on dense arrays (all our inputs — sparse ML vectors are
+    densified at the API edge, where implicit zeros are real ``0.0``
+    values per ``extensions.scala:29``) plain exact counting is
+    semantically identical.
+    """
+    if a.shape != b.shape:
+        raise ValueError(f"vector length mismatch: {a.shape} vs {b.shape}")
+    n = a.shape[0]
+    if n == 0:
+        return 0.0
+    _, ai = np.unique(a, return_inverse=True)
+    _, bi = np.unique(b, return_inverse=True)
+    nb = bi.max() + 1
+    pa = np.bincount(ai).astype(np.float64) / n
+    pb = np.bincount(bi).astype(np.float64) / n
+    outer = np.outer(pa, pb).ravel()
+    full = np.bincount(ai * nb + bi, minlength=pa.size * nb).astype(np.float64) / n
+    mask = full > 0
+    return float(np.sum(full[mask] * np.log(full[mask] / outer[mask])))
+
+
+class ColumnScore(ABC):
+    """Combine per-candidate relevance and redundancy MI into a score."""
+
+    #: Direction of the argmax (reference: ``Ordering[Double]``).
+    higher_is_better: bool = True
+
+    @abstractmethod
+    def score(self, relevance: float, redundancies: list[float]) -> float:
+        """``relevance`` = MI(cand, label); ``redundancies`` = MI(cand, s)
+        for each already-selected feature s (empty on round 1)."""
+
+    def sql_expr(self) -> str | None:
+        """Optional Spark-SQL expression over columns ``relevance`` (double)
+        and ``redundancy`` (mean MI vs selected, NULL on round 1). When
+        provided, scoring stays JVM-side; otherwise the engine falls back
+        to driver-side :meth:`score` over the (≤ num_features) collected
+        rows."""
+        return None
+
+
+class MrmrColumnScore(ColumnScore):
+    """mRMR: relevance − mean(redundancy) (``ColumnWiseScore.scala:41-52``)."""
+
+    higher_is_better = True
+
+    def score(self, relevance: float, redundancies: list[float]) -> float:
+        if not redundancies:
+            return relevance
+        return relevance - sum(redundancies) / len(redundancies)
+
+    def sql_expr(self) -> str:
+        return "relevance - coalesce(redundancy, 0.0d)"
+
+
+class RowScore(ABC):
+    """Score one candidate feature-row against the label row + selected rows."""
+
+    higher_is_better: bool = True
+
+    @abstractmethod
+    def score(
+        self,
+        feature: np.ndarray,
+        label_row: np.ndarray,
+        selected: list[np.ndarray],
+    ) -> float: ...
+
+
+class MrmrRowScore(RowScore):
+    """Row-wise mRMR (``RowWiseScore.scala:47-64``)."""
+
+    higher_is_better = True
+
+    def score(
+        self,
+        feature: np.ndarray,
+        label_row: np.ndarray,
+        selected: list[np.ndarray],
+    ) -> float:
+        relevance = mi_vec(feature, label_row)
+        if not selected:
+            return relevance
+        red = sum(mi_vec(feature, s) for s in selected) / len(selected)
+        return relevance - red

@@ -1,0 +1,169 @@
+"""Greedy forward mRMR selection, alternate encoding (features = rows).
+
+Functional parity with ``IterativeFeatureSelection.selectRows``
+(``/root/reference/src/main/scala/ifs/ml/feature/IterativeFeatureSelection.scala:151-185``):
+each DataFrame row is one feature's full instance-vector; the instance
+labels arrive as a driver-side array and are broadcast once (``IFS:158``).
+
+Architecture differences from the reference (all scale wins, see SURVEY §4
+"known perf hazards"):
+
+- **1 job per round, not 3.** The reference runs ``takeOrdered`` + a
+  winner-fetch ``count`` + ``first`` (``IFS:172-178``); we fold the winner's
+  vector into the top-1 row itself (``orderBy(...).limit(1)`` collecting
+  ``(id, score, features)``).
+- **Incremental redundancy state.** The reference re-broadcasts ALL
+  selected vectors and recomputes every MI(cand, s) each round
+  (``IFS:163,167``). mRMR's redundancy term is a running mean, so we keep a
+  persisted ``red_sum`` column and each round add only MI(cand, newest
+  winner): O(1) vector broadcasts and MI evaluations per candidate per
+  round instead of O(k). (Only possible for scores whose redundancy is
+  incremental — :class:`~spark_ifs_spark.operators.scores.MrmrRowScore` is;
+  generic :class:`RowScore` plug-ins take the non-incremental path.)
+- **Relevance computed once.** MI(cand, label) never changes across
+  rounds; the reference recomputes it every round inside ``RowMRMR``
+  (``RowWiseScore.scala:55``).
+- **Persisted loop state.** The reference never caches the alternate-path
+  input, recomputing the scan+assembly lineage for every action (§3.2).
+
+MI per candidate runs in an Arrow-batched pandas UDF (numpy ``bincount``
+contingency — one Python call per ~10k-row batch, not per row). This is
+the one place the engine leaves the JVM, and it is the textbook case for
+it: per-row vector math over wide arrays that Catalyst cannot vectorize.
+Duplicate-id detection: pre-flight count-vs-distinct check (the reference
+errors lazily at winner-fetch, ``IFS:176``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec
+
+
+def _mi_against_udf(other: np.ndarray):
+    """pandas UDF computing MI(features, broadcast vector) per row."""
+
+    def _mi(batch: pd.Series) -> pd.Series:
+        return batch.map(lambda v: mi_vec(np.asarray(v, dtype=np.float64), other))
+
+    return F.pandas_udf(_mi, DoubleType())
+
+
+def select_rows(
+    df: DataFrame,
+    num: int,
+    labels_row: Sequence[float],
+    id_col: str = "id",
+    features_col: str = "features",
+    score: RowScore | None = None,
+) -> list[tuple[float, float]]:
+    """Greedily select ``min(num, df.count())`` feature rows.
+
+    Returns ``[(feature_id, score)]`` in selection order. ``feature_id`` is
+    surfaced as float for parity with the reference, which smuggles the id
+    through ``LabeledPoint.label: Double`` (``IFS:149,160``).
+    """
+    if num <= 0:
+        raise ValueError("num must be > 0")
+    if len(labels_row) == 0:
+        raise ValueError("labels_row must be non-empty")
+    score = score or MrmrRowScore()
+    label_arr = np.asarray(labels_row, dtype=np.float64)
+
+    base = df.select(
+        F.col(id_col).cast("double").alias("id"),
+        F.col(features_col).alias("features"),
+    )
+    n_rows, n_distinct = base.agg(
+        F.count("id").alias("n"), F.count_distinct("id").alias("d")
+    ).first()
+    if n_rows != n_distinct:
+        raise ValueError("duplicate feature ids in alternate-encoding input")
+    num = min(num, int(n_rows))
+
+    incremental = isinstance(score, MrmrRowScore)
+    if not incremental:
+        return _select_rows_generic(base, num, label_arr, score)
+
+    # state: (id, features, relevance, red_sum); relevance fixed, red_sum
+    # grows by MI(cand, newest winner) each round.
+    state = base.withColumn(
+        "relevance", _mi_against_udf(label_arr)(F.col("features"))
+    ).withColumn("red_sum", F.lit(0.0))
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+
+    selected: list[tuple[float, float]] = []
+    try:
+        for rnd in range(num):
+            k = len(selected)
+            score_col = F.col("relevance") - (
+                F.col("red_sum") / F.lit(k) if k > 0 else F.lit(0.0)
+            )
+            winner = (
+                state.withColumn("score", score_col)
+                .orderBy(F.col("score").desc(), F.col("id").asc())
+                .select("id", "score", "features")
+                .first()
+            )
+            selected.append((float(winner["id"]), float(winner["score"])))
+            if rnd == num - 1:
+                break
+            win_vec = np.asarray(winner["features"], dtype=np.float64)
+            new_state = (
+                state.filter(F.col("id") != float(winner["id"]))
+                .withColumn(
+                    "red_sum",
+                    F.col("red_sum") + _mi_against_udf(win_vec)(F.col("features")),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            new_state.count()  # materialize before dropping the parent
+            state.unpersist()
+            state = new_state
+        return selected
+    finally:
+        state.unpersist()
+
+
+def _select_rows_generic(
+    base: DataFrame, num: int, label_arr: np.ndarray, score: RowScore
+) -> list[tuple[float, float]]:
+    """Non-incremental path for arbitrary :class:`RowScore` plug-ins:
+    mirrors the reference shape (re-score all candidates against the full
+    selected set each round) but still one job per round."""
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        selected: list[tuple[float, float]] = []
+        sel_vecs: list[np.ndarray] = []
+        for _ in range(num):
+            sel_snapshot = [v.copy() for v in sel_vecs]
+            lab = label_arr
+
+            def _score(batch: pd.Series) -> pd.Series:
+                return batch.map(
+                    lambda v: score.score(np.asarray(v, dtype=np.float64), lab, sel_snapshot)
+                )
+
+            score_udf = F.pandas_udf(_score, DoubleType())
+            sel_ids = [s[0] for s in selected]
+            order = F.col("score").desc() if score.higher_is_better else F.col("score").asc()
+            winner = (
+                base.filter(~F.col("id").isin(sel_ids) if sel_ids else F.lit(True))
+                .withColumn("score", score_udf(F.col("features")))
+                .orderBy(order, F.col("id").asc())
+                .select("id", "score", "features")
+                .first()
+            )
+            selected.append((float(winner["id"]), float(winner["score"])))
+            sel_vecs.append(np.asarray(winner["features"], dtype=np.float64))
+        return selected
+    finally:
+        base.unpersist()

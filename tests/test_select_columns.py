@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.sources.generator import engineered_fixture, random_matrix
+from tests.oracle_mrmr import greedy_mrmr
+
+
+def test_engineered_dependencies(spark):
+    df, feats = engineered_fixture(spark)
+    result = select_columns(df, "label", feats, num=4)
+    idx = [i for i, _ in result]
+    assert idx[0] == 0  # f0: most relevant, tie with f1 broken by index
+    assert idx[1] == 2  # f2: relevant, not redundant with f0; f1 NOT second
+    # full selection agrees with the independent numpy oracle
+    import numpy as np
+
+    from tests.oracle_mrmr import greedy_mrmr
+
+    pdf = df.toPandas()
+    arr = pdf[["label", *feats]].to_numpy(dtype=float)
+    want = greedy_mrmr(arr[:, 1:], arr[:, 0], 4)
+    assert idx == [i for i, _ in want]
+
+
+def test_matches_numpy_oracle(spark):
+    mat = random_matrix(rows=250, cols=13, seed=11)
+    arr = np.array(mat, dtype=float)
+    X, y = arr[:, 1:], arr[:, 0]
+    names = [f"f{j}" for j in range(12)]
+    df = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    got = select_columns(df, "label", names, num=5)
+    want = greedy_mrmr(X, y, 5)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_batching_equivalence(spark):
+    mat = random_matrix(rows=120, cols=9, seed=5)
+    names = [f"f{j}" for j in range(8)]
+    df = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    full = select_columns(df, "label", names, num=3, batch_size=1000)
+    batched = select_columns(df, "label", names, num=3, batch_size=3)
+    assert [i for i, _ in full] == [i for i, _ in batched]
+    for (_, a), (_, b) in zip(full, batched):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_num_cap_and_validation(spark):
+    mat = random_matrix(rows=50, cols=4, seed=2)
+    names = [f"f{j}" for j in range(3)]
+    df = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    assert len(select_columns(df, "label", names, num=99)) == 3  # IFS:31 cap
+    with pytest.raises(ValueError):
+        select_columns(df, "label", names, num=0)

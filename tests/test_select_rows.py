@@ -1,0 +1,99 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_ifs_spark.operators.melt import transpose_to_alternate
+from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec
+from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.operators.select_rows import select_rows
+from spark_ifs_spark.sources.generator import random_matrix
+from tests.oracle_mrmr import greedy_mrmr
+
+
+def _alternate_df(spark, mat):
+    """Build (id, features) alternate encoding + label row from a matrix."""
+    arr = np.array(mat, dtype=float)
+    labels = arr[:, 0].tolist()
+    feats = arr[:, 1:].T  # feature j -> instance vector
+    rows = [(int(j), [float(v) for v in feats[j]]) for j in range(feats.shape[0])]
+    df = spark.createDataFrame(rows, ["id", "features"])
+    return df, labels
+
+
+def test_matches_numpy_oracle(spark):
+    mat = random_matrix(rows=200, cols=11, seed=21)
+    df, labels = _alternate_df(spark, mat)
+    got = select_rows(df, num=4, labels_row=labels)
+    arr = np.array(mat, dtype=float)
+    want = greedy_mrmr(arr[:, 1:], arr[:, 0], 4)
+    assert [int(i) for i, _ in got] == [i for i, _ in want]
+    for (_, s1), (_, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_cross_encoding_agreement(spark):
+    """The reference's own differential check (CommandLine.scala:167-169):
+    conventional and alternate selection must agree."""
+    mat = random_matrix(rows=150, cols=10, seed=33)
+    names = [f"f{j}" for j in range(9)]
+    conv = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    alt, labels = _alternate_df(spark, mat)
+    conv_sel = select_columns(conv, "label", names, num=4)
+    alt_sel = select_rows(alt, num=4, labels_row=labels)
+    assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
+    for (_, a), (_, b) in zip(conv_sel, alt_sel):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_transpose_roundtrip_agreement(spark):
+    """transpose_to_alternate feeds select_rows ≡ select_columns."""
+    mat = random_matrix(rows=80, cols=7, seed=9)
+    names = [f"f{j}" for j in range(6)]
+    conv = spark.createDataFrame(
+        [(i, *map(float, r)) for i, r in enumerate(mat)], ["iid", "label", *names]
+    )
+    alt = transpose_to_alternate(conv, names, order_col="iid")
+    labels = [float(r[0]) for r in mat]
+    conv_sel = select_columns(conv, "label", names, num=3)
+    alt_sel = select_rows(alt, num=3, labels_row=labels)
+    assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
+
+
+def test_duplicate_ids_error(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (1, [1.0, 0.0])], ["id", "features"]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        select_rows(df, num=1, labels_row=[0.0, 1.0])
+
+
+def test_empty_labels_error(spark):
+    df = spark.createDataFrame([(1, [0.0])], ["id", "features"])
+    with pytest.raises(ValueError, match="non-empty"):
+        select_rows(df, num=1, labels_row=[])
+
+
+def test_num_cap(spark):
+    mat = random_matrix(rows=60, cols=5, seed=4)
+    df, labels = _alternate_df(spark, mat)
+    assert len(select_rows(df, num=50, labels_row=labels)) == 4  # IFS:156 cap
+
+
+def test_generic_row_score_plugin(spark):
+    """Non-incremental plug-in path agrees with the default on mRMR."""
+
+    class MyMrmr(RowScore):
+        higher_is_better = True
+
+        def score(self, feature, label_row, selected):
+            rel = mi_vec(feature, label_row)
+            if not selected:
+                return rel
+            return rel - sum(mi_vec(feature, s) for s in selected) / len(selected)
+
+    mat = random_matrix(rows=100, cols=7, seed=13)
+    df, labels = _alternate_df(spark, mat)
+    default = select_rows(df, num=3, labels_row=labels, score=MrmrRowScore())
+    plugin = select_rows(df, num=3, labels_row=labels, score=MyMrmr())
+    assert [i for i, _ in default] == [i for i, _ in plugin]
