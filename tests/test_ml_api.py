@@ -1,0 +1,118 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import VectorAssembler
+
+from spark_ifs_spark.ml import (
+    FeatureSelector,
+    FeatureSelectorModel,
+    RowSelector,
+    RowSelectorModel,
+)
+from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.sources.generator import random_matrix
+
+
+@pytest.fixture(scope="module")
+def conv(spark):
+    mat = random_matrix(rows=120, cols=9, seed=77)
+    names = [f"f{j}" for j in range(8)]
+    df = spark.createDataFrame([tuple(r) for r in mat], ["label", *names])
+    return df, names, mat
+
+
+def test_pipeline_fit_transform(spark, conv):
+    df, names, mat = conv
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=names, outputCol="features"),
+            FeatureSelector(numTopFeatures=3, outputCol="selected"),
+        ]
+    )
+    model = pipe.fit(df)
+    fsm = model.stages[1]
+    sel = fsm.getSelectedFeatures()
+    assert len(sel) == 3
+    # parity with the functional API
+    want = select_columns(df, "label", names, num=3)
+    assert sel == [i for i, _ in want]
+    out = model.transform(df)
+    row = out.select("features", "selected").first()
+    # transform slices by SORTED indices (FS:122,154)
+    dense = row["features"].toArray()
+    assert list(row["selected"].toArray()) == [dense[i] for i in sorted(sel)]
+
+
+def test_feature_selector_array_features(spark, conv):
+    df, names, mat = conv
+    arr_df = df.selectExpr("label", f"array({', '.join('CAST(%s AS DOUBLE)' % n for n in names)}) AS features")
+    model = FeatureSelector(numTopFeatures=3, outputCol="sel").fit(arr_df)
+    out = model.transform(arr_df).first()
+    assert len(out["sel"]) == 3
+
+
+def test_schema_validation(spark, conv):
+    df, names, _ = conv
+    va = VectorAssembler(inputCols=names, outputCol="features")
+    vdf = va.transform(df)
+    # non-integral label rejected (FS:103-104)
+    bad = vdf.withColumn("label", vdf["label"].cast("double"))
+    with pytest.raises(TypeError, match="integral"):
+        FeatureSelector(outputCol="out").fit(bad)
+    # pre-existing output column rejected
+    with pytest.raises(ValueError, match="already exists"):
+        FeatureSelector(outputCol="features").fit(vdf)
+    # missing features column
+    with pytest.raises((ValueError, TypeError)):
+        FeatureSelector(featuresCol="nope", outputCol="out").fit(df)
+
+
+def test_model_persistence(spark, conv, tmp_path):
+    df, names, _ = conv
+    va = VectorAssembler(inputCols=names, outputCol="features")
+    vdf = va.transform(df)
+    model = FeatureSelector(numTopFeatures=2, outputCol="out").fit(vdf)
+    path = str(tmp_path / "fsm")
+    model.write().overwrite().save(path)
+    loaded = FeatureSelectorModel.load(path)
+    assert loaded.getSelectedFeatures() == model.getSelectedFeatures()
+    assert loaded.transform(vdf).count() == vdf.count()
+
+
+def test_row_selector(spark):
+    mat = random_matrix(rows=100, cols=8, seed=55)
+    arr = np.array(mat, dtype=float)
+    labels = arr[:, 0].tolist()
+    feats = arr[:, 1:].T
+    rows = [(int(j), [float(v) for v in feats[j]]) for j in range(feats.shape[0])]
+    df = spark.createDataFrame(rows, ["id", "features"])
+
+    rs = RowSelector(numTopRows=3, labelVector=labels, outputCol="keep")
+    model = rs.fit(df)
+    assert len(model.getSelectedRows()) == 3
+    out = model.transform(df)
+    flags = {r["id"]: r["keep"] for r in out.collect()}
+    assert sum(flags.values()) == 3
+    assert all(flags[i] for i in model.getSelectedRows())
+    # filtered transform drops non-selected rows (RS:203)
+    rs_f = RowSelector(numTopRows=3, labelVector=labels, outputCol="keep", filtered=True)
+    model_f = rs_f.fit(df)
+    assert model_f.transform(df).count() == 3
+    # empty labelVector rejected (RS:149)
+    with pytest.raises(ValueError, match="labelVector"):
+        RowSelector(numTopRows=2, outputCol="k2").fit(df)
+
+
+def test_row_selector_persistence(spark, tmp_path):
+    mat = random_matrix(rows=60, cols=6, seed=3)
+    arr = np.array(mat, dtype=float)
+    rows = [(int(j), [float(v) for v in arr[:, 1:].T[j]]) for j in range(5)]
+    df = spark.createDataFrame(rows, ["id", "features"])
+    model = RowSelector(numTopRows=2, labelVector=arr[:, 0].tolist(), outputCol="k").fit(df)
+    path = str(tmp_path / "rsm")
+    model.write().overwrite().save(path)
+    loaded = RowSelectorModel.load(path)
+    assert loaded.getSelectedRows() == model.getSelectedRows()
+    assert loaded.getFiltered() == model.getFiltered()
