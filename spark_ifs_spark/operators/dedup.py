@@ -1,0 +1,252 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (it is an IFS library); these are the
+first-class extensions the north star asks for, designed Spark-first:
+
+- **exact**: one hash aggregate on the dedup key. At 100 TB: group on a
+  digest of the key (not the full text) so shuffle rows are ~40 bytes.
+- **n-gram Jaccard**: word n-gram shingles → inverted-index self-join on
+  shingle → exact Jaccard from intersection counts. The shingle join is
+  the scalable form of all-pairs similarity: candidate pairs are only
+  generated for documents that *share* a shingle (no O(n²) cross join).
+- **MinHash + LSH**: shingles → k universal hashes → per-band signature
+  keys → bucket self-join → verify candidates with exact Jaccard. The
+  band join bounds candidate generation to hash-bucket collisions, the
+  standard sub-quadratic near-dup path at corpus scale.
+- **SimHash**: per-token 60-bit md5 hashes, ±1 per bit position weighted
+  by token multiplicity, sign → fingerprint bits. One explode + one
+  aggregate; fingerprints within a small Hamming distance are near-dups.
+- **embedding cosine**: see similarity.py (shared kernels).
+
+All hashing is md5-based and engine-portable (functions/hashing.py) so
+every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.functions.hashing import (
+    MINHASH_P,
+    band_key,
+    md5_int60,
+    minhash_params,
+    universal_hash,
+)
+
+
+def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+    """Groups by the dedup key; returns ``(keep_id, n_dups)`` — the
+    smallest id in each group and the group size.
+
+    Scale note: grouping is on the raw key columns here for oracle
+    exactness; at 100 TB swap the key for ``md5(concat_ws(...))`` first
+    so the shuffle carries digests, not document bodies.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select("keep_id", "n_dups")
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, pos, w)`` — whitespace tokens with positions."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: ``(id, sh)`` (space-joined words).
+
+    Built by position self-joins on the token relation — the same shape
+    the SQL oracle uses. n−1 broadcast-friendly equi-joins; Catalyst
+    plans them as one shuffle on (id) since all joins share the key
+    prefix.
+    """
+    toks = tokenize(df, id_col, text_col)
+    out = toks.select("id", "pos", F.col("w").alias("sh"))
+    for k in range(1, n):
+        nxt = toks.select(
+            F.col("id").alias("id2"), (F.col("pos") - k).alias("pos2"), F.col("w").alias(f"w{k}")
+        )
+        out = out.join(
+            nxt, (out["id"] == nxt["id2"]) & (out["pos"] == nxt["pos2"])
+        ).select("id", "pos", F.concat_ws(" ", "sh", f"w{k}").alias("sh"))
+    return out.select("id", "sh").distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ threshold:
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Exact (not approximate): candidate pairs come from the shingle
+    inverted index, so only pairs sharing ≥1 shingle are scored —
+    sub-quadratic whenever shingles are selective. For corpora where even
+    that explodes (stop-shingles), use :func:`minhash_lsh_pairs`.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, seed: int = 42
+) -> DataFrame:
+    """``(id, i, minh)`` — MinHash signature rows from a ``(id, sh)``
+    shingle relation. One explode over the (small, constant) hash-param
+    array + one min aggregate."""
+    params = minhash_params(num_hashes, seed)
+    sh_int = sh.select("id", md5_int60(F.col("sh")).alias("x"))
+    hash_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), universal_hash(F.col("x"), a, b).alias("h"))
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return (
+        sh_int.select("id", F.explode(hash_arr).alias("ih"))
+        .groupBy("id", F.col("ih.i").alias("i"))
+        .agg(F.min("ih.h").alias("minh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard:
+    ``(id_a, id_b, jaccard)``, ``id_a < id_b``, Jaccard ≥ threshold.
+
+    LSH prunes candidate generation: only documents whose signatures
+    collide in ≥1 band are compared. With b bands of r rows the detect
+    probability is ``1−(1−j^r)^b`` — defaults (8 bands × 2) catch
+    j ≥ 0.5 with p ≈ 0.9, j ≥ 0.8 with p ≈ 0.9998.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_hashes, seed)
+    bands = sig.groupBy(
+        "id", (F.col("i") / rows_per_band).cast("int").alias("band")
+    ).agg(
+        (F.sum(band_key(F.col("minh"), F.col("i") % rows_per_band)) % MINHASH_P).alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over the shingle relation
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash fingerprints: ``(id, simhash)``.
+
+    Token multiplicity weights each token's ±1 vote per bit position.
+    Plan shape: tokenize → md5-int → explode bit positions → two hash
+    aggregates. The bit explosion multiplies rows by ``bits``; for 100 TB
+    one would fold the 60 bit-tests into a single pandas-UDF popcount
+    pass — kept declarative here so the DuckDB oracle is exact.
+    """
+    toks = tokenize(df, id_col, text_col).select("id", md5_int60(F.col("w")).alias("h"))
+    # shiftright/shiftleft builtins take a literal shift; use expr for a
+    # column-valued shift
+    votes = (
+        toks.select("id", "h", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"))
+        .withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, bits: int = 60, prefix_bits: int = 15) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: block on ``prefix_bits``-bit prefixes (a near-dup pair
+    collides on ≥1 of the 4 prefix blocks when max_hamming ≤ 3 — the
+    standard simhash pigeonhole trick) instead of an O(n²) cross join.
+    """
+    blocks = 4
+    per = bits // blocks
+    fp = fingerprints
+    exploded = fp.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+    ).withColumn(
+        "bkey",
+        F.expr(f"(simhash >> (blk * {per})) & {(1 << per) - 1}"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; transforms run as Arrow-batched ``mapInPandas`` passes.
+The Spark-side plumbing (schema, batch iteration, partition sizing) is
+real and tested; the actual codec calls are STUBBED — the image/audio
+libraries are not in this container — behind ``decode_fn`` injection
+points with a deterministic fake for tests, and a default that raises
+``NotImplementedError`` naming the dependency.
+
+Scale notes: binary payloads dominate row size, so operators here
+(a) never shuffle payloads (all transforms are map-side ``mapInPandas``),
+(b) expose ``target_partition_mb`` to re-split scans so one Arrow batch
+of payload rows fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: schema of a decoded-image feature row
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("feature_hash", StringType(), True),
+    ]
+)
+
+
+def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Decode a real image payload → (width, height, channels).
+
+    STUB: real decoding needs an image library (e.g. Pillow/opencv) that
+    is not installed in this environment.
+    """
+    raise NotImplementedError(
+        "image decoding requires an image library (e.g. Pillow); "
+        "inject decode_fn= with a real decoder in production"
+    )
+
+
+def fake_image_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decoder for tests: derives a (w, h, c) from the
+    payload bytes so plumbing is exercised end-to-end without codecs."""
+    if not payload:
+        return (0, 0, 0)
+    w = 1 + payload[0] % 64
+    h = 1 + payload[-1] % 64
+    return (w, h, 3)
+
+
+def extract_image_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decode_fn: Callable[[bytes], tuple[int, int, int]] = default_image_decoder,
+    batch_size: int = 256,
+) -> DataFrame:
+    """binary payloads → ``IMAGE_FEATURES_SCHEMA`` rows via ``mapInPandas``.
+
+    One Arrow batch in, one out; payloads never leave their partition.
+    """
+    import hashlib
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                out = {
+                    "id": [],
+                    "width": [],
+                    "height": [],
+                    "channels": [],
+                    "feature_hash": [],
+                }
+                for _, row in chunk.iterrows():
+                    payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                    w, h, c = decode_fn(payload)
+                    out["id"].append(str(row[id_col]))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                    out["feature_hash"].append(hashlib.md5(payload).hexdigest())
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_proc, IMAGE_FEATURES_SCHEMA)
+
+
+def attach_fake_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Test/dev helper: synthesize a deterministic binary payload column
+    (+ metadata struct) from a text column, so multimodal plumbing can be
+    exercised on the ``documents`` table."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").cast(BinaryType()).alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.col(text_col)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def repartition_for_payloads(
+    df: DataFrame, approx_total_mb: float, target_partition_mb: int = 128
+) -> DataFrame:
+    """Re-split a payload scan so each partition carries roughly
+    ``target_partition_mb`` of binary data (keeps one Arrow batch per
+    task inside executor memory at 100 TB)."""
+    parts = max(1, int(approx_total_mb / target_partition_mb))
+    return df.repartition(parts)

@@ -1,0 +1,136 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All pure ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage codegen) with exact DuckDB-oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: regex for "BPE-ish" word tokens: alnum runs or single non-space symbols.
+#: Kept RE2/Java-portable (no lookarounds) so Spark and DuckDB agree.
+TOKEN_RE = "[a-zA-Z0-9]+"
+
+#: tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "des", "et"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # pinyin-romanized markers
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_ws_tokens, n_re_tokens, n_chars)`` — whitespace-split count
+    and regex-token count per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("n_re_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def _count_word(text: Column, word: str) -> Column:
+    """Occurrences of a whole word (space-delimited) in text."""
+    return F.regexp_count(
+        F.concat(F.lit(" "), text, F.lit(" ")), F.lit(f" {word} ")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_words, mean_word_len, stopword_ratio, quality)``.
+
+    quality ∈ [0,1]: product of (a) a length factor saturating at 50
+    words, (b) closeness of mean word length to 5 chars, (c) a stopword
+    presence factor. Deterministic arithmetic only — the exact formula
+    matters less than it being a fixed, oracle-checkable contract.
+    """
+    text = F.col(text_col)
+    n_words = F.size(F.split(text, " "))
+    mean_wl = (F.length(text) - (n_words - 1)) / n_words  # chars sans separators
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_word(text, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stop_ratio = stop_hits / n_words
+    length_factor = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    wl_factor = F.lit(1.0) - F.least(F.abs(mean_wl - 5.0) / F.lit(5.0), F.lit(1.0))
+    stop_factor = F.least(stop_ratio * 5.0, F.lit(1.0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (length_factor * wl_factor * stop_factor).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, pred_lang)`` — heuristic language ID by marker-word counts.
+
+    argmax over per-language marker hit counts; ties (including the
+    all-zero case) break to the alphabetically-first language code, so
+    the result is fully deterministic and oracle-expressible.
+    """
+    text = F.col(text_col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        s = None
+        for w in LANG_MARKERS[lang]:
+            c = _count_word(text, w)
+            s = c if s is None else s + c
+        scores.append(F.struct(s.alias("hits"), F.lit(lang).alias("lang")))
+    # max_by (hits, then lang desc? we want lang ASC on ties) —
+    # array_max on struct compares fields in order; to get lang-asc
+    # tie-break we invert: take max of (hits, negated-rank) via sorting.
+    arr = F.array(*scores)
+    best = F.array_max(
+        F.transform(
+            arr,
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                # lexicographically LATER langs must lose ties → store a
+                # rank that decreases along the sorted order
+                (F.lit(0) - F.array_position(
+                    F.array(*[F.lit(x) for x in sorted(LANG_MARKERS)]), s["lang"]
+                )).alias("neg_rank"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), best["lang"].alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, fp)`` — md5 digest of the normalized text (lowercased,
+    non-alnum runs collapsed to single spaces, trimmed). The canonical
+    "same content modulo formatting" exact-dedup key."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "))
+    return df.select(F.col(id_col).alias("id"), F.md5(norm).alias("fp"))
+
+
+def rolling_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window: int = 32, base: int = 257, mod: int = 1_000_000_007
+) -> DataFrame:
+    """``(id, pos, fp)`` — polynomial rolling-hash fingerprints of every
+    ``window``-char substring (Rabin–Karp). Library extra for
+    fine-grained containment detection; one explode over char positions,
+    hash computed with ``F.aggregate`` over the char codes — JVM-side.
+    """
+    text = F.col(text_col)
+    chars = F.split(text, "")
+    n = F.length(text)
+    pos = F.explode(F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)) - 1))
+    windowed = df.select(F.col(id_col).alias("id"), chars.alias("cs"), pos.alias("pos"))
+    sub = F.slice(F.col("cs"), F.col("pos") + 1, window)
+    fp = F.aggregate(
+        sub,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+    return windowed.select("id", "pos", fp.alias("fp"))

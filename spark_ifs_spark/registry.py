@@ -1,0 +1,682 @@
+"""Query registry: every implemented operator as a (Spark callable,
+DuckDB oracle SQL) pair over the driver's parquet tables.
+
+This is the correctness gate surface consumed by ``__spark_entry__.py``:
+the driver runs each Spark query AND its oracle SQL side-by-side and
+compares row count + schema + order-insensitive value hash. Conventions
+that make the comparison exact:
+
+- every computed double is ``round(x, 6)`` on BOTH sides (covers ulp-level
+  aggregation-order differences); orderings/argmaxes always happen on the
+  full-precision values *before* rounding;
+- all hashing is md5-based via :mod:`spark_ifs_spark.functions.hashing`
+  (identical integer arithmetic in both engines, no engine-native hash);
+- quantization of embedding floats is ``floor(x * 8)`` — multiplying by a
+  power of two is exact in IEEE-754, so the categorical levels are
+  bit-identical across engines;
+- timestamps are compared as epoch microseconds / formatted dates
+  (driver testdata is µs-grain, verified) — never as raw timestamp
+  objects.
+
+The IFS queries mirror the reference semantics on the ``embeddings``
+table, which *is* the conventional encoding at scale: ``label`` +
+64 feature columns (quantized embedding dims).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_params,
+    sql_band_power,
+    sql_md5_int60,
+    sql_universal_hash,
+)
+from spark_ifs_spark.functions.mi import mi_from_joint_counts
+from spark_ifs_spark.operators import dedup, similarity, textstats
+from spark_ifs_spark.operators.melt import melt_array
+from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.operators.select_rows import select_rows
+from spark_ifs_spark.operators.multimodal import (
+    attach_fake_payloads,
+    extract_image_features,
+    fake_image_decoder,
+)
+from spark_ifs_spark.streaming.events import sessionize, windowed_event_counts
+
+# ---------------------------------------------------------------------------
+# shared constants (must match between Spark and SQL builders)
+
+QUANT_SCALE = 8          # floor(x * 8) — exact in IEEE-754
+MRMR_DIMS = 16           # feature subset for the greedy-selection queries
+MRMR_K = 5
+EMB_DIMS = 64
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_HASHES = 16
+MINHASH_ROWS_PER_BAND = 2
+SIMHASH_BITS = 60
+ANN_K = 10
+TOP_PAIRS_K = 20
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from spark_ifs_spark.sources.parquet import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# IFS core queries
+
+def _quantized_wide(spark: SparkSession, sf_dir: str, dims: int) -> tuple[DataFrame, list[str]]:
+    emb = _read(spark, sf_dir, "embeddings")
+    cols = [f"f{j}" for j in range(dims)]
+    wide = emb.select(
+        F.col("label").cast("double").alias("label"),
+        F.col("vec_id"),
+        *[
+            F.floor(F.col("embedding")[j].cast("double") * QUANT_SCALE).cast("double").alias(c)
+            for j, c in enumerate(cols)
+        ],
+    )
+    return wide, cols
+
+
+def q_mi_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    from spark_ifs_spark.functions.mi import joint_counts
+
+    return mi_from_joint_counts(
+        joint_counts(li, "l_returnflag", "l_linestatus"), group_cols=[]
+    ).select(F.round("mi", 6).alias("mi"))
+
+
+def sql_mi_pair_lineitem() -> str:
+    return """
+WITH joint AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), tot AS (SELECT sum(c) AS n FROM joint),
+ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY 1)
+SELECT round(sum((c * 1.0 / n) * ln((c * 1.0 * n) / (ca * 1.0 * cb))), 6) AS mi
+FROM joint
+CROSS JOIN tot
+JOIN ma USING (a)
+JOIN mb USING (b)
+"""
+
+
+def q_mi_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(quantized dim j, label) for every embedding dim (round-1
+    relevance of `selectColumns`, IFS:46-140 with S=∅)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    long = emb.select(
+        F.col("label").cast("double").alias("lab"),
+        F.posexplode(F.col("embedding")).alias("feature", "e"),
+    ).select("feature", "lab", F.floor(F.col("e").cast("double") * QUANT_SCALE).alias("q"))
+    joint = long.groupBy("feature", "q", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+    mi = mi_from_joint_counts(joint, ["feature"], a_col="q", b_col="lab")
+    return mi.select("feature", F.round("mi", 6).alias("mi"))
+
+
+def _sql_emb_long(dims: int) -> str:
+    return f"""
+long AS (
+  SELECT vec_id, i AS col, floor(CAST(embedding[i + 1] AS DOUBLE) * {QUANT_SCALE}) AS val
+  FROM embeddings, range({dims}) t(i)
+  UNION ALL
+  SELECT vec_id, -1 AS col, CAST(label AS DOUBLE) AS val FROM embeddings
+)"""
+
+
+def _sql_pair_mi(dims: int) -> str:
+    """CTE text computing mi(ca, cb) for ca in feature dims, cb in dims ∪ {-1}."""
+    return f"""
+{_sql_emb_long(dims)},
+pairs AS (
+  SELECT a.col AS ca, b.col AS cb, a.val AS va, b.val AS vb, count(*) AS c
+  FROM long a JOIN long b ON a.vec_id = b.vec_id
+  WHERE a.col >= 0 AND a.col <> b.col
+  GROUP BY 1, 2, 3, 4
+),
+tot AS (SELECT ca, cb, sum(c) AS n FROM pairs GROUP BY 1, 2),
+ma AS (SELECT ca, cb, va, sum(c) AS cna FROM pairs GROUP BY 1, 2, 3),
+mb AS (SELECT ca, cb, vb, sum(c) AS cnb FROM pairs GROUP BY 1, 2, 3),
+mi AS (
+  SELECT p.ca, p.cb,
+         sum((p.c * 1.0 / t.n) * ln((p.c * 1.0 * t.n) / (ma.cna * 1.0 * mb.cnb))) AS mi
+  FROM pairs p
+  JOIN tot t ON t.ca = p.ca AND t.cb = p.cb
+  JOIN ma ON ma.ca = p.ca AND ma.cb = p.cb AND ma.va = p.va
+  JOIN mb ON mb.ca = p.ca AND mb.cb = p.cb AND mb.vb = p.vb
+  GROUP BY 1, 2
+)"""
+
+
+def sql_mi_relevance() -> str:
+    return f"""
+WITH {_sql_pair_mi(EMB_DIMS)}
+SELECT ca AS feature, round(mi, 6) AS mi FROM mi WHERE cb = -1
+"""
+
+
+def q_mrmr_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 winner: argmax relevance (ColumnWiseScore.scala:51)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    long = emb.select(
+        F.col("label").cast("double").alias("lab"),
+        F.posexplode(F.col("embedding")).alias("feature", "e"),
+    ).select("feature", "lab", F.floor(F.col("e").cast("double") * QUANT_SCALE).alias("q"))
+    joint = long.groupBy("feature", "q", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+    mi = mi_from_joint_counts(joint, ["feature"], a_col="q", b_col="lab")
+    return (
+        mi.orderBy(F.col("mi").desc(), F.col("feature").asc())
+        .limit(1)
+        .select("feature", F.round("mi", 6).alias("score"))
+    )
+
+
+def sql_mrmr_top1() -> str:
+    return f"""
+WITH {_sql_pair_mi(EMB_DIMS)}
+SELECT ca AS feature, round(mi, 6) AS score FROM mi WHERE cb = -1
+ORDER BY mi DESC, ca ASC LIMIT 1
+"""
+
+
+def q_mrmr_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    sel = select_columns(wide, "label", cols, num=MRMR_K)
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_mrmr_select_k5() -> str:
+    """Unrolled greedy mRMR over the pairwise-MI matrix, k=5."""
+    rounds = []
+    prevs = []
+    for k in range(1, MRMR_K + 1):
+        if k == 1:
+            rounds.append("r1 AS (SELECT ca, mi AS score FROM mi WHERE cb = -1)")
+        else:
+            prev_union = " UNION ALL ".join(f"SELECT ca FROM w{j}" for j in range(1, k))
+            rounds.append(
+                f"""r{k} AS (
+  SELECT r.ca,
+         r.score - (SELECT avg(m.mi) FROM mi m
+                    WHERE m.ca = r.ca AND m.cb IN ({prev_union})) AS score
+  FROM r1 r WHERE r.ca NOT IN ({prev_union})
+)"""
+            )
+        rounds.append(f"w{k} AS (SELECT ca, score FROM r{k} ORDER BY score DESC, ca ASC LIMIT 1)")
+        prevs.append(f"SELECT {k} AS rank, ca AS feature, round(score, 6) AS score FROM w{k}")
+    body = ",\n".join(rounds)
+    final = "\nUNION ALL\n".join(prevs)
+    return f"WITH {_sql_pair_mi(MRMR_DIMS)},\n{body}\n{final}"
+
+
+def q_row_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same selection through the ALTERNATE encoding: quantized dims
+    transposed to feature-rows, labels broadcast — must agree with
+    q_mrmr_select_k5 (the reference's differential invariant)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("double").alias("lab"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, MRMR_DIMS),
+            lambda x: F.floor(x.cast("double") * QUANT_SCALE),
+        ).alias("qarr"),
+    )
+    long = melt_array(q, "qarr", carry_cols=["vec_id"])
+    alt = (
+        long.groupBy("col")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("o"), F.col("value").alias("v")))
+            ).alias("s")
+        )
+        .select(F.col("col").cast("long").alias("id"), F.col("s.v").alias("features"))
+    )
+    labels = [
+        float(r["lab"]) for r in q.select("vec_id", "lab").orderBy("vec_id").collect()
+    ]
+    sel = select_rows(alt, num=MRMR_K, labels_row=labels)
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+# ---------------------------------------------------------------------------
+# dedup queries (documents table)
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", ["text"])
+
+
+def sql_dedup_exact() -> str:
+    return "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text"
+
+
+_SQL_WORDS = """
+words AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+)"""
+
+_SQL_SHINGLES = f"""
+{_SQL_WORDS},
+sh AS (
+  SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM words a
+  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)"""
+
+_SQL_JACCARD_FROM_SH = f"""
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+  GROUP BY 1, 2
+)"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+{_SQL_JACCARD_FROM_SH}
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_minhash() -> str:
+    params = minhash_params(MINHASH_HASHES)
+    hash_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    rpb = MINHASH_ROWS_PER_BAND
+    powers = ", ".join(f"({j}, {sql_band_power(j)})" for j in range(rpb))
+    return f"""
+WITH {_SQL_SHINGLES},
+shi AS (SELECT id, {sql_md5_int60('sh')} AS x FROM sh),
+hp(i, a, b) AS (VALUES {hash_rows}),
+pw(j, p) AS (VALUES {powers}),
+sig AS (
+  SELECT shi.id, hp.i, min((hp.a * (shi.x % {MINHASH_P}) + hp.b) % {MINHASH_P}) AS minh
+  FROM shi CROSS JOIN hp
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, CAST(floor(i * 1.0 / {rpb}) AS INT) AS band,
+         sum((minh * pw.p) % {MINHASH_P}) % {MINHASH_P} AS bkey
+  FROM sig JOIN pw ON pw.j = i % {rpb}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS i
+  FROM cand
+  JOIN sh x ON x.id = cand.id_a
+  JOIN sh y ON y.id = cand.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+def sql_dedup_simhash() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (SELECT id, {sql_md5_int60('w')} AS h FROM toks),
+votes AS (
+  SELECT id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range({SIMHASH_BITS}) b(bit)
+  GROUP BY 1, 2
+)
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity queries (embeddings table)
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", [float(x) for x in qvec], k=ANN_K, exclude_ids=[0])
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_top_pairs(emb, "vec_id", "embedding", k=TOP_PAIRS_K)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def sql_embedding_top_pairs() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum((CAST(a.embedding[i + 1] AS DOUBLE) / na.nrm) * (CAST(b.embedding[i + 1] AS DOUBLE) / nb.nrm)) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT {TOP_PAIRS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis queries (documents table)
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_text_token_counts() -> str:
+    return f"""
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{textstats.TOKEN_RE}')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def _sql_count_word(word: str) -> str:
+    return f"len(regexp_extract_all(' ' || text || ' ', ' {word} '))"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def sql_text_quality() -> str:
+    stop_sum = " + ".join(_sql_count_word(w) for w in textstats.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS mean_wl,
+         ({stop_sum}) * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(least(n_words / 50.0, 1.0)
+             * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+             * least(stop_ratio * 5.0, 1.0), 6) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_lang_id() -> str:
+    langs = sorted(textstats.LANG_MARKERS)
+    counts = {
+        lang: " + ".join(_sql_count_word(w) for w in textstats.LANG_MARKERS[lang])
+        for lang in langs
+    }
+    cols = ",\n         ".join(f"({counts[lang]}) AS c_{lang}" for lang in langs)
+    m = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         {cols}
+  FROM documents
+), mx AS (SELECT *, {m} AS m FROM base)
+SELECT id, CASE {case} END AS pred_lang FROM mx
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_doc_fingerprint() -> str:
+    return """
+SELECT doc_id AS id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing query (documents as fake payloads)
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    return extract_image_features(payloads, "doc_id", "payload", decode_fn=fake_image_decoder)
+
+
+def sql_multimodal_features() -> str:
+    # fake decoder: w = 1 + first_byte % 64, h = 1 + last_byte % 64, c = 3;
+    # text is ASCII so bytes == chars; md5(payload) == md5(text)
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       1 + ascii(substr(text, 1, 1)) % 64 AS width,
+       1 + ascii(substr(text, length(text), 1)) % 64 AS height,
+       3 AS channels,
+       md5(text) AS feature_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# events queries (batch forms of the streaming transforms)
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, window="1 day")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def sql_events_daily() -> str:
+    return """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def sql_events_sessionize() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# classic scan/filter/agg (shows pushdown + partial agg; TPC-H Q1 shape)
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def sql_lineitem_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mi_pair_lineitem": q_mi_pair_lineitem,
+    "mi_relevance": q_mi_relevance,
+    "mrmr_top1": q_mrmr_top1,
+    "mrmr_select_k5": q_mrmr_select_k5,
+    "row_select_k5": q_row_select_k5,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "embedding_top_pairs": q_embedding_top_pairs,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "events_daily": q_events_daily,
+    "events_sessionize": q_events_sessionize,
+    "lineitem_pricing": q_lineitem_pricing,
+}
+
+ORACLES: dict[str, str] = {
+    "mi_pair_lineitem": sql_mi_pair_lineitem(),
+    "mi_relevance": sql_mi_relevance(),
+    "mrmr_top1": sql_mrmr_top1(),
+    "mrmr_select_k5": sql_mrmr_select_k5(),
+    "row_select_k5": sql_mrmr_select_k5(),  # alternate encoding ≡ conventional
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+    "dedup_minhash": sql_dedup_minhash(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "ann_topk": sql_ann_topk(),
+    "embedding_top_pairs": sql_embedding_top_pairs(),
+    "text_token_counts": sql_text_token_counts(),
+    "text_quality": sql_text_quality(),
+    "lang_id": sql_lang_id(),
+    "doc_fingerprint": sql_doc_fingerprint(),
+    "multimodal_features": sql_multimodal_features(),
+    "events_daily": sql_events_daily(),
+    "events_sessionize": sql_events_sessionize(),
+    "lineitem_pricing": sql_lineitem_pricing(),
+}

@@ -1,0 +1,70 @@
+"""Streaming-ready aggregations over the ``events`` table shape
+``(event_id, ts, user_id, event_type, value, props)``.
+
+Each transform is written against a plain DataFrame, so the SAME function
+body serves batch (``spark.read``) and streaming (``spark.readStream``)
+inputs — the Structured Streaming contract. Watermarks are applied only
+when the input is streaming (``df.isStreaming``), since batch DataFrames
+reject them.
+
+Scale notes: tumbling-window + keyed aggregation is the canonical
+shuffle-once streaming plan; state size is bounded by (windows in
+watermark horizon × event types). ``sessionize`` uses
+``applyInPandasWithState``-free session windows (``F.session_window``),
+Spark's native state implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling-window counts/sums per event type:
+    ``(window_start, window_end, event_type, n_events, sum_value)``."""
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per user: ``(user_id, session_start, session_end,
+    n_events, sum_value)`` with a ``gap`` inactivity timeout."""
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

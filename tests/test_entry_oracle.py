@@ -1,0 +1,94 @@
+"""Local replica of the driver's correctness gate: run every registered
+Spark query AND its DuckDB oracle at sf0.001, compare row count, schema
+(column names), and an order-insensitive value hash.
+
+This is the strongest test in the suite — if it is green here, the
+driver's CORRECTNESS_r{N}.json should be green at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(_canon_cell)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _canon_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    return str(v)
+
+
+def test_entry_smoke(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+
+
+def test_every_query_has_oracle_or_reason(entry_mod):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 15
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mi_pair_lineitem", "mi_relevance", "mrmr_top1", "mrmr_select_k5",
+        "row_select_k5", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
+        "dedup_simhash", "ann_topk", "embedding_top_pairs", "text_token_counts",
+        "text_quality", "lang_id", "doc_fingerprint", "multimodal_features",
+        "events_daily", "events_sessionize", "lineitem_pricing",
+    ],
+)
+def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = q(spark, sf_dir).toPandas()
+    want = duck.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"schema mismatch: {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    g, w = _canon(got), _canon(want)
+    if not g.equals(w):
+        diff = (g != w).any(axis=1)
+        raise AssertionError(
+            f"value mismatch in {name}; first differing rows:\n"
+            f"spark:\n{g[diff].head(5)}\noracle:\n{w[diff].head(5)}"
+        )
