@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Mirrors BASELINE.md's protocol: B1 round-1 relevance, B2/B3 full greedy
+mRMR in both encodings (+ the reference CLI's cross-encoding identity
+check as a hard assert), B4 synthetic 10k×50 matrix selection, plus the
+pipeline-extension headliners (minhash dedup, ann, simhash, text stats,
+events windows, pricing scan-agg).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from spark_ifs_spark.session import get_spark
+
+    spark = get_spark("spark_ifs_bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_ifs_spark.operators.select_columns import select_columns
+    from spark_ifs_spark.registry import QUERIES
+    from spark_ifs_spark.sources.generator import random_conventional_df
+
+    bench_queries = [
+        "mi_relevance",          # B1
+        "mrmr_select_k5",        # B2 (conventional, embeddings)
+        "row_select_k5",         # B3 (alternate, embeddings)
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "dedup_simhash",
+        "ann_topk",
+        "embedding_top_pairs",
+        "text_token_counts",
+        "text_quality",
+        "lang_id",
+        "doc_fingerprint",
+        "multimodal_features",
+        "events_daily",
+        "events_sessionize",
+        "lineitem_pricing",
+    ]
+
+    timings: dict[str, float] = {}
+    results: dict[str, list] = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        rows = QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        results[name] = rows
+
+    # B4: cross-encoding identity on the embeddings selection (CL:167-169)
+    conv = [(r["rank"], r["feature"]) for r in results["mrmr_select_k5"]]
+    alt = [(r["rank"], r["feature"]) for r in results["row_select_k5"]]
+    assert conv == alt, f"encoding mismatch: {conv} vs {alt}"
+
+    # B5: synthetic 10k x 50 categorical matrix, full greedy k=10
+    t0 = time.perf_counter()
+    wide, names = random_conventional_df(spark, rows=10_000, cols=51, seed=42)
+    sel = select_columns(wide, "label", names, num=10)
+    assert len(sel) == 10
+    timings["mrmr_k10_synthetic_10kx50"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "config": {
+                    "pyspark": spark.version,
+                    "master": f"local[{cpus}]",
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

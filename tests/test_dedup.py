@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "unrelated text about spark and query engines"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup(docs, "doc_id", ["text"]).collect()}
+    assert out[0] == 2  # docs 0 and 3 collapse
+    assert out[1] == 1 and out[2] == 1 and out[4] == 1
+    assert 3 not in out
+
+
+def test_word_shingles(spark, docs):
+    sh = dedup.word_shingles(docs.filter("doc_id = 2"), "doc_id", "text", n=3).collect()
+    got = {r["sh"] for r in sh}
+    assert got == {
+        "completely different words",
+        "different words entirely",
+        "words entirely here",
+        "entirely here now",
+    }
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 3)] == pytest.approx(1.0)  # exact dup
+    assert (0, 1) in got and 0.3 <= got[(0, 1)] < 1.0
+    assert (0, 2) not in got
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2, threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # identical signatures always collide
+    # LSH candidates are a subset of the exact-Jaccard pairs
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.3).collect()
+    }
+    assert got <= exact
+
+
+def test_simhash_properties(spark, docs):
+    fps = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    assert fps[0] == fps[3]  # identical text → identical fingerprint
+    ham01 = bin(fps[0] ^ fps[1]).count("1")
+    ham02 = bin(fps[0] ^ fps[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated doc
+
+
+def test_simhash_near_pairs(spark, docs):
+    fps = dedup.simhash(docs, "doc_id", "text")
+    fps_df = fps.withColumnRenamed("id", "id")
+    near = dedup.simhash_near_pairs(fps_df, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in near}
+    assert got[(0, 3)] == 0

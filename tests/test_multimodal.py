@@ -1,0 +1,51 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from spark_ifs_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [(0, "hello world"), (1, "spark engine"), (2, "x")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return multimodal.attach_fake_payloads(docs, "doc_id", "text"), rows
+
+
+def test_payload_schema(payloads):
+    df, _ = payloads
+    types = dict(df.dtypes)
+    assert types["payload"] == "binary"
+    assert types["meta"].startswith("struct")
+
+
+def test_extract_features_with_fake_decoder(payloads):
+    df, rows = payloads
+    out = {
+        r["id"]: r
+        for r in multimodal.extract_image_features(
+            df, "doc_id", "payload", decode_fn=multimodal.fake_image_decoder
+        ).collect()
+    }
+    for doc_id, text in rows:
+        r = out[str(doc_id)]
+        data = text.encode()
+        assert r["width"] == 1 + data[0] % 64
+        assert r["height"] == 1 + data[-1] % 64
+        assert r["channels"] == 3
+        assert r["feature_hash"] == hashlib.md5(data).hexdigest()
+
+
+def test_default_decoder_is_stub(payloads):
+    df, _ = payloads
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_image_features(df, "doc_id", "payload").collect()
+    assert "NotImplementedError" in str(ei.value) or "image" in str(ei.value)
+
+
+def test_repartition_for_payloads(payloads):
+    df, _ = payloads
+    out = multimodal.repartition_for_payloads(df, approx_total_mb=1024, target_partition_mb=128)
+    assert out.rdd.getNumPartitions() == 8

@@ -1,0 +1,89 @@
+"""Plan-quality tests: the 100 TB design properties, asserted.
+
+These verify that the declarative formulations actually get the Catalyst
+treatment the SURVEY build plan counts on: predicate pushdown to parquet,
+column pruning, map-side-only transforms staying shuffle-free, and
+whole-stage codegen in the counting hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators.melt import melt_array, melt_wide
+from spark_ifs_spark.operators.textstats import fingerprint, token_counts
+from spark_ifs_spark.plans import (
+    assert_no_exchange,
+    count_exchanges,
+    explain_str,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 25)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert any("l_quantity" in f for f in pushed_filters(df))
+
+
+def test_column_pruning(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_returnflag", "l_linestatus")
+    cols = read_schema_columns(df)
+    assert set(cols) == {"l_returnflag", "l_linestatus"}  # 2 of 11 columns read
+
+
+def test_melt_is_shuffle_free(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert_no_exchange(melt_array(emb, "embedding", carry_cols=["label"]), "melt_array")
+    wide = emb.select("label", *[F.col("embedding")[i].alias(f"f{i}") for i in range(4)])
+    assert_no_exchange(melt_wide(wide, [f"f{i}" for i in range(4)], ["label"]), "melt_wide")
+
+
+def test_textstats_are_shuffle_free(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_no_exchange(token_counts(docs, "doc_id", "text"), "token_counts")
+    assert_no_exchange(fingerprint(docs, "doc_id", "text"), "fingerprint")
+
+
+def test_round_counting_is_single_shuffle(spark, sf_dir):
+    """The per-round pair-count aggregation (the engine's hot path) must
+    be exactly one shuffle: partial agg → exchange → final agg."""
+    from spark_ifs_spark.operators.select_columns import round_mi
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cols = [f"f{i}" for i in range(8)]
+    wide = emb.select(
+        F.col("label").cast("double").alias("label"),
+        *[F.floor(F.col("embedding")[i].cast("double") * 8).alias(c) for i, c in enumerate(cols)],
+    )
+    joint = (
+        wide.select(
+            F.explode(
+                F.array(*[F.struct(F.lit(i).alias("cand"), F.col(c).alias("cand_val")) for i, c in enumerate(cols)])
+            ).alias("c"),
+            F.col("label"),
+        )
+        .groupBy("c.cand", "c.cand_val", "label")
+        .count()
+    )
+    assert count_exchanges(joint) == 1
+
+
+def test_counting_uses_wholestage_codegen(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    joint = li.groupBy("l_returnflag", "l_linestatus").count()
+    # under AQE the formatted plan is not final pre-execution; the codegen
+    # explain shows the generated WholeStageCodegen subtrees directly
+    assert "WholeStageCodegen" in explain_str(joint, "codegen")
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    assert "BroadcastHashJoin" in explain_str(joined, "simple")

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from spark_ifs_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(42)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(50)]
+    # plant a near-duplicate of vector 0
+    v0 = np.array(rows[0][1])
+    rows.append((50, [float(x) for x in (v0 + rng.normal(0, 0.01, 16))]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), rows
+
+
+def test_cosine_topk_exact(spark, vecs):
+    df, rows = vecs
+    query = rows[0][1]
+    out = similarity.cosine_topk(df, "vec_id", "embedding", query, k=5, exclude_ids=[0]).collect()
+    assert len(out) == 5
+    assert out[0]["id"] == 50  # planted near-dup first
+    assert out[0]["cos"] > 0.999
+    # numpy cross-check of the full ranking
+    M = np.array([r[1] for r in rows])
+    q = np.array(query)
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = [i for i in np.argsort(-cos) if i != 0][:5]
+    assert [r["id"] for r in out] == [rows[i][0] for i in order]
+    for r, i in zip(out, order):
+        assert r["cos"] == pytest.approx(float(cos[i]), rel=1e-9)
+
+
+def test_cosine_top_pairs(spark, vecs):
+    df, rows = vecs
+    out = similarity.cosine_top_pairs(df, "vec_id", "embedding", k=3).collect()
+    assert (out[0]["id_a"], out[0]["id_b"]) == (0, 50)
+    assert out[0]["cos"] > 0.999
+
+
+def test_lsh_topk_is_subset_quality(spark, vecs):
+    """The LSH path must return the planted near-dup (same bucket with
+    overwhelming probability) and only ids from the exact ranking."""
+    df, rows = vecs
+    query = rows[0][1]
+    exact = [r["id"] for r in similarity.cosine_topk(df, "vec_id", "embedding", query, k=51).collect()]
+    approx = similarity.cosine_topk_lsh(df, "vec_id", "embedding", query, k=5, num_planes=6).collect()
+    assert approx, "query's own bucket cannot be empty (contains vec 0)"
+    assert [r["id"] for r in approx] == [i for i in exact if i in {r["id"] for r in approx}][: len(approx)]
+    assert approx[0]["id"] in (50, 0)
+
+
+def test_hyperplane_buckets_deterministic(spark, vecs):
+    df, _ = vecs
+    b1 = {r["id"]: r["bucket"] for r in similarity.hyperplane_lsh_buckets(df, "vec_id", "embedding", 16, 8).collect()}
+    b2 = {r["id"]: r["bucket"] for r in similarity.hyperplane_lsh_buckets(df, "vec_id", "embedding", 16, 8).collect()}
+    assert b1 == b2
+    # near-identical vectors agree on (almost) all hyperplane signs: each
+    # plane flips with prob θ/π ≈ 0.003, so ≤1 differing bit out of 8
+    assert bin(b1[0] ^ b1[50]).count("1") <= 1

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from spark_ifs_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox"),
+        (1, "el perro corre en la calle de la ciudad"),
+        (2, "a b c"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_counts(spark, docs):
+    out = {r["id"]: r for r in textstats.token_counts(docs, "doc_id", "text").collect()}
+    assert out[0]["n_ws_tokens"] == 4
+    assert out[0]["n_re_tokens"] == 4
+    assert out[0]["n_chars"] == len("the quick brown fox")
+    assert out[2]["n_ws_tokens"] == 3
+
+
+def test_quality_score_bounds(spark, docs):
+    for r in textstats.quality_score(docs, "doc_id", "text").collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_words"] > 0
+
+
+def test_lang_id(spark, docs):
+    out = {r["id"]: r["pred_lang"] for r in textstats.lang_id(docs, "doc_id", "text").collect()}
+    assert out[0] == "en"  # 'the' marker
+    assert out[1] == "es"  # 'el'/'la'/'de' markers
+    assert out[2] == "en"  # 'a' marker
+    assert set(out.values()) <= set(textstats.LANG_MARKERS)
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(0, "Hello, World!"), (1, "hello   world"), (2, "HELLO-WORLD"), (3, "different")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["fp"] for r in textstats.fingerprint(df, "doc_id", "text").collect()}
+    assert out[0] == out[1] == out[2]  # same content modulo formatting
+    assert out[0] != out[3]
+    assert out[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame([(0, "abcdefghij" * 5)], ["doc_id", "text"])
+    out = textstats.rolling_fingerprints(df, "doc_id", "text", window=10).collect()
+    fps = {r["pos"]: r["fp"] for r in out}
+    # period-10 text: windows 10 apart hash identically
+    assert fps[0] == fps[10] == fps[20]
+    assert fps[0] != fps[1]
