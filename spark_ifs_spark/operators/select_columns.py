@@ -2,27 +2,30 @@
 
 Functional parity with ``IterativeFeatureSelection.selectColumns``
 (``/root/reference/src/main/scala/ifs/ml/feature/IterativeFeatureSelection.scala:24-43``),
-re-architected for Catalyst:
+re-architected for Catalyst + incremental state:
 
-Per greedy round the reference runs one job per 1000-column batch that
-emits ``(candCol, candVal, otherCol, otherVal)`` tuples and collects ALL
-pair counts to the driver (``countByValue`` at ``IFS:97``), then scores on
-the driver with Breeze matrices. Here the whole round is ONE declarative
-plan:
+- **Marginals once** (:func:`column_marginals`): within every contingency
+  pair a column's marginal equals its global value counts, so ALL
+  marginals for ALL rounds are one melt + one aggregation up front
+  (the reference rebuilds them per round per matrix, ``IFS:99-134``).
+- **Relevance once**: MI(cand, label) never changes; round 1 computes it
+  for every candidate in one pass and the driver keeps it (≤ numCols
+  floats).
+- **Incremental redundancy**: round r adds only MI(cand, winner_{r-1})
+  — one explode + one bounded hash aggregate per round (the reference
+  recomputes candidate × ALL selected pairs each round, ``IFS:88-94``).
+- Per round, only ≤ numCols ``(cand, mi)`` rows cross to the driver
+  (the reference collects the full pair-count map, ``IFS:97``).
 
-    wide df (persisted, only needed cols)
-      → explode(candidates × (label ∪ selected))       map-side, no shuffle
-      → groupBy(cand, cand_val, other, other_val).count()   ← the only
-        shuffle; partial aggregation + codegen from Catalyst, and the key
-        space is bounded by the 10k-cardinality guard, not by row count
-      → window-sum marginals → MI per (cand, other)
-      → aggregate to (relevance, mean redundancy) per cand → score
-      → orderBy(score desc, col asc) limit 1           ← 1 row to driver
+The per-round job:
 
-Scale posture: only the winner row crosses to the driver each round
-(the reference collects the full pair-count map). Broadcast state is the
-selected index list (≤ k ints) embedded as literals. The input is scanned
-once per round with column pruning down to label + features still in play.
+    wide df (persisted, pruned to label + live features)
+      → explode(candidates × other)                    map-side, no shuffle
+      → groupBy(cand, cand_val, other_val).count()     ← the only real
+        shuffle; partial agg + codegen from Catalyst; key space bounded by
+        the 10k-cardinality guard, NOT by row count
+      → broadcast-join precomputed marginals → sum terms per cand
+      → collect ≤ numCols rows; argmax on the driver
 
 Tie-break: deterministic lowest-index-wins. The reference's tie order is
 nondeterministic driver-hash order (``IFS:37`` stable sort over a hash-map
@@ -46,6 +49,77 @@ from spark_ifs_spark.functions.mi import (
 from spark_ifs_spark.operators.scores import ColumnScore, MrmrColumnScore
 
 
+def column_marginals(
+    df: DataFrame, label_col: str, feature_cols: Sequence[str]
+) -> DataFrame:
+    """Per-column value counts ``(col, value, cnt)`` with the label as col
+    −1 — computed ONCE before the greedy loop.
+
+    Key scale insight: within every (candidate, other) contingency pair,
+    the marginal of a column's value equals its *global* value count
+    (every row contributes exactly one cell per pair). So the per-round
+    MI needs only joint counts + a broadcast join against this
+    (cardinality-bounded, ≤ cols × 10k rows) relation — no window
+    functions, no per-round marginal scans.
+    """
+    from spark_ifs_spark.operators.melt import melt_wide
+
+    long = melt_wide(
+        df,
+        [label_col, *feature_cols],
+        col_ids=[LABEL_COL_ID, *range(len(feature_cols))],
+    )
+    return long.groupBy("col", "value").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def mi_vs_column(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    candidates: Sequence[int],
+    other_id: int,
+    other_col: str,
+    marginals: DataFrame,
+    n_rows: int,
+) -> DataFrame:
+    """``(cand, mi)`` — MI of every candidate column against ONE other
+    column (the label or the newest winner), in a single pass."""
+    cand_arr = F.array(
+        *[
+            F.struct(F.lit(c).alias("cand"), F.col(feature_cols[c]).cast("double").alias("cand_val"))
+            for c in candidates
+        ]
+    )
+    tuples = df.select(
+        F.explode(cand_arr).alias("_c"),
+        F.col(other_col).cast("double").alias("other_val"),
+    ).select("_c.cand", "_c.cand_val", "other_val")
+    joint = tuples.groupBy("cand", "cand_val", "other_val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ma = F.broadcast(
+        marginals.select(
+            F.col("col").alias("cand"), F.col("value").alias("cand_val"), F.col("cnt").alias("ca")
+        )
+    )
+    mb = F.broadcast(
+        marginals.filter(F.col("col") == other_id).select(
+            F.col("value").alias("other_val"), F.col("cnt").alias("cb")
+        )
+    )
+    n = float(n_rows)
+    c = F.col("cnt").cast("double")
+    # marginal product in double: long×long would overflow at ~1e12 rows
+    term = (c / F.lit(n)) * F.log(
+        c * F.lit(n) / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    )
+    return (
+        joint.join(ma, ["cand", "cand_val"])
+        .join(mb, ["other_val"])
+        .groupBy("cand")
+        .agg(F.sum(term).alias("mi"))
+    )
+
+
 def round_mi(
     df: DataFrame,
     label_col: str,
@@ -53,13 +127,12 @@ def round_mi(
     candidates: Sequence[int],
     selected: Sequence[int],
 ) -> DataFrame:
-    """One greedy round's MI terms: ``(cand, other, mi)`` for every
-    candidate × (label ∪ selected feature), where ``other`` is
-    :data:`LABEL_COL_ID` (−1) for the label.
-
-    This is the reference's single-pass multi-column counting pattern
-    (``IFS:65-97``, itself borrowed from mllib's chi-squared test) as one
-    explode + one hash aggregate.
+    """One greedy round's MI terms ``(cand, other, mi)`` for every
+    candidate × (label ∪ selected feature) — the reference's single-pass
+    multi-column counting pattern (``IFS:65-97``) as one explode + one
+    hash aggregate. Kept as the general (non-incremental) building block;
+    the greedy loop itself uses the cheaper incremental
+    :func:`mi_vs_column` plan.
     """
     others = [(LABEL_COL_ID, label_col)] + [(s, feature_cols[s]) for s in selected]
     cand_arr = F.array(
@@ -87,23 +160,11 @@ def round_mi(
     )
 
 
-def _aggregate_scores(mi: DataFrame) -> DataFrame:
-    """``(cand, other, mi)`` → ``(cand, relevance, redundancy)`` where
-    redundancy is the mean MI vs selected features (NULL on round 1)."""
-    return mi.groupBy("cand").agg(
-        F.sum(F.when(F.col("other") == LABEL_COL_ID, F.col("mi"))).alias("relevance"),
-        F.avg(F.when(F.col("other") != LABEL_COL_ID, F.col("mi"))).alias("redundancy"),
-    )
-
-
-def _pick_best(
-    a: tuple[int, float] | None, b: tuple[int, float], higher_is_better: bool
-) -> tuple[int, float]:
-    if a is None:
-        return b
-    if higher_is_better:
-        return b if (b[1] > a[1] or (b[1] == a[1] and b[0] < a[0])) else a
-    return b if (b[1] < a[1] or (b[1] == a[1] and b[0] < a[0])) else a
+def _better(a: tuple[int, float], b: tuple[int, float], higher: bool) -> bool:
+    """True if b beats a (ties → lower index)."""
+    if b[1] == a[1]:
+        return b[0] < a[0]
+    return b[1] > a[1] if higher else b[1] < a[1]
 
 
 def select_columns(
@@ -129,46 +190,64 @@ def select_columns(
     score = score or MrmrColumnScore()
     feature_cols = list(feature_cols)
     num = min(num, len(feature_cols))
+    all_idx = list(range(len(feature_cols)))
 
     needed = [label_col] + feature_cols
     wide = df.select(*needed).persist(StorageLevel.MEMORY_AND_DISK)
+    marginals: DataFrame | None = None
     try:
+        n_rows = wide.count()
+        # Right-size the loop input: the greedy loop runs k tiny-ish jobs
+        # over this cached relation, so per-task scheduling overhead is
+        # multiplied by k. Target ~500k rows/partition (cheap for the
+        # explode+count plan); over-partitioned input (e.g. 10k rows in
+        # 32 partitions from a default scan) gets re-persisted coalesced.
+        cur_parts = wide.rdd.getNumPartitions()
+        target = max(1, min(cur_parts, -(-n_rows // 500_000)))
+        if target < cur_parts // 2 or cur_parts > target * 2:
+            compact = wide.coalesce(target).persist(StorageLevel.MEMORY_AND_DISK)
+            compact.count()
+            wide.unpersist()
+            wide = compact
         check_cardinality(wide, needed, max_categories)
+        marginals = column_marginals(wide, label_col, feature_cols).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        marginals.count()  # materialize once; reused every round
+
+        def _mi_all(cands: list[int], other_id: int, other_col: str) -> dict[int, float]:
+            out: dict[int, float] = {}
+            for start in range(0, len(cands), batch_size):
+                batch = cands[start : start + batch_size]
+                for r in mi_vs_column(
+                    wide, feature_cols, batch, other_id, other_col, marginals, n_rows
+                ).collect():
+                    out[int(r["cand"])] = float(r["mi"])
+            return out
+
+        relevance = _mi_all(all_idx, LABEL_COL_ID, label_col)
+        reds: dict[int, list[float]] = {c: [] for c in all_idx}
         selected: list[tuple[int, float]] = []
-        sel_idx: list[int] = []
-        for _ in range(num):
-            candidates = [i for i in range(len(feature_cols)) if i not in sel_idx]
+        sel_set: set[int] = set()
+        for rnd in range(num):
+            if rnd > 0:
+                newest = selected[-1][0]
+                remaining = [c for c in all_idx if c not in sel_set]
+                mi_new = _mi_all(remaining, newest, feature_cols[newest])
+                for c, v in mi_new.items():
+                    reds[c].append(v)
             best: tuple[int, float] | None = None
-            for start in range(0, len(candidates), batch_size):
-                batch = candidates[start : start + batch_size]
-                mi = round_mi(wide, label_col, feature_cols, batch, sel_idx)
-                expr = score.sql_expr()
-                if expr is not None:
-                    # JVM-side scoring: argmax never leaves Spark.
-                    order = F.col("score").desc() if score.higher_is_better else F.col("score").asc()
-                    row = (
-                        _aggregate_scores(mi)
-                        .withColumn("score", F.expr(expr))
-                        .orderBy(order, F.col("cand").asc())
-                        .first()
-                    )
-                    best = _pick_best(best, (int(row["cand"]), float(row["score"])), score.higher_is_better)
-                else:
-                    # Generic plug-in: collect the (≤ batch × (k+1)) MI terms
-                    # and combine driver-side.
-                    rel: dict[int, float] = {}
-                    reds: dict[int, list[float]] = {}
-                    for r in mi.collect():
-                        if r["other"] == LABEL_COL_ID:
-                            rel[r["cand"]] = float(r["mi"])
-                        else:
-                            reds.setdefault(r["cand"], []).append(float(r["mi"]))
-                    for c in batch:
-                        s = score.score(rel.get(c, 0.0), reds.get(c, []))
-                        best = _pick_best(best, (c, s), score.higher_is_better)
+            for c in all_idx:
+                if c in sel_set:
+                    continue
+                s = score.score(relevance.get(c, 0.0), reds[c])
+                if best is None or _better(best, (c, s), score.higher_is_better):
+                    best = (c, s)
             assert best is not None
             selected.append(best)
-            sel_idx.append(best[0])
+            sel_set.add(best[0])
         return selected
     finally:
+        if marginals is not None:
+            marginals.unpersist()
         wide.unpersist()
