@@ -88,7 +88,9 @@ def ngram_jaccard_pairs(
     sub-quadratic whenever shingles are selective. For corpora where even
     that explodes (stop-shingles), use :func:`minhash_lsh_pairs`.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # the shingle relation feeds three consumers (sizes + both join
+    # sides); persist so the tokenize/join chain runs once
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -147,7 +149,8 @@ def minhash_lsh_pairs(
     probability is ``1−(1−j^r)^b`` — defaults (8 bands × 2) catch
     j ≥ 0.5 with p ≈ 0.9, j ≥ 0.8 with p ≈ 0.9998.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    # persist: consumed by signatures, sizes, and both verify join sides
+    sh = word_shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, num_hashes, seed)
     bands = sig.groupBy(
         "id", (F.col("i") / rows_per_band).cast("int").alias("band")

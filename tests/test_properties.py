@@ -1,0 +1,83 @@
+"""Property-based tests (SURVEY §5 rebuild plan): MI invariants and the
+cross-encoding agreement invariant on random seeded matrices — the
+reference's own manual differential check, automated with hypothesis."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_ifs_spark.operators.scores import mi_vec
+from tests.oracle_mrmr import mi as np_mi
+
+_vals = st.integers(min_value=0, max_value=4)
+
+
+@given(
+    a=st.lists(_vals, min_size=2, max_size=60),
+    b=st.lists(_vals, min_size=2, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_mi_vec_symmetry_nonneg(a, b):
+    n = min(len(a), len(b))
+    av = np.array(a[:n], dtype=float)
+    bv = np.array(b[:n], dtype=float)
+    m_ab = mi_vec(av, bv)
+    m_ba = mi_vec(bv, av)
+    assert m_ab == pytest.approx(m_ba, abs=1e-12)
+    assert m_ab >= -1e-12
+    assert m_ab == pytest.approx(np_mi(av, bv), abs=1e-12)
+
+
+@given(a=st.lists(_vals, min_size=2, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_mi_self_is_entropy(a):
+    av = np.array(a, dtype=float)
+    _, counts = np.unique(av, return_counts=True)
+    p = counts / counts.sum()
+    h = -float(np.sum(p * np.log(p)))
+    assert mi_vec(av, av) == pytest.approx(h, abs=1e-12)
+
+
+@given(
+    a=st.lists(_vals, min_size=2, max_size=60),
+    b=st.lists(_vals, min_size=2, max_size=60),
+    perm_seed=st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_mi_invariant_under_relabeling(a, b, perm_seed):
+    """MI depends only on the joint distribution, not category names:
+    bijective relabeling of either side leaves it unchanged."""
+    n = min(len(a), len(b))
+    av = np.array(a[:n], dtype=float)
+    bv = np.array(b[:n], dtype=float)
+    rng = np.random.default_rng(perm_seed)
+    mapping = rng.permutation(10).astype(float)
+    relabeled = np.array([mapping[int(x)] for x in av])
+    assert mi_vec(av, bv) == pytest.approx(mi_vec(relabeled, bv), abs=1e-12)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_cross_encoding_agreement_random(spark, seed):
+    """CommandLine.scala:167-169 automated: conventional and alternate
+    selection agree on random seeded matrices."""
+    from spark_ifs_spark.operators.select_columns import select_columns
+    from spark_ifs_spark.operators.select_rows import select_rows
+    from spark_ifs_spark.sources.generator import random_matrix
+
+    mat = random_matrix(rows=120, cols=8, seed=seed)
+    arr = np.array(mat, dtype=float)
+    names = [f"f{j}" for j in range(7)]
+    conv = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    feats = arr[:, 1:].T
+    alt = spark.createDataFrame(
+        [(int(j), [float(v) for v in feats[j]]) for j in range(feats.shape[0])],
+        ["id", "features"],
+    )
+    conv_sel = select_columns(conv, "label", names, num=3)
+    alt_sel = select_rows(alt, num=3, labels_row=arr[:, 0].tolist())
+    assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
