@@ -10,8 +10,11 @@ Architecture differences from the reference (all scale wins, see SURVEY §4
 
 - **1 job per round, not 3.** The reference runs ``takeOrdered`` + a
   winner-fetch ``count`` + ``first`` (``IFS:172-178``); we fold the winner's
-  vector into the top-1 row itself (``orderBy(...).limit(1)`` collecting
-  ``(id, score, features)``).
+  vector into the top-1 row itself. The top-1 is a ``max(struct(score,
+  -id, features))`` hash aggregate — a partial+final aggregation with NO
+  sort and NO range-partitioner sampling pass, so the per-round cost is
+  one scan regardless of candidate count (an ``orderBy().limit(1)`` plan
+  would sample + range-shuffle millions of candidate rows at scale).
 - **Incremental redundancy state.** The reference re-broadcasts ALL
   selected vectors and recomputes every MI(cand, s) each round
   (``IFS:163,167``). mRMR's redundancy term is a running mean, so we keep a
@@ -46,6 +49,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec
+
+
+def _argbest(scored: DataFrame, higher: bool):
+    """Collect the single best ``(id, score, features)`` row as one
+    partial+final hash aggregate (no sort, no sampling pass).
+
+    Struct comparison is lexicographic, so ``max(struct(score, -id, …))``
+    maximizes score with ties going to the LOWEST id (deterministic —
+    documented deviation from the reference's driver-hash-order ties);
+    ``min(struct(score, id, …))`` is the minimizing mirror. ``features``
+    rides along in the struct and is never compared because ids are
+    unique.
+    """
+    if higher:
+        packed = F.max(F.struct(F.col("score"), (-F.col("id")).alias("nid"), F.col("features")))
+        w = scored.agg(packed.alias("w")).select("w.*").first()
+        return -float(w["nid"]), float(w["score"]), w["features"]
+    packed = F.min(F.struct(F.col("score"), F.col("id"), F.col("features")))
+    w = scored.agg(packed.alias("w")).select("w.*").first()
+    return float(w["id"]), float(w["score"]), w["features"]
 
 
 def _mi_against_udf(other: np.ndarray):
@@ -107,18 +130,15 @@ def select_rows(
             score_col = F.col("relevance") - (
                 F.col("red_sum") / F.lit(k) if k > 0 else F.lit(0.0)
             )
-            winner = (
-                state.withColumn("score", score_col)
-                .orderBy(F.col("score").desc(), F.col("id").asc())
-                .select("id", "score", "features")
-                .first()
+            win_id, win_score, win_features = _argbest(
+                state.withColumn("score", score_col), higher=True
             )
-            selected.append((float(winner["id"]), float(winner["score"])))
+            selected.append((win_id, win_score))
             if rnd == num - 1:
                 break
-            win_vec = np.asarray(winner["features"], dtype=np.float64)
+            win_vec = np.asarray(win_features, dtype=np.float64)
             new_state = (
-                state.filter(F.col("id") != float(winner["id"]))
+                state.filter(F.col("id") != win_id)
                 .withColumn(
                     "red_sum",
                     F.col("red_sum") + _mi_against_udf(win_vec)(F.col("features")),
@@ -154,16 +174,12 @@ def _select_rows_generic(
 
             score_udf = F.pandas_udf(_score, DoubleType())
             sel_ids = [s[0] for s in selected]
-            order = F.col("score").desc() if score.higher_is_better else F.col("score").asc()
-            winner = (
-                base.filter(~F.col("id").isin(sel_ids) if sel_ids else F.lit(True))
-                .withColumn("score", score_udf(F.col("features")))
-                .orderBy(order, F.col("id").asc())
-                .select("id", "score", "features")
-                .first()
-            )
-            selected.append((float(winner["id"]), float(winner["score"])))
-            sel_vecs.append(np.asarray(winner["features"], dtype=np.float64))
+            scored = base.filter(
+                ~F.col("id").isin(sel_ids) if sel_ids else F.lit(True)
+            ).withColumn("score", score_udf(F.col("features")))
+            win_id, win_score, win_features = _argbest(scored, score.higher_is_better)
+            selected.append((win_id, win_score))
+            sel_vecs.append(np.asarray(win_features, dtype=np.float64))
         return selected
     finally:
         base.unpersist()
