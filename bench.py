@@ -52,6 +52,7 @@ def main() -> None:
         "multimodal_features",
         "events_daily",
         "events_sessionize",
+        "events_user_stats",
         "lineitem_pricing",
     ]
 

@@ -634,6 +634,57 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``)
+    driven for real: the events table is re-staged as a 2-file streaming
+    source so the state store folds ≥2 micro-batches, then the memory
+    sink's per-batch updates are reduced to each user's final state —
+    which must equal the plain batch ``GROUP BY`` the oracle runs."""
+    import os
+    import tempfile
+    import uuid
+
+    from spark_ifs_spark.streaming.stateful import running_user_stats
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "value")
+    d = tempfile.mkdtemp(prefix="sis_stateful_")
+    src = os.path.join(d, "src")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    name = f"user_stats_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.table(name)
+    # n_events is strictly increasing per user across its update rows, so
+    # max_by picks the final state deterministically.
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 6).alias("sum_value"),
+    )
+
+
+def sql_events_user_stats() -> str:
+    return """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -656,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "events_daily": q_events_daily,
     "events_sessionize": q_events_sessionize,
+    "events_user_stats": q_events_user_stats,
     "lineitem_pricing": q_lineitem_pricing,
 }
 
@@ -678,5 +730,6 @@ ORACLES: dict[str, str] = {
     "multimodal_features": sql_multimodal_features(),
     "events_daily": sql_events_daily(),
     "events_sessionize": sql_events_sessionize(),
+    "events_user_stats": sql_events_user_stats(),
     "lineitem_pricing": sql_lineitem_pricing(),
 }

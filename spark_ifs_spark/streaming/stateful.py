@@ -1,0 +1,61 @@
+"""Custom stateful streaming operator: per-user running aggregates via
+``applyInPandasWithState``.
+
+The reference engine has no streaming surface (SURVEY §2.8); this is the
+LLM-data-pipeline extension's custom stateful operator — the pattern a
+training-data pipeline uses for per-entity accumulators that built-in
+windowed aggregation can't express (arbitrary Python state transition,
+e.g. dedup-within-user, rate limits, drift counters).
+
+Plan shape: one hash-partition shuffle on the grouping key per
+micro-batch, then state lives in the state store co-located with the key
+partition — the canonical Structured Streaming stateful topology. State
+per key is O(1) (two scalars), so state-store size is bounded by
+|distinct users|, independent of event volume: the property that matters
+at 100 TB/day event rates.
+
+``running_user_stats`` emits, per micro-batch, one updated row per user
+seen in that batch (output mode ``update``): the cumulative event count
+and value sum so far. The final emission per user therefore equals the
+global batch aggregate — which is how the oracle checks it
+(``registry.q_events_user_stats`` folds the memory-sink updates with
+``max_by`` and compares against a plain ``GROUP BY`` in DuckDB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
+STATE_SCHEMA = "n bigint, s double"
+
+
+def _update_user_stats(
+    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """State transition: fold this batch's rows into the (n, s) state."""
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += int(len(pdf))
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """``(user_id, n_events, sum_value)`` running totals, one update per
+    user per micro-batch. ``events`` must be a streaming DataFrame with
+    ``user_id`` and ``value`` columns."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -73,7 +73,8 @@ def test_every_query_has_oracle_or_reason(entry_mod):
         "row_select_k5", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "ann_topk", "embedding_top_pairs", "text_token_counts",
         "text_quality", "lang_id", "doc_fingerprint", "multimodal_features",
-        "events_daily", "events_sessionize", "lineitem_pricing",
+        "events_daily", "events_sessionize", "events_user_stats",
+        "lineitem_pricing",
     ],
 )
 def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):

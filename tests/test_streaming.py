@@ -65,3 +65,27 @@ def test_sessionize_stream_equals_batch(spark, events_stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_user_stats_multi_batch(spark, sf_dir):
+    """applyInPandasWithState must fold state ACROSS micro-batches: with a
+    2-file source and maxFilesPerTrigger=1, a user seen in both batches
+    gets two update rows whose final state equals the batch aggregate."""
+    from spark_ifs_spark.registry import q_events_user_stats
+    from spark_ifs_spark.sources.parquet import load_events
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in q_events_user_stats(spark, sf_dir).collect()
+    }
+    from pyspark.sql import functions as F
+
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
