@@ -44,6 +44,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_simhash",
         "ann_topk",
+        "ann_topk_ivf",
         "embedding_top_pairs",
         "text_token_counts",
         "text_quality",

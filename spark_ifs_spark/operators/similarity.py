@@ -154,6 +154,79 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def ivf_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF-Flat inverted-file assignment: ``((id, cell) DataFrame, centroids)``.
+
+    Centroids are the vectors of the ``num_centroids`` smallest ids —
+    deterministic seed centroids with no Lloyd iterations, so the
+    partitioning is bit-reproducible across engines (and across the
+    DuckDB oracle). Production IVF would k-means these; the *query plan*
+    (map-side argmax assignment, no shuffle) is identical either way.
+
+    Assignment is argmax cosine over the centroid literals with
+    centroid-id-asc tie-break — one projection over the corpus, fully
+    JVM-side, shuffle-free. At 100 TB the cell column becomes the
+    partition key the corpus is written under, so a probe reads only
+    ``n_probe / num_centroids`` of the data (partition pruning).
+    """
+    cents = [
+        (int(r["id"]), [float(x) for x in r["v"]])
+        for r in df.select(
+            F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+        )
+        .orderBy("id")
+        .limit(num_centroids)
+        .collect()
+    ]
+    v = as_double_array(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(x) for x in cvec])).alias("cos"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    best = F.array_max(scored)
+    cells = df.select(F.col(id_col).alias("id"), (-best["ncid"]).alias("cell"))
+    return cells, cents
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """Approximate top-k via IVF probing: scan only the ``n_probe`` cells
+    whose centroids are nearest the query, exact cosine within them.
+    Same output schema as :func:`cosine_topk`."""
+    cells, cents = ivf_cells(df, id_col, vec_col, num_centroids)
+    qn = math.sqrt(sum(x * x for x in query))
+
+    def _cos(cvec: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in cvec))
+        return sum(a * b for a, b in zip(cvec, query)) / (cn * qn)
+
+    probe = sorted(cents, key=lambda c: (-_cos(c[1]), c[0]))[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    in_cells = cells.filter(F.col("cell").isin(*probe_ids)).select("id")
+    candidates = df.join(
+        F.broadcast(in_cells), df[id_col] == in_cells["id"], "leftsemi"
+    )
+    return cosine_topk(candidates, id_col, vec_col, query, k, exclude_ids)
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     id_col: str,

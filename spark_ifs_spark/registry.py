@@ -63,6 +63,8 @@ MINHASH_ROWS_PER_BAND = 2
 SIMHASH_BITS = 60
 ANN_K = 10
 TOP_PAIRS_K = 20
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -410,6 +412,66 @@ SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN
 """
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k: same query vector as ``ann_topk`` but
+    scanning only the ``IVF_PROBE`` nearest of ``IVF_CENTROIDS`` cells.
+    The oracle replicates the IVF semantics exactly (same seed centroids,
+    same argmax assignment, same probe set), so approximate ≠ unchecked."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.cosine_topk_ivf(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        num_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        exclude_ids=[0],
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_ivf() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM vc WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cid FROM qprobe)
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
 def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     out = similarity.cosine_top_pairs(emb, "vec_id", "embedding", k=TOP_PAIRS_K)
@@ -699,6 +761,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -722,6 +785,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),
     "ann_topk": sql_ann_topk(),
+    "ann_topk_ivf": sql_ann_topk_ivf(),
     "embedding_top_pairs": sql_embedding_top_pairs(),
     "text_token_counts": sql_text_token_counts(),
     "text_quality": sql_text_quality(),

@@ -62,3 +62,30 @@ def test_hyperplane_buckets_deterministic(spark, vecs):
     # near-identical vectors agree on (almost) all hyperplane signs: each
     # plane flips with prob θ/π ≈ 0.003, so ≤1 differing bit out of 8
     assert bin(b1[0] ^ b1[50]).count("1") <= 1
+
+
+def test_ivf_probe_subsets_and_agrees_with_brute_force(spark, sf_dir):
+    """IVF with all cells probed must equal brute force exactly; with few
+    probes it returns a subset of the corpus ranked identically."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    q = [float(x) for x in q]
+    exact = [(r["id"], round(r["cos"], 9)) for r in cosine_topk(emb, "vec_id", "embedding", q, k=5, exclude_ids=[0]).collect()]
+    # n_probe == num_centroids → every cell scanned → identical to exact
+    full = [(r["id"], round(r["cos"], 9)) for r in cosine_topk_ivf(
+        emb, "vec_id", "embedding", q, k=5, num_centroids=8, n_probe=8, exclude_ids=[0]
+    ).collect()]
+    assert full == exact
+    # assignment covers the whole corpus, one cell per vector
+    cells, cents = ivf_cells(emb, "vec_id", "embedding", num_centroids=8)
+    assert cells.count() == emb.count()
+    assert len(cents) == 8
+    assert cells.select("cell").distinct().count() <= 8
