@@ -43,6 +43,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_embedding",
         "ann_topk",
         "ann_topk_ivf",
         "embedding_top_pairs",

@@ -128,6 +128,65 @@ def cosine_top_pairs(
     ).limit(k)
 
 
+def cosine_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    broadcast_limit_rows: int = 200_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a, id_b, cos)`` for
+    every a<b with cosine ≥ threshold — the fifth dedup modality
+    (exact/minhash/simhash/jaccard being the text-side four).
+
+    Same blocked-GEMM shape as :func:`cosine_top_pairs` (broadcast the
+    normalized corpus, numpy matmul per row block, emit only rows over
+    the threshold) — emission is sparse at dedup-grade thresholds even
+    though comparison is all-pairs. Beyond ``broadcast_limit_rows``,
+    block by :func:`hyperplane_lsh_buckets` (or IVF cells) and run this
+    within blocks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_rows = df.count()
+    if n_rows > broadcast_limit_rows:
+        raise ValueError(
+            f"{n_rows} rows exceed the all-pairs broadcast limit "
+            f"({broadcast_limit_rows}); bucket with hyperplane_lsh_buckets "
+            "or ivf_cells first and run threshold-pairs within buckets"
+        )
+    rows = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")).collect()
+    rows.sort(key=lambda r: r["id"])
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_m = sc.broadcast(Mn)
+    thr = float(threshold)
+
+    def _block(batches):
+        for pdf in batches:
+            idx = pdf["idx"].to_numpy()
+            if len(idx) == 0:
+                continue
+            S = b_m.value[idx] @ b_m.value.T
+            out_a, out_b, out_c = [], [], []
+            for r, i in enumerate(idx):
+                sims = S[r, i + 1 :]
+                hits = np.nonzero(sims >= thr)[0]
+                if hits.size == 0:
+                    continue
+                out_a.extend([b_ids.value[i]] * len(hits))
+                out_b.extend(b_ids.value[i + 1 + hits])
+                out_c.extend(sims[hits])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    blocks = df.sparkSession.range(len(ids)).select(F.col("id").alias("idx"))
+    return blocks.mapInPandas(_block, "id_a long, id_b long, cos double")
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str,

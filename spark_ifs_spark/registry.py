@@ -65,6 +65,7 @@ ANN_K = 10
 TOP_PAIRS_K = 20
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
+EMB_DEDUP_THRESHOLD = 0.4
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -388,6 +389,39 @@ FROM votes GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # similarity queries (embeddings table)
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (fifth dedup modality): every
+    vector pair with cosine ≥ threshold, via the blocked-GEMM all-pairs
+    kernel. Exact (not LSH-gated), so the SQL oracle is the literal
+    definition."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_threshold_pairs(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def sql_dedup_embedding() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum((CAST(a.embedding[i + 1] AS DOUBLE) / na.nrm) * (CAST(b.embedding[i + 1] AS DOUBLE) / nb.nrm)) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= {EMB_DEDUP_THRESHOLD}
+"""
+
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
@@ -760,6 +794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_top_pairs": q_embedding_top_pairs,
@@ -784,6 +819,7 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
     "dedup_minhash": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),
+    "dedup_embedding": sql_dedup_embedding(),
     "ann_topk": sql_ann_topk(),
     "ann_topk_ivf": sql_ann_topk_ivf(),
     "embedding_top_pairs": sql_embedding_top_pairs(),

@@ -71,7 +71,8 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     [
         "mi_pair_lineitem", "mi_relevance", "mrmr_top1", "mrmr_select_k5",
         "row_select_k5", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_simhash", "ann_topk", "ann_topk_ivf", "embedding_top_pairs",
+        "dedup_simhash", "dedup_embedding", "ann_topk", "ann_topk_ivf",
+        "embedding_top_pairs",
         "text_token_counts",
         "text_quality", "lang_id", "doc_fingerprint", "multimodal_features",
         "events_daily", "events_sessionize", "events_user_stats",
