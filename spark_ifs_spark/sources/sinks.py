@@ -1,0 +1,88 @@
+"""Layout-aware parquet sinks — the write-side half of the 100 TB story.
+
+The reference's only sink is the CSV fixture generator
+(``/root/reference/src/main/scala/ifs/util/functions.scala:53-75``); at
+scale the layout you WRITE determines every later scan's cost, so the
+engine ships two write strategies whose benefits are plan-verifiable
+(tests assert partition pruning / absent shuffles, not vibes):
+
+- :func:`write_partitioned` — hive-style ``partitionBy`` layout. Used
+  with :func:`~spark_ifs_spark.operators.similarity.ivf_cells` it
+  materializes the IVF inverted file: probing n of C cells reads n/C of
+  the data via partition pruning (``PartitionFilters`` in the scan).
+- :func:`write_bucketed` — pre-shuffled bucketed table. Joins and
+  aggregations on the bucket key skip their Exchange entirely — the
+  co-located-join strategy for repeated big-big joins (e.g. the
+  dedup verify join on doc id, instance-id melt joins).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` hive-partitioned by ``partition_cols``.
+
+    Readers filtering on a partition column scan only matching
+    directories (partition pruning — dynamic too, via AQE, when the
+    filter is a join). Keep partition cardinality moderate (≤ ~10k
+    directories): for IVF cells, documents-by-language, events-by-day
+    this is exactly the right grain.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_ivf_corpus(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    num_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Materialize an embedding corpus as an IVF inverted file:
+    cell-partitioned parquet. Returns the centroids (persist them next to
+    the corpus; probes need them). Probe-time reads prune to the probed
+    cells only."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.similarity import ivf_cells
+
+    cells, cents = ivf_cells(df, id_col, vec_col, num_centroids)
+    tagged = df.join(
+        F.broadcast(cells), df[id_col] == cells["id"], "inner"
+    ).drop(cells["id"])
+    write_partitioned(tagged, path, ["cell"])
+    return cents
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save ``df`` as a bucketed (+ optionally sorted) managed table.
+
+    Both sides of a join bucketed on the join key with the same bucket
+    count join with NO Exchange — the shuffle is paid once at write time
+    and amortized over every subsequent join/aggregation. ``sort_cols``
+    additionally removes the Sort from sort-merge joins.
+    """
+    w = df.write.mode(mode).bucketBy(int(num_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
