@@ -37,6 +37,7 @@ def main() -> None:
 
     bench_queries = [
         "mi_relevance",          # B1
+        "mi_matrix",
         "mrmr_select_k5",        # B2 (conventional, embeddings)
         "row_select_k5",         # B3 (alternate, embeddings)
         "dedup_exact",

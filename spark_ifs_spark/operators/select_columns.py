@@ -160,6 +160,98 @@ def round_mi(
     )
 
 
+def all_pairs_mi(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """``(a, b, mi)`` for every unordered column pair (a<b by id) plus
+    every (label=-1, col) pair — ALL MI terms any greedy run can need,
+    in one explode + one hash aggregate.
+
+    Tuple volume is ``rows × (C(C−1)/2 + C)`` — size the input's
+    partitioning for the exploded volume, not the row count. Registered
+    as the ``mi_matrix`` query; ``select_columns`` itself never needs
+    the full matrix (greedy touches ≤ (k+1)·C of the C²/2 pairs)."""
+    C = len(feature_cols)
+    pairs = [(LABEL_COL_ID, j) for j in range(C)] + [
+        (i, j) for i in range(C) for j in range(i + 1, C)
+    ]
+
+    def _val(cid: int):
+        col = label_col if cid == LABEL_COL_ID else feature_cols[cid]
+        return F.col(col).cast("double")
+
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("a"),
+                _val(a).alias("a_val"),
+                F.lit(b).alias("b"),
+                _val(b).alias("b_val"),
+            )
+            for a, b in pairs
+        ]
+    )
+    tuples = df.select(F.explode(arr).alias("_p")).select(
+        "_p.a", "_p.a_val", "_p.b", "_p.b_val"
+    )
+    joint = tuples.groupBy("a", "b", "a_val", "b_val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return mi_from_joint_counts(joint, group_cols=["a", "b"])
+
+
+def _greedy_incore(
+    wide: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    num: int,
+    score: ColumnScore,
+) -> list[tuple[int, float]]:
+    """In-core strategy: Arrow-collect the (budget-gated, few-MB) matrix
+    and run the SAME greedy recurrence on numpy — relevance once,
+    redundancy incrementally vs the newest winner, lowest-index
+    tie-break. (k+1)·C MI evaluations total, zero per-round Spark jobs.
+    MI via :func:`~spark_ifs_spark.operators.scores.mi_vec`, the numpy
+    twin of the distributed aggregate (same natural-log, skip-empty-cell
+    semantics), which also keeps this path bit-identical to the
+    alternate encoding's executor-side math."""
+    import numpy as np
+
+    from spark_ifs_spark.operators.scores import mi_vec
+
+    pdf = wide.select(
+        F.col(label_col).cast("double"),
+        *[F.col(c).cast("double") for c in feature_cols],
+    ).toPandas()
+    lab = pdf.iloc[:, 0].to_numpy(dtype=np.float64)
+    cols = [pdf.iloc[:, i + 1].to_numpy(dtype=np.float64) for i in range(len(feature_cols))]
+    all_idx = list(range(len(feature_cols)))
+
+    relevance = {c: mi_vec(cols[c], lab) for c in all_idx}
+    reds: dict[int, list[float]] = {c: [] for c in all_idx}
+    selected: list[tuple[int, float]] = []
+    sel_set: set[int] = set()
+    for rnd in range(num):
+        if rnd > 0:
+            newest = selected[-1][0]
+            for c in all_idx:
+                if c not in sel_set:
+                    reds[c].append(mi_vec(cols[c], cols[newest]))
+        best: tuple[int, float] | None = None
+        for c in all_idx:
+            if c in sel_set:
+                continue
+            s = score.score(relevance[c], reds[c])
+            if best is None or _better(best, (c, s), score.higher_is_better):
+                best = (c, s)
+        assert best is not None
+        selected.append(best)
+        sel_set.add(best[0])
+    return selected
+
+
 def _better(a: tuple[int, float], b: tuple[int, float], higher: bool) -> bool:
     """True if b beats a (ties → lower index)."""
     if b[1] == a[1]:
@@ -175,6 +267,7 @@ def select_columns(
     score: ColumnScore | None = None,
     batch_size: int = 1000,
     max_categories: int = MAX_CATEGORIES,
+    incore_cell_budget: int = 5_000_000,
 ) -> list[tuple[int, float]]:
     """Greedily select ``min(num, len(feature_cols))`` features.
 
@@ -184,6 +277,15 @@ def select_columns(
     ``batch_size`` caps how many candidate columns one aggregation job
     explodes (the reference's O1 batching knob, ``IFS:58-63``) — with the
     long-format groupBy it bounds per-job shuffle width, not driver memory.
+
+    **Cost-based physical strategy.** The greedy loop is k+1 sequential
+    Spark jobs; when the WHOLE matrix is small (``rows × (C+1) ≤
+    incore_cell_budget`` cells ≈ tens of MB — the broadcast-join-style
+    small-side regime) distributed execution is pure scheduling
+    overhead, so the matrix is Arrow-collected once and the identical
+    greedy recurrence runs on numpy (:func:`_greedy_incore`). Past the
+    budget — the 100 TB regime — the incremental per-round distributed
+    plan below runs, in which no per-row data ever reaches the driver.
     """
     if num <= 0:
         raise ValueError("num must be > 0")
@@ -210,6 +312,11 @@ def select_columns(
             wide.unpersist()
             wide = compact
         check_cardinality(wide, needed, max_categories)
+
+        C = len(feature_cols)
+        if n_rows * (C + 1) <= incore_cell_budget:
+            return _greedy_incore(wide, label_col, feature_cols, num, score)
+
         marginals = column_marginals(wide, label_col, feature_cols).persist(
             StorageLevel.MEMORY_AND_DISK
         )

@@ -87,12 +87,18 @@ def select_rows(
     id_col: str = "id",
     features_col: str = "features",
     score: RowScore | None = None,
+    incore_cell_budget: int = 5_000_000,
 ) -> list[tuple[float, float]]:
     """Greedily select ``min(num, df.count())`` feature rows.
 
     Returns ``[(feature_id, score)]`` in selection order. ``feature_id`` is
     surfaced as float for parity with the reference, which smuggles the id
     through ``LabeledPoint.label: Double`` (``IFS:149,160``).
+
+    Cost-based strategy mirror of ``select_columns``: when the whole
+    matrix is ``≤ incore_cell_budget`` cells (tens of MB — small-side
+    regime) it is collected once and the same greedy recurrence runs on
+    numpy; past the budget the per-round distributed plan below runs.
     """
     if num <= 0:
         raise ValueError("num must be > 0")
@@ -111,6 +117,9 @@ def select_rows(
     if n_rows != n_distinct:
         raise ValueError("duplicate feature ids in alternate-encoding input")
     num = min(num, int(n_rows))
+
+    if int(n_rows) * len(labels_row) <= incore_cell_budget:
+        return _select_rows_incore(base, num, label_arr, score)
 
     incremental = isinstance(score, MrmrRowScore)
     if not incremental:
@@ -151,6 +160,54 @@ def select_rows(
         return selected
     finally:
         state.unpersist()
+
+
+def _select_rows_incore(
+    base: DataFrame, num: int, label_arr: np.ndarray, score: RowScore
+) -> list[tuple[float, float]]:
+    """In-core strategy: collect the (budget-gated) feature rows once and
+    run the greedy recurrence on numpy — relevance cached, redundancy
+    incremental for :class:`MrmrRowScore`, generic ``score.score`` for
+    plug-ins. Same math (:func:`mi_vec`) and same lowest-id tie-break as
+    the distributed paths."""
+    rows = [
+        (float(r["id"]), np.asarray(r["features"], dtype=np.float64))
+        for r in base.collect()
+    ]
+    rows.sort(key=lambda t: t[0])
+    incremental = isinstance(score, MrmrRowScore)
+    relevance = {rid: mi_vec(v, label_arr) for rid, v in rows} if incremental else {}
+    red_sum: dict[float, float] = {rid: 0.0 for rid, _ in rows}
+    vecs = dict(rows)
+    selected: list[tuple[float, float]] = []
+    sel_vecs: list[np.ndarray] = []
+    sel_set: set[float] = set()
+    for _ in range(num):
+        best: tuple[float, float] | None = None
+        for rid, v in rows:
+            if rid in sel_set:
+                continue
+            if incremental:
+                k = len(selected)
+                s = relevance[rid] - (red_sum[rid] / k if k else 0.0)
+            else:
+                s = score.score(v, label_arr, sel_vecs)
+            if (
+                best is None
+                or (s > best[1] if score.higher_is_better else s < best[1])
+                or (s == best[1] and rid < best[0])
+            ):
+                best = (rid, s)
+        assert best is not None
+        selected.append(best)
+        sel_set.add(best[0])
+        sel_vecs.append(vecs[best[0]])
+        if incremental:
+            win_vec = vecs[best[0]]
+            for rid, v in rows:
+                if rid not in sel_set:
+                    red_sum[rid] += mi_vec(v, win_vec)
+    return selected
 
 
 def _select_rows_generic(

@@ -174,6 +174,26 @@ SELECT ca AS feature, round(mi, 6) AS mi FROM mi WHERE cb = -1
 """
 
 
+def q_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise MI matrix over the quantized dims (one explode + one
+    hash aggregate — the sufficient statistic any feature-selection run
+    draws from): ``(a, b, mi)`` with a<b, label as a=-1."""
+    from spark_ifs_spark.operators.select_columns import all_pairs_mi
+
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    out = all_pairs_mi(wide, "label", cols)
+    return out.select("a", "b", F.round("mi", 6).alias("mi"))
+
+
+def sql_mi_matrix() -> str:
+    return f"""
+WITH {_sql_pair_mi(MRMR_DIMS)}
+SELECT -1 AS a, ca AS b, round(mi, 6) AS mi FROM mi WHERE cb = -1
+UNION ALL
+SELECT ca AS a, cb AS b, round(mi, 6) AS mi FROM mi WHERE cb >= 0 AND ca < cb
+"""
+
+
 def q_mrmr_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-1 winner: argmax relevance (ColumnWiseScore.scala:51)."""
     emb = _read(spark, sf_dir, "embeddings")
@@ -787,6 +807,7 @@ GROUP BY user_id
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_pair_lineitem": q_mi_pair_lineitem,
     "mi_relevance": q_mi_relevance,
+    "mi_matrix": q_mi_matrix,
     "mrmr_top1": q_mrmr_top1,
     "mrmr_select_k5": q_mrmr_select_k5,
     "row_select_k5": q_row_select_k5,
@@ -812,6 +833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "mi_pair_lineitem": sql_mi_pair_lineitem(),
     "mi_relevance": sql_mi_relevance(),
+    "mi_matrix": sql_mi_matrix(),
     "mrmr_top1": sql_mrmr_top1(),
     "mrmr_select_k5": sql_mrmr_select_k5(),
     "row_select_k5": sql_mrmr_select_k5(),  # alternate encoding ≡ conventional

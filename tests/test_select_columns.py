@@ -56,3 +56,17 @@ def test_num_cap_and_validation(spark):
     assert len(select_columns(df, "label", names, num=99)) == 3  # IFS:31 cap
     with pytest.raises(ValueError):
         select_columns(df, "label", names, num=0)
+
+
+def test_fast_and_incremental_paths_agree(spark):
+    """The cost-based strategy choice must be semantically invisible:
+    in-core numpy and incremental per-round distributed plans pick identical
+    features with matching scores."""
+    from spark_ifs_spark.sources.generator import random_conventional_df
+
+    wide, names = random_conventional_df(spark, rows=400, cols=13, seed=7)
+    fast = select_columns(wide, "label", names, num=6)
+    slow = select_columns(wide, "label", names, num=6, incore_cell_budget=0)
+    assert [i for i, _ in fast] == [i for i, _ in slow]
+    for (_, sf), (_, ss) in zip(fast, slow):
+        assert abs(sf - ss) < 1e-9

@@ -97,3 +97,15 @@ def test_generic_row_score_plugin(spark):
     default = select_rows(df, num=3, labels_row=labels, score=MrmrRowScore())
     plugin = select_rows(df, num=3, labels_row=labels, score=MyMrmr())
     assert [i for i, _ in default] == [i for i, _ in plugin]
+
+
+def test_incore_and_distributed_paths_agree(spark):
+    """The in-core escape hatch must be semantically invisible vs the
+    distributed per-round plan (both score orders and values)."""
+    mat = random_matrix(rows=60, cols=9, seed=11)
+    alt, labels = _alternate_df(spark, mat)
+    incore = select_rows(alt, num=4, labels_row=labels)
+    dist = select_rows(alt, num=4, labels_row=labels, incore_cell_budget=0)
+    assert [int(i) for i, _ in incore] == [int(i) for i, _ in dist]
+    for (_, a), (_, b) in zip(incore, dist):
+        assert abs(a - b) < 1e-9
