@@ -57,6 +57,7 @@ def main() -> None:
         "events_sessionize",
         "events_user_stats",
         "lineitem_pricing",
+        "nation_revenue",
     ]
 
     timings: dict[str, float] = {}

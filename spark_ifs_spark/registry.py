@@ -736,6 +736,40 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table join query (TPC-H Q5/Q10 shape): revenue per nation
+    from open orders. Join strategy at scale: orders⋈customer shuffles on
+    custkey (both large → sort-merge, AQE may re-plan), nation is a
+    25-row dim → explicit broadcast. Filter on o_orderstatus pushes to
+    the parquet scan."""
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select("n_name", "n_orders", "revenue")
+    )
+
+
+def sql_nation_revenue() -> str:
+    return """
+SELECT n_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderstatus = 'O'
+GROUP BY n_name
+"""
+
+
 def sql_lineitem_pricing() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
@@ -828,6 +862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_user_stats": q_events_user_stats,
     "lineitem_pricing": q_lineitem_pricing,
+    "nation_revenue": q_nation_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -854,4 +889,5 @@ ORACLES: dict[str, str] = {
     "events_sessionize": sql_events_sessionize(),
     "events_user_stats": sql_events_user_stats(),
     "lineitem_pricing": sql_lineitem_pricing(),
+    "nation_revenue": sql_nation_revenue(),
 }

@@ -87,3 +87,14 @@ def test_broadcast_join_for_small_dim(spark, sf_dir):
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     joined = customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
     assert "BroadcastHashJoin" in explain_str(joined, "simple")
+
+
+def test_nation_revenue_join_strategy(spark, sf_dir):
+    """The dim join must be broadcast (no shuffle of nation) and the
+    status filter must reach the orders parquet scan."""
+    from spark_ifs_spark.registry import q_nation_revenue
+
+    df = q_nation_revenue(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert any("o_orderstatus" in f for f in pushed_filters(df))
