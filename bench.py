@@ -58,6 +58,7 @@ def main() -> None:
         "events_user_stats",
         "lineitem_pricing",
         "nation_revenue",
+        "events_topk_per_type",
     ]
 
     timings: dict[str, float] = {}

@@ -736,6 +736,33 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe top-3 events by value per event type (two-stage salted
+    window — identical results to the single-stage window, bounded task
+    input under any key skew)."""
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    ev = _read(spark, sf_dir, "events")
+    out = salted_topk_per_key(
+        ev, ["event_type"], "value", k=3, tiebreak_cols=["event_id"], buckets=8
+    )
+    return out.select(
+        "event_type", "rank", "event_id", F.round("value", 6).alias("value")
+    )
+
+
+def sql_events_topk_per_type() -> str:
+    return """
+SELECT event_type, rank, event_id, round(value, 6) AS value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+WHERE rank <= 3
+"""
+
+
 def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table join query (TPC-H Q5/Q10 shape): revenue per nation
     from open orders. Join strategy at scale: orders⋈customer shuffles on
@@ -863,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_stats": q_events_user_stats,
     "lineitem_pricing": q_lineitem_pricing,
     "nation_revenue": q_nation_revenue,
+    "events_topk_per_type": q_events_topk_per_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -890,4 +918,5 @@ ORACLES: dict[str, str] = {
     "events_user_stats": sql_events_user_stats(),
     "lineitem_pricing": sql_lineitem_pricing(),
     "nation_revenue": sql_nation_revenue(),
+    "events_topk_per_type": sql_events_topk_per_type(),
 }
