@@ -230,26 +230,13 @@ def _greedy_incore(
     all_idx = list(range(len(feature_cols)))
 
     relevance = {c: mi_vec(cols[c], lab) for c in all_idx}
-    reds: dict[int, list[float]] = {c: [] for c in all_idx}
-    selected: list[tuple[int, float]] = []
-    sel_set: set[int] = set()
-    for rnd in range(num):
-        if rnd > 0:
-            newest = selected[-1][0]
-            for c in all_idx:
-                if c not in sel_set:
-                    reds[c].append(mi_vec(cols[c], cols[newest]))
-        best: tuple[int, float] | None = None
-        for c in all_idx:
-            if c in sel_set:
-                continue
-            s = score.score(relevance[c], reds[c])
-            if best is None or _better(best, (c, s), score.higher_is_better):
-                best = (c, s)
-        assert best is not None
-        selected.append(best)
-        sel_set.add(best[0])
-    return selected
+    return _greedy_recurrence(
+        all_idx,
+        num,
+        score,
+        relevance,
+        lambda remaining, newest: {c: mi_vec(cols[c], cols[newest]) for c in remaining},
+    )
 
 
 def _better(a: tuple[int, float], b: tuple[int, float], higher: bool) -> bool:
@@ -257,6 +244,41 @@ def _better(a: tuple[int, float], b: tuple[int, float], higher: bool) -> bool:
     if b[1] == a[1]:
         return b[0] < a[0]
     return b[1] > a[1] if higher else b[1] < a[1]
+
+
+def _greedy_recurrence(
+    all_idx: list[int],
+    num: int,
+    score: ColumnScore,
+    relevance: dict[int, float],
+    mi_newest,
+) -> list[tuple[int, float]]:
+    """THE greedy mRMR recurrence, shared by every physical strategy:
+    relevance fixed, redundancy appended only vs the newest winner,
+    lowest-index tie-break. ``mi_newest(remaining, newest)`` supplies the
+    per-round MI terms — a numpy closure in-core, a distributed
+    aggregation in the per-round plan — so strategy choice can never
+    drift the selection semantics."""
+    reds: dict[int, list[float]] = {c: [] for c in all_idx}
+    selected: list[tuple[int, float]] = []
+    sel_set: set[int] = set()
+    for rnd in range(num):
+        if rnd > 0:
+            newest = selected[-1][0]
+            remaining = [c for c in all_idx if c not in sel_set]
+            for c, v in mi_newest(remaining, newest).items():
+                reds[c].append(v)
+        best: tuple[int, float] | None = None
+        for c in all_idx:
+            if c in sel_set:
+                continue
+            s = score.score(relevance.get(c, 0.0), reds[c])
+            if best is None or _better(best, (c, s), score.higher_is_better):
+                best = (c, s)
+        assert best is not None
+        selected.append(best)
+        sel_set.add(best[0])
+    return selected
 
 
 def select_columns(
@@ -299,6 +321,15 @@ def select_columns(
     marginals: DataFrame | None = None
     try:
         n_rows = wide.count()
+
+        C = len(feature_cols)
+        if n_rows * (C + 1) <= incore_cell_budget:
+            # gate BEFORE the loop-tuned re-partitioning below: the
+            # in-core path runs one toPandas, so the coalesce's extra
+            # materialization pass would be pure waste
+            check_cardinality(wide, needed, max_categories)
+            return _greedy_incore(wide, label_col, feature_cols, num, score)
+
         # Right-size the loop input: the greedy loop runs k tiny-ish jobs
         # over this cached relation, so per-task scheduling overhead is
         # multiplied by k. Target ~500k rows/partition (cheap for the
@@ -312,10 +343,6 @@ def select_columns(
             wide.unpersist()
             wide = compact
         check_cardinality(wide, needed, max_categories)
-
-        C = len(feature_cols)
-        if n_rows * (C + 1) <= incore_cell_budget:
-            return _greedy_incore(wide, label_col, feature_cols, num, score)
 
         marginals = column_marginals(wide, label_col, feature_cols).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -333,27 +360,13 @@ def select_columns(
             return out
 
         relevance = _mi_all(all_idx, LABEL_COL_ID, label_col)
-        reds: dict[int, list[float]] = {c: [] for c in all_idx}
-        selected: list[tuple[int, float]] = []
-        sel_set: set[int] = set()
-        for rnd in range(num):
-            if rnd > 0:
-                newest = selected[-1][0]
-                remaining = [c for c in all_idx if c not in sel_set]
-                mi_new = _mi_all(remaining, newest, feature_cols[newest])
-                for c, v in mi_new.items():
-                    reds[c].append(v)
-            best: tuple[int, float] | None = None
-            for c in all_idx:
-                if c in sel_set:
-                    continue
-                s = score.score(relevance.get(c, 0.0), reds[c])
-                if best is None or _better(best, (c, s), score.higher_is_better):
-                    best = (c, s)
-            assert best is not None
-            selected.append(best)
-            sel_set.add(best[0])
-        return selected
+        return _greedy_recurrence(
+            all_idx,
+            num,
+            score,
+            relevance,
+            lambda remaining, newest: _mi_all(remaining, newest, feature_cols[newest]),
+        )
     finally:
         if marginals is not None:
             marginals.unpersist()

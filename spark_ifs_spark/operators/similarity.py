@@ -63,27 +63,27 @@ def cosine_topk(
     return scored.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
 
 
-def cosine_top_pairs(
+def _gemm_pairs_kernel(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 20,
-    broadcast_limit_rows: int = 200_000,
+    broadcast_limit_rows: int,
+    k: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
-    """Top-k most-similar pairs (a<b) by cosine: ``(id_a, id_b, cos)``.
+    """Shared all-pairs cosine kernel: **broadcast-matrix block multiply**.
 
-    Exact all-pairs, computed as a **broadcast-matrix block multiply**:
-    the normalized corpus matrix is broadcast once; each partition
-    multiplies its row block against it with numpy (BLAS) and keeps a
-    local top-k; a global top-k merges the per-block winners. This beats
-    the naive self-join by orders of magnitude — Catalyst's higher-order
-    array lambdas are interpreted per element, a GEMM is vectorized —
-    while producing identical (full-precision) results.
+    The normalized corpus matrix is broadcast once; each partition
+    multiplies its row block against it with numpy (BLAS) and emits,
+    per row, either its local top-``k`` or every pair ≥ ``threshold``
+    (j > i only, so a<b). This beats the naive self-join by orders of
+    magnitude — Catalyst's higher-order array lambdas are interpreted
+    per element, a GEMM is vectorized — at identical full precision.
 
-    Valid while one side fits in executor memory (``broadcast_limit_rows``
-    guard). Beyond that, all-pairs is the wrong query: block on
-    :func:`hyperplane_lsh_buckets` (or minhash for text) and run this
-    within buckets.
+    Valid while one side fits in executor memory
+    (``broadcast_limit_rows`` guard). Beyond that, all-pairs is the
+    wrong query: block on :func:`hyperplane_lsh_buckets` /
+    :func:`ivf_cells` (or minhash for text) and run this within buckets.
     """
     import numpy as np
     import pandas as pd
@@ -93,7 +93,7 @@ def cosine_top_pairs(
         raise ValueError(
             f"{n_rows} rows exceed the all-pairs broadcast limit "
             f"({broadcast_limit_rows}); bucket with hyperplane_lsh_buckets "
-            "first and run top-pairs within buckets"
+            "or ivf_cells first and run all-pairs within buckets"
         )
     rows = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")).collect()
     rows.sort(key=lambda r: r["id"])
@@ -115,14 +115,32 @@ def cosine_top_pairs(
                 sims = S[r, i + 1 :]  # only j > i (id-sorted) → a < b
                 if sims.size == 0:
                     continue
-                top = np.argsort(-sims, kind="stable")[:k]
-                out_a.extend([b_ids.value[i]] * len(top))
-                out_b.extend(b_ids.value[i + 1 + top])
-                out_c.extend(sims[top])
+                if threshold is not None:
+                    hits = np.nonzero(sims >= threshold)[0]
+                else:
+                    hits = np.argsort(-sims, kind="stable")[:k]
+                if hits.size == 0:
+                    continue
+                out_a.extend([b_ids.value[i]] * len(hits))
+                out_b.extend(b_ids.value[i + 1 + hits])
+                out_c.extend(sims[hits])
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
 
     blocks = df.sparkSession.range(len(ids)).select(F.col("id").alias("idx"))
-    pairs = blocks.mapInPandas(_block, "id_a long, id_b long, cos double")
+    return blocks.mapInPandas(_block, "id_a long, id_b long, cos double")
+
+
+def cosine_top_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 20,
+    broadcast_limit_rows: int = 200_000,
+) -> DataFrame:
+    """Top-k most-similar pairs (a<b) by cosine: ``(id_a, id_b, cos)``.
+    Per-block local top-k via :func:`_gemm_pairs_kernel`, then a global
+    top-k merge."""
+    pairs = _gemm_pairs_kernel(df, id_col, vec_col, broadcast_limit_rows, k=k)
     return pairs.orderBy(
         F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(k)
@@ -139,52 +157,13 @@ def cosine_threshold_pairs(
     every a<b with cosine ≥ threshold — the fifth dedup modality
     (exact/minhash/simhash/jaccard being the text-side four).
 
-    Same blocked-GEMM shape as :func:`cosine_top_pairs` (broadcast the
-    normalized corpus, numpy matmul per row block, emit only rows over
-    the threshold) — emission is sparse at dedup-grade thresholds even
-    though comparison is all-pairs. Beyond ``broadcast_limit_rows``,
-    block by :func:`hyperplane_lsh_buckets` (or IVF cells) and run this
-    within blocks.
+    Emission is sparse at dedup-grade thresholds even though comparison
+    is all-pairs (:func:`_gemm_pairs_kernel`; see its docstring for the
+    broadcast-limit / bucketing guidance).
     """
-    import numpy as np
-    import pandas as pd
-
-    n_rows = df.count()
-    if n_rows > broadcast_limit_rows:
-        raise ValueError(
-            f"{n_rows} rows exceed the all-pairs broadcast limit "
-            f"({broadcast_limit_rows}); bucket with hyperplane_lsh_buckets "
-            "or ivf_cells first and run threshold-pairs within buckets"
-        )
-    rows = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")).collect()
-    rows.sort(key=lambda r: r["id"])
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    M = np.array([r["v"] for r in rows], dtype=np.float64)
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_m = sc.broadcast(Mn)
-    thr = float(threshold)
-
-    def _block(batches):
-        for pdf in batches:
-            idx = pdf["idx"].to_numpy()
-            if len(idx) == 0:
-                continue
-            S = b_m.value[idx] @ b_m.value.T
-            out_a, out_b, out_c = [], [], []
-            for r, i in enumerate(idx):
-                sims = S[r, i + 1 :]
-                hits = np.nonzero(sims >= thr)[0]
-                if hits.size == 0:
-                    continue
-                out_a.extend([b_ids.value[i]] * len(hits))
-                out_b.extend(b_ids.value[i + 1 + hits])
-                out_c.extend(sims[hits])
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
-
-    blocks = df.sparkSession.range(len(ids)).select(F.col("id").alias("idx"))
-    return blocks.mapInPandas(_block, "id_a long, id_b long, cos double")
+    return _gemm_pairs_kernel(
+        df, id_col, vec_col, broadcast_limit_rows, threshold=float(threshold)
+    )
 
 
 def hyperplane_lsh_buckets(
@@ -213,27 +192,14 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
-def ivf_cells(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    num_centroids: int = 16,
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF-Flat inverted-file assignment: ``((id, cell) DataFrame, centroids)``.
-
-    Centroids are the vectors of the ``num_centroids`` smallest ids —
-    deterministic seed centroids with no Lloyd iterations, so the
-    partitioning is bit-reproducible across engines (and across the
-    DuckDB oracle). Production IVF would k-means these; the *query plan*
-    (map-side argmax assignment, no shuffle) is identical either way.
-
-    Assignment is argmax cosine over the centroid literals with
-    centroid-id-asc tie-break — one projection over the corpus, fully
-    JVM-side, shuffle-free. At 100 TB the cell column becomes the
-    partition key the corpus is written under, so a probe reads only
-    ``n_probe / num_centroids`` of the data (partition pruning).
-    """
-    cents = [
+def ivf_centroids(
+    df: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the vectors of the ``num_centroids``
+    smallest ids — no Lloyd iterations, bit-reproducible across engines
+    (and across the DuckDB oracle). Production IVF would k-means these;
+    every downstream plan shape is identical either way."""
+    return [
         (int(r["id"]), [float(x) for x in r["v"]])
         for r in df.select(
             F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
@@ -242,18 +208,49 @@ def ivf_cells(
         .limit(num_centroids)
         .collect()
     ]
+
+
+def ivf_cell_expr(cents: Sequence[tuple[int, Sequence[float]]], vec_col: str) -> Column:
+    """Map-side cell-assignment expression: argmax over
+    ``dot(v, unit_centroid)`` with centroid-id-asc tie-break.
+
+    The row norm cancels out of the cosine argmax (it is a positive
+    constant across centroids), so assignment is ``num_centroids`` plain
+    dot products against unit-normalized centroid literals — a pure
+    per-row projection: no shuffle, no join, no broadcast of any
+    per-row state. This is what keeps IVF viable at 100 TB: tagging or
+    probing touches each row once, and the cell column doubles as the
+    write partition key (see ``sources.sinks.write_ivf_corpus``).
+    """
     v = as_double_array(vec_col)
+    units = []
+    for cid, cvec in cents:
+        n = math.sqrt(sum(x * x for x in cvec)) or 1.0
+        units.append((cid, [float(x) / n for x in cvec]))
     scored = F.array(
         *[
             F.struct(
-                cosine(v, F.array(*[F.lit(x) for x in cvec])).alias("cos"),
+                _dot(v, F.array(*[F.lit(x) for x in cunit])).alias("dot"),
                 F.lit(-cid).alias("ncid"),
             )
-            for cid, cvec in cents
+            for cid, cunit in units
         ]
     )
-    best = F.array_max(scored)
-    cells = df.select(F.col(id_col).alias("id"), (-best["ncid"]).alias("cell"))
+    return -F.array_max(scored)["ncid"]
+
+
+def ivf_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF-Flat inverted-file assignment: ``((id, cell) DataFrame,
+    centroids)`` — :func:`ivf_centroids` + :func:`ivf_cell_expr`."""
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    cells = df.select(
+        F.col(id_col).alias("id"), ivf_cell_expr(cents, vec_col).alias("cell")
+    )
     return cells, cents
 
 
@@ -267,10 +264,13 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     exclude_ids: Sequence[int] = (),
 ) -> DataFrame:
-    """Approximate top-k via IVF probing: scan only the ``n_probe`` cells
-    whose centroids are nearest the query, exact cosine within them.
-    Same output schema as :func:`cosine_topk`."""
-    cells, cents = ivf_cells(df, id_col, vec_col, num_centroids)
+    """Approximate top-k via IVF probing: keep only rows whose inline
+    cell assignment falls in the ``n_probe`` cells nearest the query,
+    exact cosine within them — ONE scan of the corpus, no join (over a
+    cell-partitioned corpus from ``write_ivf_corpus`` the same filter
+    partition-prunes instead). Same output schema as
+    :func:`cosine_topk`."""
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
     qn = math.sqrt(sum(x * x for x in query))
 
     def _cos(cvec: list[float]) -> float:
@@ -279,10 +279,7 @@ def cosine_topk_ivf(
 
     probe = sorted(cents, key=lambda c: (-_cos(c[1]), c[0]))[:n_probe]
     probe_ids = [cid for cid, _ in probe]
-    in_cells = cells.filter(F.col("cell").isin(*probe_ids)).select("id")
-    candidates = df.join(
-        F.broadcast(in_cells), df[id_col] == in_cells["id"], "leftsemi"
-    )
+    candidates = df.filter(ivf_cell_expr(cents, vec_col).isin(*probe_ids))
     return cosine_topk(candidates, id_col, vec_col, query, k, exclude_ids)
 
 

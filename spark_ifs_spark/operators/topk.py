@@ -44,12 +44,18 @@ def salted_topk_per_key(
     """Top-``k`` rows per key under a total order, skew-safely.
 
     Returns the input columns plus ``rank`` (1-based). The salt is a
-    deterministic hash of the tie-break columns (content-derived — no
-    ``rand()``, so retries/speculative tasks agree).
+    round-robin over ``monotonically_increasing_id()`` — uniform under
+    ANY value distribution (a content hash would collapse a hot key's
+    duplicate values into one bucket, resurrecting the straggler), and
+    deterministic given the input partitioning, which is the same
+    guarantee Spark's own id generation gives. Correctness never
+    depends on WHICH salt a row gets: stage 2 re-ranks, and a key's
+    global top-k is contained in the union of its per-salt top-ks under
+    any assignment.
     """
     keys = list(key_cols)
     order = _order_cols(order_col, descending, tiebreak_cols)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in (tiebreak_cols or [order_col])]), F.lit(buckets))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
     stage1 = (
         df.withColumn("_salt", salt)

@@ -818,6 +818,7 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink's per-batch updates are reduced to each user's final state —
     which must equal the plain batch ``GROUP BY`` the oracle runs."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -825,24 +826,33 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events").select("user_id", "value")
     d = tempfile.mkdtemp(prefix="sis_stateful_")
-    src = os.path.join(d, "src")
-    ev.repartition(2).write.mode("overwrite").parquet(src)
     name = f"user_stats_{uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = (
-        running_user_stats(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    try:
+        src = os.path.join(d, "src")
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            running_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # partial state would silently pass the shape checks — fail loud
+        # on timeout instead of reading a half-folded table
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("events_user_stats stream did not finish in 600s")
+    finally:
+        # the memory sink holds the results in the session; the staged
+        # source and checkpoint are only needed while the stream runs
+        shutil.rmtree(d, ignore_errors=True)
     updates = spark.table(name)
     # n_events is strictly increasing per user across its update rows, so
     # max_by picks the final state deterministically.

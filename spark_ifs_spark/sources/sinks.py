@@ -50,15 +50,15 @@ def write_ivf_corpus(
     """Materialize an embedding corpus as an IVF inverted file:
     cell-partitioned parquet. Returns the centroids (persist them next to
     the corpus; probes need them). Probe-time reads prune to the probed
-    cells only."""
-    from pyspark.sql import functions as F
+    cells only.
 
-    from spark_ifs_spark.operators.similarity import ivf_cells
+    The cell tag is the inline map-side assignment expression — one scan,
+    no join, no per-row broadcast (only the ≤ ``num_centroids`` centroid
+    literals travel)."""
+    from spark_ifs_spark.operators.similarity import ivf_cell_expr, ivf_centroids
 
-    cells, cents = ivf_cells(df, id_col, vec_col, num_centroids)
-    tagged = df.join(
-        F.broadcast(cells), df[id_col] == cells["id"], "inner"
-    ).drop(cells["id"])
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    tagged = df.withColumn("cell", ivf_cell_expr(cents, vec_col))
     write_partitioned(tagged, path, ["cell"])
     return cents
 
