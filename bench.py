@@ -39,6 +39,7 @@ def main() -> None:
         "mi_relevance",          # B1
         "mi_matrix",
         "mrmr_select_k5",        # B2 (conventional, embeddings)
+        "mrmr_miq_k5",
         "row_select_k5",         # B3 (alternate, embeddings)
         "dedup_exact",
         "dedup_ngram_jaccard",

@@ -85,6 +85,27 @@ class MrmrColumnScore(ColumnScore):
         return "relevance - coalesce(redundancy, 0.0d)"
 
 
+class MiqColumnScore(ColumnScore):
+    """MIQ (mutual-information quotient): relevance ÷ mean(redundancy) —
+    the quotient variant of mRMR from the original mRMR paper (Peng et
+    al. 2005; the reference implements only the difference form MID).
+    Round 1 is relevance alone; the divisor is floored at 1e-12 so fully
+    independent candidates (zero redundancy) don't divide by zero."""
+
+    higher_is_better = True
+
+    def score(self, relevance: float, redundancies: list[float]) -> float:
+        if not redundancies:
+            return relevance
+        return relevance / max(sum(redundancies) / len(redundancies), 1e-12)
+
+    def sql_expr(self) -> str:
+        return (
+            "CASE WHEN redundancy IS NULL THEN relevance "
+            "ELSE relevance / greatest(redundancy, 1e-12d) END"
+        )
+
+
 class RowScore(ABC):
     """Score one candidate feature-row against the label row + selected rows."""
 

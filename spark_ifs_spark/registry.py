@@ -225,8 +225,10 @@ def q_mrmr_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, feature int, score double")
 
 
-def sql_mrmr_select_k5() -> str:
-    """Unrolled greedy mRMR over the pairwise-MI matrix, k=5."""
+def _sql_unrolled_greedy(score_sql: str) -> str:
+    """Unrolled k-round greedy selection over the pairwise-MI matrix.
+    ``score_sql`` combines ``r.score`` (relevance) with ``{red}`` (the
+    mean-redundancy scalar subquery) into the round score."""
     rounds = []
     prevs = []
     for k in range(1, MRMR_K + 1):
@@ -234,11 +236,13 @@ def sql_mrmr_select_k5() -> str:
             rounds.append("r1 AS (SELECT ca, mi AS score FROM mi WHERE cb = -1)")
         else:
             prev_union = " UNION ALL ".join(f"SELECT ca FROM w{j}" for j in range(1, k))
+            red = (
+                f"(SELECT avg(m.mi) FROM mi m WHERE m.ca = r.ca "
+                f"AND m.cb IN ({prev_union}))"
+            )
             rounds.append(
                 f"""r{k} AS (
-  SELECT r.ca,
-         r.score - (SELECT avg(m.mi) FROM mi m
-                    WHERE m.ca = r.ca AND m.cb IN ({prev_union})) AS score
+  SELECT r.ca, {score_sql.format(red=red)} AS score
   FROM r1 r WHERE r.ca NOT IN ({prev_union})
 )"""
             )
@@ -247,6 +251,27 @@ def sql_mrmr_select_k5() -> str:
     body = ",\n".join(rounds)
     final = "\nUNION ALL\n".join(prevs)
     return f"WITH {_sql_pair_mi(MRMR_DIMS)},\n{body}\n{final}"
+
+
+def sql_mrmr_select_k5() -> str:
+    """Unrolled greedy mRMR (difference form, MID), k=5."""
+    return _sql_unrolled_greedy("r.score - {red}")
+
+
+def q_mrmr_miq_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under the MIQ (quotient) score — exercises the
+    pluggable ColumnScore surface (reference trait
+    ``ColumnWiseScore.scala:9-23``) with a non-default plug-in."""
+    from spark_ifs_spark.operators.scores import MiqColumnScore
+
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    sel = select_columns(wide, "label", cols, num=MRMR_K, score=MiqColumnScore())
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_mrmr_miq_k5() -> str:
+    return _sql_unrolled_greedy("r.score / greatest({red}, 1e-12)")
 
 
 def q_row_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_matrix": q_mi_matrix,
     "mrmr_top1": q_mrmr_top1,
     "mrmr_select_k5": q_mrmr_select_k5,
+    "mrmr_miq_k5": q_mrmr_miq_k5,
     "row_select_k5": q_row_select_k5,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -909,6 +935,7 @@ ORACLES: dict[str, str] = {
     "mi_matrix": sql_mi_matrix(),
     "mrmr_top1": sql_mrmr_top1(),
     "mrmr_select_k5": sql_mrmr_select_k5(),
+    "mrmr_miq_k5": sql_mrmr_miq_k5(),
     "row_select_k5": sql_mrmr_select_k5(),  # alternate encoding ≡ conventional
     "dedup_exact": sql_dedup_exact(),
     "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),

@@ -70,7 +70,7 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     "name",
     [
         "mi_pair_lineitem", "mi_relevance", "mi_matrix", "mrmr_top1",
-        "mrmr_select_k5",
+        "mrmr_select_k5", "mrmr_miq_k5",
         "row_select_k5", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "ann_topk", "ann_topk_ivf",
         "embedding_top_pairs",

@@ -89,3 +89,32 @@ def test_stateful_user_stats_multi_batch(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_dedup_events_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming dropDuplicatesWithinWatermark over a doubled input must
+    recover exactly the batch-distinct row set."""
+    from spark_ifs_spark.sources.parquet import load_events
+    from spark_ifs_spark.streaming.events import dedup_events
+
+    batch = load_events(spark, sf_dir)
+    doubled = batch.union(batch)
+    path = str(tmp_path / "doubled")
+    doubled.write.mode("overwrite").parquet(path)
+
+    want = dedup_events(doubled).count()
+    assert want == batch.count()
+
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = dedup_events(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_ev").first()
+    assert got["total"] == want
+    assert got["n"] == want
