@@ -136,3 +136,23 @@ class MrmrRowScore(RowScore):
             return relevance
         red = sum(mi_vec(feature, s) for s in selected) / len(selected)
         return relevance - red
+
+
+class MiqRowScore(RowScore):
+    """Row-wise MIQ — must select identically to :class:`MiqColumnScore`
+    on the transposed encoding (the cross-encoding differential
+    invariant, extended to the plug-in surface)."""
+
+    higher_is_better = True
+
+    def score(
+        self,
+        feature: np.ndarray,
+        label_row: np.ndarray,
+        selected: list[np.ndarray],
+    ) -> float:
+        relevance = mi_vec(feature, label_row)
+        if not selected:
+            return relevance
+        red = sum(mi_vec(feature, s) for s in selected) / len(selected)
+        return relevance / max(red, 1e-12)

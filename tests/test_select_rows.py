@@ -109,3 +109,23 @@ def test_incore_and_distributed_paths_agree(spark):
     assert [int(i) for i, _ in incore] == [int(i) for i, _ in dist]
     for (_, a), (_, b) in zip(incore, dist):
         assert abs(a - b) < 1e-9
+
+
+def test_cross_encoding_agreement_miq(spark):
+    """Cross-encoding differential invariant holds for the MIQ plug-in
+    too, through both the in-core and distributed paths."""
+    from spark_ifs_spark.operators.scores import MiqColumnScore, MiqRowScore
+
+    mat = random_matrix(rows=120, cols=8, seed=5)
+    names = [f"f{j}" for j in range(7)]
+    conv = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    alt, labels = _alternate_df(spark, mat)
+    conv_sel = select_columns(conv, "label", names, num=3, score=MiqColumnScore())
+    alt_sel = select_rows(alt, num=3, labels_row=labels, score=MiqRowScore())
+    alt_dist = select_rows(
+        alt, num=3, labels_row=labels, score=MiqRowScore(), incore_cell_budget=0
+    )
+    assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
+    assert [int(i) for i, _ in alt_sel] == [int(i) for i, _ in alt_dist]
+    for (_, a), (_, b) in zip(conv_sel, alt_sel):
+        assert a == pytest.approx(b, rel=1e-9)
