@@ -51,6 +51,8 @@ def main() -> None:
         "embedding_top_pairs",
         "text_token_counts",
         "text_quality",
+        "text_repetition",
+        "corpus_clean",
         "lang_id",
         "doc_fingerprint",
         "multimodal_features",

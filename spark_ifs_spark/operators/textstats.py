@@ -106,6 +106,22 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), best["lang"].alias("pred_lang"))
 
 
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_tokens, n_distinct_tokens, repetition)`` — fraction of
+    tokens that are repeats of an earlier token (Gopher-style repetition
+    quality rule: high repetition ⇒ boilerplate/spam). Pure array
+    expressions — map-side, shuffle-free."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        d.alias("n_distinct_tokens"),
+        F.when(n > 0, (n - d) / n).otherwise(F.lit(0.0)).alias("repetition"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, fp)`` — md5 digest of the normalized text (lowercased,
     non-alnum runs collapsed to single spaces, trimmed). The canonical

@@ -654,6 +654,73 @@ SELECT id, CASE {case} END AS pred_lang FROM mx
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.repetition_ratio(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id", "n_tokens", "n_distinct_tokens", F.round("repetition", 6).alias("repetition")
+    )
+
+
+def sql_text_repetition() -> str:
+    return """
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round(CASE WHEN len(string_split(text, ' ')) > 0
+             THEN (len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 1.0
+                  / len(string_split(text, ' '))
+             ELSE 0.0 END, 6) AS repetition
+FROM documents
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-cleaning pipeline — the operators composed the
+    way a training-data job uses them: exact-dedup on the normalized
+    fingerprint (keep lowest doc_id), then quality floor, then length
+    floor. Returns surviving ``(id, fp, quality)``. One shuffle (the
+    dedup groupBy); every filter is map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(docs, "doc_id", "text")
+    q = textstats.quality_score(docs, "doc_id", "text")
+    keep = fp.groupBy("fp").agg(F.min("id").alias("id"))
+    return (
+        keep.join(q, "id")
+        .filter((F.col("quality") >= 0.1) & (F.col("n_words") >= 10))
+        .select("id", "fp", F.round("quality", 6).alias("quality"))
+    )
+
+
+def sql_corpus_clean() -> str:
+    # mirrors fingerprint + quality_score + dedup-keep-min + floors
+    stop_hits = " + ".join(_sql_count_word(w) for w in textstats.STOPWORDS)
+    return f"""
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, min(id) AS id FROM fp GROUP BY fp),
+q AS (
+  SELECT doc_id AS id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS mean_wl,
+         ({stop_hits}) * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT id, n_words,
+         least(n_words / 50.0, 1.0)
+         * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+         * least(stop_ratio * 5.0, 1.0) AS quality
+  FROM q
+)
+SELECT k.id, k.fp, round(s.quality, 6) AS quality
+FROM keep k JOIN scored s ON s.id = k.id
+WHERE s.quality >= 0.1 AND s.n_words >= 10
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -918,6 +985,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "corpus_clean": q_corpus_clean,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -947,6 +1016,8 @@ ORACLES: dict[str, str] = {
     "embedding_top_pairs": sql_embedding_top_pairs(),
     "text_token_counts": sql_text_token_counts(),
     "text_quality": sql_text_quality(),
+    "text_repetition": sql_text_repetition(),
+    "corpus_clean": sql_corpus_clean(),
     "lang_id": sql_lang_id(),
     "doc_fingerprint": sql_doc_fingerprint(),
     "multimodal_features": sql_multimodal_features(),
