@@ -100,6 +100,112 @@ def extract_image_features(
     return df.select(id_col, payload_col).mapInPandas(_proc, IMAGE_FEATURES_SCHEMA)
 
 
+#: schema of a resized-image row (payload rides through)
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+#: schema of a sampled-frame row (one row per frame)
+FRAME_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize for tests: truncates/pads the payload to
+    ``width × height`` bytes (real implementation: decode, resample,
+    re-encode)."""
+    target = max(width * height, 1)
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """binary payloads → resized payloads (``RESIZED_SCHEMA``), one
+    Arrow-batched map-side pass; payloads never shuffle.
+
+    ``resize_fn`` is the codec injection point (STUB — real resampling
+    needs an image library not in this container; the default raises)."""
+    if resize_fn is None:
+        def resize_fn(payload: bytes, w: int, h: int) -> bytes:
+            raise NotImplementedError(
+                "image resize requires an image library (e.g. Pillow); "
+                "inject resize_fn= with a real resizer in production"
+            )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "payload": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                out["id"].append(str(row[id_col]))
+                out["payload"].append(resize_fn(payload, width, height))
+                out["width"].append(width)
+                out["height"].append(height)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_proc, RESIZED_SCHEMA)
+
+
+def fake_frame_splitter(payload: bytes, num_frames: int) -> list[bytes]:
+    """Deterministic fake video→frames splitter for tests: slices the
+    payload into ``num_frames`` contiguous chunks (real implementation:
+    container demux + per-frame decode)."""
+    if not payload:
+        return [b""] * num_frames
+    step = max(len(payload) // num_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(num_frames)]
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    num_frames: int = 4,
+    split_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """video payloads → one row per sampled frame (``FRAME_SCHEMA``).
+
+    The 1→N row expansion happens INSIDE ``mapInPandas`` (no
+    array-of-binaries intermediate, no explode shuffle): frame payloads
+    are emitted directly into the output Arrow batches. ``split_fn`` is
+    the codec injection point (STUB; the default raises)."""
+    if split_fn is None:
+        def split_fn(payload: bytes, n: int) -> list[bytes]:
+            raise NotImplementedError(
+                "frame sampling requires a video library (e.g. PyAV); "
+                "inject split_fn= with a real demuxer in production"
+            )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "frame_idx": [], "payload": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                for i, frame in enumerate(split_fn(payload, num_frames)):
+                    out["id"].append(str(row[id_col]))
+                    out["frame_idx"].append(i)
+                    out["payload"].append(frame)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_proc, FRAME_SCHEMA)
+
+
 def attach_fake_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Test/dev helper: synthesize a deterministic binary payload column
     (+ metadata struct) from a text column, so multimodal plumbing can be

@@ -49,3 +49,48 @@ def test_repartition_for_payloads(payloads):
     df, _ = payloads
     out = multimodal.repartition_for_payloads(df, approx_total_mb=1024, target_partition_mb=128)
     assert out.rdd.getNumPartitions() == 8
+
+
+def test_resize_images_plumbing(spark, sf_dir):
+    from spark_ifs_spark.operators.multimodal import (
+        attach_fake_payloads,
+        fake_resizer,
+        resize_images,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    out = resize_images(payloads, "doc_id", "payload", 8, 4, resize_fn=fake_resizer)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows)
+
+
+def test_resize_default_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    from spark_ifs_spark.operators.multimodal import attach_fake_payloads, resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    with _pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize_images(payloads, "doc_id", "payload", 8, 8).collect()
+
+
+def test_sample_frames_plumbing(spark, sf_dir):
+    from spark_ifs_spark.operators.multimodal import (
+        attach_fake_payloads,
+        fake_frame_splitter,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    out = sample_frames(payloads, "doc_id", "payload", num_frames=4, split_fn=fake_frame_splitter)
+    rows = out.collect()
+    assert len(rows) == 80  # 1 -> N expansion inside mapInPandas
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
