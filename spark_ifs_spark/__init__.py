@@ -16,10 +16,12 @@ search, text analysis, multimodal plumbing, streaming aggregation) the
 reference never had.
 """
 
-from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.operators.select_columns import all_pairs_mi, select_columns
 from spark_ifs_spark.operators.select_rows import select_rows
 from spark_ifs_spark.operators.scores import (
     ColumnScore,
+    MiqColumnScore,
+    MiqRowScore,
     MrmrColumnScore,
     MrmrRowScore,
     RowScore,
@@ -30,12 +32,15 @@ from spark_ifs_spark.ml.row_selector import RowSelector, RowSelectorModel
 __version__ = "0.1.0"
 
 __all__ = [
+    "all_pairs_mi",
     "select_columns",
     "select_rows",
     "ColumnScore",
     "RowScore",
     "MrmrColumnScore",
     "MrmrRowScore",
+    "MiqColumnScore",
+    "MiqRowScore",
     "FeatureSelector",
     "FeatureSelectorModel",
     "RowSelector",
