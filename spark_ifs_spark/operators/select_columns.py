@@ -82,19 +82,29 @@ def mi_vs_column(
     n_rows: int,
 ) -> DataFrame:
     """``(cand, mi)`` — MI of every candidate column against ONE other
-    column (the label or the newest winner), in a single pass."""
-    cand_arr = F.array(
-        *[
-            F.struct(F.lit(c).alias("cand"), F.col(feature_cols[c]).cast("double").alias("cand_val"))
-            for c in candidates
-        ]
-    )
+    column (the label or the newest winner), in a single pass.
+
+    The melt is ``posexplode`` of a primitive double array (position =
+    index into ``candidates``), not an array of structs: primitive
+    array construction stays in codegen and carries no per-tuple object,
+    ~2× cheaper per row at explode widths of 50+. Positions are mapped
+    back to candidate ids only on the (cardinality-bounded) aggregated
+    relation."""
+    cand_vals = F.array(*[F.col(feature_cols[c]).cast("double") for c in candidates])
     tuples = df.select(
-        F.explode(cand_arr).alias("_c"),
+        F.posexplode(cand_vals).alias("pos", "cand_val"),
         F.col(other_col).cast("double").alias("other_val"),
-    ).select("_c.cand", "_c.cand_val", "other_val")
-    joint = tuples.groupBy("cand", "cand_val", "other_val").agg(
-        F.count(F.lit(1)).alias("cnt")
+    )
+    cand_ids = F.array(*[F.lit(int(c)) for c in candidates])
+    joint = (
+        tuples.groupBy("pos", "cand_val", "other_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.element_at(cand_ids, F.col("pos") + 1).alias("cand"),
+            "cand_val",
+            "other_val",
+            "cnt",
+        )
     )
     ma = F.broadcast(
         marginals.select(
@@ -330,13 +340,14 @@ def select_columns(
             check_cardinality(wide, needed, max_categories)
             return _greedy_incore(wide, label_col, feature_cols, num, score)
 
-        # Right-size the loop input: the greedy loop runs k tiny-ish jobs
-        # over this cached relation, so per-task scheduling overhead is
-        # multiplied by k. Target ~500k rows/partition (cheap for the
-        # explode+count plan); over-partitioned input (e.g. 10k rows in
-        # 32 partitions from a default scan) gets re-persisted coalesced.
+        # Right-size the loop input for the EXPLODED per-round volume
+        # (each round emits ~rows × C tuples): target ~2M tuples per
+        # partition so a 1M×50 round spreads over ~25 tasks instead of
+        # riding the raw-row-count partitioning, while a 10k-row fixture
+        # still coalesces to 1 task (the greedy loop multiplies per-task
+        # scheduling overhead by k).
         cur_parts = wide.rdd.getNumPartitions()
-        target = max(1, min(cur_parts, -(-n_rows // 500_000)))
+        target = max(1, min(cur_parts, -(-(n_rows * max(C, 1)) // 2_000_000)))
         if target < cur_parts // 2 or cur_parts > target * 2:
             compact = wide.coalesce(target).persist(StorageLevel.MEMORY_AND_DISK)
             compact.count()
