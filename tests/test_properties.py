@@ -81,3 +81,30 @@ def test_cross_encoding_agreement_random(spark, seed):
     conv_sel = select_columns(conv, "label", names, num=3)
     alt_sel = select_rows(alt, num=3, labels_row=arr[:, 0].tolist())
     assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
+
+
+def test_salted_topk_property(spark):
+    """Property: for random data, keys, k, and bucket counts, the salted
+    two-stage top-k equals the single-stage window exactly."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.topk import salted_topk_per_key, topk_per_key
+
+    rng = _random.Random(123)
+    for trial in range(3):
+        n = rng.randint(50, 400)
+        n_keys = rng.randint(1, 5)
+        k = rng.randint(1, 6)
+        buckets = rng.choice([1, 2, 7, 16])
+        rows = [
+            (f"k{rng.randint(0, n_keys - 1)}", i, float(rng.randint(0, 20)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["key", "rid", "v"])
+        a = salted_topk_per_key(df, ["key"], "v", k=k, tiebreak_cols=["rid"], buckets=buckets)
+        b = topk_per_key(df, ["key"], "v", k=k, tiebreak_cols=["rid"])
+        ra = sorted((r["key"], r["rank"], r["rid"]) for r in a.collect())
+        rb = sorted((r["key"], r["rank"], r["rid"]) for r in b.collect())
+        assert ra == rb, f"trial {trial}: {n=} {n_keys=} {k=} {buckets=}"
