@@ -61,6 +61,7 @@ def main() -> None:
         "events_user_stats",
         "lineitem_pricing",
         "nation_revenue",
+        "priority_orders",
         "events_topk_per_type",
     ]
 

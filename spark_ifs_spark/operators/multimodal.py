@@ -206,6 +206,57 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(_proc, FRAME_SCHEMA)
 
 
+#: schema of an audio feature row
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), False),
+        StructField("n_samples", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+
+def fake_audio_decoder(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake audio probe for tests: (n_samples, sample_rate)
+    derived from the payload bytes."""
+    if not payload:
+        return (0, 16000)
+    return (len(payload) * 4, 16000)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    decode_fn: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
+    """audio payloads → ``AUDIO_FEATURES_SCHEMA`` rows, Arrow-batched
+    map-side pass. ``decode_fn`` is the codec injection point (STUB —
+    real probing needs an audio library not in this container; the
+    default raises)."""
+    if decode_fn is None:
+        def decode_fn(payload: bytes) -> tuple[int, int]:
+            raise NotImplementedError(
+                "audio decoding requires an audio library (e.g. soundfile); "
+                "inject decode_fn= with a real decoder in production"
+            )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "n_samples": [], "sample_rate": [], "duration_ms": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
+                n, sr = decode_fn(payload)
+                out["id"].append(str(row[id_col]))
+                out["n_samples"].append(n)
+                out["sample_rate"].append(sr)
+                out["duration_ms"].append(int(n * 1000 / sr) if sr else 0)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(_proc, AUDIO_FEATURES_SCHEMA)
+
+
 def attach_fake_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Test/dev helper: synthesize a deterministic binary payload column
     (+ metadata struct) from a text column, so multimodal plumbing can be

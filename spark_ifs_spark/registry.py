@@ -876,6 +876,34 @@ def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join query shape (TPC-H Q4): count orders per priority that
+    have at least one large-lot lineitem (quantity > 45). EXISTS becomes
+    a leftsemi join — at scale a shuffle-join on orderkey whose build
+    side carries only the join key (no lineitem payload ever moves), and
+    the quantity filter pushes to the lineitem scan."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .select("o_orderpriority", "order_count")
+    )
+
+
+def sql_priority_orders() -> str:
+    return """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY o_orderpriority
+"""
+
+
 def sql_nation_revenue() -> str:
     return """
 SELECT n_name,
@@ -995,6 +1023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_stats": q_events_user_stats,
     "lineitem_pricing": q_lineitem_pricing,
     "nation_revenue": q_nation_revenue,
+    "priority_orders": q_priority_orders,
     "events_topk_per_type": q_events_topk_per_type,
 }
 
@@ -1026,5 +1055,6 @@ ORACLES: dict[str, str] = {
     "events_user_stats": sql_events_user_stats(),
     "lineitem_pricing": sql_lineitem_pricing(),
     "nation_revenue": sql_nation_revenue(),
+    "priority_orders": sql_priority_orders(),
     "events_topk_per_type": sql_events_topk_per_type(),
 }

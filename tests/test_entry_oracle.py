@@ -78,7 +78,8 @@ def test_every_query_has_oracle_or_reason(entry_mod):
         "text_quality", "text_repetition", "corpus_clean", "lang_id",
         "doc_fingerprint", "multimodal_features",
         "events_daily", "events_sessionize", "events_user_stats",
-        "lineitem_pricing", "nation_revenue", "events_topk_per_type",
+        "lineitem_pricing", "nation_revenue", "priority_orders",
+        "events_topk_per_type",
     ],
 )
 def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):

@@ -94,3 +94,20 @@ def test_sample_frames_plumbing(spark, sf_dir):
     for r in rows:
         by_id.setdefault(r["id"], []).append(r["frame_idx"])
     assert all(sorted(v) == [0, 1, 2, 3] for v in by_id.values())
+
+
+def test_audio_features_plumbing(spark, sf_dir):
+    from spark_ifs_spark.operators.multimodal import (
+        attach_fake_payloads,
+        extract_audio_features,
+        fake_audio_decoder,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    rows = extract_audio_features(
+        payloads, "doc_id", "payload", decode_fn=fake_audio_decoder
+    ).collect()
+    assert len(rows) == 30
+    assert all(r["sample_rate"] == 16000 for r in rows)
+    assert all(r["duration_ms"] == int(r["n_samples"] * 1000 / 16000) for r in rows)
