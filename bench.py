@@ -53,6 +53,7 @@ def main() -> None:
         "text_quality",
         "text_repetition",
         "corpus_clean",
+        "vocab_top50",
         "lang_id",
         "doc_fingerprint",
         "multimodal_features",

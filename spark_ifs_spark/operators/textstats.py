@@ -106,6 +106,21 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), best["lang"].alias("pred_lang"))
 
 
+def vocab_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus vocabulary: ``(token, cnt)`` over whitespace tokens.
+
+    One explode + one hash aggregate; map-side partial aggregation
+    absorbs hot tokens (stopwords) before the shuffle, so the classic
+    word-count skew never reaches a single reducer unaggregated.
+    """
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, n_tokens, n_distinct_tokens, repetition)`` — fraction of
     tokens that are repeats of an earlier token (Gopher-style repetition

@@ -721,6 +721,23 @@ WHERE s.quality >= 0.1 AND s.n_words >= 10
 """
 
 
+def q_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency (token-asc tie-break)."""
+    out = textstats.vocab_counts(_read(spark, sf_dir, "documents"), "text")
+    return out.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(50)
+
+
+def sql_vocab_top50() -> str:
+    return """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1015,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_repetition": q_text_repetition,
     "corpus_clean": q_corpus_clean,
+    "vocab_top50": q_vocab_top50,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_features": q_multimodal_features,
@@ -1047,6 +1065,7 @@ ORACLES: dict[str, str] = {
     "text_quality": sql_text_quality(),
     "text_repetition": sql_text_repetition(),
     "corpus_clean": sql_corpus_clean(),
+    "vocab_top50": sql_vocab_top50(),
     "lang_id": sql_lang_id(),
     "doc_fingerprint": sql_doc_fingerprint(),
     "multimodal_features": sql_multimodal_features(),

@@ -45,6 +45,43 @@ def windowed_event_counts(
     )
 
 
+def write_events_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by_day: bool = True,
+):
+    """Streaming parquet sink: events land day-partitioned with
+    exactly-once file-sink semantics (the checkpoint + manifest give
+    idempotent restarts). Day partitioning makes downstream backfills
+    and retention drops partition operations instead of rewrites — the
+    standard 100 TB event-lake layout. Returns the StreamingQuery."""
+    out = df.withColumn("day", F.date_format("ts", "yyyy-MM-dd")) if partition_by_day else df
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by_day:
+        w = w.partitionBy("day")
+    return w.start()
+
+
+def join_events_to_user_profile(
+    events: DataFrame,
+    profiles: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join: each event picks up its user's
+    profile row. The static side is broadcast per micro-batch — no
+    stream state at all, the canonical enrichment topology (stream-stream
+    joins are reserved for when BOTH sides are unbounded)."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return ev.join(F.broadcast(profiles), "user_id", "left")
+
+
 def dedup_events(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event ingestion: drop duplicate ``event_id``s.
 

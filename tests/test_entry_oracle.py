@@ -75,7 +75,8 @@ def test_every_query_has_oracle_or_reason(entry_mod):
         "dedup_simhash", "dedup_embedding", "ann_topk", "ann_topk_ivf",
         "embedding_top_pairs",
         "text_token_counts",
-        "text_quality", "text_repetition", "corpus_clean", "lang_id",
+        "text_quality", "text_repetition", "corpus_clean", "vocab_top50",
+        "lang_id",
         "doc_fingerprint", "multimodal_features",
         "events_daily", "events_sessionize", "events_user_stats",
         "lineitem_pricing", "nation_revenue", "priority_orders",

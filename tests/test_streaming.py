@@ -118,3 +118,61 @@ def test_dedup_events_stream_equals_batch(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_ev").first()
     assert got["total"] == want
     assert got["n"] == want
+
+
+def test_streaming_parquet_sink_day_partitioned(spark, sf_dir, tmp_path):
+    """writeStream -> day-partitioned parquet: files land under day=...,
+    read-back equals the batch input, and a day filter partition-prunes."""
+    import os
+
+    from spark_ifs_spark.plans import explain_str
+    from spark_ifs_spark.sources.parquet import load_events
+    from spark_ifs_spark.streaming.events import write_events_stream
+
+    batch = load_events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    batch.write.mode("overwrite").parquet(src)
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = write_events_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert any(d.startswith("day=") for d in os.listdir(out))
+
+    back = spark.read.parquet(out)
+    assert back.count() == batch.count()
+    pruned = back.filter(back["day"] == back.select("day").first()["day"])
+    assert "PartitionFilters" in explain_str(pruned)
+
+
+def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
+    """Stream-static join enriches every event without stream state;
+    stream result == batch result."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.sources.parquet import load_events
+    from spark_ifs_spark.streaming.events import join_events_to_user_profile
+
+    batch = load_events(spark, sf_dir)
+    profiles = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n_events"))
+    want = join_events_to_user_profile(batch, profiles).filter(
+        F.col("user_n_events").isNotNull()
+    ).count()
+    assert want == batch.count()
+
+    src = str(tmp_path / "src2")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = join_events_to_user_profile(stream, profiles)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_ev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM enriched_ev WHERE user_n_events IS NOT NULL"
+    ).first()["n"]
+    assert got == want
