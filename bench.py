@@ -64,6 +64,7 @@ def main() -> None:
         "nation_revenue",
         "priority_orders",
         "events_topk_per_type",
+        "events_asof_signup",
     ]
 
     timings: dict[str, float] = {}

@@ -845,6 +845,34 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event matched to the user's most recent signup
+    event at-or-before it (union + window carry-forward plan, one
+    shuffle). Oracle is DuckDB's native ASOF LEFT JOIN — a built-in the
+    engine composes from DataFrame ops (SURVEY custom-operator case)."""
+    from spark_ifs_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts", F.col("event_id").alias("signup_event"))
+    )
+    out = asof_join(
+        ev, signups, by_cols=["user_id"], ts_col="ts", value_cols=["signup_event"]
+    )
+    return out.select("event_id", "user_id", "signup_event")
+
+
+def sql_events_asof_signup() -> str:
+    return """
+SELECT l.event_id, l.user_id, r.event_id AS signup_event
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_events_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe top-3 events by value per event type (two-stage salted
     window — identical results to the single-stage window, bounded task
@@ -1043,6 +1071,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue": q_nation_revenue,
     "priority_orders": q_priority_orders,
     "events_topk_per_type": q_events_topk_per_type,
+    "events_asof_signup": q_events_asof_signup,
 }
 
 ORACLES: dict[str, str] = {
@@ -1076,4 +1105,5 @@ ORACLES: dict[str, str] = {
     "nation_revenue": sql_nation_revenue(),
     "priority_orders": sql_priority_orders(),
     "events_topk_per_type": sql_events_topk_per_type(),
+    "events_asof_signup": sql_events_asof_signup(),
 }

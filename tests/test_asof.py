@@ -1,0 +1,60 @@
+"""As-of join unit tests: hand-built frames covering match, no-match,
+equal-timestamp inclusivity, and multi-key isolation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # before any right -> null
+            (2, "u1", _ts("2024-01-01T12:00:00")),  # matches r10 (equal ts, inclusive)
+            (3, "u1", _ts("2024-01-01T15:00:00")),  # matches r11 (most recent)
+            (4, "u2", _ts("2024-01-01T15:00:00")),  # other key -> r20 only
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T12:00:00"), 10),
+            ("u1", _ts("2024-01-01T14:00:00"), 11),
+            ("u1", _ts("2024-01-01T16:00:00"), 12),  # after every left -> never used
+            ("u2", _ts("2024-01-01T09:00:00"), 20),
+        ],
+        "user_id string, ts timestamp, ref long",
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["ref"])
+    got = {r["event_id"]: r["ref"] for r in out.collect()}
+    assert got == {1: None, 2: 10, 3: 11, 4: 20}
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "u", _ts("2024-01-01T00:00:00"))],
+                               "ref long, user_id string, ts timestamp")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(df, df, ["user_id"], "ts", ["ref"])
+
+
+def test_asof_join_single_shuffle(spark):
+    """The plan must contain exactly one Exchange (the window partition)."""
+    from spark_ifs_spark.plans import count_exchanges
+
+    left = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01T00:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = left.select("user_id", "ts", F.col("event_id").alias("ref"))
+    out = asof_join(left, right, ["user_id"], "ts", ["ref"])
+    assert count_exchanges(out) == 1

@@ -80,7 +80,7 @@ def test_every_query_has_oracle_or_reason(entry_mod):
         "doc_fingerprint", "multimodal_features",
         "events_daily", "events_sessionize", "events_user_stats",
         "lineitem_pricing", "nation_revenue", "priority_orders",
-        "events_topk_per_type",
+        "events_topk_per_type", "events_asof_signup",
     ],
 )
 def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
