@@ -60,21 +60,25 @@ def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles: ``(id, sh)`` (space-joined words).
 
-    Built by position self-joins on the token relation — the same shape
-    the SQL oracle uses. n−1 broadcast-friendly equi-joins; Catalyst
-    plans them as one shuffle on (id) since all joins share the key
-    prefix.
+    Pure map-side array expression: ``transform(sequence(0, m-n),
+    i -> array_join(slice(tokens, i+1, n)))`` with per-doc
+    ``array_distinct`` — zero shuffles (asserted in ``test_plans.py``),
+    where the equivalent position self-join form (the shape the SQL
+    oracle still uses) shuffles the full token relation n−1 times. At
+    100 TB the shingle build is a projection fused into the scan stage.
     """
-    toks = tokenize(df, id_col, text_col)
-    out = toks.select("id", "pos", F.col("w").alias("sh"))
-    for k in range(1, n):
-        nxt = toks.select(
-            F.col("id").alias("id2"), (F.col("pos") - k).alias("pos2"), F.col("w").alias(f"w{k}")
-        )
-        out = out.join(
-            nxt, (out["id"] == nxt["id2"]) & (out["pos"] == nxt["pos2"])
-        ).select("id", "pos", F.concat_ws(" ", "sh", f"w{k}").alias("sh"))
-    return out.select("id", "sh").distinct()
+    toks = F.split(F.col(text_col), " ")
+    m = F.size(toks)
+    shingles = F.when(
+        m >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), m - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -193,10 +197,36 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     """60-bit SimHash fingerprints: ``(id, simhash)``.
 
     Token multiplicity weights each token's ±1 vote per bit position.
-    Plan shape: tokenize → md5-int → explode bit positions → two hash
-    aggregates. The bit explosion multiplies rows by ``bits``; for 100 TB
-    one would fold the 60 bit-tests into a single pandas-UDF popcount
-    pass — kept declarative here so the DuckDB oracle is exact.
+    Plan shape: tokenize → md5-int → ONE hash aggregate carrying
+    ``bits`` conditional-sum buffers (one per bit position), then a
+    map-side fold of the vote signs into the fingerprint. Each token row
+    is touched once — no per-bit row explosion — and the per-bit sums
+    combine map-side, so the shuffle carries one ``bits``-wide row per
+    document. Differential-tested against :func:`simhash_explode` (the
+    declarative per-bit-row form the DuckDB oracle mirrors).
+    """
+    toks = tokenize(df, id_col, text_col).select("id", md5_int60(F.col("w")).alias("h"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", fp.alias("simhash"))
+
+
+def simhash_explode(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """Declarative per-bit-row SimHash — the shape the DuckDB oracle
+    uses (explode bit positions → two hash aggregates). Multiplies the
+    token relation by ``bits``; kept as the differential-test twin of
+    the production :func:`simhash` plan, not for corpus-scale use.
     """
     toks = tokenize(df, id_col, text_col).select("id", md5_int60(F.col("w")).alias("h"))
     # shiftright/shiftleft builtins take a literal shift; use expr for a

@@ -156,7 +156,14 @@ def rolling_fingerprints(
     text = F.col(text_col)
     chars = F.split(text, "")
     n = F.length(text)
-    pos = F.explode(F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)) - 1))
+    # valid window starts are 0..n-window inclusive; docs shorter than the
+    # window yield zero rows (an unguarded sequence(0, n-window) would
+    # produce a descending [0, -1, ...] array and a runtime slice error)
+    pos = F.explode(
+        F.when(n >= window, F.sequence(F.lit(0), n - window)).otherwise(
+            F.array().cast("array<int>")
+        )
+    )
     windowed = df.select(F.col(id_col).alias("id"), chars.alias("cs"), pos.alias("pos"))
     sub = F.slice(F.col("cs"), F.col("pos") + 1, window)
     fp = F.aggregate(

@@ -66,6 +66,19 @@ def test_simhash_properties(spark, docs):
     assert ham01 < ham02  # near-dup closer than unrelated doc
 
 
+def test_simhash_differential_vs_explode_form(spark, docs, sf_dir):
+    """The production plan (one agg, 60 vote buffers) and the declarative
+    per-bit-row plan (the oracle's shape) must produce identical
+    fingerprints — on the handwritten docs AND a real corpus sample."""
+    fast = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    slow = {r["id"]: r["simhash"] for r in dedup.simhash_explode(docs, "doc_id", "text").collect()}
+    assert fast == slow
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    fast_c = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    slow_c = {r["id"]: r["simhash"] for r in dedup.simhash_explode(corpus, "doc_id", "text").collect()}
+    assert fast_c == slow_c and len(fast_c) == 50
+
+
 def test_simhash_near_pairs(spark, docs):
     fps = dedup.simhash(docs, "doc_id", "text")
     fps_df = fps.withColumnRenamed("id", "id")

@@ -50,6 +50,15 @@ def test_textstats_are_shuffle_free(spark, sf_dir):
     assert_no_exchange(fingerprint(docs, "doc_id", "text"), "fingerprint")
 
 
+def test_word_shingles_are_shuffle_free(spark, sf_dir):
+    """The shingle relation is a scan-fused projection (array expression
+    over split), not the n−1 position self-joins the oracle uses."""
+    from spark_ifs_spark.operators.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_no_exchange(word_shingles(docs, "doc_id", "text", n=3), "word_shingles")
+
+
 def test_round_counting_is_single_shuffle(spark, sf_dir):
     """The per-round pair-count aggregation (the engine's hot path) must
     be exactly one shuffle: partial agg → exchange → final agg."""

@@ -55,3 +55,20 @@ def test_rolling_fingerprints(spark):
     # period-10 text: windows 10 apart hash identically
     assert fps[0] == fps[10] == fps[20]
     assert fps[0] != fps[1]
+    # every valid start position, INCLUDING the final one (n - window)
+    assert sorted(fps) == list(range(41))
+    assert fps[30] == fps[40] == fps[0]
+
+
+def test_rolling_fingerprints_short_and_exact_docs(spark):
+    # shorter than the window -> zero rows (not a runtime error);
+    # exactly the window -> exactly one fingerprint at pos 0
+    df = spark.createDataFrame(
+        [(0, "short"), (1, "abcdefghij"), (2, "")], ["doc_id", "text"]
+    )
+    out = textstats.rolling_fingerprints(df, "doc_id", "text", window=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["pos"])
+    assert 0 not in by_id and 2 not in by_id
+    assert by_id[1] == [0]
