@@ -46,8 +46,10 @@ def main() -> None:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_embedding",
+        "dedup_embedding_bucketed",
         "ann_topk",
         "ann_topk_ivf",
+        "ann_topk_lsh",
         "embedding_top_pairs",
         "text_token_counts",
         "text_quality",

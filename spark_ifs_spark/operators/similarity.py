@@ -81,19 +81,19 @@ def _gemm_pairs_kernel(
     per element, a GEMM is vectorized — at identical full precision.
 
     Valid while one side fits in executor memory
-    (``broadcast_limit_rows`` guard). Beyond that, all-pairs is the
-    wrong query: block on :func:`hyperplane_lsh_buckets` /
-    :func:`ivf_cells` (or minhash for text) and run this within buckets.
+    (``broadcast_limit_rows`` guard). Past the guard the kernel falls
+    back to :func:`_blocked_pairs_kernel` — the fully distributed
+    triangular block-matrix plan with the same exact output — instead
+    of collecting an unbounded corpus to the driver.
     """
     import numpy as np
     import pandas as pd
 
     n_rows = df.count()
     if n_rows > broadcast_limit_rows:
-        raise ValueError(
-            f"{n_rows} rows exceed the all-pairs broadcast limit "
-            f"({broadcast_limit_rows}); bucket with hyperplane_lsh_buckets "
-            "or ivf_cells first and run all-pairs within buckets"
+        num_blocks = -(-n_rows // max(broadcast_limit_rows // 4, 1))
+        return _blocked_pairs_kernel(
+            df, id_col, vec_col, num_blocks=max(num_blocks, 2), k=k, threshold=threshold
         )
     rows = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")).collect()
     rows.sort(key=lambda r: r["id"])
@@ -128,6 +128,132 @@ def _gemm_pairs_kernel(
 
     blocks = df.sparkSession.range(len(ids)).select(F.col("id").alias("idx"))
     return blocks.mapInPandas(_block, "id_a long, id_b long, cos double")
+
+
+def _blocked_pairs_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_blocks: int,
+    k: int | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Distributed exact all-pairs cosine: **triangular block-matrix GEMM**.
+
+    The corpus is hash-partitioned into ``B = num_blocks`` row blocks;
+    every unordered block pair ``(i ≤ j)`` becomes one task group that
+    GEMMs block i against block j and emits pairs ≥ ``threshold`` (or
+    its group-local top-``k``; a global top-k pair is necessarily in its
+    own group's top-k, so a final merge-limit is exact). Every vector
+    pair is scored in exactly ONE group — the plan is recall-COMPLETE,
+    unlike LSH/IVF gating, so it is graded against the same exact SQL
+    oracle as the broadcast kernel.
+
+    Scale shape: no driver collect, no full-matrix broadcast. Each row
+    is replicated to its B group keys (shuffle volume n×B rows); each
+    task holds two blocks of ~n/B vectors — bounded executor memory at
+    any corpus size by raising ``num_blocks``. The B(B+1)/2 groups are
+    the irreducible cost of an EXACT all-pairs query; for approximate
+    near-dup at extreme scale, gate with :func:`hyperplane_lsh_buckets`
+    or :func:`ivf_cells` instead (trade recall for replication 1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = int(num_blocks)
+    rep = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            as_double_array(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("bid"),
+        )
+        .select(
+            "id", "v", "bid",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("o"),
+        )
+        .select(
+            F.least("bid", "o").alias("gi"),
+            F.greatest("bid", "o").alias("gj"),
+            "id", "v", "bid",
+        )
+    )
+
+    def _gemm_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        if V.ndim != 2 or len(ids) == 0:
+            return empty
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        if gi == gj:
+            order = np.argsort(ids, kind="stable")
+            ids, Vn = ids[order], Vn[order]
+            S = Vn @ Vn.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            id_a, id_b, cs = ids[iu], ids[ju], S[iu, ju]
+        else:
+            ma = (pdf["bid"].to_numpy() == gi)
+            ia, ib = ids[ma], ids[~ma]
+            if len(ia) == 0 or len(ib) == 0:
+                return empty
+            S = Vn[ma] @ Vn[~ma].T
+            ii, jj = np.meshgrid(np.arange(len(ia)), np.arange(len(ib)), indexing="ij")
+            xa, xb = ia[ii.ravel()], ib[jj.ravel()]
+            id_a, id_b = np.minimum(xa, xb), np.maximum(xa, xb)
+            cs = S.ravel()
+        if threshold is not None:
+            keep = cs >= threshold
+        else:
+            keep = np.argsort(-cs, kind="stable")[:k]
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep], "cos": cs[keep]})
+
+    return rep.groupBy("gi", "gj").applyInPandas(
+        _gemm_group, "id_a long, id_b long, cos double"
+    )
+
+
+def cosine_threshold_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    num_blocks: int | None = None,
+    target_block_rows: int = 50_000,
+) -> DataFrame:
+    """Exact embedding near-dup pairs at any corpus size:
+    ``(id_a, id_b, cos)`` for every a<b with cosine ≥ threshold, via the
+    distributed :func:`_blocked_pairs_kernel` (no driver collect, no
+    200k guard). ``num_blocks`` defaults to ``ceil(n / target_block_rows)``.
+    """
+    if num_blocks is None:
+        n = df.count()
+        num_blocks = max(-(-n // target_block_rows), 2)
+    return _blocked_pairs_kernel(
+        df, id_col, vec_col, num_blocks=num_blocks, threshold=float(threshold)
+    )
+
+
+def cosine_top_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 20,
+    num_blocks: int | None = None,
+    target_block_rows: int = 50_000,
+) -> DataFrame:
+    """Exact global top-k most-similar pairs at any corpus size:
+    group-local top-k from :func:`_blocked_pairs_kernel`, then a global
+    merge-limit (exact — see kernel docstring)."""
+    if num_blocks is None:
+        n = df.count()
+        num_blocks = max(-(-n // target_block_rows), 2)
+    pairs = _blocked_pairs_kernel(df, id_col, vec_col, num_blocks=num_blocks, k=k)
+    return pairs.orderBy(
+        F.col("cos").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
 
 
 def cosine_top_pairs(
@@ -291,9 +417,13 @@ def cosine_topk_lsh(
     k: int = 10,
     num_planes: int = 8,
     seed: int = 42,
+    exclude_ids: Sequence[int] = (),
 ) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket,
-    then exact cosine. Same output schema as :func:`cosine_topk`."""
+    then exact cosine. Same output schema as :func:`cosine_topk`. The
+    hyperplanes are seeded Python float literals, so the DuckDB oracle
+    embeds the identical planes (``sql_ann_topk_lsh``) and replicates
+    the bucket gate exactly."""
     dim = len(query)
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
@@ -306,4 +436,4 @@ def cosine_topk_lsh(
     candidates = df.join(
         F.broadcast(in_bucket), df[id_col] == in_bucket["id"], "leftsemi"
     )
-    return cosine_topk(candidates, id_col, vec_col, query, k)
+    return cosine_topk(candidates, id_col, vec_col, query, k, exclude_ids)

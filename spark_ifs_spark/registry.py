@@ -66,6 +66,8 @@ TOP_PAIRS_K = 20
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 EMB_DEDUP_THRESHOLD = 0.4
+ANN_LSH_PLANES = 6
+ANN_LSH_SEED = 42
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -468,6 +470,20 @@ SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= {EMB_DEDUP_THRE
 """
 
 
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup query through the DISTRIBUTED plan: triangular
+    block-matrix GEMM (`similarity.py:_blocked_pairs_kernel`) — no
+    driver collect, no broadcast guard, recall-complete by construction,
+    so it is graded against the identical exact oracle as
+    ``dedup_embedding``. This is the 100 TB path; the broadcast kernel
+    is the small-corpus fast path that now falls back to this one."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_threshold_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD, num_blocks=4
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
@@ -545,6 +561,69 @@ scored AS (
   JOIN assign a ON a.id = e.vec_id
   CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
   WHERE e.vec_id <> 0 AND a.cell IN (SELECT cid FROM qprobe)
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-gated approximate top-k: scan restricted to the
+    query's sign-of-projection bucket, exact cosine within it. The
+    hyperplanes are seeded Python float literals, so the oracle embeds
+    the SAME planes as SQL VALUES and replicates the bucket gate exactly
+    (the pattern ``sql_dedup_minhash`` uses for its hash params) —
+    approximate ≠ unchecked."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.cosine_topk_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        num_planes=ANN_LSH_PLANES,
+        seed=ANN_LSH_SEED,
+        exclude_ids=[0],
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_lsh() -> str:
+    import random
+
+    rng = random.Random(ANN_LSH_SEED)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(EMB_DIMS)] for _ in range(ANN_LSH_PLANES)
+    ]
+    vals = ",\n".join(
+        f"({j}, {i}, {w!r})"
+        for j, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH pl(j, i, w) AS (VALUES {vals}),
+proj AS (
+  SELECT e.vec_id, pl.j, sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT vec_id,
+         sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN b ON b.vec_id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0
+    AND b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
   GROUP BY e.vec_id
 )
 SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
@@ -1053,8 +1132,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_top_pairs": q_embedding_top_pairs,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -1087,8 +1168,10 @@ ORACLES: dict[str, str] = {
     "dedup_minhash": sql_dedup_minhash(),
     "dedup_simhash": sql_dedup_simhash(),
     "dedup_embedding": sql_dedup_embedding(),
+    "dedup_embedding_bucketed": sql_dedup_embedding(),  # distributed plan ≡ exact oracle
     "ann_topk": sql_ann_topk(),
     "ann_topk_ivf": sql_ann_topk_ivf(),
+    "ann_topk_lsh": sql_ann_topk_lsh(),
     "embedding_top_pairs": sql_embedding_top_pairs(),
     "text_token_counts": sql_text_token_counts(),
     "text_quality": sql_text_quality(),

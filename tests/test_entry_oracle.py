@@ -66,23 +66,15 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     assert len(qs) >= 15
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "mi_pair_lineitem", "mi_relevance", "mi_matrix", "mrmr_top1",
-        "mrmr_select_k5", "mrmr_miq_k5",
-        "row_select_k5", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash",
-        "dedup_simhash", "dedup_embedding", "ann_topk", "ann_topk_ivf",
-        "embedding_top_pairs",
-        "text_token_counts",
-        "text_quality", "text_repetition", "corpus_clean", "vocab_top50",
-        "lang_id",
-        "doc_fingerprint", "multimodal_features",
-        "events_daily", "events_sessionize", "events_user_stats",
-        "lineitem_pricing", "nation_revenue", "priority_orders",
-        "events_topk_per_type", "events_asof_signup",
-    ],
-)
+def _oracle_names() -> list[str]:
+    # parameterize from the registry so every new oracle-backed query is
+    # gated automatically (a hard-coded list silently skips new entries)
+    from spark_ifs_spark.registry import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
     q = entry_mod.queries()[name]
     sql = entry_mod.oracle_sql()[name]

@@ -42,6 +42,65 @@ def test_cosine_top_pairs(spark, vecs):
     assert out[0]["cos"] > 0.999
 
 
+def _pairs_set(rows):
+    return {(r["id_a"], r["id_b"]): pytest.approx(r["cos"], rel=1e-9) for r in rows}
+
+
+def test_blocked_kernel_matches_broadcast_kernel(spark, vecs):
+    """The distributed triangular block-GEMM must produce EXACTLY the
+    broadcast kernel's pairs — same set, same cosines — at several
+    block counts (including B > distinct hash buckets)."""
+    df, _ = vecs
+    want = _pairs_set(
+        similarity.cosine_threshold_pairs(df, "vec_id", "embedding", threshold=0.2).collect()
+    )
+    assert want  # non-trivial pair set at this threshold
+    for B in (2, 4, 9):
+        got = _pairs_set(
+            similarity.cosine_threshold_pairs_blocked(
+                df, "vec_id", "embedding", threshold=0.2, num_blocks=B
+            ).collect()
+        )
+        assert got == want, f"num_blocks={B}"
+
+
+def test_blocked_top_pairs_matches_broadcast(spark, vecs):
+    df, _ = vecs
+    want = [
+        (r["id_a"], r["id_b"], pytest.approx(r["cos"], rel=1e-9))
+        for r in similarity.cosine_top_pairs(df, "vec_id", "embedding", k=5).collect()
+    ]
+    got = [
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in similarity.cosine_top_pairs_blocked(
+            df, "vec_id", "embedding", k=5, num_blocks=3
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_gemm_kernel_falls_back_past_broadcast_guard(spark, vecs):
+    """Past the broadcast row limit the kernel must fall back to the
+    distributed blocked plan (NOT raise) and return identical results."""
+    df, _ = vecs
+    in_core = _pairs_set(
+        similarity.cosine_threshold_pairs(
+            df, "vec_id", "embedding", threshold=0.2, broadcast_limit_rows=200_000
+        ).collect()
+    )
+    # 51 rows > limit 10 → guard trips → blocked fallback
+    fallback = _pairs_set(
+        similarity.cosine_threshold_pairs(
+            df, "vec_id", "embedding", threshold=0.2, broadcast_limit_rows=10
+        ).collect()
+    )
+    assert fallback == in_core
+    topk_fallback = similarity.cosine_top_pairs(
+        df, "vec_id", "embedding", k=3, broadcast_limit_rows=10
+    ).collect()
+    assert (topk_fallback[0]["id_a"], topk_fallback[0]["id_b"]) == (0, 50)
+
+
 def test_lsh_topk_is_subset_quality(spark, vecs):
     """The LSH path must return the planted near-dup (same bucket with
     overwhelming probability) and only ids from the exact ranking."""
