@@ -108,8 +108,8 @@ class FeatureSelector(
             outputCol=out,
             numTopFeatures=self.getNumTopFeatures(),
             selectedFeatures=[i for i, _ in result],
+            selectionScores=[float(s) for _, s in result],
         )
-        model._scores = [s for _, s in result]
         return model
 
 
@@ -126,18 +126,24 @@ class FeatureSelectorModel(
         "selected feature indices in selection order",
         typeConverter=TypeConverters.toListInt,
     )
-
-    def __init__(self):
-        super().__init__()
-        self._scores: list[float] | None = None
+    selectionScores = Param(
+        Params._dummy(),
+        "selectionScores",
+        "greedy-round scores aligned with selectedFeatures (extension)",
+        typeConverter=TypeConverters.toListFloat,
+    )
 
     def getSelectedFeatures(self) -> list[int]:
         return self.getOrDefault(self.selectedFeatures)
 
-    @property
-    def selectionScores(self) -> list[float] | None:
-        """Scores aligned with ``selectedFeatures`` (extension; not persisted)."""
-        return self._scores
+    def getSelectionScores(self) -> list[float] | None:
+        """Scores aligned with ``selectedFeatures``; persisted as a Param,
+        so they survive a save/load round trip."""
+        return (
+            self.getOrDefault(self.selectionScores)
+            if self.isDefined(self.selectionScores)
+            else None
+        )
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         feats, out = self.getFeaturesCol(), self.getOutputCol()

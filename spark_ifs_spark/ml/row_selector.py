@@ -123,8 +123,8 @@ class RowSelector(Estimator, _RowSelectorParams, DefaultParamsReadable, DefaultP
             labelVector=self.getLabelVector(),
             filtered=self.getFiltered(),
             selectedRows=[int(i) for i, _ in result],  # RS:125 .toInt
+            selectionScores=[float(s) for _, s in result],
         )
-        model._scores = [s for _, s in result]
         return model
 
 
@@ -135,17 +135,24 @@ class RowSelectorModel(Model, _RowSelectorParams, DefaultParamsReadable, Default
         "selected row ids in selection order",
         typeConverter=TypeConverters.toListInt,
     )
-
-    def __init__(self):
-        super().__init__()
-        self._scores: list[float] | None = None
+    selectionScores = Param(
+        Params._dummy(),
+        "selectionScores",
+        "greedy-round scores aligned with selectedRows (extension)",
+        typeConverter=TypeConverters.toListFloat,
+    )
 
     def getSelectedRows(self) -> list[int]:
         return self.getOrDefault(self.selectedRows)
 
-    @property
-    def selectionScores(self) -> list[float] | None:
-        return self._scores
+    def getSelectionScores(self) -> list[float] | None:
+        """Scores aligned with ``selectedRows``; persisted as a Param, so
+        they survive a save/load round trip."""
+        return (
+            self.getOrDefault(self.selectionScores)
+            if self.isDefined(self.selectionScores)
+            else None
+        )
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
         id_col, out = self.getIdCol(), self.getOutputCol()

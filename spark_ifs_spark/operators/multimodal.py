@@ -80,22 +80,22 @@ def extract_image_features(
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
-                out = {
-                    "id": [],
-                    "width": [],
-                    "height": [],
-                    "channels": [],
-                    "feature_hash": [],
-                }
-                for _, row in chunk.iterrows():
-                    payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                    w, h, c = decode_fn(payload)
-                    out["id"].append(str(row[id_col]))
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["channels"].append(c)
-                    out["feature_hash"].append(hashlib.md5(payload).hexdigest())
-                yield pd.DataFrame(out)
+                # column-level access, not iterrows: the only per-row
+                # Python is the (inherently per-payload) codec call
+                payloads = [
+                    bytes(p) if p is not None else b""
+                    for p in chunk[payload_col].tolist()
+                ]
+                dims = [decode_fn(p) for p in payloads]
+                yield pd.DataFrame(
+                    {
+                        "id": chunk[id_col].astype(str).to_numpy(),
+                        "width": [d[0] for d in dims],
+                        "height": [d[1] for d in dims],
+                        "channels": [d[2] for d in dims],
+                        "feature_hash": [hashlib.md5(p).hexdigest() for p in payloads],
+                    }
+                )
 
     return df.select(id_col, payload_col).mapInPandas(_proc, IMAGE_FEATURES_SCHEMA)
 
@@ -150,14 +150,17 @@ def resize_images(
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"id": [], "payload": [], "width": [], "height": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                out["id"].append(str(row[id_col]))
-                out["payload"].append(resize_fn(payload, width, height))
-                out["width"].append(width)
-                out["height"].append(height)
-            yield pd.DataFrame(out)
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col].tolist()
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype(str).to_numpy(),
+                    "payload": [resize_fn(p, width, height) for p in payloads],
+                    "width": width,
+                    "height": height,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_proc, RESIZED_SCHEMA)
 
@@ -194,14 +197,18 @@ def sample_frames(
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"id": [], "frame_idx": [], "payload": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                for i, frame in enumerate(split_fn(payload, num_frames)):
-                    out["id"].append(str(row[id_col]))
-                    out["frame_idx"].append(i)
-                    out["payload"].append(frame)
-            yield pd.DataFrame(out)
+            ids = pdf[id_col].astype(str).tolist()
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col].tolist()
+            ]
+            frame_lists = [split_fn(p, num_frames) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "id": [i for i, fl in zip(ids, frame_lists) for _ in fl],
+                    "frame_idx": [j for fl in frame_lists for j in range(len(fl))],
+                    "payload": [f for fl in frame_lists for f in fl],
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_proc, FRAME_SCHEMA)
 
@@ -242,17 +249,25 @@ def extract_audio_features(
                 "inject decode_fn= with a real decoder in production"
             )
 
+    import numpy as np
+
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"id": [], "n_samples": [], "sample_rate": [], "duration_ms": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                n, sr = decode_fn(payload)
-                out["id"].append(str(row[id_col]))
-                out["n_samples"].append(n)
-                out["sample_rate"].append(sr)
-                out["duration_ms"].append(int(n * 1000 / sr) if sr else 0)
-            yield pd.DataFrame(out)
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col].tolist()
+            ]
+            probes = [decode_fn(p) for p in payloads]
+            n = np.array([p[0] for p in probes], dtype=np.int64)
+            sr = np.array([p[1] for p in probes], dtype=np.int64)
+            dur = np.where(sr > 0, n * 1000 // np.where(sr > 0, sr, 1), 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype(str).to_numpy(),
+                    "n_samples": n.astype("int32"),
+                    "sample_rate": sr.astype("int32"),
+                    "duration_ms": dur.astype("int32"),
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_proc, AUDIO_FEATURES_SCHEMA)
 

@@ -51,6 +51,58 @@ def mi_vec(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sum(full[mask] * np.log(full[mask] / outer[mask])))
 
 
+def mi_vec_sparse(
+    n: int,
+    idx_a: np.ndarray,
+    val_a: np.ndarray,
+    idx_b: np.ndarray,
+    val_b: np.ndarray,
+) -> float:
+    """MI of two length-``n`` categorical vectors given in SPARSE
+    (sorted-indices, values) form — the reference's nonzero-walk counting
+    (``MutualInformation.scala:30-52``): joint counts come from walking
+    only the stored entries, and the implicit ``(0, 0)`` cell is
+    ``n − |nz_a ∪ nz_b|`` by complement. ``O(nnz)`` time and memory —
+    never materializes a dense array, so genuinely sparse high-dimension
+    feature rows (the alternate encoding at scale) stay sparse.
+
+    Bit-identical to :func:`mi_vec` on the densified pair: both build
+    the same category-major joint table and reduce it in the same cell
+    order (pinned by ``test_sparse_vectors.py``).
+    """
+    idx_a = np.asarray(idx_a, dtype=np.int64)
+    idx_b = np.asarray(idx_b, dtype=np.int64)
+    val_a = np.asarray(val_a, dtype=np.float64)
+    val_b = np.asarray(val_b, dtype=np.float64)
+    if n == 0:
+        return 0.0
+    # explicit positions: both-stored, a-only, b-only
+    _, ia, ib = np.intersect1d(idx_a, idx_b, assume_unique=True, return_indices=True)
+    a_only = np.ones(idx_a.size, dtype=bool)
+    a_only[ia] = False
+    b_only = np.ones(idx_b.size, dtype=bool)
+    b_only[ib] = False
+    pairs_a = np.concatenate([val_a[ia], val_a[a_only], np.zeros(int(b_only.sum()))])
+    pairs_b = np.concatenate([val_b[ib], np.zeros(int(a_only.sum())), val_b[b_only]])
+    w = np.ones(pairs_a.size, dtype=np.float64)
+    n_zero = n - pairs_a.size  # positions implicit in BOTH vectors
+    if n_zero:
+        pairs_a = np.append(pairs_a, 0.0)
+        pairs_b = np.append(pairs_b, 0.0)
+        w = np.append(w, float(n_zero))
+    cats_a, ai = np.unique(pairs_a, return_inverse=True)
+    cats_b, bi = np.unique(pairs_b, return_inverse=True)
+    nb = cats_b.size
+    joint = np.zeros(cats_a.size * nb, dtype=np.float64)
+    np.add.at(joint, ai * nb + bi, w)
+    pa = joint.reshape(cats_a.size, nb).sum(axis=1) / n
+    pb = joint.reshape(cats_a.size, nb).sum(axis=0) / n
+    outer = np.outer(pa, pb).ravel()
+    full = joint / n
+    mask = full > 0
+    return float(np.sum(full[mask] * np.log(full[mask] / outer[mask])))
+
+
 class ColumnScore(ABC):
     """Combine per-candidate relevance and redundancy MI into a score."""
 

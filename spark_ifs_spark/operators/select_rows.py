@@ -121,7 +121,9 @@ def select_rows(
     if int(n_rows) * len(labels_row) <= incore_cell_budget:
         return _select_rows_incore(base, num, label_arr, score)
 
-    incremental = isinstance(score, MrmrRowScore)
+    # exact type, not isinstance: a subclass overriding score() must NOT
+    # be silently replaced by the hard-coded incremental mRMR recurrence
+    incremental = type(score) is MrmrRowScore
     if not incremental:
         return _select_rows_generic(base, num, label_arr, score)
 
@@ -175,7 +177,7 @@ def _select_rows_incore(
         for r in base.collect()
     ]
     rows.sort(key=lambda t: t[0])
-    incremental = isinstance(score, MrmrRowScore)
+    incremental = type(score) is MrmrRowScore  # exact type; see select_rows
     relevance = {rid: mi_vec(v, label_arr) for rid, v in rows} if incremental else {}
     red_sum: dict[float, float] = {rid: 0.0 for rid, _ in rows}
     vecs = dict(rows)

@@ -36,7 +36,14 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _count_word(text: Column, word: str) -> Column:
-    """Occurrences of a whole word (space-delimited) in text."""
+    """NON-OVERLAPPING matches of ``" word "`` in ``" text "``.
+
+    Adjacent repeats share their delimiter space, so runs undercount
+    (``"the the the"`` counts 1, not 3) — the same semantics DuckDB's
+    ``regexp_extract_all`` produces, which keeps the oracle exact. This
+    is a *marker-presence signal* for quality/lang-id scoring, not a true
+    whole-word occurrence count; for exact token counts use
+    :func:`token_counts` / :func:`vocab_counts` (split-based)."""
     return F.regexp_count(
         F.concat(F.lit(" "), text, F.lit(" ")), F.lit(f" {word} ")
     )

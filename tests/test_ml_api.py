@@ -79,6 +79,10 @@ def test_model_persistence(spark, conv, tmp_path):
     loaded = FeatureSelectorModel.load(path)
     assert loaded.getSelectedFeatures() == model.getSelectedFeatures()
     assert loaded.transform(vdf).count() == vdf.count()
+    # scores survive the round trip (persisted as a Param)
+    assert model.getSelectionScores() is not None
+    assert loaded.getSelectionScores() == model.getSelectionScores()
+    assert len(loaded.getSelectionScores()) == 2
 
 
 def test_row_selector(spark):
@@ -116,3 +120,5 @@ def test_row_selector_persistence(spark, tmp_path):
     loaded = RowSelectorModel.load(path)
     assert loaded.getSelectedRows() == model.getSelectedRows()
     assert loaded.getFiltered() == model.getFiltered()
+    assert model.getSelectionScores() is not None
+    assert loaded.getSelectionScores() == model.getSelectionScores()

@@ -70,3 +70,24 @@ def test_fast_and_incremental_paths_agree(spark):
     assert [i for i, _ in fast] == [i for i, _ in slow]
     for (_, sf), (_, ss) in zip(fast, slow):
         assert abs(sf - ss) < 1e-9
+
+
+def test_column_score_sql_expr_parity(spark):
+    """sql_expr is documented as the JVM-side mirror of score(); evaluate
+    both on the same (relevance, redundancy) samples so the two surfaces
+    cannot silently drift (redundancy NULL encodes round 1 / empty S)."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.scores import MiqColumnScore, MrmrColumnScore
+
+    vals = [(0.5, None), (0.5, 0.2), (0.3, 0.0), (0.0, 0.4), (1.2, 1e-15), (0.7, 0.7)]
+    df = spark.createDataFrame(vals, "relevance double, redundancy double")
+    for sc in (MrmrColumnScore(), MiqColumnScore()):
+        got = [
+            r["s"]
+            for r in df.select(F.expr(sc.sql_expr()).alias("s")).collect()
+        ]
+        want = [
+            sc.score(rel, [] if red is None else [red]) for rel, red in vals
+        ]
+        assert got == pytest.approx(want, abs=0.0), type(sc).__name__

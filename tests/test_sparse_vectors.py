@@ -23,6 +23,49 @@ def test_mi_vec_sparse_zero_cell():
     assert h == pytest.approx(float(-(p * np.log(p)).sum()), abs=1e-12)
 
 
+def test_mi_vec_sparse_identical_to_dense_high_dim():
+    """The O(nnz) nonzero-walk kernel must be BIT-identical to the dense
+    kernel on high-dimension genuinely-sparse rows (1% density, n=200k):
+    same category tables, same cell order, same float reduction."""
+    from spark_ifs_spark.operators.scores import mi_vec_sparse
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    for trial in range(5):
+        nnz_a = rng.choice(n, size=n // 100, replace=False)
+        nnz_b = rng.choice(n, size=n // 100, replace=False)
+        a = np.zeros(n)
+        b = np.zeros(n)
+        a[nnz_a] = rng.choice([1.0, 2.0, 3.0, -1.0], size=nnz_a.size)
+        b[nnz_b] = rng.choice([1.0, 2.0, -2.0], size=nnz_b.size)
+        dense = mi_vec(a, b)
+        ia = np.sort(nnz_a)
+        ib = np.sort(nnz_b)
+        sparse = mi_vec_sparse(n, ia, a[ia], ib, b[ib])
+        assert sparse == dense, f"trial {trial}: {sparse} != {dense}"
+
+
+def test_mi_vec_sparse_edge_cases():
+    from spark_ifs_spark.operators.scores import mi_vec_sparse
+
+    # empty vectors (all-implicit): MI of constants is 0
+    assert mi_vec_sparse(10, [], [], [], []) == 0.0
+    assert mi_vec_sparse(0, [], [], [], []) == 0.0
+    # fully dense inputs through the sparse kernel
+    a = np.array([1.0, 2.0, 1.0, 2.0])
+    b = np.array([1.0, 1.0, 2.0, 2.0])
+    idx = np.arange(4)
+    assert mi_vec_sparse(4, idx, a, idx, b) == mi_vec(a, b)
+    # perfectly dependent sparse pair: MI == entropy
+    n = 1000
+    ia = np.arange(0, n, 10)
+    va = np.ones(ia.size)
+    assert mi_vec_sparse(n, ia, va, ia, va) == mi_vec(
+        np.isin(np.arange(n), ia).astype(float),
+        np.isin(np.arange(n), ia).astype(float),
+    )
+
+
 def test_feature_selector_sparse_equals_dense(spark):
     rng = np.random.default_rng(17)
     n, d = 150, 8

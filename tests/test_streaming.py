@@ -67,6 +67,54 @@ def test_sessionize_stream_equals_batch(spark, events_stream_dir):
     assert len(got) > 0
 
 
+def test_sessionize_gap_boundary_matches_oracle(spark):
+    """Pin the exact-gap boundary semantics: Spark's session_window MERGES
+    an event landing at exactly last_ts + gap into the running session
+    (verified here), so the DuckDB oracle's strictly-greater break
+    condition (`ts - lag(ts) > gap`) is the correct mirror — switching it
+    to >= would break agreement on boundary timestamps."""
+    import datetime as dt
+
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=30), 2.0),          # == gap: same session
+        (1, base + dt.timedelta(minutes=60, seconds=1), 4.0),  # gap+1s: new session
+        (2, base, 1.0),
+        (2, base + dt.timedelta(minutes=29, seconds=59), 8.0),  # under gap
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+    assert got[(1, base)] == (2, 3.0)  # boundary event merged
+    assert got[(1, base + dt.timedelta(minutes=60, seconds=1))] == (1, 4.0)
+    assert got[(2, base)] == (2, 9.0)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id INT, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    oracle = con.execute(
+        """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id, min(ts), count(*), sum(value) FROM s GROUP BY user_id, sid
+        """
+    ).fetchall()
+    want = {(u, s): (n, v) for u, s, n, v in oracle}
+    assert got == want
+
+
 def test_stateful_user_stats_multi_batch(spark, sf_dir):
     """applyInPandasWithState must fold state ACROSS micro-batches: with a
     2-file source and maxFilesPerTrigger=1, a user seen in both batches
@@ -118,6 +166,68 @@ def test_dedup_events_stream_equals_batch(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup_ev").first()
     assert got["total"] == want
     assert got["n"] == want
+
+
+def test_dedup_stream_late_duplicates_straddle_watermark(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark state-expiry semantics across
+    micro-batches: after batch 1 advances the watermark, (a) a duplicate
+    whose event time is still within the watermark horizon is dropped by
+    state, (b) a duplicate of the same id at a later-but-within-horizon
+    timestamp is also dropped, (c) a LATE duplicate older than the
+    watermark is filtered as late input (NOT re-emitted after state
+    expiry), and (d) genuinely new ids pass. Net: exactly one output row
+    per event_id."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from spark_ifs_spark.streaming.events import dedup_events
+
+    sch = "event_id long, ts timestamp, value double"
+    b = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batch1 = [(1, b, 1.0), (2, b + dt.timedelta(hours=2), 2.0)]
+    batch2 = [
+        (1, b, 1.0),                                       # (c) late dup, beyond watermark
+        (2, b + dt.timedelta(hours=2), 2.0),               # (a) dup within watermark
+        (2, b + dt.timedelta(hours=2, minutes=10), 2.5),   # (b) same id, later ts
+        (3, b + dt.timedelta(hours=2, minutes=30), 3.0),   # (d) new id
+    ]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+
+    def _stage(rows, prefix):
+        staging = str(tmp_path / f"stage_{prefix}")
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("overwrite").parquet(staging)
+        for i, p in enumerate(sorted(glob.glob(os.path.join(staging, "*.parquet")))):
+            shutil.copy(p, os.path.join(flat, f"{prefix}{i}.parquet"))
+
+    _stage(batch1, "a")
+    time.sleep(1.2)  # file source orders batches by modification time
+    _stage(batch2, "b")
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(flat)
+    q = (
+        dedup_events(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dd_straddle")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert q.lastProgress is not None
+    got = [
+        (r["event_id"], r["ts"], r["value"])
+        for r in spark.sql("SELECT * FROM dd_straddle ORDER BY event_id, ts").collect()
+    ]
+    assert got == [
+        (1, b, 1.0),
+        (2, b + dt.timedelta(hours=2), 2.0),
+        (3, b + dt.timedelta(hours=2, minutes=30), 3.0),
+    ]
 
 
 def test_streaming_parquet_sink_day_partitioned(spark, sf_dir, tmp_path):
