@@ -17,7 +17,7 @@ reference never had.
 """
 
 from spark_ifs_spark.operators.select_columns import all_pairs_mi, select_columns
-from spark_ifs_spark.operators.select_rows import select_rows
+from spark_ifs_spark.operators.select_rows import select_rows, select_rows_sparse
 from spark_ifs_spark.operators.scores import (
     ColumnScore,
     MiqColumnScore,
@@ -35,6 +35,7 @@ __all__ = [
     "all_pairs_mi",
     "select_columns",
     "select_rows",
+    "select_rows_sparse",
     "ColumnScore",
     "RowScore",
     "MrmrColumnScore",

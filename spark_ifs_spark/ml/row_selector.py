@@ -24,8 +24,13 @@ from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_ifs_spark.ml._schema import features_as_array, validate_schema
-from spark_ifs_spark.operators.select_rows import select_rows
+from spark_ifs_spark.ml._schema import (
+    features_as_array,
+    features_as_sparse,
+    is_vector_type,
+    validate_schema,
+)
+from spark_ifs_spark.operators.select_rows import select_rows, select_rows_sparse
 
 
 class _RowSelectorParams(HasFeaturesCol, HasOutputCol):
@@ -104,16 +109,39 @@ class RowSelector(Estimator, _RowSelectorParams, DefaultParamsReadable, DefaultP
         validate_schema(dataset.schema, id_col, feats, out)
         if not self.isDefined(self.labelVector) or len(self.getLabelVector()) == 0:
             raise ValueError("labelVector must be set and non-empty")  # RS:149
-        prepared = dataset.select(
-            F.col(id_col).alias(id_col), features_as_array(dataset, feats).alias(feats)
-        )
-        result = select_rows(
-            prepared,
-            num=self.getNumTopRows(),
-            labels_row=self.getLabelVector(),
-            id_col=id_col,
-            features_col=feats,
-        )
+        result = None
+        if is_vector_type(dataset.schema[feats].dataType):
+            # Sparse routing: keep ML vectors in (indices, values) form and
+            # run the O(nnz) kernel when the matrix is genuinely sparse —
+            # identical selections (mi_vec_sparse ≡ mi_vec, same
+            # tie-breaks), but redundancy rounds move O(nnz) not O(n).
+            n_c, idx_c, val_c = features_as_sparse(dataset, feats)
+            sparse_df = dataset.select(
+                F.col(id_col).alias("id"),
+                n_c.alias("n"),
+                idx_c.alias("indices"),
+                val_c.alias("values"),
+            )
+            density = sparse_df.agg(
+                F.avg(F.size("indices") / F.col("n")).alias("d")
+            ).first()["d"]
+            if density is not None and density <= 0.5:
+                result = select_rows_sparse(
+                    sparse_df,
+                    num=self.getNumTopRows(),
+                    labels_row=self.getLabelVector(),
+                )
+        if result is None:
+            prepared = dataset.select(
+                F.col(id_col).alias(id_col), features_as_array(dataset, feats).alias(feats)
+            )
+            result = select_rows(
+                prepared,
+                num=self.getNumTopRows(),
+                labels_row=self.getLabelVector(),
+                id_col=id_col,
+                features_col=feats,
+            )
         model = RowSelectorModel()
         model._set(
             numTopRows=self.getNumTopRows(),

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
-from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec
+from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec, mi_vec_sparse
 
 
 def _argbest(scored: DataFrame, higher: bool):
@@ -153,6 +153,169 @@ def select_rows(
                 .withColumn(
                     "red_sum",
                     F.col("red_sum") + _mi_against_udf(win_vec)(F.col("features")),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            new_state.count()  # materialize before dropping the parent
+            state.unpersist()
+            state = new_state
+        return selected
+    finally:
+        state.unpersist()
+
+
+def _mi_sparse_against_udf(n: int, other_idx: np.ndarray, other_val: np.ndarray):
+    """pandas UDF computing MI(sparse row, broadcast sparse vector)."""
+
+    def _mi(idx_s: pd.Series, val_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                mi_vec_sparse(
+                    n,
+                    np.asarray(i, dtype=np.int64),
+                    np.asarray(v, dtype=np.float64),
+                    other_idx,
+                    other_val,
+                )
+                for i, v in zip(idx_s, val_s)
+            ]
+        )
+
+    return F.pandas_udf(_mi, DoubleType())
+
+
+def select_rows_sparse(
+    df: DataFrame,
+    num: int,
+    labels_row: Sequence[float],
+    id_col: str = "id",
+    n_col: str = "n",
+    indices_col: str = "indices",
+    values_col: str = "values",
+    incore_cell_budget: int = 5_000_000,
+) -> list[tuple[float, float]]:
+    """:func:`select_rows` for SPARSE feature rows — identical selections
+    (same :func:`mi_vec_sparse` ≡ :func:`mi_vec` math, same lowest-id
+    tie-break, same incremental recurrence), but vectors stay in
+    (sorted-indices, nonzero-values) form end-to-end: never densified in
+    the DataFrame, in Arrow transfer, or in the kernel. Each redundancy
+    round moves and scores O(nnz) per candidate instead of O(n) — at a
+    1% density, 100× less shuffle/broadcast volume than the dense path.
+
+    Input columns: ``id_col`` (unique), ``n_col`` (common vector length),
+    ``indices_col``/``values_col`` (ascending indices, nonzero values —
+    see :func:`~spark_ifs_spark.ml._schema.features_as_sparse`).
+    mRMR-only (:class:`MrmrRowScore`): generic :class:`RowScore` plug-ins
+    receive dense arrays by contract, so they go through
+    :func:`select_rows`.
+
+    In-core gate mirrors :func:`select_rows` but budgets on STORED cells
+    (``sum(nnz)``), the actual memory footprint of the sparse matrix.
+    """
+    if num <= 0:
+        raise ValueError("num must be > 0")
+    if len(labels_row) == 0:
+        raise ValueError("labels_row must be non-empty")
+    label_arr = np.asarray(labels_row, dtype=np.float64)
+    lab_idx = np.flatnonzero(label_arr)
+    lab_val = label_arr[lab_idx]
+
+    base = df.select(
+        F.col(id_col).cast("double").alias("id"),
+        F.col(n_col).cast("int").alias("n"),
+        F.col(indices_col).alias("indices"),
+        F.col(values_col).alias("values"),
+    )
+    agg = base.agg(
+        F.count("id").alias("rows"),
+        F.count_distinct("id").alias("d"),
+        F.count_distinct("n").alias("dn"),
+        F.min("n").alias("n"),
+        F.sum(F.size("values")).alias("nnz"),
+    ).first()
+    if agg["rows"] != agg["d"]:
+        raise ValueError("duplicate feature ids in alternate-encoding input")
+    if agg["dn"] != 1:
+        raise ValueError("feature rows disagree on vector length n")
+    n = int(agg["n"])
+    if n != len(labels_row):
+        raise ValueError(
+            f"labels_row length {len(labels_row)} != feature vector length {n}"
+        )
+    num = min(num, int(agg["rows"]))
+
+    if int(agg["nnz"]) <= incore_cell_budget:
+        rows = [
+            (
+                float(r["id"]),
+                np.asarray(r["indices"], dtype=np.int64),
+                np.asarray(r["values"], dtype=np.float64),
+            )
+            for r in base.collect()
+        ]
+        rows.sort(key=lambda t: t[0])
+        relevance = {rid: mi_vec_sparse(n, i, v, lab_idx, lab_val) for rid, i, v in rows}
+        red_sum: dict[float, float] = {rid: 0.0 for rid, _, _ in rows}
+        triplets = {rid: (i, v) for rid, i, v in rows}
+        selected: list[tuple[float, float]] = []
+        sel_set: set[float] = set()
+        for _ in range(num):
+            best: tuple[float, float] | None = None
+            for rid, _, _ in rows:
+                if rid in sel_set:
+                    continue
+                k = len(selected)
+                s = relevance[rid] - (red_sum[rid] / k if k else 0.0)
+                if best is None or s > best[1] or (s == best[1] and rid < best[0]):
+                    best = (rid, s)
+            assert best is not None
+            selected.append(best)
+            sel_set.add(best[0])
+            wi, wv = triplets[best[0]]
+            for rid, i, v in rows:
+                if rid not in sel_set:
+                    red_sum[rid] += mi_vec_sparse(n, i, v, wi, wv)
+        return selected
+
+    state = base.withColumn(
+        "relevance",
+        _mi_sparse_against_udf(n, lab_idx, lab_val)(F.col("indices"), F.col("values")),
+    ).withColumn("red_sum", F.lit(0.0))
+    state = state.persist(StorageLevel.MEMORY_AND_DISK)
+
+    selected = []
+    try:
+        for rnd in range(num):
+            k = len(selected)
+            score_col = F.col("relevance") - (
+                F.col("red_sum") / F.lit(k) if k > 0 else F.lit(0.0)
+            )
+            packed = F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.col("id")).alias("nid"),
+                    F.col("indices"),
+                    F.col("values"),
+                )
+            )
+            w = (
+                state.withColumn("score", score_col)
+                .agg(packed.alias("w"))
+                .select("w.*")
+                .first()
+            )
+            win_id, win_score = -float(w["nid"]), float(w["score"])
+            selected.append((win_id, win_score))
+            if rnd == num - 1:
+                break
+            wi = np.asarray(w["indices"], dtype=np.int64)
+            wv = np.asarray(w["values"], dtype=np.float64)
+            new_state = (
+                state.filter(F.col("id") != win_id)
+                .withColumn(
+                    "red_sum",
+                    F.col("red_sum")
+                    + _mi_sparse_against_udf(n, wi, wv)(F.col("indices"), F.col("values")),
                 )
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )

@@ -107,3 +107,91 @@ def test_row_selector_sparse_equals_dense(spark):
     m_s = RowSelector(numTopRows=2, labelVector=labels, outputCol="k").fit(sparse)
     assert m_d.getSelectedRows() == m_s.getSelectedRows()
     assert m_d.getSelectedRows()[0] == 2
+
+
+def test_select_rows_sparse_equals_dense_distributed(spark):
+    """The sparse-native distributed path (select_rows_sparse past the
+    in-core gate) must produce EXACTLY the dense path's selections and
+    scores: mi_vec_sparse == mi_vec bit-for-bit, same recurrence, same
+    lowest-id tie-break."""
+    from spark_ifs_spark.operators.select_rows import select_rows, select_rows_sparse
+
+    rng = np.random.default_rng(41)
+    n_feat, n_inst = 12, 300
+    M = np.zeros((n_feat, n_inst))
+    for j in range(n_feat):
+        nz = rng.choice(n_inst, size=n_inst // 10, replace=False)
+        M[j, nz] = rng.choice([1.0, 2.0, 3.0], size=nz.size)
+    labels = M[5].tolist()
+
+    dense = spark.createDataFrame(
+        [(j, M[j].tolist()) for j in range(n_feat)], "id long, features array<double>"
+    )
+    sparse = spark.createDataFrame(
+        [
+            (
+                j,
+                n_inst,
+                np.flatnonzero(M[j]).tolist(),
+                M[j][np.flatnonzero(M[j])].tolist(),
+            )
+            for j in range(n_feat)
+        ],
+        "id long, n int, indices array<int>, values array<double>",
+    )
+    for budget in (0, 10**9):  # distributed and in-core sparse paths
+        got = select_rows_sparse(sparse, 4, labels, incore_cell_budget=budget)
+        want = select_rows(dense, 4, labels, incore_cell_budget=budget)
+        assert [i for i, _ in got] == [i for i, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert a == b, (budget, a, b)
+    assert got[0][0] == 5.0  # label row itself wins round 1
+
+
+def test_features_as_sparse_normalizes_all_layouts(spark):
+    """Dense VectorUDT, sparse VectorUDT (incl. an explicit stored zero),
+    and array<double> input all normalize to the same strictly-nonzero
+    sorted triplet."""
+    from spark_ifs_spark.ml._schema import features_as_sparse
+
+    dense_v = spark.createDataFrame(
+        [(0, Vectors.dense([0.0, 2.0, 0.0, 3.0]))], ["id", "f"]
+    )
+    sparse_v = spark.createDataFrame(
+        [(0, SparseVector(4, {1: 2.0, 2: 0.0, 3: 3.0}))], ["id", "f"]
+    )
+    arr = spark.createDataFrame([(0, [0.0, 2.0, 0.0, 3.0])], "id long, f array<double>")
+    for df in (dense_v, sparse_v, arr):
+        n_c, i_c, v_c = features_as_sparse(df, "f")
+        r = df.select(n_c.alias("n"), i_c.alias("i"), v_c.alias("v")).first()
+        assert (r["n"], list(r["i"]), list(r["v"])) == (4, [1, 3], [2.0, 3.0])
+
+
+def test_row_selector_routes_sparse_path(spark, monkeypatch):
+    """A genuinely sparse VectorUDT input must take the O(nnz) path."""
+    import spark_ifs_spark.ml.row_selector as rs_mod
+
+    calls = {"sparse": 0}
+    orig = rs_mod.select_rows_sparse
+
+    def spy(*a, **k):
+        calls["sparse"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(rs_mod, "select_rows_sparse", spy)
+    rng = np.random.default_rng(3)
+    n_feat, n_inst = 5, 60
+    M = np.zeros((n_feat, n_inst))
+    for j in range(n_feat):
+        nz = rng.choice(n_inst, size=6, replace=False)
+        M[j, nz] = 1.0
+    df = spark.createDataFrame(
+        [
+            (j, SparseVector(n_inst, {int(i): M[j, i] for i in np.flatnonzero(M[j])}))
+            for j in range(n_feat)
+        ],
+        ["id", "features"],
+    )
+    m = RowSelector(numTopRows=2, labelVector=M[1].tolist(), outputCol="k").fit(df)
+    assert calls["sparse"] == 1
+    assert m.getSelectedRows()[0] == 1
