@@ -69,12 +69,21 @@ def main() -> None:
         "events_asof_signup",
     ]
 
+    # min-of-2 per query (the protocol B5 always used, extended to every
+    # entry in round 2): timings in one long shared local[32] session are
+    # contention/GC-noisy (observed 2-5x swings on identical plans) and
+    # the first few entries otherwise absorb JVM + parquet-footer warmup
+    # that is not query cost. The min is the reproducible per-query
+    # number; correctness asserts (B4) still check the collected rows.
     timings: dict[str, float] = {}
     results: dict[str, list] = {}
     for name in bench_queries:
-        t0 = time.perf_counter()
-        rows = QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = QUERIES[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         results[name] = rows
 
     # B4: cross-encoding identity on the embeddings selection (CL:167-169)
