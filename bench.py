@@ -67,6 +67,13 @@ def main() -> None:
         "priority_orders",
         "events_topk_per_type",
         "events_asof_signup",
+        "split_counts",
+        "docs_cap_per_source",
+        "scrub_pii",
+        "doc_chunks",
+        "packed_bins",
+        "decontam_ids",
+        "tfidf_top3",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -18,6 +18,10 @@ reference never had.
 
 from spark_ifs_spark.operators.select_columns import all_pairs_mi, select_columns
 from spark_ifs_spark.operators.select_rows import select_rows, select_rows_sparse
+from spark_ifs_spark.operators.sampling import cap_per_key, split_assign
+from spark_ifs_spark.operators.chunking import chunk_documents, pack_chunks
+from spark_ifs_spark.operators.dedup import contaminated_ids
+from spark_ifs_spark.operators.textstats import scrub_pii, tfidf_top_terms
 from spark_ifs_spark.operators.scores import (
     ColumnScore,
     MiqColumnScore,
@@ -36,6 +40,13 @@ __all__ = [
     "select_columns",
     "select_rows",
     "select_rows_sparse",
+    "split_assign",
+    "cap_per_key",
+    "chunk_documents",
+    "pack_chunks",
+    "contaminated_ids",
+    "scrub_pii",
+    "tfidf_top_terms",
     "ColumnScore",
     "RowScore",
     "MrmrColumnScore",

@@ -1,0 +1,103 @@
+"""Document chunking and context-window packing.
+
+The two structural transforms between "a corpus of documents" and "a
+stream of fixed-size training sequences":
+
+- **chunk_documents**: overlapping token-window chunks. A pure map-side
+  array expression — ``split`` once, then ``transform(sequence(...))``
+  slices windows out of the token array — fused into the scan stage,
+  zero shuffles (same plan discipline as
+  :func:`~spark_ifs_spark.operators.dedup.word_shingles`). At 100 TB
+  chunking is a projection, never a join.
+- **pack_chunks**: interval assignment of chunks into ~``target_tokens``
+  bins (the "sequence packing" step before batching). Packing is
+  inherently sequential in its scan order, so the operator packs WITHIN
+  a partition key (e.g. language or source shard): each partition's
+  running token count is a window cumsum, tasks parallelize across
+  keys, and no global sort exists. A global pack of 100 TB through one
+  ordering would serialize the job — partition-scoped packing is the
+  scale-correct contract, and is what data loaders consume anyway
+  (per-shard sequence files).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """``(id, chunk_idx, n_tokens, chunk)`` overlapping token windows.
+
+    Window ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the final window is the
+    first one whose start reaches the last token, so every token lands
+    in ≥1 chunk and no empty chunks are emitted. Whitespace tokens
+    (the package's tokenizer convention — see ``textstats.token_counts``).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be > 0")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    m = F.size(toks)
+    # last window start: largest multiple of stride < m  →  floor((m-1)/stride)
+    starts = F.sequence(F.lit(0), F.floor((m - 1) / stride).cast("int"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("c")
+    )
+    return ex.select(
+        "id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.toks").alias("n_tokens"),
+        F.array_join("c.toks", " ").alias("chunk"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    partition_cols: Sequence[str],
+    size_col: str,
+    target_tokens: int,
+    order_cols: Sequence[str] = ("id", "chunk_idx"),
+) -> DataFrame:
+    """Adds ``bin_id``: fixed-boundary interval packing within each
+    partition.
+
+    ``bin_id = floor(cum_tokens_before / target_tokens)`` under the
+    deterministic ``order_cols`` order — bin ``k`` holds the chunks
+    whose cumulative start offset falls in ``[k·target, (k+1)·target)``.
+    This is the window-expressible variant of greedy packing (true
+    reset-at-target greedy needs a sequential scan): consecutive chunks
+    stay adjacent, every bin's content is < ``target + max_chunk``
+    tokens, and a bin can undershoot only when a chunk straddles its
+    upper boundary (that chunk opens the next bin). Splitting a chunk
+    across bins is the tokenizer's job, not the planner's.
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be > 0")
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return chunks.withColumn(
+        "bin_id", F.floor(cum_before / F.lit(target_tokens)).cast("long")
+    )

@@ -283,3 +283,33 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, bits: int 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """``(id)`` — corpus documents sharing ≥1 word ``n``-gram with the
+    eval set (benchmark decontamination, the n-gram-overlap rule used
+    for pretraining-set hygiene; n≈8-13 words in published recipes).
+
+    Plan: both sides build shingles map-side (:func:`word_shingles`,
+    zero shuffles), the eval side is deduplicated and BROADCAST (an
+    eval suite is small by definition — if it ever isn't, the semi-join
+    degrades gracefully to a shuffle join), and a left-semi join keeps
+    each corpus id at most once. No pair materialization, no counts —
+    contamination is a membership test, so the join short-circuits at
+    the first matching shingle.
+    """
+    corpus_sh = word_shingles(corpus, id_col, text_col, n)
+    eval_sh = (
+        word_shingles(eval_set, id_col, text_col, n).select("sh").distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "sh", "leftsemi")
+        .select("id")
+        .distinct()
+    )

@@ -1,0 +1,130 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Not present in the reference (an IFS library); first-class extensions
+per the north star. Both operators are pure map-side or bounded-window
+plans:
+
+- **split_assign**: hash-based train/val/test assignment. The split of
+  a row is a pure function of ``(seed, id)`` via the engine-portable
+  md5 scheme (``functions/hashing.py``), so it is reproducible across
+  runs, engines, cluster sizes, and input orderings — the property a
+  100 TB pipeline needs so that re-runs and backfills land every
+  document in the same split. Zero shuffles: the label is a projection
+  fused into the scan.
+- **cap_per_key**: per-group quota sampling (e.g. "at most N documents
+  per domain" — the standard pretraining-mix dedup against domination
+  by one crawl host). Delegates to the skew-safe two-stage salted
+  window (:func:`~spark_ifs_spark.operators.topk.salted_topk_per_key`):
+  a hot domain with 10^9 docs never funnels through one task, and at
+  most ``cap × buckets`` rows per key reach the final ranking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.functions.hashing import md5_int60, sql_md5_int60
+from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+#: resolution of the hash-bucket space the split thresholds cut
+SPLIT_BUCKETS = 10_000
+
+
+def _split_bucket(id_col: Column, seed: int) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from (seed, id)."""
+    return md5_int60(F.concat(F.lit(f"{seed}:"), id_col.cast("string"))) % F.lit(
+        SPLIT_BUCKETS
+    )
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """``[(name, exclusive_upper_bucket)]`` cumulative cut points.
+
+    Weights must be positive and sum to 1 (±1e-9). Iteration order of
+    the dict defines the bucket layout, so pass the same dict order on
+    both engines (the registry embeds the same cut points in SQL).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    cuts: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        cuts.append((name, round(acc * SPLIT_BUCKETS)))
+    # guard against float accumulation leaving the last cut short
+    cuts[-1] = (cuts[-1][0], SPLIT_BUCKETS)
+    return cuts
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    output_col: str = "split",
+) -> DataFrame:
+    """Adds ``output_col`` with a deterministic split label per row.
+
+    ``bucket = md5_int60(seed || ':' || id) mod 10000``; the label is
+    the first cut point the bucket falls under. Changing ``seed``
+    reshuffles membership; changing nothing keeps every id stable.
+    """
+    bucket = _split_bucket(F.col(id_col), seed)
+    cuts = split_thresholds(weights)
+    expr: Column | None = None
+    for name, ub in cuts:
+        cond = bucket < F.lit(ub)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(output_col, expr)
+
+
+def sql_split_bucket(id_expr: str, seed: int) -> str:
+    """DuckDB text of the identical bucket computation."""
+    keyed = f"concat('{seed}:', CAST({id_expr} AS VARCHAR))"
+    return f"({sql_md5_int60(keyed)} % {SPLIT_BUCKETS})"
+
+
+def sql_split_case(id_expr: str, weights: dict[str, float], seed: int) -> str:
+    """DuckDB CASE expression mirroring :func:`split_assign`."""
+    b = sql_split_bucket(id_expr, seed)
+    arms = " ".join(
+        f"WHEN {b} < {ub} THEN '{name}'" for name, ub in split_thresholds(weights)
+    )
+    return f"CASE {arms} END"
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    cap: int,
+    tiebreak_cols: Sequence[str] = (),
+    descending: bool = True,
+    buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per key under a total order.
+
+    Quota-sampling framing of grouped top-k: "best ``cap`` documents
+    per domain" (order by quality desc, id asc). Inherits the
+    skew-safety of the two-stage salted window — see module docstring.
+    Returns the input columns plus ``rank`` (1-based within key).
+    """
+    if cap <= 0:
+        raise ValueError("cap must be > 0")
+    return salted_topk_per_key(
+        df,
+        key_cols=key_cols,
+        order_col=order_col,
+        k=cap,
+        tiebreak_cols=tiebreak_cols,
+        descending=descending,
+        buckets=buckets,
+    )

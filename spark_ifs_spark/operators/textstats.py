@@ -179,3 +179,64 @@ def rolling_fingerprints(
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
     return windowed.select("id", "pos", fp.alias("fp"))
+
+
+#: PII patterns, kept RE2/Java-portable (no lookarounds, no backrefs) so
+#: the Spark plan and the DuckDB oracle replace identical spans.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_LONG_NUM_RE = "[0-9]{9,}"
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, clean_text, n_emails, n_long_nums)`` — emails and ≥9-digit
+    runs replaced with ``<EMAIL>`` / ``<NUM>`` placeholders, plus the
+    per-document redaction counts (audit trail for filtering decisions).
+
+    Pure map-side ``regexp_replace``/``regexp_count`` expressions fused
+    into the scan — at 100 TB scrubbing is a projection, and the counts
+    cost nothing extra. Order matters: emails are replaced FIRST so a
+    numeric localpart is counted as an email, not a number run.
+    """
+    t = F.col(text_col)
+    after_email = F.regexp_replace(t, F.lit(PII_EMAIL_RE), F.lit("<EMAIL>"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_replace(
+            after_email, F.lit(PII_LONG_NUM_RE), F.lit("<NUM>")
+        ).alias("clean_text"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(after_email, F.lit(PII_LONG_NUM_RE)).alias("n_long_nums"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """``(id, term, tfidf, rank)`` — top-``k`` whitespace terms per
+    document by ``tf · ln(N / df)``.
+
+    Plan shape: one explode → (id, term) count aggregate (map-side
+    combine absorbs token skew), a term-level document-frequency
+    aggregate joined back (broadcast — the vocabulary is small relative
+    to the corpus), and a per-document window bounded by that
+    document's distinct-term count. The only corpus-wide shuffle keys
+    on (id, term) counts, never raw tokens. Rank order is total:
+    (tfidf DESC, term ASC).
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
+    )

@@ -1117,6 +1117,250 @@ GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# training-pipeline structural ops: split / quota / scrub / chunk / pack /
+# decontaminate / tf-idf
+
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = 42
+CAP_PER_SOURCE = 10
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+PACK_TARGET = 256
+DECONTAM_N = 4
+DECONTAM_EVAL_MOD = 97
+TFIDF_K = 3
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train/val/test) — reported as counts per
+    (split, lang) so the oracle compares the full assignment compactly."""
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def sql_split_counts() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("doc_id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+SELECT {case} AS split, lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the CAP_PER_SOURCE longest docs per source
+    (skew-safe two-stage salted window)."""
+    from spark_ifs_spark.operators.sampling import cap_per_key
+
+    docs = _read(spark, sf_dir, "documents")
+    return cap_per_key(
+        docs,
+        key_cols=["source"],
+        order_col="n_chars",
+        cap=CAP_PER_SOURCE,
+        tiebreak_cols=["doc_id"],
+        descending=True,
+    ).select("source", "doc_id", "n_chars", "rank")
+
+
+def sql_docs_cap_per_source() -> str:
+    return f"""
+SELECT source, doc_id, n_chars, rank
+FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+  FROM documents
+)
+WHERE rank <= {CAP_PER_SOURCE}
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII appended
+    (the corpus generator emits none), so the redaction path is actually
+    exercised: one email and one 10-digit ref per doc."""
+    from spark_ifs_spark.operators.textstats import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com ref "),
+            F.col("doc_id") + F.lit(1_000_000_000),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs, "doc_id", "text")
+    return out.select(
+        "id", F.md5("clean_text").alias("clean_md5"), "n_emails", "n_long_nums"
+    )
+
+
+def sql_scrub_pii() -> str:
+    # keep the regexes textually identical to textstats.PII_*_RE
+    from spark_ifs_spark.operators.textstats import PII_EMAIL_RE, PII_LONG_NUM_RE
+
+    email = PII_EMAIL_RE.replace("'", "''")
+    num = PII_LONG_NUM_RE
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ref ' || (doc_id + 1000000000) AS text
+  FROM documents
+), after_email AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM injected
+)
+SELECT doc_id AS id,
+       md5(regexp_replace(t1, '{num}', '<NUM>', 'g')) AS clean_md5,
+       CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{num}')) AS INT) AS n_long_nums
+FROM after_email
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (map-side array expression)."""
+    from spark_ifs_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP)
+    return out.select("id", "chunk_idx", "n_tokens", F.md5("chunk").alias("chunk_md5"))
+
+
+def sql_doc_chunks() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id AS id,
+       CAST(s.i AS INT) AS chunk_idx,
+       CAST(len(t[s.i * {stride} + 1 : s.i * {stride} + {CHUNK_TOKENS}]) AS INT) AS n_tokens,
+       md5(array_to_string(t[s.i * {stride} + 1 : s.i * {stride} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+FROM toks, LATERAL (SELECT unnest(generate_series(0, (len(t) - 1) // {stride})) AS i) s
+"""
+
+
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sequence packing of the chunks into ~PACK_TARGET-token
+    bins per language partition; reported per (lang, bin)."""
+    from spark_ifs_spark.operators.chunking import chunk_documents, pack_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP)
+    with_lang = chunks.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("id"), "lang")), "id"
+    )
+    packed = pack_chunks(
+        with_lang,
+        partition_cols=["lang"],
+        size_col="n_tokens",
+        target_tokens=PACK_TARGET,
+        order_cols=["id", "chunk_idx"],
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+def sql_packed_bins() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id AS id, lang, s.i AS chunk_idx,
+         len(t[s.i * {stride} + 1 : s.i * {stride} + {CHUNK_TOKENS}]) AS n_tokens
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, (len(t) - 1) // {stride})) AS i) s
+), packed AS (
+  SELECT lang, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {PACK_TARGET}) AS BIGINT) AS bin_id
+  FROM chunks
+)
+SELECT lang, bin_id, count(*) AS n_chunks, sum(n_tokens) AS sum_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+def q_decontam_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word 4-gram with
+    the held-out eval subset (doc_id % 97 == 0)."""
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return dedup.contaminated_ids(corpus, eval_set, "doc_id", "text", n=DECONTAM_N)
+
+
+def sql_decontam_ids() -> str:
+    n = DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(t[s.i + 1 : s.i + {n}], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - {n})) AS i) s
+  WHERE len(t) >= {n}
+)
+SELECT DISTINCT c.doc_id AS id
+FROM sh c
+WHERE c.doc_id % {DECONTAM_EVAL_MOD} != 0
+  AND EXISTS (
+    SELECT 1 FROM sh e
+    WHERE e.doc_id % {DECONTAM_EVAL_MOD} = 0 AND e.sh = c.sh
+  )
+"""
+
+
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (rank by exact score, THEN round —
+    the registry's float-determinism convention)."""
+    from spark_ifs_spark.operators.textstats import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=TFIDF_K)
+    return out.select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+
+
+def sql_tfidf_top3() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id AS id, w.term, count(*) AS tf
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) w
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.id, tf.term, tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT id, term, round(tfidf, 6) AS tfidf, rank
+FROM (
+  SELECT id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= {TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1153,6 +1397,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_orders": q_priority_orders,
     "events_topk_per_type": q_events_topk_per_type,
     "events_asof_signup": q_events_asof_signup,
+    "split_counts": q_split_counts,
+    "docs_cap_per_source": q_docs_cap_per_source,
+    "scrub_pii": q_scrub_pii,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "decontam_ids": q_decontam_ids,
+    "tfidf_top3": q_tfidf_top3,
 }
 
 ORACLES: dict[str, str] = {
@@ -1189,4 +1440,11 @@ ORACLES: dict[str, str] = {
     "priority_orders": sql_priority_orders(),
     "events_topk_per_type": sql_events_topk_per_type(),
     "events_asof_signup": sql_events_asof_signup(),
+    "split_counts": sql_split_counts(),
+    "docs_cap_per_source": sql_docs_cap_per_source(),
+    "scrub_pii": sql_scrub_pii(),
+    "doc_chunks": sql_doc_chunks(),
+    "packed_bins": sql_packed_bins(),
+    "decontam_ids": sql_decontam_ids(),
+    "tfidf_top3": sql_tfidf_top3(),
 }

@@ -1,0 +1,197 @@
+"""Unit tests for the training-pipeline structural operators
+(sampling, chunking/packing, scrubbing, decontamination, tf-idf).
+The registry queries over these are oracle-checked end-to-end in
+``test_entry_oracle.py``; here we pin the operator-level contracts and
+edge cases the corpus queries don't reach."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators.chunking import chunk_documents, pack_chunks
+from spark_ifs_spark.operators.dedup import contaminated_ids
+from spark_ifs_spark.operators.sampling import (
+    SPLIT_BUCKETS,
+    cap_per_key,
+    split_assign,
+    split_thresholds,
+)
+from spark_ifs_spark.operators.textstats import scrub_pii
+
+
+# -- split_assign -----------------------------------------------------------
+
+def test_split_thresholds_cut_points():
+    cuts = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    assert cuts == [("train", 9000), ("val", 9500), ("test", SPLIT_BUCKETS)]
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.4})  # doesn't sum to 1
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 1.5, "b": -0.5})
+
+
+def test_split_assign_deterministic_and_proportional(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(df, "doc_id", w, seed=7).groupBy("split").count().collect()
+    b = split_assign(df, "doc_id", w, seed=7).groupBy("split").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable across runs
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 5000 == pytest.approx(0.8, abs=0.03)
+    assert counts["val"] / 5000 == pytest.approx(0.1, abs=0.02)
+    # a different seed reassigns a substantial fraction of ids
+    moved = (
+        split_assign(df, "doc_id", w, seed=7)
+        .select("doc_id", F.col("split").alias("s7"))
+        .join(
+            split_assign(df, "doc_id", w, seed=8).select(
+                "doc_id", F.col("split").alias("s8")
+            ),
+            "doc_id",
+        )
+        .filter("s7 != s8")
+        .count()
+    )
+    assert moved > 500
+
+
+def test_split_assign_is_scan_fused(spark):
+    from spark_ifs_spark.plans.checks import count_exchanges
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", {"train": 0.9, "test": 0.1})
+    assert count_exchanges(out) == 0
+
+
+# -- cap_per_key ------------------------------------------------------------
+
+def test_cap_per_key_quota_and_order(spark):
+    rows = [(f"src{i % 3}", i, 1000 - i) for i in range(60)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    out = cap_per_key(
+        df, ["source"], "n_chars", cap=5, tiebreak_cols=["doc_id"]
+    ).collect()
+    per_key: dict[str, list] = {}
+    for r in out:
+        per_key.setdefault(r["source"], []).append((r["rank"], r["n_chars"]))
+    for k, v in per_key.items():
+        v.sort()
+        assert len(v) == 5
+        # descending n_chars within each key
+        assert [x[1] for x in v] == sorted([x[1] for x in v], reverse=True)
+    with pytest.raises(ValueError):
+        cap_per_key(df, ["source"], "n_chars", cap=0)
+
+
+# -- chunk_documents / pack_chunks ------------------------------------------
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 1: stride 3 → starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert c1[0]["chunk"] == "t0 t1 t2 t3"
+    assert c1[1]["chunk"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert c1[3]["chunk"] == "t9"
+    # every token appears in at least one chunk
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk"].split(" "))
+    assert covered == {f"t{i}" for i in range(10)}
+    # short docs: single truncated chunk, no empties
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in by_doc[3]] == [(0, 1)]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_is_scan_fused(spark):
+    from spark_ifs_spark.plans.checks import count_exchanges
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert count_exchanges(chunk_documents(docs, "doc_id", "text", 4, 1)) == 0
+
+
+def test_pack_chunks_interval_contract(spark):
+    rows = [("en", i, 0, 60) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, id long, chunk_idx int, n_tokens int")
+    out = sorted(
+        pack_chunks(df, ["lang"], "n_tokens", target_tokens=100).collect(),
+        key=lambda r: r["id"],
+    )
+    # bin ids are non-decreasing along the pack order and start at 0
+    bin_seq = [r["bin_id"] for r in out]
+    assert bin_seq[0] == 0
+    assert all(a <= b for a, b in zip(bin_seq, bin_seq[1:]))
+    # exact interval assignment: floor(cum_before / target)
+    cum = 0
+    for r in out:
+        assert r["bin_id"] == cum // 100
+        cum += r["n_tokens"]
+    # bound: no bin exceeds target + one max chunk
+    bins: dict[int, int] = {}
+    for r in out:
+        bins[r["bin_id"]] = bins.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(s < 100 + 60 for s in bins.values())
+    # deterministic: same assignment on rerun
+    again = pack_chunks(df, ["lang"], "n_tokens", target_tokens=100).collect()
+    assert sorted((r["id"], r["bin_id"]) for r in out) == sorted(
+        (r["id"], r["bin_id"]) for r in again
+    )
+
+
+# -- scrub_pii --------------------------------------------------------------
+
+def test_scrub_pii_patterns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@sub.example.co.uk thanks"),
+            (2, "card 1234567890123456 and pin 1234"),
+            (3, "clean text with no pii at all"),
+            (4, "two mails a@b.io c@d.org and run 999999999"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in scrub_pii(docs, "doc_id", "text").collect()}
+    assert got[1]["clean_text"] == "mail me at <EMAIL> thanks"
+    assert (got[1]["n_emails"], got[1]["n_long_nums"]) == (1, 0)
+    assert got[2]["clean_text"] == "card <NUM> and pin 1234"  # short num kept
+    assert (got[2]["n_emails"], got[2]["n_long_nums"]) == (0, 1)
+    assert got[3]["clean_text"] == "clean text with no pii at all"
+    assert got[4]["clean_text"] == "two mails <EMAIL> <EMAIL> and run <NUM>"
+    assert (got[4]["n_emails"], got[4]["n_long_nums"]) == (2, 1)
+
+
+# -- contaminated_ids -------------------------------------------------------
+
+def test_contaminated_ids_semantics(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared"),
+            (3, "xx quick brown fox jumps yy"),  # shares the 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    got = sorted(
+        r["id"] for r in contaminated_ids(corpus, eval_set, "doc_id", "text", n=4).collect()
+    )
+    assert got == [1, 3]
+    # n larger than every doc → nothing flagged, no errors
+    assert contaminated_ids(corpus, eval_set, "doc_id", "text", n=50).count() == 0
