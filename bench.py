@@ -74,6 +74,8 @@ def main() -> None:
         "packed_bins",
         "decontam_ids",
         "tfidf_top3",
+        "doc_length_quantiles",
+        "kmeans_step",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -437,3 +437,35 @@ def cosine_topk_lsh(
         F.broadcast(in_bucket), df[id_col] == in_bucket["id"], "leftsemi"
     )
     return cosine_topk(candidates, id_col, vec_col, query, k, exclude_ids)
+
+
+def kmeans_step(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """One Lloyd iteration over cosine assignment to the deterministic
+    seed centroids: ``(cell, dim, n, mean)`` — the updated centroid
+    coordinates plus each cell's population.
+
+    The per-iteration plan shape k-means has at any scale: assignment
+    is the map-side :func:`ivf_cell_expr` projection (no shuffle, no
+    broadcast of per-row state), and the centroid update is ONE hash
+    aggregate keyed on ``(cell, dim)`` — cardinality
+    ``num_centroids × dims`` regardless of corpus size, with partial
+    aggregation combining map-side. Iterating = re-running this with
+    the returned means as the next centroid literals; each iteration
+    is one scan + one bounded shuffle, which is the 100 TB contract.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    # two projections: mixing the struct-array argmax with a generator in
+    # one select loses the struct field names during resolution
+    tagged = df.select(
+        ivf_cell_expr(cents, vec_col).alias("cell"),
+        as_double_array(vec_col).alias("v"),
+    )
+    assigned = tagged.select("cell", F.posexplode("v").alias("dim", "x"))
+    return assigned.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean")
+    )

@@ -1360,6 +1360,79 @@ WHERE rank <= {TFIDF_K}
 """
 
 
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the same linear-interpolation
+    definition — verified value-identical). Scale note: swap in
+    ``approx_percentile(col, ..., accuracy)`` past the point where exact
+    per-group sort-aggregation is worth it; the plan shape (one grouped
+    aggregate) is unchanged."""
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("q"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return q.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("q")[0], 6).alias("p50"),
+        F.round(F.col("q")[1], 6).alias("p90"),
+        F.round(F.col("q")[2], 6).alias("p99"),
+    )
+
+
+def sql_doc_length_quantiles() -> str:
+    return """
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings (cosine assignment to the
+    IVF seed centroids): per-(cell, dim) population and updated mean."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_step(emb, "vec_id", "embedding", IVF_CENTROIDS)
+    return out.select("cell", "dim", "n", F.round("mean", 6).alias("mean"))
+
+
+def sql_kmeans_step() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+)
+SELECT a.cell,
+       CAST(t.i AS INT) AS dim,
+       count(*) AS n,
+       round(avg(CAST(e.embedding[i + 1] AS DOUBLE)), 6) AS mean
+FROM embeddings e
+JOIN assign a ON a.id = e.vec_id
+CROSS JOIN range({EMB_DIMS}) t(i)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1404,6 +1477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_bins": q_packed_bins,
     "decontam_ids": q_decontam_ids,
     "tfidf_top3": q_tfidf_top3,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "kmeans_step": q_kmeans_step,
 }
 
 ORACLES: dict[str, str] = {
@@ -1447,4 +1522,6 @@ ORACLES: dict[str, str] = {
     "packed_bins": sql_packed_bins(),
     "decontam_ids": sql_decontam_ids(),
     "tfidf_top3": sql_tfidf_top3(),
+    "doc_length_quantiles": sql_doc_length_quantiles(),
+    "kmeans_step": sql_kmeans_step(),
 }
