@@ -34,14 +34,22 @@ def chunk_documents(
     text_col: str,
     chunk_tokens: int = 32,
     overlap: int = 8,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """``(id, chunk_idx, n_tokens, chunk)`` overlapping token windows.
+    """``(id, [carry_cols...], chunk_idx, n_tokens, chunk)`` overlapping
+    token windows.
 
     Window ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
     with ``stride = chunk_tokens - overlap``; the final window is the
     first one whose start reaches the last token, so every token lands
     in ≥1 chunk and no empty chunks are emitted. Whitespace tokens
     (the package's tokenizer convention — see ``textstats.token_counts``).
+
+    ``carry_cols`` ride through the explode (e.g. the language or shard
+    key downstream packing partitions on) — carrying an attribute here
+    is free; re-attaching it later means joining a per-row attribute
+    back onto the chunk relation, which at corpus scale is a shuffle of
+    everything.
     """
     if chunk_tokens <= 0:
         raise ValueError("chunk_tokens must be > 0")
@@ -60,10 +68,13 @@ def chunk_documents(
         ),
     )
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(chunks).alias("c")
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in carry_cols],
+        F.explode(chunks).alias("c"),
     )
     return ex.select(
         "id",
+        *carry_cols,
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.size("c.toks").alias("n_tokens"),
         F.array_join("c.toks", " ").alias("chunk"),

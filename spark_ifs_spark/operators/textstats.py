@@ -210,18 +210,28 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """``(id, term, tfidf, rank)`` — top-``k`` whitespace terms per
     document by ``tf · ln(N / df)``.
 
     Plan shape: one explode → (id, term) count aggregate (map-side
     combine absorbs token skew), a term-level document-frequency
-    aggregate joined back (broadcast — the vocabulary is small relative
-    to the corpus), and a per-document window bounded by that
+    aggregate joined back, and a per-document window bounded by that
     document's distinct-term count. The only corpus-wide shuffle keys
     on (id, term) counts, never raw tokens. Rank order is total:
     (tfidf DESC, term ASC).
+
+    ``broadcast_vocab``: force (True) or forbid (False) broadcasting
+    the document-frequency side. Default ``None`` leaves the choice to
+    Catalyst/AQE, which sizes the built side at runtime — the right
+    default because a web-scale vocabulary (URLs, typos, numbers) is
+    NOT small and force-broadcasting it would OOM every executor; a
+    curated vocabulary is, and AQE will broadcast it on its own.
     """
     n_docs = df.count()
     toks = df.select(
@@ -231,7 +241,11 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql import Window
 
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    if broadcast_vocab is True:
+        dfreq = F.broadcast(dfreq)
+    elif broadcast_vocab is False:
+        dfreq = dfreq.hint("shuffle_hash")
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term").asc())

@@ -1258,12 +1258,14 @@ def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.chunking import chunk_documents, pack_chunks
 
     docs = _read(spark, sf_dir, "documents")
-    chunks = chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP)
-    with_lang = chunks.join(
-        F.broadcast(docs.select(F.col("doc_id").alias("id"), "lang")), "id"
+    # lang rides through the map-side chunker (carry_cols) — joining a
+    # per-row attribute back onto the chunk relation would shuffle the
+    # whole corpus at scale
+    chunks = chunk_documents(
+        docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP, carry_cols=["lang"]
     )
     packed = pack_chunks(
-        with_lang,
+        chunks,
         partition_cols=["lang"],
         size_col="n_tokens",
         target_tokens=PACK_TARGET,
