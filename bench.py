@@ -76,6 +76,7 @@ def main() -> None:
         "tfidf_top3",
         "doc_length_quantiles",
         "kmeans_step",
+        "dup_clusters",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -1435,6 +1435,46 @@ GROUP BY 1, 2
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the minhash-LSH pair
+    graph (min-id label). The step that turns pairwise near-dup output
+    into "keep one per cluster"."""
+    from spark_ifs_spark.operators.graph import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+def sql_dup_clusters() -> str:
+    """Transitive closure via recursive CTE over the same pair relation
+    (exact at oracle scale; the Spark side is the O(log n) iterative
+    form that survives corpus scale)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {sql_dedup_minhash()}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+)
+SELECT node AS doc_id, least(node, min(reach)) AS cluster
+FROM walk GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1481,6 +1521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top3": q_tfidf_top3,
     "doc_length_quantiles": q_doc_length_quantiles,
     "kmeans_step": q_kmeans_step,
+    "dup_clusters": q_dup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -1526,4 +1567,5 @@ ORACLES: dict[str, str] = {
     "tfidf_top3": sql_tfidf_top3(),
     "doc_length_quantiles": sql_doc_length_quantiles(),
     "kmeans_step": sql_kmeans_step(),
+    "dup_clusters": sql_dup_clusters(),
 }
