@@ -77,6 +77,7 @@ def main() -> None:
         "doc_length_quantiles",
         "kmeans_step",
         "dup_clusters",
+        "mix_by_source",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

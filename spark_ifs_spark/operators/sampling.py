@@ -17,6 +17,9 @@ plans:
   window (:func:`~spark_ifs_spark.operators.topk.salted_topk_per_key`):
   a hot domain with 10^9 docs never funnels through one task, and at
   most ``cap × buckets`` rows per key reach the final ranking.
+- **weighted_mix**: source-weighted mixture sampling against per-source
+  size budgets — one bounded aggregate + a scan-fused deterministic
+  keep decision in exact integer arithmetic.
 """
 
 from __future__ import annotations
@@ -84,6 +87,53 @@ def split_assign(
         cond = bucket < F.lit(ub)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(output_col, expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    size_col: str,
+    targets: dict[str, int],
+    seed: int = 42,
+) -> DataFrame:
+    """Downsample each ``key_col`` group to ≈ ``targets[key]`` total
+    ``size_col`` units — the source-weighted mixture step of a
+    pretraining pipeline ("this corpus: 30% web, 20% code, …" expressed
+    as per-source token budgets).
+
+    A row is kept iff its deterministic hash bucket clears the group's
+    keep rate: ``total <= target`` (keep all) or
+    ``bucket * total < target * SPLIT_BUCKETS``. The comparison is pure
+    64-bit integer arithmetic — no float rounding to drift between
+    engines — exact while ``total * 10^4 < 2^63``, i.e. per-group size
+    sums up to ~9×10^14 (a ~900 TB corpus counted in chars). Keys
+    absent from ``targets`` are dropped: the mixture spec defines the
+    output corpus.
+
+    Plan: one cardinality-bounded aggregate (one row per key — domains,
+    not documents) broadcast-joined back; the corpus relation itself is
+    never shuffled, and the keep decision is a scan-fused projection.
+    Reproducible across runs, engines, and cluster sizes like
+    :func:`split_assign` (same ``(seed, id)`` hash).
+    """
+    totals = df.groupBy(key_col).agg(
+        F.sum(F.col(size_col).cast("long")).alias("_total")
+    )
+    tgt = df.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in targets.items()],
+        f"{key_col} string, _target long",
+    )
+    rates = totals.join(F.broadcast(tgt), key_col)
+    bucket = _split_bucket(F.col(id_col), seed)
+    return (
+        df.join(F.broadcast(rates), key_col)
+        .where(
+            (F.col("_total") <= F.col("_target"))
+            | (bucket * F.col("_total") < F.col("_target") * F.lit(SPLIT_BUCKETS))
+        )
+        .drop("_total", "_target")
+    )
 
 
 def sql_split_bucket(id_expr: str, seed: int) -> str:

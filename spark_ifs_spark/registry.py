@@ -1435,6 +1435,43 @@ GROUP BY 1, 2
 """
 
 
+#: per-source char budgets for the mixture query — staggered so some
+#: sources are downsampled and some kept whole at every test sf
+MIX_TARGETS = {f"src{i}": 1500 + 1500 * (i % 3) for i in range(20)}
+MIX_SEED = 7
+
+
+def q_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture: downsample every source to its char
+    budget, report kept (docs, chars) per source."""
+    from spark_ifs_spark.operators.sampling import weighted_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = weighted_mix(docs, "doc_id", "source", "n_chars", MIX_TARGETS, MIX_SEED)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def sql_mix_by_source() -> str:
+    from spark_ifs_spark.operators.sampling import SPLIT_BUCKETS, sql_split_bucket
+
+    vals = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGETS.items())
+    bucket = sql_split_bucket("d.doc_id", MIX_SEED)
+    return f"""
+WITH tgt(source, target) AS (VALUES {vals}),
+tot AS (SELECT source, sum(n_chars) AS total FROM documents GROUP BY source),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN tot USING (source) JOIN tgt USING (source)
+  WHERE tot.total <= tgt.target
+     OR {bucket} * tot.total < tgt.target * {SPLIT_BUCKETS}
+)
+SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM kept GROUP BY source
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over the minhash-LSH pair
     graph (min-id label). The step that turns pairwise near-dup output
@@ -1522,6 +1559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "kmeans_step": q_kmeans_step,
     "dup_clusters": q_dup_clusters,
+    "mix_by_source": q_mix_by_source,
 }
 
 ORACLES: dict[str, str] = {
@@ -1568,4 +1606,5 @@ ORACLES: dict[str, str] = {
     "doc_length_quantiles": sql_doc_length_quantiles(),
     "kmeans_step": sql_kmeans_step(),
     "dup_clusters": sql_dup_clusters(),
+    "mix_by_source": sql_mix_by_source(),
 }

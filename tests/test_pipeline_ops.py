@@ -65,6 +65,39 @@ def test_split_assign_is_scan_fused(spark):
     assert count_exchanges(out) == 0
 
 
+# -- weighted_mix -----------------------------------------------------------
+
+def test_weighted_mix_budget_and_determinism(spark):
+    from spark_ifs_spark.operators.sampling import weighted_mix
+
+    rows = [(i, "web" if i < 800 else "code", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # web: 80k chars, budget 20k → ~25% kept; code: 20k chars, budget
+    # 50k > total → all 200 kept
+    targets = {"web": 20_000, "code": 50_000}
+    kept = weighted_mix(df, "doc_id", "source", "n_chars", targets, seed=3)
+    counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["code"] == 200  # under budget: kept whole
+    assert 120 <= counts["web"] <= 280  # ≈200 expected at rate 0.25
+    again = weighted_mix(df, "doc_id", "source", "n_chars", targets, seed=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_weighted_mix_drops_unspecified_keys_and_is_broadcast(spark):
+    from spark_ifs_spark.plans.checks import count_exchanges
+    from spark_ifs_spark.operators.sampling import weighted_mix
+
+    rows = [(i, "a" if i % 2 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = weighted_mix(df, "doc_id", "source", "n_chars", {"a": 1_000_000}, seed=1)
+    assert {r["source"] for r in kept.collect()} == {"a"}
+    # the corpus relation joins the per-key rates by broadcast: the only
+    # exchange in the plan feeds the cardinality-bounded totals aggregate
+    assert count_exchanges(kept) <= 2
+
+
 # -- cap_per_key ------------------------------------------------------------
 
 def test_cap_per_key_quota_and_order(spark):
