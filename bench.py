@@ -78,6 +78,8 @@ def main() -> None:
         "kmeans_step",
         "dup_clusters",
         "mix_by_source",
+        "bpe_pairs_top50",
+        "embedding_gram",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -439,6 +439,49 @@ def cosine_topk_lsh(
     return cosine_topk(candidates, id_col, vec_col, query, k, exclude_ids)
 
 
+def gram_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """Upper-triangle Gram matrix ``(i, j, g)`` with ``g = Σ_rows
+    x_i · x_j`` — the X^T X reduction under PCA / least squares /
+    whitening of an embedding corpus.
+
+    Scale shape: each partition folds its rows into a local ``d × d``
+    numpy Gram inside ONE Arrow pass (BLAS ``X.T @ X``, never
+    materializing per-row outer products), then emits ``d(d+1)/2``
+    partial cells; the only shuffle carries ``partitions × d²`` floats
+    — independent of corpus size — into a final cardinality-bounded
+    aggregate. Compare the naive ``posexplode × posexplode`` form,
+    which shuffles ``rows × d²`` cells.
+
+    Float caveat: partial sums combine in partition order, so the last
+    bits can differ run-to-run on real-valued input; quantized inputs
+    (e.g. ``floor(x·8)/8``, exact in IEEE-754) make the result
+    bit-stable across engines — the registry query does exactly that.
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu_i, iu_j = (a.astype("int32") for a in np.triu_indices(dims))
+
+    def fold(batches):
+        acc = np.zeros((dims, dims))
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            if x.shape[1] != dims:
+                raise ValueError(f"expected dim {dims}, got {x.shape[1]}")
+            acc += x.T @ x
+            seen = True
+        if seen:
+            yield pd.DataFrame({"i": iu_i, "j": iu_j, "g": acc[iu_i, iu_j]})
+
+    partials = df.select(as_double_array(vec_col).alias(vec_col)).mapInPandas(
+        fold, "i int, j int, g double"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
 def kmeans_step(
     df: DataFrame,
     id_col: str,

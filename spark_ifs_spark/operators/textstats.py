@@ -128,6 +128,36 @@ def vocab_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def adjacent_pair_counts(df: DataFrame, text_col: str, top_n: int = 50) -> DataFrame:
+    """``(pair, n)`` — the ``top_n`` most frequent adjacent whitespace-token
+    pairs corpus-wide: one counting round of byte-pair-encoding-style
+    tokenizer training (count merge candidates, pick winners, repeat with
+    the merged vocab).
+
+    Plan: pairs are built map-side with ``zip_with`` over two shifted
+    slices of the token array (zero joins, zero extra shuffles — compare
+    building bigrams by self-joining a token relation on ``pos+1``),
+    then ONE hash aggregate whose map-side partial absorbs the Zipf head
+    before the shuffle, then TakeOrdered (per-partition top-``top_n``
+    merged on the driver — never a global sort). Rank order is total
+    ``(n DESC, pair ASC)`` so the cut is deterministic.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
 def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id, n_tokens, n_distinct_tokens, repetition)`` — fraction of
     tokens that are repeats of an earlier token (Gopher-style repetition

@@ -1472,6 +1472,50 @@ FROM kept GROUP BY source
 """
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle X^T X over quantized embeddings (quantization makes
+    the float sums bit-stable across engines — same ``floor(x*8)``
+    convention as the selectors)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    return similarity.gram_matrix(q, "qe", EMB_DIMS).select(
+        "i", "j", F.round("g", 6).alias("g")
+    )
+
+
+def sql_embedding_gram() -> str:
+    return f"""
+SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+       round(sum((floor(e.embedding[i.i + 1] * 8) / 8) * (floor(e.embedding[j.j + 1] * 8) / 8)), 6) AS g
+FROM embeddings e, range({EMB_DIMS}) i(i), range({EMB_DIMS}) j(j)
+WHERE i.i <= j.j
+GROUP BY 1, 2
+"""
+
+
+def q_bpe_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training counting round: top-50 adjacent token pairs."""
+    from spark_ifs_spark.operators.textstats import adjacent_pair_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return adjacent_pair_counts(docs, "text", top_n=50)
+
+
+def sql_bpe_pairs_top50() -> str:
+    return """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over the minhash-LSH pair
     graph (min-id label). The step that turns pairwise near-dup output
@@ -1560,6 +1604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_step": q_kmeans_step,
     "dup_clusters": q_dup_clusters,
     "mix_by_source": q_mix_by_source,
+    "bpe_pairs_top50": q_bpe_pairs_top50,
+    "embedding_gram": q_embedding_gram,
 }
 
 ORACLES: dict[str, str] = {
@@ -1607,4 +1653,6 @@ ORACLES: dict[str, str] = {
     "kmeans_step": sql_kmeans_step(),
     "dup_clusters": sql_dup_clusters(),
     "mix_by_source": sql_mix_by_source(),
+    "bpe_pairs_top50": sql_bpe_pairs_top50(),
+    "embedding_gram": sql_embedding_gram(),
 }

@@ -148,3 +148,28 @@ def test_ivf_probe_subsets_and_agrees_with_brute_force(spark, sf_dir):
     assert cells.count() == emb.count()
     assert len(cents) == 8
     assert cells.select("cell").distinct().count() <= 8
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+    from spark_ifs_spark.operators.similarity import gram_matrix
+
+    rng = np.random.default_rng(5)
+    X = np.floor(rng.normal(size=(40, 6)) * 8) / 8  # quantized → exact
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "v array<double>"
+    ).repartition(4)
+    got = {(r["i"], r["j"]): r["g"] for r in gram_matrix(df, "v", 6).collect()}
+    want = X.T @ X
+    assert len(got) == 6 * 7 // 2
+    for (i, j), g in got.items():
+        assert i <= j
+        assert g == want[i, j]  # exact: dyadic inputs, no float drift
+
+
+def test_gram_matrix_shuffle_is_cardinality_bounded(spark):
+    from spark_ifs_spark.operators.similarity import gram_matrix
+    from spark_ifs_spark.plans.checks import count_exchanges
+
+    df = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>")
+    assert count_exchanges(gram_matrix(df, "v", 2)) == 1

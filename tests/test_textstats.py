@@ -72,3 +72,25 @@ def test_rolling_fingerprints_short_and_exact_docs(spark):
         by_id.setdefault(r["id"], []).append(r["pos"])
     assert 0 not in by_id and 2 not in by_id
     assert by_id[1] == [0]
+
+
+def test_adjacent_pair_counts_bigram_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "x"), (3, None)],
+        ["doc_id", "text"],
+    )
+    out = textstats.adjacent_pair_counts(df, "text", top_n=10).collect()
+    got = {r["pair"]: r["n"] for r in out}
+    # doc0: (a b)(b a)(a b)(b c); doc1: (a b); doc2/3: no pairs
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+    # deterministic total order at the cut
+    assert [r["pair"] for r in out] == ["a b", "b a", "b c"]
+
+
+def test_adjacent_pair_counts_single_shuffle(spark):
+    from spark_ifs_spark.plans.checks import count_exchanges
+
+    df = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    # pair construction is map-side: the only exchange feeds the count
+    # aggregate (TakeOrdered adds no sort shuffle)
+    assert count_exchanges(textstats.adjacent_pair_counts(df, "text")) <= 1
