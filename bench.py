@@ -80,6 +80,7 @@ def main() -> None:
         "mix_by_source",
         "bpe_pairs_top50",
         "embedding_gram",
+        "pca_power_step",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -482,6 +482,48 @@ def gram_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
+def power_iteration_step(
+    df: DataFrame, vec_col: str, dims: int, v0: Sequence[float]
+) -> DataFrame:
+    """One power-iteration step for corpus PCA: ``(dim, y)`` with
+    ``y = X^T (X v)`` — WITHOUT materializing the d×d Gram matrix.
+
+    Each partition computes its partial ``Σ x (x·v)`` in one BLAS pass
+    over an Arrow batch (a length-``d`` vector, not a d×d block), so the
+    shuffle carries ``partitions × d`` floats into one final ``dim``-keyed
+    aggregate — corpus-size-independent, the same contract as
+    :func:`gram_matrix` but O(d) instead of O(d²) per partition.
+    Iterating = renormalizing ``y`` on the driver (length-``d``, trivially
+    bounded) and re-running; convergence gives the top eigenvector of
+    X^T X. ``v0`` is embedded as a literal — no broadcast round-trip.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = np.asarray(list(v0), dtype=float)
+    if v.shape != (dims,):
+        raise ValueError(f"v0 must have length {dims}")
+
+    def fold(batches):
+        acc = np.zeros(dims)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            acc += x.T @ (x @ v)
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"dim": np.arange(dims, dtype="int32"), "y": acc}
+            )
+
+    partials = df.select(as_double_array(vec_col).alias(vec_col)).mapInPandas(
+        fold, "dim int, y double"
+    )
+    return partials.groupBy("dim").agg(F.sum("y").alias("y"))
+
+
 def kmeans_step(
     df: DataFrame,
     id_col: str,

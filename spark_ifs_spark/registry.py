@@ -1495,6 +1495,32 @@ GROUP BY 1, 2
 """
 
 
+def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PCA power-iteration step y = X^T(Xv) over quantized
+    embeddings with v = (1/8, …, 1/8) — dyadic inputs keep every product
+    and sum exact in IEEE-754, so both engines agree bit-for-bit."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    out = similarity.power_iteration_step(q, "qe", EMB_DIMS, [0.125] * EMB_DIMS)
+    return out.select("dim", F.round("y", 6).alias("y"))
+
+
+def sql_pca_power_step() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * 8) / 8) AS qe
+  FROM embeddings
+),
+d AS (SELECT vec_id, qe, 0.125 * list_sum(qe) AS dot FROM q)
+SELECT CAST(i.i AS INT) AS dim, round(sum(d.qe[i.i + 1] * d.dot), 6) AS y
+FROM d, range({EMB_DIMS}) i(i)
+GROUP BY 1
+"""
+
+
 def q_bpe_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-training counting round: top-50 adjacent token pairs."""
     from spark_ifs_spark.operators.textstats import adjacent_pair_counts
@@ -1606,6 +1632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_by_source": q_mix_by_source,
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "embedding_gram": q_embedding_gram,
+    "pca_power_step": q_pca_power_step,
 }
 
 ORACLES: dict[str, str] = {
@@ -1655,4 +1682,5 @@ ORACLES: dict[str, str] = {
     "mix_by_source": sql_mix_by_source(),
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "embedding_gram": sql_embedding_gram(),
+    "pca_power_step": sql_pca_power_step(),
 }

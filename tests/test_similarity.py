@@ -173,3 +173,27 @@ def test_gram_matrix_shuffle_is_cardinality_bounded(spark):
 
     df = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>")
     assert count_exchanges(gram_matrix(df, "v", 2)) == 1
+
+
+def test_power_iteration_step_matches_numpy_and_converges(spark):
+    import numpy as np
+    from spark_ifs_spark.operators.similarity import power_iteration_step
+
+    rng = np.random.default_rng(11)
+    X = np.floor(rng.normal(size=(60, 5)) * 8) / 8
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "v array<double>"
+    ).repartition(4)
+    v = np.full(5, 0.125)
+    # one step, exact vs numpy
+    got = {r["dim"]: r["y"] for r in power_iteration_step(df, "v", 5, v.tolist()).collect()}
+    want = X.T @ (X @ v)
+    assert [got[i] for i in range(5)] == want.tolist()
+    # iterate with driver-side renormalization -> top eigenvector of X^T X
+    for _ in range(22):
+        y = {r["dim"]: r["y"] for r in power_iteration_step(df, "v", 5, v.tolist()).collect()}
+        v = np.array([y[i] for i in range(5)])
+        v /= np.linalg.norm(v)
+    evals, evecs = np.linalg.eigh(X.T @ X)
+    top = evecs[:, -1]
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3
