@@ -62,6 +62,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    prev_sum = object()  # sentinel: never equal on the first round
     for _ in range(max_iter):
         # (a) pull the min label across one hop
         nbr = (
@@ -89,15 +90,18 @@ def connected_components(
             ).alias("comp"),
         )
         halved = halved.localCheckpoint(eager=True)
-        n_changed = (
-            halved.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        # fixpoint test: labels only ever decrease (least() always keeps
+        # the node's own comp as a candidate), so the label sum strictly
+        # decreases until convergence — an unchanged sum IS the fixpoint,
+        # for the cost of one bounded aggregate instead of a join+count.
+        # decimal(38,0) keeps the sum exact out to ~10^38 (no i64 wrap).
+        cur_sum = halved.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = halved
-        if n_changed == 0:
+        if cur_sum == prev_sum:
             return labels.select("id", F.col("comp").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
