@@ -65,6 +65,8 @@ def main() -> None:
         "lineitem_pricing",
         "nation_revenue",
         "priority_orders",
+        "shipping_priority",
+        "returned_revenue",
         "events_topk_per_type",
         "events_asof_signup",
         "split_counts",

@@ -1495,6 +1495,102 @@ GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    segment. Three-table join with filters on every side — all three
+    predicates push to the parquet scans; customer⋈orders and
+    ⋈lineitem shuffle on their keys (big-big → sort-merge, AQE
+    re-plans); the top-10 is TakeOrdered, never a global sort."""
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def sql_shipping_priority() -> str:
+    return """
+SELECT o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate > DATE '1998-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in a
+    date window. The big-big joins shuffle on their keys; the 25-row
+    nation dim broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def sql_returned_revenue() -> str:
+    return """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
 def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PCA power-iteration step y = X^T(Xv) over quantized
     embeddings with v = (1/8, …, 1/8) — dyadic inputs keep every product
@@ -1633,6 +1729,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "embedding_gram": q_embedding_gram,
     "pca_power_step": q_pca_power_step,
+    "shipping_priority": q_shipping_priority,
+    "returned_revenue": q_returned_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -1683,4 +1781,6 @@ ORACLES: dict[str, str] = {
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "embedding_gram": sql_embedding_gram(),
     "pca_power_step": sql_pca_power_step(),
+    "shipping_priority": sql_shipping_priority(),
+    "returned_revenue": sql_returned_revenue(),
 }
