@@ -6,30 +6,44 @@ Near-dup detection (minhash LSH, simhash, embedding blocking) emits
 the similarity graph"). This is the canonical iterative-graph step a
 100 TB pipeline runs after any pairwise stage.
 
-Algorithm: min-label propagation with **path halving** — each iteration
-(a) pulls the minimum neighbor label one hop and (b) replaces every
-node's label with its label's label (pointer jumping). Plain propagation
-needs O(diameter) rounds; the halving step collapses chains
-geometrically, giving O(log n) rounds on adversarial graphs while
-costing only one extra label-keyed self-join per round. This is the
-two-phase shape of the large-star/small-star algorithm (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
-DataFrame joins.
+Algorithm: **min-hook + pointer-jump + edge contraction**. Each outer
+round (a) hooks every node to the minimum of itself and its neighbors,
+(b) flattens the resulting pointer forest to its roots by pointer
+jumping (``p <- p(p)``, geometric in forest depth), (c) folds the roots
+into the cumulative label relation, and (d) *contracts the edge
+relation onto the roots*, dropping intra-component edges. Contraction
+is what makes this fast on high-diameter graphs: label propagation
+without it moves the min one graph hop per round (O(diameter) rounds —
+measured: a 2M-node critical random graph was still unconverged after
+40 rounds), whereas contraction merges every node into a super-node
+each round, so the active graph shrinks geometrically and the total
+round count is O(log n). Same family as the MapReduce CC algorithms of
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SoCC'14) and the CRACKER contraction algorithm (Lulli et al., IEEE
+TPDS'17), expressed as DataFrame joins.
 
-Scale posture per iteration: two shuffles keyed on node id plus one on
-label — all keyed on ids, never on payloads; the label relation has one
-row per *node in any pair* (≪ corpus size for a near-dup graph).
-``localCheckpoint(eager=True)`` truncates lineage every round so plan
-depth stays O(1) regardless of iteration count; on a real cluster with
-unreliable executors swap for reliable ``checkpoint()`` against a
-checkpoint dir (localCheckpoint pins blocks to executors).
+Scale posture: every shuffle is keyed on node ids, never payloads; the
+edge relation only ever shrinks; the pointer relation shrinks with it.
+Lineage is truncated every step with a **parquet round-trip** of the
+two-column relations, not ``localCheckpoint``: measured at 1M edges,
+eager localCheckpoint chains still compounded ~2× per round (the
+self-join references its parent twice and the checkpointed plan kept
+re-executing ancestry), so round time doubled until timeout. A parquet
+write + re-read makes every round's plan a fresh scan — constant cost
+per round — and is the same mechanism (a durable store, not
+executor-pinned blocks) a real cluster needs for fault-tolerant
+iteration anyway. Per-round writes are tiny: 16 bytes × |rows|,
+columnar-compressed.
 
 The reference engine has no graph stage (its selection loop is
-driver-coordinated, ``InformationThFS.scala``); this is pipeline-extension
-surface.
+driver-coordinated, ``InformationThFS.scala``); this is
+pipeline-extension surface.
 """
 
 from __future__ import annotations
+
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,71 +54,133 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    work_dir: str | None = None,
 ) -> DataFrame:
     """``(id, component)`` for every node appearing in ``edges``;
     ``component`` is the minimum node id of the connected component.
 
-    Converges in O(log n) iterations via min-neighbor propagation +
-    path halving; raises if ``max_iter`` rounds pass without a fixpoint
-    (silent truncation would mislabel — fail loud instead).
+    Converges in O(log n) outer rounds (edge contraction halves the
+    active graph each round); raises if ``max_iter`` rounds pass
+    without the contracted graph emptying (silent truncation would
+    mislabel — fail loud instead).
+
+    ``work_dir`` holds the per-round snapshots (a temp dir by default;
+    pass a durable URI — e.g. an object-store path — on a real
+    cluster). With the default temp dir the result is eagerly
+    materialized off the snapshot files before they are deleted; with a
+    caller-supplied ``work_dir`` the result reads straight from the
+    final snapshot and the snapshots are the caller's to clean up.
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # materialized once, re-joined every round
-    sym = sym.repartition("b").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    base = work_dir or tempfile.mkdtemp(prefix="spark_ifs_cc_")
+    own_dir = work_dir is None
 
-    labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
+    def _trunc(df: DataFrame, name: str) -> DataFrame:
+        path = f"{base}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
-    prev_sum = object()  # sentinel: never equal on the first round
-    for _ in range(max_iter):
-        # (a) pull the min label across one hop
-        nbr = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("comp").alias("nbr_comp"))
+    def _finish(labels: DataFrame) -> DataFrame:
+        out = labels.select("id", F.col("comp").alias("component"))
+        if own_dir:
+            # the snapshot dir is about to be deleted — detach the
+            # result from it (the label relation is node-sized, not
+            # corpus-sized, so an eager executor-memory persist is
+            # proportionate)
+            out = out.localCheckpoint(eager=True)
+        return out
+
+    try:
+        e = edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        ).where(F.col("a") != F.col("b"))
+        g = _trunc(
+            e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .repartition("a"),
+            "g_init",
         )
-        stepped = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["comp"], F.coalesce("nbr_comp", labels["comp"])
-                ).alias("comp"),
+        labels = _trunc(
+            g.select(F.col("a").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("comp")),
+            "labels_init",
+        )
+
+        for outer in range(max_iter):
+            if g.limit(1).count() == 0:
+                return _finish(labels)
+            # (a) hook: every active node points at min(self, neighbors)
+            ptr = _trunc(
+                g.groupBy("a")
+                .agg(F.min("b").alias("mb"))
+                .select(
+                    F.col("a").alias("id"),
+                    F.least("a", "mb").alias("p"),
+                ),
+                f"ptr_{outer % 2}_a",
             )
+            # (b) pointer jumping: p <- p(p) until the forest is flat.
+            # p(x) <= x always, so the pointer sum strictly decreases
+            # until the fixpoint — an unchanged sum IS convergence.
+            # decimal(38,0) keeps the sum exact (no i64 wrap).
+            prev_sum = object()
+            for j in range(64):
+                x = ptr.alias("x")
+                y = ptr.alias("y")
+                ptr = _trunc(
+                    x.join(y, F.col("x.p") == F.col("y.id"), "left").select(
+                        F.col("x.id").alias("id"),
+                        F.coalesce(F.col("y.p"), F.col("x.p")).alias("p"),
+                    ),
+                    f"ptr_{outer % 2}_{'b' if j % 2 == 0 else 'a'}",
+                )
+                cur_sum = ptr.agg(
+                    F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
+                ).collect()[0]["s"]
+                if cur_sum == prev_sum:
+                    break
+                prev_sum = cur_sum
+            else:
+                raise RuntimeError(
+                    "connected_components: pointer jumping did not "
+                    "converge in 64 steps"
+                )
+            # (c) fold this round's roots into the cumulative labels.
+            # labels.comp values are ids of the previous round's active
+            # graph, exactly ptr's key space.
+            lab = labels.alias("l")
+            pr = ptr.alias("r")
+            labels = _trunc(
+                lab.join(pr, F.col("l.comp") == F.col("r.id"), "left")
+                .select(
+                    F.col("l.id").alias("id"),
+                    F.coalesce(F.col("r.p"), F.col("l.comp")).alias("comp"),
+                ),
+                f"labels_{outer % 2}",
+            )
+            # (d) contract: rewrite edges onto roots, drop the (now
+            # intra-component) resolved edges. The relation only shrinks.
+            pa = ptr.alias("pa")
+            pb = ptr.alias("pb")
+            ga = g.join(pa, g["a"] == F.col("pa.id")).select(
+                F.col("pa.p").alias("ra"), g["b"].alias("ob")
+            )
+            g = _trunc(
+                ga.join(pb, F.col("ob") == F.col("pb.id"))
+                .select(F.col("ra").alias("a"), F.col("pb.p").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+                .repartition("a"),
+                f"g_{outer % 2}",
+            )
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
         )
-        # (b) path halving: comp <- label(comp). A node's label is always
-        # ≤ its id, so the lookup side is the same relation.
-        l = stepped.alias("l")
-        m = stepped.alias("m")
-        halved = l.join(m, F.col("l.comp") == F.col("m.id"), "left").select(
-            F.col("l.id").alias("id"),
-            F.least(
-                F.col("l.comp"), F.coalesce(F.col("m.comp"), F.col("l.comp"))
-            ).alias("comp"),
-        )
-        halved = halved.localCheckpoint(eager=True)
-        # fixpoint test: labels only ever decrease (least() always keeps
-        # the node's own comp as a candidate), so the label sum strictly
-        # decreases until convergence — an unchanged sum IS the fixpoint,
-        # for the cost of one bounded aggregate instead of a join+count.
-        # decimal(38,0) keeps the sum exact out to ~10^38 (no i64 wrap).
-        cur_sum = halved.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = halved
-        if cur_sum == prev_sum:
-            return labels.select("id", F.col("comp").alias("component"))
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations"
-    )
+    finally:
+        if own_dir:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 def cluster_representatives(
