@@ -49,20 +49,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_incore(rows) -> dict[int, int]:
+    """Driver-side union-find with min-id roots (path-halving find)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     work_dir: str | None = None,
+    incore_edge_budget: int = 1_000_000,
 ) -> DataFrame:
     """``(id, component)`` for every node appearing in ``edges``;
     ``component`` is the minimum node id of the connected component.
 
-    Converges in O(log n) outer rounds (edge contraction halves the
-    active graph each round); raises if ``max_iter`` rounds pass
-    without the contracted graph emptying (silent truncation would
-    mislabel — fail loud instead).
+    Cost-based strategy, same house pattern as the selectors'
+    ``incore_cell_budget``: a near-dup pair graph is usually *tiny*
+    relative to the corpus (pairs ≪ documents), and the distributed
+    loop pays ~10 Spark jobs of fixed overhead, so when the edge count
+    is within ``incore_edge_budget`` the pairs are collected and solved
+    with driver union-find (exact, O(E α(E))). Past the budget the
+    distributed contraction loop below is the default — volume-validated
+    at 1M edges / 2M nodes in SCALE.md; both paths are pinned to agree
+    in ``tests/test_graph.py``. Set ``incore_edge_budget=0`` to force
+    the distributed path.
+
+    Distributed path converges in O(log n) outer rounds (edge
+    contraction shrinks the active graph geometrically); raises if
+    ``max_iter`` rounds pass without the contracted graph emptying
+    (silent truncation would mislabel — fail loud instead).
 
     ``work_dir`` holds the per-round snapshots (a temp dir by default;
     pass a durable URI — e.g. an object-store path — on a real
@@ -72,6 +102,20 @@ def connected_components(
     final snapshot and the snapshots are the caller's to clean up.
     """
     spark = edges.sparkSession
+    e0 = edges.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    if incore_edge_budget > 0:
+        # one job decides the path AND fetches the edges when small:
+        # collect at most budget+1 rows — a full count would compute
+        # the (possibly expensive) upstream pair graph twice
+        head = e0.limit(incore_edge_budget + 1).collect()
+        if len(head) <= incore_edge_budget:
+            labels = _union_find_incore((r["a"], r["b"]) for r in head)
+            return spark.createDataFrame(
+                sorted(labels.items()), "id long, component long"
+            )
     base = work_dir or tempfile.mkdtemp(prefix="spark_ifs_cc_")
     own_dir = work_dir is None
 
@@ -91,10 +135,7 @@ def connected_components(
         return out
 
     try:
-        e = edges.select(
-            F.col(src).cast("long").alias("a"),
-            F.col(dst).cast("long").alias("b"),
-        ).where(F.col("a") != F.col("b"))
+        e = e0
         g = _trunc(
             e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
             .distinct()

@@ -31,13 +31,24 @@ def _union_find(edges):
 
 
 def _check(spark, edges, max_iter=25):
+    """Both strategy paths (driver union-find under the edge budget,
+    distributed contraction past it) must match the oracle — and
+    therefore each other."""
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {
+    want = _union_find(edges)
+    incore = {
         r["id"]: r["component"]
         for r in connected_components(df, max_iter=max_iter).collect()
     }
-    assert got == _union_find(edges)
-    return got
+    assert incore == want
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            df, max_iter=max_iter, incore_edge_budget=0
+        ).collect()
+    }
+    assert dist == want
+    return incore
 
 
 def test_two_triangles_and_isolated_pair(spark):
