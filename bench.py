@@ -79,10 +79,13 @@ def main() -> None:
         "doc_length_quantiles",
         "kmeans_step",
         "dup_clusters",
+        "dedup_spans",
         "mix_by_source",
         "bpe_pairs_top50",
+        "bpe_train_merges",
         "embedding_gram",
         "pca_power_step",
+        "pca_power_iter2",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

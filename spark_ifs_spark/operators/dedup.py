@@ -285,6 +285,81 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3, bits: int 
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 16,
+) -> DataFrame:
+    """``(id, text)`` with every non-first occurrence of each
+    ``span_words``-word span removed corpus-wide — the line/paragraph
+    exact-dedup stage of C4/RefinedWeb with the dedup unit parameterized
+    as fixed-width, non-overlapping word spans (this corpus has no
+    newline structure). "First" is the lowest ``(id, position)``;
+    documents whose every span loses are dropped entirely (C4 drops
+    emptied documents).
+
+    Plan — span text never rides a shuffle:
+
+    1. map-side: split → per-span 60-bit md5 digests → ``(h, id, pos)``
+       triples (~20 bytes/span);
+    2. one digest-keyed aggregate picks each span's winner with
+       ``min(struct(id, pos))`` — no sort, no window;
+    3. winners regroup to ``(id, sorted kept positions)`` — ints only;
+    4. one id-keyed join back to the *document* relation (each doc rides
+       that shuffle once, not once per span); the surviving text is
+       rebuilt map-side by slicing the split array at the kept
+       positions.
+
+    Hashing is the engine-portable md5 scheme (``functions/hashing.py``)
+    so the DuckDB oracle replicates winner selection exactly; a 60-bit
+    digest collision would merge two distinct spans — at ~2^30 distinct
+    spans per birthday bound, widen to the full md5 if a corpus
+    approaches that.
+    """
+    w = span_words
+    if w <= 0:
+        raise ValueError("span_words must be > 0")
+    words = F.split(F.col(text_col), " ")
+    nspans = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nspans - 1),
+                lambda p: md5_int60(
+                    F.array_join(F.slice(words, p * w + 1, w), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    winners = spans.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("w")
+    )
+    keep_pos = (
+        winners.select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_kp"))
+    )
+    doc_words = F.split(F.col("_text"), " ")
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .join(keep_pos, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join(
+                F.transform(
+                    F.col("_kp"),
+                    lambda p: F.array_join(
+                        F.slice(doc_words, p * w + 1, w), " "
+                    ),
+                ),
+                " ",
+            ).alias(text_col),
+        )
+    )
+
+
 def contaminated_ids(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -524,6 +524,42 @@ def power_iteration_step(
     return partials.groupBy("dim").agg(F.sum("y").alias("y"))
 
 
+def power_iteration(
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    v0: Sequence[float] | None = None,
+    iters: int = 8,
+    normalize: bool = True,
+) -> list[float]:
+    """Dominant eigenvector direction of ``X^T X`` (top principal
+    component of the embedding corpus) by iterating
+    :func:`power_iteration_step`.
+
+    The driver holds only the length-``d`` iterate between steps
+    (metadata scale — the corpus never leaves the executors); each step
+    is one Arrow pass whose shuffle carries ``partitions × d`` floats.
+    ``normalize=True`` rescales to unit L2 after every step (the form
+    you run to convergence). ``normalize=False`` returns the raw
+    ``(X^T X)^iters · v0`` — the oracle-checked registry form: with
+    quantized dyadic inputs every product and sum stays exact in
+    IEEE-754 (no sqrt in the loop), so Spark and DuckDB agree
+    bit-for-bit.
+    """
+    if iters <= 0:
+        raise ValueError("iters must be > 0")
+    v = [1.0 / dims] * dims if v0 is None else list(v0)
+    for _ in range(iters):
+        y = [0.0] * dims
+        for r in power_iteration_step(df, vec_col, dims, v).collect():
+            y[r["dim"]] = float(r["y"])
+        if normalize:
+            n = math.sqrt(sum(x * x for x in y)) or 1.0
+            y = [x / n for x in y]
+        v = y
+    return v
+
+
 def kmeans_step(
     df: DataFrame,
     id_col: str,

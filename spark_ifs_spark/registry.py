@@ -1681,6 +1681,156 @@ FROM walk GROUP BY node
 # ---------------------------------------------------------------------------
 # registry
 
+#: span width for the span-level exact-dedup query
+SPAN_WORDS = 8
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style repeated-span removal: every non-first
+    occurrence of an 8-word span is cut corpus-wide and documents are
+    reassembled from their surviving spans (emptied docs drop)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, "doc_id", "text", span_words=SPAN_WORDS)
+
+
+def sql_dedup_spans() -> str:
+    w = SPAN_WORDS
+    span_of = f"array_to_string(t[(CAST(u.i AS INT)*{w}+1):(CAST(u.i AS INT)*{w}+{w})], ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         {sql_md5_int60(span_of)} AS h
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(t) / {w}.0) AS BIGINT) - 1)) AS u(i)
+),
+win AS (SELECT h, min([doc_id, CAST(pos AS BIGINT)]) AS wnr FROM spans GROUP BY h),
+kp AS (
+  SELECT wnr[1] AS doc_id, list_sort(list(CAST(wnr[2] AS INT))) AS kp
+  FROM win GROUP BY 1
+)
+SELECT t.doc_id,
+       array_to_string(
+         list_transform(kp.kp, p -> array_to_string(t.t[(p*{w}+1):(p*{w}+{w})], ' ')),
+         ' ') AS text
+FROM toks t JOIN kp ON t.doc_id = kp.doc_id
+"""
+
+
+def q_pca_power_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unnormalized power-iteration steps y = (X^T X)^2 v0 over
+    quantized embeddings — the iterated form of ``pca_power_step``
+    driven through :func:`similarity.power_iteration` (driver holds only
+    the length-d iterate). Dyadic inputs keep every term exact in
+    IEEE-754, so skipping the sqrt normalization lets both engines agree
+    bit-for-bit across BOTH corpus passes."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    y = similarity.power_iteration(
+        q, "qe", EMB_DIMS, v0=[0.125] * EMB_DIMS, iters=2, normalize=False
+    )
+    return spark.createDataFrame(
+        [(i, round(val, 6)) for i, val in enumerate(y)], "dim int, y double"
+    )
+
+
+def sql_pca_power_iter2() -> str:
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> floor(x * 8) / 8) AS qe
+  FROM embeddings
+),
+d1 AS (SELECT qe, 0.125 * list_sum(qe) AS dot FROM q),
+y1 AS (
+  SELECT CAST(i.i AS INT) AS dim, sum(qe[i.i + 1] * dot) AS y
+  FROM d1, range({EMB_DIMS}) i(i) GROUP BY 1
+),
+v1 AS (SELECT list(y ORDER BY dim) AS v FROM y1),
+d2 AS (
+  SELECT qe,
+         list_sum(list_transform(generate_series(1, {EMB_DIMS}), j -> qe[j] * v[j])) AS dot
+  FROM q, v1
+)
+SELECT CAST(i.i AS INT) AS dim, round(sum(qe[i.i + 1] * dot), 6) AS y
+FROM d2, range({EMB_DIMS}) i(i)
+GROUP BY 1
+"""
+
+
+#: merge rounds for the BPE-training query
+BPE_MERGES = 5
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training, 5 merge rounds: corpus folded to a
+    word-frequency table once, merges learned over the vocabulary
+    relation (see ``operators/bpe.py``)."""
+    from spark_ifs_spark.operators import bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, "text", BPE_MERGES)
+
+
+def _sql_bpe_round(r: int) -> str:
+    """One unrolled BPE merge round: weighted pair counts → argbest →
+    run-parity merge (≡ the sequential left-to-right fold; candidates
+    can only be consecutive when x == y, and within such a run exactly
+    the even offsets merge)."""
+    i = "CAST(u.i AS INT)"
+    return f"""
+pairs{r} AS (
+  SELECT s[{i}] AS x, s[{i} + 1] AS y, sum(c) AS n
+  FROM syms{r}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+win{r} AS (SELECT x, y, n FROM pairs{r} ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+pos{r} AS (
+  SELECT w, c, s, {i} AS pos,
+         ({i} < len(s)
+          AND s[{i}] = (SELECT x FROM win{r})
+          AND s[{i} + 1] = (SELECT y FROM win{r})) AS cand
+  FROM syms{r}, unnest(generate_series(1, len(s))) AS u(i)
+),
+rs{r} AS (
+  SELECT *, max(CASE WHEN NOT cand THEN pos END)
+              OVER (PARTITION BY w ORDER BY pos) AS last_nc
+  FROM pos{r}
+),
+m{r} AS (
+  SELECT *, cand AND ((pos - coalesce(last_nc, 0) - 1) % 2 = 0) AS merged
+  FROM rs{r}
+),
+k{r} AS (
+  SELECT w, c, pos,
+         CASE WHEN merged THEN s[pos] || s[pos + 1] ELSE s[pos] END AS sym,
+         coalesce(lag(merged) OVER (PARTITION BY w ORDER BY pos), false) AS absorbed
+  FROM m{r}
+),
+syms{r + 1} AS (
+  SELECT w, any_value(c) AS c, list(sym ORDER BY pos) AS s
+  FROM k{r} WHERE NOT absorbed GROUP BY w
+)"""
+
+
+def sql_bpe_train() -> str:
+    rounds = ",".join(_sql_bpe_round(r) for r in range(BPE_MERGES))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, x, y, n FROM win{r}"
+        for r in range(BPE_MERGES)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+syms0 AS (SELECT w, c, string_split(w, '') AS s FROM words),
+{rounds}
+{finals}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_pair_lineitem": q_mi_pair_lineitem,
     "mi_relevance": q_mi_relevance,
@@ -1725,10 +1875,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "kmeans_step": q_kmeans_step,
     "dup_clusters": q_dup_clusters,
+    "dedup_spans": q_dedup_spans,
     "mix_by_source": q_mix_by_source,
     "bpe_pairs_top50": q_bpe_pairs_top50,
+    "bpe_train_merges": q_bpe_train,
     "embedding_gram": q_embedding_gram,
     "pca_power_step": q_pca_power_step,
+    "pca_power_iter2": q_pca_power_iter2,
     "shipping_priority": q_shipping_priority,
     "returned_revenue": q_returned_revenue,
 }
@@ -1777,10 +1930,13 @@ ORACLES: dict[str, str] = {
     "doc_length_quantiles": sql_doc_length_quantiles(),
     "kmeans_step": sql_kmeans_step(),
     "dup_clusters": sql_dup_clusters(),
+    "dedup_spans": sql_dedup_spans(),
     "mix_by_source": sql_mix_by_source(),
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
+    "bpe_train_merges": sql_bpe_train(),
     "embedding_gram": sql_embedding_gram(),
     "pca_power_step": sql_pca_power_step(),
+    "pca_power_iter2": sql_pca_power_iter2(),
     "shipping_priority": sql_shipping_priority(),
     "returned_revenue": sql_returned_revenue(),
 }

@@ -85,3 +85,32 @@ def test_simhash_near_pairs(spark, docs):
     near = dedup.simhash_near_pairs(fps_df, max_hamming=10).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in near}
     assert got[(0, 3)] == 0
+
+
+def test_span_dedup_keeps_first_occurrence_and_drops_emptied(spark):
+    rows = [
+        (1, "a b c d"),      # both spans first occurrences -> intact
+        (2, "a b x y"),      # "a b" loses to doc 1 -> "x y" survives
+        (3, "c d"),          # its only span loses to doc 1 -> doc dropped
+        (4, "a b a b"),      # every span loses (incl. within-doc dup) -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.span_dedup(df, "doc_id", "text", span_words=2).collect()
+    }
+    assert got == {1: "a b c d", 2: "x y"}
+
+
+def test_span_dedup_partial_tail_span(spark):
+    # 5 words at width 2 -> spans "a b", "c d", "e"; the short tail is a
+    # span of its own and dedups like any other
+    rows = [(1, "a b c d e"), (2, "e"), (3, "q e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.span_dedup(df, "doc_id", "text", span_words=2).collect()
+    }
+    # doc 2's "e" loses to doc 1's tail span; doc 3's "q e" is a
+    # DIFFERENT span (width-2) and survives
+    assert got == {1: "a b c d e", 3: "q e"}

@@ -107,3 +107,17 @@ def test_nation_revenue_join_strategy(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert any("o_orderstatus" in f for f in pushed_filters(df))
+
+
+def test_span_dedup_shuffle_shape(spark, sf_dir):
+    """span_dedup's contract: span text never rides a shuffle. The plan
+    has exactly 3 exchanges — digest-keyed winner agg (ids only),
+    id-keyed keep-position agg (ints only), and the doc-relation join —
+    and the pre-aggregate span relation is a scan-fused projection."""
+    from spark_ifs_spark.operators.dedup import span_dedup
+    from spark_ifs_spark.plans.checks import count_exchanges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = span_dedup(docs, "doc_id", "text", span_words=8)
+    # 3 logical exchanges; AQE may add reads but not new shuffles
+    assert count_exchanges(out) <= 4, out._jdf.queryExecution().toString()

@@ -197,3 +197,25 @@ def test_power_iteration_step_matches_numpy_and_converges(spark):
     evals, evecs = np.linalg.eigh(X.T @ X)
     top = evecs[:, -1]
     assert abs(abs(float(v @ top)) - 1.0) < 1e-3
+
+
+def test_power_iteration_loop(spark):
+    import numpy as np
+
+    from spark_ifs_spark.operators.similarity import power_iteration
+
+    rng = np.random.default_rng(12)
+    X = np.floor(rng.normal(size=(50, 4)) * 8) / 8
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "v array<double>"
+    ).repartition(3)
+    # unnormalized, 2 steps: exact (X^T X)^2 v0 (dyadic arithmetic)
+    v0 = [0.125] * 4
+    got = power_iteration(df, "v", 4, v0=v0, iters=2, normalize=False)
+    G = X.T @ X
+    want = G @ (G @ np.array(v0))
+    assert got == want.tolist()
+    # normalized to convergence: dominant eigenvector direction
+    v = np.array(power_iteration(df, "v", 4, iters=25, normalize=True))
+    evals, evecs = np.linalg.eigh(G)
+    assert abs(abs(float(v @ evecs[:, -1])) - 1.0) < 1e-3
