@@ -82,6 +82,58 @@ def join_events_to_user_profile(
     return ev.join(F.broadcast(profiles), "user_id", "left")
 
 
+def attribute_events(
+    lead: DataFrame,
+    follow: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — attribution's canonical shape:
+    every ``follow`` event pairs with each same-``key`` ``lead`` event
+    it trails within ``horizon`` (``lead.ts <= follow.ts < lead.ts +
+    horizon``). Returns ``(user_id, lead_id, follow_id, gap_sec)``.
+
+    Both sides are unbounded, so this is the topology that genuinely
+    needs a stream-stream join (enrichment against a bounded side
+    should use :func:`join_events_to_user_profile` instead). With
+    watermarks on BOTH inputs plus the event-time range condition,
+    Spark bounds the join state to lead rows younger than
+    ``watermark + horizon`` — without the time constraint the state
+    would grow with stream lifetime, which is the classic unbounded
+    stream-join mistake. Same body serves batch backfill (no
+    watermarks; identical results on complete input — pinned in
+    ``tests/test_streaming.py``).
+    """
+    if lead.isStreaming:
+        lead = lead.withWatermark("ts", watermark)
+    if follow.isStreaming:
+        follow = follow.withWatermark("ts", watermark)
+    l = lead.select(
+        F.col(key).alias("user_id"),
+        F.col("event_id").alias("lead_id"),
+        F.col("ts").alias("lead_ts"),
+    )
+    r = follow.select(
+        F.col(key).alias("r_user_id"),
+        F.col("event_id").alias("follow_id"),
+        F.col("ts").alias("follow_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("follow_ts") >= F.col("lead_ts"))
+        & (F.col("follow_ts") < F.col("lead_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        "user_id",
+        "lead_id",
+        "follow_id",
+        (
+            F.unix_micros("follow_ts") - F.unix_micros("lead_ts")
+        ).alias("gap_us"),
+    )
+
+
 def dedup_events(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event ingestion: drop duplicate ``event_id``s.
 

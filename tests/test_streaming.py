@@ -286,3 +286,36 @@ def test_stream_static_enrichment_join(spark, sf_dir, tmp_path):
         "SELECT count(*) AS n FROM enriched_ev WHERE user_n_events IS NOT NULL"
     ).first()["n"]
     assert got == want
+
+
+def test_attribution_stream_stream_join_equals_batch(spark, events_stream_dir):
+    """Stream-stream interval join (both sides unbounded, watermark +
+    time-range bound the state) emits exactly the batch join's pairs."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.streaming.events import attribute_events
+
+    path, batch = events_stream_dir
+
+    def body(df):
+        views = df.where(F.col("event_type") == "view")
+        clicks = df.where(F.col("event_type") == "click")
+        return attribute_events(views, clicks, horizon="30 minutes")
+
+    want = {(r["lead_id"], r["follow_id"]) for r in body(batch).collect()}
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    q = (
+        body(stream)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["lead_id"], r["follow_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == want
+    assert len(got) > 0
