@@ -69,6 +69,8 @@ def main() -> None:
         "returned_revenue",
         "events_topk_per_type",
         "events_asof_signup",
+        "events_attribution",
+        "supplier_diversity",
         "split_counts",
         "docs_cap_per_source",
         "scrub_pii",
@@ -83,6 +85,7 @@ def main() -> None:
         "mix_by_source",
         "bpe_pairs_top50",
         "bpe_train_merges",
+        "bpe_token_counts",
         "embedding_gram",
         "pca_power_step",
         "pca_power_iter2",

@@ -211,3 +211,55 @@ def bpe_train(
             merges = _bpe_incore([(r["w"], r["c"]) for r in head], n_merges)
             return spark.createDataFrame(merges, MERGES_SCHEMA)
     return spark.createDataFrame(_bpe_distributed(wf, n_merges), MERGES_SCHEMA)
+
+
+def apply_merges_expr(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol array with ``merges`` applied in order — nested
+    :func:`merge_pair_expr` folds, all map-side. Expression depth grows
+    with ``len(merges)``; past ~50 merges apply in batches with a
+    re-materialization between (see ``_bpe_distributed``)."""
+    out = syms
+    for x, y in merges:
+        out = merge_pair_expr(out, x, y)
+    return out
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """``(id, n_tokens)`` — per-document token counts under a learned
+    merge list (the apply side of BPE: what the trained tokenizer does
+    to the corpus).
+
+    Plan: merges are applied once per *distinct word* (the vocabulary
+    relation), not once per occurrence — the corpus-side work is one
+    word explode plus a vocabulary join and a doc-keyed sum. At 100 TB
+    the vocab relation is millions of rows while occurrences are
+    trillions, so encoding cost is dominated by the scan, as it should
+    be.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(apply_merges_expr(F.split("w", ""), merges)).alias(
+                "_ntok"
+            ),
+        )
+    )
+    return (
+        toks.join(vocab, "w")
+        .groupBy("id")
+        .agg(F.sum("_ntok").alias("n_tokens"))
+    )

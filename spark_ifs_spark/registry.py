@@ -1831,6 +1831,100 @@ syms0 AS (SELECT w, c, string_split(w, '') AS s FROM words),
 """
 
 
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shape: distinct suppliers per part brand/size, excluding a
+    blocklisted supplier set via ANTI-join (`NOT IN` with non-null keys
+    ≡ left-anti). Plan: the blocklist aggregates to a handful of rows
+    and broadcasts; the distinct-count is a two-level hash aggregate on
+    (brand, size, suppkey) — no sort. Brands ~25, so the final key
+    space is tiny regardless of lineitem volume."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    supp = _read(spark, sf_dir, "supplier")
+    blocked = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(blocked), li["l_suppkey"] == blocked["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+
+
+def sql_supplier_diversity() -> str:
+    return """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution pairs within 30 minutes per user — the
+    batch body of the stream-stream interval join
+    (``streaming/events.py:attribute_events``); streaming parity is
+    pinned in ``tests/test_streaming.py``."""
+    from spark_ifs_spark.streaming.events import attribute_events
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view")
+    clicks = ev.where(F.col("event_type") == "click")
+    return attribute_events(views, clicks, horizon="30 minutes")
+
+
+def sql_events_attribution() -> str:
+    return """
+SELECT v.user_id,
+       v.event_id AS lead_id,
+       c.event_id AS follow_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+"""
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of BPE: train 5 merges, then tokenize the corpus
+    with them — per-document token counts. Merges are applied once per
+    distinct word (vocabulary relation), not per occurrence."""
+    from spark_ifs_spark.operators import bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe.bpe_train(docs, "text", BPE_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    return bpe.bpe_encode(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+
+
+def sql_bpe_token_counts() -> str:
+    rounds = ",".join(_sql_bpe_round(r) for r in range(BPE_MERGES))
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+syms0 AS (SELECT w, c, string_split(w, '') AS s FROM words),
+{rounds},
+wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT t.doc_id, CAST(sum(len(v.s)) AS BIGINT) AS n_tokens
+FROM wtok t JOIN syms{BPE_MERGES} v ON t.w = v.w
+WHERE t.w <> ''
+GROUP BY t.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_pair_lineitem": q_mi_pair_lineitem,
     "mi_relevance": q_mi_relevance,
@@ -1865,6 +1959,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_orders": q_priority_orders,
     "events_topk_per_type": q_events_topk_per_type,
     "events_asof_signup": q_events_asof_signup,
+    "events_attribution": q_events_attribution,
+    "supplier_diversity": q_supplier_diversity,
     "split_counts": q_split_counts,
     "docs_cap_per_source": q_docs_cap_per_source,
     "scrub_pii": q_scrub_pii,
@@ -1879,6 +1975,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_by_source": q_mix_by_source,
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
+    "bpe_token_counts": q_bpe_token_counts,
     "embedding_gram": q_embedding_gram,
     "pca_power_step": q_pca_power_step,
     "pca_power_iter2": q_pca_power_iter2,
@@ -1920,6 +2017,8 @@ ORACLES: dict[str, str] = {
     "priority_orders": sql_priority_orders(),
     "events_topk_per_type": sql_events_topk_per_type(),
     "events_asof_signup": sql_events_asof_signup(),
+    "events_attribution": sql_events_attribution(),
+    "supplier_diversity": sql_supplier_diversity(),
     "split_counts": sql_split_counts(),
     "docs_cap_per_source": sql_docs_cap_per_source(),
     "scrub_pii": sql_scrub_pii(),
@@ -1934,6 +2033,7 @@ ORACLES: dict[str, str] = {
     "mix_by_source": sql_mix_by_source(),
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),
+    "bpe_token_counts": sql_bpe_token_counts(),
     "embedding_gram": sql_embedding_gram(),
     "pca_power_step": sql_pca_power_step(),
     "pca_power_iter2": sql_pca_power_iter2(),

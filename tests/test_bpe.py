@@ -58,3 +58,43 @@ def test_bpe_paths_agree(spark, sf_dir):
     ]
     assert incore == dist
     assert len(incore) == 6
+
+
+def test_bpe_encode_counts(spark):
+    # merges: (a,b)->ab then (ab,c)->abc
+    df = spark.createDataFrame(
+        [(1, "abc ab d"), (2, "ba abc abc")], "doc_id long, text string"
+    )
+    from spark_ifs_spark.operators.bpe import bpe_encode
+
+    got = {
+        r["id"]: r["n_tokens"]
+        for r in bpe_encode(
+            df, "doc_id", "text", [("a", "b"), ("ab", "c")]
+        ).collect()
+    }
+    # doc1: abc->1 token, ab->1, d->1 = 3; doc2: ba->2, abc->1, abc->1 = 4
+    assert got == {1: 3, 2: 4}
+
+
+def test_bpe_tokenizer_pipeline_stage(spark, tmp_path):
+    from spark_ifs_spark.ml import BpeTokenizer, BpeTokenizerModel
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab abc")], "doc_id long, text string"
+    )
+    model = BpeTokenizer(numMerges=2, inputCol="text").fit(df)
+    assert model.getMerges() == [("a", "b"), ("ab", "c")]
+    got = {
+        r["doc_id"]: r["tokens"] for r in model.transform(df).collect()
+    }
+    assert got == {1: ["ab", "ab", "abc"], 2: ["ab", "abc"]}
+    # persistence round trip keeps the merge table
+    path = str(tmp_path / "bpe_model")
+    model.save(path)
+    loaded = BpeTokenizerModel.load(path)
+    assert loaded.getMerges() == model.getMerges()
+    got2 = {
+        r["doc_id"]: r["tokens"] for r in loaded.transform(df).collect()
+    }
+    assert got2 == got
