@@ -1681,6 +1681,68 @@ FROM walk GROUP BY node
 # ---------------------------------------------------------------------------
 # registry
 
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data pipeline composed end to end, the way
+    a real job chains the operators: quality/exact-dup clean
+    (``corpus_clean``) ∩ minhash-LSH near-dup *representatives only*
+    (``dup_clusters`` + keep-min) → deterministic train/val/test split
+    → per-split document and token budgets. One extra shuffle per
+    stage boundary; every stage's own plan is the one audited under its
+    individual query."""
+    clean = q_corpus_clean(spark, sf_dir).select("id")
+    clusters = q_dup_clusters(spark, sf_dir)
+    reps = clusters.groupBy("cluster").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        clusters.join(reps, "cluster")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    kept = clean.join(
+        losers, clean["id"] == losers["doc_id"], "left_anti"
+    )
+    docs = _read(spark, sf_dir, "documents")
+    toks = textstats.token_counts(docs, "doc_id", "text").select(
+        "id", "n_ws_tokens"
+    )
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    assigned = split_assign(
+        kept.join(toks, "id"), "id", SPLIT_WEIGHTS, seed=SPLIT_SEED
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("n_tokens"),
+    )
+
+
+def sql_pipeline_end_to_end() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("k.id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+WITH clean AS (SELECT id FROM ({sql_corpus_clean()}) t),
+clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+reps AS (SELECT cluster, min(doc_id) AS keep_id FROM clusters GROUP BY cluster),
+losers AS (
+  SELECT c.doc_id FROM clusters c JOIN reps r ON c.cluster = r.cluster
+  WHERE c.doc_id <> r.keep_id
+),
+kept AS (
+  SELECT id FROM clean
+  WHERE id NOT IN (SELECT doc_id FROM losers)
+),
+toks AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens
+  FROM documents
+)
+SELECT {case} AS split,
+       count(*) AS n_docs,
+       CAST(sum(t.n_ws_tokens) AS BIGINT) AS n_tokens
+FROM kept k JOIN toks t ON k.id = t.id
+GROUP BY 1
+"""
+
+
 #: span width for the span-level exact-dedup query
 SPAN_WORDS = 8
 
@@ -1860,6 +1922,45 @@ GROUP BY p_brand, p_size
 """
 
 
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-7-day user activity (count + value sum) — the
+    time-range window frame (``RANGE BETWEEN``) every feature-store
+    backfill needs. The frame is keyed on ``unix_micros(ts)`` so both
+    engines use the identical numeric range; one shuffle on user_id.
+    Scale note: a pathologically hot user serializes its partition —
+    beyond that, split the frame into (tumbling-window partial sums) +
+    (per-event tail correction), which trades one window for two
+    bounded aggregations."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 6).alias("sum_7d"),
+    )
+
+
+def sql_events_rolling_7d() -> str:
+    return """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_7d,
+       round(sum(value) OVER w, 6) AS sum_7d
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→click attribution pairs within 30 minutes per user — the
     batch body of the stream-stream interval join
@@ -1960,6 +2061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_topk_per_type": q_events_topk_per_type,
     "events_asof_signup": q_events_asof_signup,
     "events_attribution": q_events_attribution,
+    "events_rolling_7d": q_events_rolling_7d,
     "supplier_diversity": q_supplier_diversity,
     "split_counts": q_split_counts,
     "docs_cap_per_source": q_docs_cap_per_source,
@@ -1972,6 +2074,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_step": q_kmeans_step,
     "dup_clusters": q_dup_clusters,
     "dedup_spans": q_dedup_spans,
+    "pipeline_end_to_end": q_pipeline_end_to_end,
     "mix_by_source": q_mix_by_source,
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
@@ -2018,6 +2121,7 @@ ORACLES: dict[str, str] = {
     "events_topk_per_type": sql_events_topk_per_type(),
     "events_asof_signup": sql_events_asof_signup(),
     "events_attribution": sql_events_attribution(),
+    "events_rolling_7d": sql_events_rolling_7d(),
     "supplier_diversity": sql_supplier_diversity(),
     "split_counts": sql_split_counts(),
     "docs_cap_per_source": sql_docs_cap_per_source(),
@@ -2030,6 +2134,7 @@ ORACLES: dict[str, str] = {
     "kmeans_step": sql_kmeans_step(),
     "dup_clusters": sql_dup_clusters(),
     "dedup_spans": sql_dedup_spans(),
+    "pipeline_end_to_end": sql_pipeline_end_to_end(),
     "mix_by_source": sql_mix_by_source(),
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),

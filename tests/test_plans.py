@@ -121,3 +121,18 @@ def test_span_dedup_shuffle_shape(spark, sf_dir):
     out = span_dedup(docs, "doc_id", "text", span_words=8)
     # 3 logical exchanges; AQE may add reads but not new shuffles
     assert count_exchanges(out) <= 4, out._jdf.queryExecution().toString()
+
+
+def test_supplier_diversity_join_strategy(spark, sf_dir):
+    """Q16 shape: the blocklist rides a broadcast anti-join (never a
+    shuffle), and the distinct count is hash-aggregated, not sorted."""
+    from spark_ifs_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["supplier_diversity"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
