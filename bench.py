@@ -83,6 +83,7 @@ def main() -> None:
         "kmeans_step",
         "dup_clusters",
         "dedup_spans",
+        "dedup_incremental",
         "pipeline_end_to_end",
         "mix_by_source",
         "bpe_pairs_top50",

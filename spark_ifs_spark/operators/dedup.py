@@ -135,6 +135,54 @@ def minhash_signatures(
     )
 
 
+def _lsh_bands(
+    sh: DataFrame, num_hashes: int, rows_per_band: int, seed: int
+) -> DataFrame:
+    """``(id, band, bkey)`` — per-band signature keys from a shingle
+    relation."""
+    sig = minhash_signatures(sh, num_hashes, seed)
+    return sig.groupBy(
+        "id", (F.col("i") / rows_per_band).cast("int").alias("band")
+    ).agg(
+        (
+            F.sum(band_key(F.col("minh"), F.col("i") % rows_per_band))
+            % MINHASH_P
+        ).alias("bkey")
+    )
+
+
+def _jaccard_verify(
+    cand: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over ``(id_a, id_b)`` candidates, left/right ids
+    resolved against their own shingle relations (identical relations
+    for self-join dedup, distinct ones for cross-corpus)."""
+    sa = sh_left.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_right.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sh_left.groupBy("id").agg(F.count(F.lit(1)).alias("na")).select(
+        F.col("id").alias("id_a"), "na"
+    )
+    nb = sh_right.groupBy("id").agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col("id").alias("id_b"), "nb"
+    )
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -155,12 +203,7 @@ def minhash_lsh_pairs(
     """
     # persist: consumed by signatures, sizes, and both verify join sides
     sh = word_shingles(df, id_col, text_col, n).persist()
-    sig = minhash_signatures(sh, num_hashes, seed)
-    bands = sig.groupBy(
-        "id", (F.col("i") / rows_per_band).cast("int").alias("band")
-    ).agg(
-        (F.sum(band_key(F.col("minh"), F.col("i") % rows_per_band)) % MINHASH_P).alias("bkey")
-    )
+    bands = _lsh_bands(sh, num_hashes, rows_per_band, seed)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -172,25 +215,46 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard over the shingle relation
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    return _jaccard_verify(cand, sh, sh, threshold)
+
+
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental-ingestion dedup: near-dup pairs of NEW documents
+    against an EXISTING corpus — ``(id_a, id_b, jaccard)`` with ``id_a``
+    from ``new_df``, ``id_b`` from ``corpus_df``.
+
+    The corpus is never self-joined: candidates are only new×corpus
+    band collisions, so each ingested batch pays its own signature cost
+    plus the collision join — at 100 TB the corpus-side bands are
+    computed once and persisted (e.g. ``sinks.write_bucketed`` on the
+    band key, making the per-batch collision join exchange-free on the
+    corpus side), which is the standard incremental dedup layout.
+    Hash/band parameters must match the corpus's stored signatures.
+    """
+    sh_new = word_shingles(new_df, id_col, text_col, n).persist()
+    sh_cor = word_shingles(corpus_df, id_col, text_col, n).persist()
+    bn = _lsh_bands(sh_new, num_hashes, rows_per_band, seed).alias("a")
+    bc = _lsh_bands(sh_cor, num_hashes, rows_per_band, seed).alias("b")
+    cand = (
+        bn.join(
+            bc,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_verify(cand, sh_new, sh_cor, threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:

@@ -1681,6 +1681,64 @@ FROM walk GROUP BY node
 # ---------------------------------------------------------------------------
 # registry
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: documents with ``doc_id % 10 == 0``
+    play the newly-ingested batch, the rest the existing corpus; only
+    new×corpus band collisions are verified — the corpus is never
+    self-joined (``dedup.minhash_lsh_pairs_against``)."""
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = dedup.minhash_lsh_pairs_against(
+        new, corpus, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_incremental() -> str:
+    params = minhash_params(MINHASH_HASHES)
+    hash_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    rpb = MINHASH_ROWS_PER_BAND
+    powers = ", ".join(f"({j}, {sql_band_power(j)})" for j in range(rpb))
+    return f"""
+WITH {_SQL_SHINGLES},
+shi AS (SELECT id, {sql_md5_int60('sh')} AS x FROM sh),
+hp(i, a, b) AS (VALUES {hash_rows}),
+pw(j, p) AS (VALUES {powers}),
+sig AS (
+  SELECT shi.id, hp.i, min((hp.a * (shi.x % {MINHASH_P}) + hp.b) % {MINHASH_P}) AS minh
+  FROM shi CROSS JOIN hp
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, CAST(floor(i * 1.0 / {rpb}) AS INT) AS band,
+         sum((minh * pw.p) % {MINHASH_P}) % {MINHASH_P} AS bkey
+  FROM sig JOIN pw ON pw.j = i % {rpb}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS i
+  FROM cand
+  JOIN sh x ON x.id = cand.id_a
+  JOIN sh y ON y.id = cand.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+"""
+
+
 def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining-data pipeline composed end to end, the way
     a real job chains the operators: quality/exact-dup clean
@@ -2074,6 +2132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_step": q_kmeans_step,
     "dup_clusters": q_dup_clusters,
     "dedup_spans": q_dedup_spans,
+    "dedup_incremental": q_dedup_incremental,
     "pipeline_end_to_end": q_pipeline_end_to_end,
     "mix_by_source": q_mix_by_source,
     "bpe_pairs_top50": q_bpe_pairs_top50,
@@ -2134,6 +2193,7 @@ ORACLES: dict[str, str] = {
     "kmeans_step": sql_kmeans_step(),
     "dup_clusters": sql_dup_clusters(),
     "dedup_spans": sql_dedup_spans(),
+    "dedup_incremental": sql_dedup_incremental(),
     "pipeline_end_to_end": sql_pipeline_end_to_end(),
     "mix_by_source": sql_mix_by_source(),
     "bpe_pairs_top50": sql_bpe_pairs_top50(),

@@ -114,3 +114,17 @@ def test_span_dedup_partial_tail_span(spark):
     # doc 2's "e" loses to doc 1's tail span; doc 3's "q e" is a
     # DIFFERENT span (width-2) and survives
     assert got == {1: "a b c d e", 3: "q e"}
+
+
+def test_minhash_lsh_pairs_against(spark, docs):
+    # batch = {3, 4}; corpus = {0, 1, 2}: doc 3 is an exact dup of
+    # corpus doc 0 and must surface; pairs never join corpus to itself
+    new = docs.filter("doc_id >= 3")
+    corpus = docs.filter("doc_id < 3")
+    pairs = dedup.minhash_lsh_pairs_against(
+        new, corpus, "doc_id", "text",
+        n=3, num_hashes=16, rows_per_band=2, threshold=0.3,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(3, 0)] == pytest.approx(1.0)
+    assert all(a >= 3 and b < 3 for a, b in got)
