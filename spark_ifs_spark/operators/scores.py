@@ -40,11 +40,26 @@ def mi_vec(a: np.ndarray, b: np.ndarray) -> float:
     n = a.shape[0]
     if n == 0:
         return 0.0
-    _, ai = np.unique(a, return_inverse=True)
-    _, bi = np.unique(b, return_inverse=True)
-    nb = bi.max() + 1
+    ai, _ = factorize(a)
+    bi, nb = factorize(b)
+    return mi_codes(ai, bi, nb, n)
+
+
+def factorize(v: np.ndarray) -> tuple[np.ndarray, int]:
+    """Dense category codes (0..k-1, sorted-value order) + cardinality.
+    Split out so the in-core greedy loop factorizes each column ONCE
+    instead of re-sorting it inside every pairwise MI call — the greedy
+    makes (k+1)·C MI evaluations over the same C columns, so the two
+    `np.unique` sorts per call were the dominant in-core cost."""
+    _, inv = np.unique(v, return_inverse=True)
+    return inv, (int(inv.max()) + 1 if inv.size else 0)
+
+
+def mi_codes(ai: np.ndarray, bi: np.ndarray, nb: int, n: int) -> float:
+    """MI from pre-factorized code vectors — the arithmetic tail of
+    :func:`mi_vec`, bit-identical (same joint table, same cell order)."""
     pa = np.bincount(ai).astype(np.float64) / n
-    pb = np.bincount(bi).astype(np.float64) / n
+    pb = np.bincount(bi, minlength=nb).astype(np.float64) / n
     outer = np.outer(pa, pb).ravel()
     full = np.bincount(ai * nb + bi, minlength=pa.size * nb).astype(np.float64) / n
     mask = full > 0

@@ -91,3 +91,18 @@ def test_column_score_sql_expr_parity(spark):
             sc.score(rel, [] if red is None else [red]) for rel, red in vals
         ]
         assert got == pytest.approx(want, abs=0.0), type(sc).__name__
+
+
+def test_incore_cardinality_guard(spark):
+    """The in-core path enforces the category limit on the collected
+    codes (exactly, no Spark pre-flight job); a too-wide feature raises
+    the same error the distributed check_cardinality would."""
+    df = spark.range(2000).selectExpr(
+        "CAST(id % 2 AS DOUBLE) AS label",
+        "CAST(id AS DOUBLE) AS f0",
+        "CAST(id % 5 AS DOUBLE) AS f1",
+    )
+    with pytest.raises(ValueError, match="category limit"):
+        select_columns(df, "label", ["f0", "f1"], num=1, max_categories=100)
+    got = select_columns(df, "label", ["f1"], num=1, max_categories=100)
+    assert len(got) == 1
