@@ -876,11 +876,13 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_ifs_spark.functions.timeutil import epoch_us
+
     ev = _read(spark, sf_dir, "events")
     out = sessionize(ev, gap="30 minutes")
     return out.select(
         "user_id",
-        F.unix_micros("session_start").alias("session_start_us"),
+        epoch_us(out, "session_start").alias("session_start_us"),
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
@@ -1293,7 +1295,7 @@ WITH toks AS (
          ), 0) / {PACK_TARGET}) AS BIGINT) AS bin_id
   FROM chunks
 )
-SELECT lang, bin_id, count(*) AS n_chunks, sum(n_tokens) AS sum_tokens
+SELECT lang, bin_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM packed
 GROUP BY 1, 2
 """
@@ -1467,7 +1469,7 @@ kept AS (
   WHERE tot.total <= tgt.target
      OR {bucket} * tot.total < tgt.target * {SPLIT_BUCKETS}
 )
-SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM kept GROUP BY source
 """
 
@@ -1936,7 +1938,7 @@ syms{r + 1} AS (
 def sql_bpe_train() -> str:
     rounds = ",".join(_sql_bpe_round(r) for r in range(BPE_MERGES))
     finals = "\nUNION ALL ".join(
-        f"SELECT CAST({r} AS INT) AS rank, x, y, n FROM win{r}"
+        f"SELECT CAST({r} AS INT) AS rank, x, y, CAST(n AS BIGINT) AS n FROM win{r}"
         for r in range(BPE_MERGES)
     )
     return f"""
@@ -1991,8 +1993,10 @@ def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded aggregations."""
     from pyspark.sql import Window
 
+    from spark_ifs_spark.functions.timeutil import epoch_us
+
     ev = _read(spark, sf_dir, "events")
-    us = F.unix_micros("ts")
+    us = epoch_us(ev, "ts")
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spark_ifs_spark.functions.timeutil import epoch_us
+
 
 def windowed_event_counts(
     df: DataFrame,
@@ -119,18 +121,17 @@ def attribute_events(
         F.col("event_id").alias("follow_id"),
         F.col("ts").alias("follow_ts"),
     )
-    return l.join(
+    j = l.join(
         r,
         (F.col("user_id") == F.col("r_user_id"))
         & (F.col("follow_ts") >= F.col("lead_ts"))
         & (F.col("follow_ts") < F.col("lead_ts") + F.expr(f"INTERVAL {horizon}")),
-    ).select(
+    )
+    return j.select(
         "user_id",
         "lead_id",
         "follow_id",
-        (
-            F.unix_micros("follow_ts") - F.unix_micros("lead_ts")
-        ).alias("gap_us"),
+        (epoch_us(j, "follow_ts") - epoch_us(j, "lead_ts")).alias("gap_us"),
     )
 
 

@@ -84,6 +84,18 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
         f"schema mismatch: {sorted(got.columns)} vs {sorted(want.columns)}"
     )
     assert len(got) == len(want), f"row count {len(got)} vs {len(want)}"
+    # dtype-CLASS must agree: a Spark int64 vs a DuckDB float64 (HUGEINT
+    # sums come back as floats) passes _canon here but fails the
+    # driver's value hash — cast the oracle (e.g. CAST(sum(x) AS
+    # BIGINT)) rather than loosening this.
+    def _cls(dt) -> str:
+        s = str(dt)
+        return "float" if "float" in s else ("int" if "int" in s else s)
+
+    for c in got.columns:
+        assert _cls(got[c].dtype) == _cls(want[c].dtype), (
+            f"dtype class mismatch on {c}: spark={got[c].dtype} oracle={want[c].dtype}"
+        )
     g, w = _canon(got), _canon(want)
     if not g.equals(w):
         diff = (g != w).any(axis=1)
