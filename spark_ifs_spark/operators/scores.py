@@ -57,7 +57,17 @@ def factorize(v: np.ndarray) -> tuple[np.ndarray, int]:
 
 def mi_codes(ai: np.ndarray, bi: np.ndarray, nb: int, n: int) -> float:
     """MI from pre-factorized code vectors — the arithmetic tail of
-    :func:`mi_vec`, bit-identical (same joint table, same cell order)."""
+    :func:`mi_vec`, bit-identical (same joint table, same cell order).
+
+    Preconditions (asserted): ``ai`` and ``bi`` are parallel code
+    vectors of the same length, ``n`` is their common row count, and
+    ``nb`` bounds the codes in ``bi`` — dividing by a wrong
+    caller-supplied ``n`` would be silently wrong MI, not an error.
+    """
+    assert ai.shape == bi.shape, f"code vectors differ: {ai.shape} vs {bi.shape}"
+    assert n == ai.size, f"n={n} does not match {ai.size} rows"
+    if n == 0:  # same empty-input answer as mi_vec
+        return 0.0
     pa = np.bincount(ai).astype(np.float64) / n
     pb = np.bincount(bi, minlength=nb).astype(np.float64) / n
     outer = np.outer(pa, pb).ravel()

@@ -224,10 +224,26 @@ def _greedy_incore(
     and run the SAME greedy recurrence on numpy — relevance once,
     redundancy incrementally vs the newest winner, lowest-index
     tie-break. (k+1)·C MI evaluations total, zero per-round Spark jobs.
-    MI via :func:`~spark_ifs_spark.operators.scores.mi_vec`, the numpy
-    twin of the distributed aggregate (same natural-log, skip-empty-cell
-    semantics), which also keeps this path bit-identical to the
-    alternate encoding's executor-side math."""
+    MI via :func:`~spark_ifs_spark.operators.scores.mi_codes` — the
+    pre-factorized arithmetic tail of ``mi_vec`` (columns factorized
+    once up front; same natural-log, skip-empty-cell semantics) — which
+    keeps this path bit-identical to the alternate encoding's
+    executor-side math.
+
+    Cardinality-guard asymmetry (intentional, documented): this path
+    counts distinct values EXACTLY from the factorized codes and raises
+    at ``k > max_categories``; the distributed path pre-flights with
+    ``approx_count_distinct`` and only raises above ~1.2× the limit (an
+    approximate count cannot enforce an exact boundary). A column in
+    the 1.0–1.2× band therefore fails in-core but passes distributed —
+    the exact check is the one closer to the reference's streamed guard
+    (``MutualInformation.scala``), so the stricter behavior applies
+    where it is computable for free. NaN basis differs the same way:
+    ``np.unique`` counts NaN (Spark NULL → NaN under ``toPandas``) as
+    one category here, while ``approx_count_distinct`` ignores NULLs —
+    a null-bearing column at the limit trips only this guard. MI
+    semantics on nulls are identical on both paths; only the guard's
+    counting basis differs."""
     import numpy as np
 
     from spark_ifs_spark.operators.scores import factorize, mi_codes
