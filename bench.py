@@ -92,6 +92,12 @@ def main() -> None:
         "embedding_gram",
         "pca_power_step",
         "pca_power_iter2",
+        "order_priority_mix",
+        "promo_revenue",
+        "small_order_revenue",
+        "idle_customers",
+        "lm_bigram_logprob",
+        "embedding_project",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -590,3 +590,54 @@ def kmeans_step(
     return assigned.groupBy("cell", "dim").agg(
         F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean")
     )
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    out_dims: int = 8,
+    seed: int = 7,
+    quantize: bool = True,
+) -> DataFrame:
+    """``(id, k, v)`` — seeded Rademacher (±1) random projection of an
+    embedding column down to ``out_dims`` components (Achlioptas 2001:
+    sign matrices satisfy the Johnson–Lindenstrauss bound with the same
+    distortion constants as Gaussian ones, at integer-arithmetic cost).
+    The cheap first stage of embedding-side pipelines — shrink 1024-dim
+    vectors before clustering / LSH / near-dup so every downstream pass
+    moves ``out_dims`` floats per row instead of ``dim``.
+
+    Plan: pure map-side expression fused into the scan — the sign
+    matrix is ``out_dims × dim`` Python literals (seeded, reproducible
+    across engines), each output component one ``zip_with``/``aggregate``
+    fold. Zero shuffles at any corpus size.
+
+    ``quantize`` snaps inputs to multiples of 1/8 first (the package's
+    established cross-engine convention): ±1 weights then make every
+    partial sum exact in binary floating point, so results are
+    bit-identical regardless of evaluation order or engine — the
+    property the value-hash oracle needs. Disable for raw-float
+    projections when only geometry matters.
+    """
+    rng = random.Random(seed)
+    signs = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(out_dims)
+    ]
+    v = as_double_array(vec_col)
+    if quantize:
+        v = F.transform(v, lambda x: F.floor(x * 8) / 8)
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("k"),
+                _dot(v, F.array(*[F.lit(s) for s in signs[k]])).alias("v"),
+            )
+            for k in range(out_dims)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(comps).alias("c")
+    ).select("id", F.col("c.k").alias("k"), F.col("c.v").alias("v"))

@@ -284,3 +284,72 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("id", "term", "tfidf", "rank")
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_bigrams, ll_micronats)`` — corpus-trained bigram
+    language-model score per document: the standard "perplexity under a
+    cheap LM" quality signal (CCNet/Gopher filter by exactly this, with
+    a KenLM model in place of the self-trained counts).
+
+    Model: maximum-likelihood bigram conditionals from the corpus
+    itself, ``p(b|a) = c(a b) / c(a ·)``. The per-occurrence log term is
+    quantized to integer MICRONATS (``floor(ln(p)·1e6)`` as BIGINT)
+    before summation, so per-document totals are exact integer sums —
+    invariant to partitioning and addition order on both engines, where
+    a double sum-of-logs would drift in the last ulp and break value
+    hashes.
+
+    Plan — two corpus scans, the inherent train-then-score minimum,
+    with NO recomputed corpus-scale branches (a shared corpus subtree
+    in one DAG gets re-executed per consumer — Spark only reuses
+    identical exchanges, and these aren't):
+
+    1. *Train*: bigrams built map-side with ``zip_with`` over shifted
+       token-array slices (zero joins — never a pos+1 self-join of a
+       token relation) → ONE map-side-combined count aggregate (the
+       Zipf head collapses before the shuffle, so shuffled cells are
+       vocabulary-sized) → left-context totals as a window sum over
+       that vocabulary relation (a linear chain, not a second corpus
+       aggregate; the widest window partition is one left-token's
+       distinct continuations, bounded by vocabulary not corpus).
+    2. *Score*: per-document bigram multiplicities aggregate first
+       (map-side combine again), then join the vocabulary-sized model —
+       AQE sizes the build side (broadcast for curated corpora,
+       shuffle for web-scale vocabularies, same policy as
+       :func:`tfidf_top_terms`) — and fold to one row per document.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("pair")
+    )
+    pair_counts = occ.groupBy("pair").agg(F.count(F.lit(1)).alias("c_pair"))
+    w = Window.partitionBy(F.substring_index(F.col("pair"), " ", 1))
+    model = pair_counts.select(
+        "pair",
+        F.floor(
+            F.log(
+                F.col("c_pair").cast("double") / F.sum("c_pair").over(w)
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    per_doc = occ.groupBy("id", "pair").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per_doc.join(model, "pair")
+        .groupBy("id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("t")).alias("ll_micronats"),
+        )
+    )

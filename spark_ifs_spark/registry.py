@@ -68,6 +68,8 @@ IVF_PROBE = 4
 EMB_DEDUP_THRESHOLD = 0.4
 ANN_LSH_PLANES = 6
 ANN_LSH_SEED = 42
+PROJ_DIMS = 8
+PROJ_SEED = 7
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -2088,6 +2090,209 @@ GROUP BY t.doc_id
 """
 
 
+def q_order_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation over a big-big join —
+    per return flag, how many lines belong to urgent-ish vs other
+    orders. Plan: the date filter pushes to the lineitem scan, the join
+    shuffles on orderkey (sort-merge; AQE re-plans if one side
+    collapses), and the CASE counts fold into ONE hash aggregate over a
+    3-row key space — never two joins or two passes."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def sql_order_priority_mix() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — a CASE ratio reduced
+    to a single row. Plan: the month filter pushes to the lineitem
+    scan; part is a dimension (broadcast under AQE sizing); both sums
+    come out of ONE aggregate, and the division happens on the two
+    final scalars — no second pass, no self-join."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(promo, rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def sql_promo_revenue() -> str:
+    return """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-02-01'
+"""
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in below-average-quantity lines —
+    the correlated-scalar-subquery pattern. Plan: Catalyst's rewrite is
+    expressed directly — the per-part average is ONE aggregate over the
+    (cardinality-bounded) part key space joined back to lineitem; at
+    dimension-sized part counts AQE broadcasts it, so lineitem is
+    scanned once and never shuffled twice. The threshold comparison is
+    computed identically on both engines (exact integer sums under
+    double arithmetic), so the boundary cannot drift."""
+    li = _read(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def sql_small_order_revenue() -> str:
+    return """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey
+) t USING (l_partkey)
+WHERE l.l_quantity < t.threshold
+"""
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered — a
+    scalar-aggregate threshold plus an anti-join. Plan: the global
+    average is a 1-row aggregate broadcast into the filter (Spark's
+    scalar-subquery execution, written as a crossJoin of a 1-row
+    frame); the NOT EXISTS is a left-anti shuffle join on custkey
+    (big-big safe); the final rollup keys on nationkey — bounded."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+def sql_idle_customers() -> str:
+    return """
+SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring (the CCNet/Gopher "perplexity
+    filter" signal) — see :func:`~spark_ifs_spark.operators.textstats.
+    bigram_logprob` for the integer-micronat determinism contract and
+    plan shape."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.bigram_logprob(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def sql_lm_bigram_logprob() -> str:
+    return """
+WITH occ AS (
+  SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS pair
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) s
+  WHERE len(t) >= 2
+), per_doc AS (
+  SELECT doc_id, pair, count(*) AS k FROM occ GROUP BY 1, 2
+), pair_counts AS (
+  SELECT pair, CAST(sum(k) AS BIGINT) AS c_pair FROM per_doc GROUP BY pair
+), left_counts AS (
+  SELECT split_part(pair, ' ', 1) AS l, CAST(sum(c_pair) AS BIGINT) AS c_left
+  FROM pair_counts GROUP BY 1
+), model AS (
+  SELECT pair, CAST(floor(ln(c_pair * 1.0 / c_left) * 1e6) AS BIGINT) AS t
+  FROM pair_counts JOIN left_counts ON split_part(pair, ' ', 1) = l
+)
+SELECT per_doc.doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * t) AS BIGINT) AS ll_micronats
+FROM per_doc JOIN model USING (pair)
+GROUP BY per_doc.doc_id
+"""
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Rademacher random projection of the embeddings down to
+    ``PROJ_DIMS`` components — see :func:`~spark_ifs_spark.operators.
+    similarity.random_project` for the JL argument and the
+    exact-in-binary quantization contract."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.random_project(
+        emb, "vec_id", "embedding", EMB_DIMS, out_dims=PROJ_DIMS, seed=PROJ_SEED
+    ).select(F.col("id").alias("vec_id"), "k", "v")
+
+
+def sql_embedding_project() -> str:
+    import random
+
+    rng = random.Random(PROJ_SEED)
+    signs = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(EMB_DIMS)]
+        for _ in range(PROJ_DIMS)
+    ]
+    vals = ",\n".join(
+        f"({k}, {i}, {s!r})"
+        for k, row in enumerate(signs)
+        for i, s in enumerate(row)
+    )
+    return f"""
+WITH sg(k, i, s) AS (VALUES {vals})
+SELECT e.vec_id, CAST(sg.k AS INT) AS k,
+       sum((floor(CAST(e.embedding[sg.i + 1] AS DOUBLE) * 8) / 8) * sg.s) AS v
+FROM embeddings e JOIN sg ON true
+GROUP BY e.vec_id, sg.k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mi_pair_lineitem": q_mi_pair_lineitem,
     "mi_relevance": q_mi_relevance,
@@ -2147,6 +2352,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pca_power_iter2": q_pca_power_iter2,
     "shipping_priority": q_shipping_priority,
     "returned_revenue": q_returned_revenue,
+    "order_priority_mix": q_order_priority_mix,
+    "promo_revenue": q_promo_revenue,
+    "small_order_revenue": q_small_order_revenue,
+    "idle_customers": q_idle_customers,
+    "lm_bigram_logprob": q_lm_bigram_logprob,
+    "embedding_project": q_embedding_project,
 }
 
 ORACLES: dict[str, str] = {
@@ -2208,4 +2419,10 @@ ORACLES: dict[str, str] = {
     "pca_power_iter2": sql_pca_power_iter2(),
     "shipping_priority": sql_shipping_priority(),
     "returned_revenue": sql_returned_revenue(),
+    "order_priority_mix": sql_order_priority_mix(),
+    "promo_revenue": sql_promo_revenue(),
+    "small_order_revenue": sql_small_order_revenue(),
+    "idle_customers": sql_idle_customers(),
+    "lm_bigram_logprob": sql_lm_bigram_logprob(),
+    "embedding_project": sql_embedding_project(),
 }

@@ -136,3 +136,31 @@ def test_supplier_diversity_join_strategy(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_random_project_is_shuffle_free(spark, sf_dir):
+    """The Rademacher projection is a scan-fused map-side expression —
+    the sign matrix lives in the plan as literals, never as a joined
+    relation."""
+    from spark_ifs_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert_no_exchange(
+        random_project(emb, "vec_id", "embedding", 64, out_dims=4), "random_project"
+    )
+
+
+def test_bigram_logprob_shuffle_shape(spark, sf_dir):
+    """Bigrams are built map-side (zip_with, no pos+1 self-join); the
+    shuffles that remain carry (doc, distinct-bigram) counts and the
+    vocabulary-sized model relation — never raw token occurrences
+    twice. Bound the Exchange count to pin that shape."""
+    from spark_ifs_spark.operators.textstats import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_logprob(docs, "doc_id", "text")
+    plan = explain_str(out)
+    assert "zip_with" in plan.lower() or "lambdafunction" in plan.lower()
+    # pair-count agg + left-context window + per-doc agg + final doc
+    # agg = 4; a 5th would mean a corpus branch got recomputed
+    assert count_exchanges(out) <= 5, explain_str(out)
