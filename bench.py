@@ -98,6 +98,7 @@ def main() -> None:
         "idle_customers",
         "lm_bigram_logprob",
         "embedding_project",
+        "source_overlap",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -37,3 +37,20 @@ def epoch_us(df: DataFrame, col: str) -> Column:
     if isinstance(df.schema[col].dataType, TimestampNTZType):
         return F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col})")
     return F.unix_micros(F.col(col))
+
+
+def ensure_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Casts a ``TIMESTAMP_NTZ`` column to ``TIMESTAMP`` so it can carry
+    a watermark — Structured Streaming's event-time machinery accepts
+    only the LTZ type (``EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE``
+    otherwise). No-op on LTZ input, and never applied on batch paths:
+    the NTZ→LTZ cast interprets wall-clock values in the SESSION time
+    zone (``session.get_spark`` pins UTC; a host session may not), so
+    batch/oracle arithmetic stays on the tz-independent NTZ branch of
+    :func:`epoch_us` and only streaming inputs — where the watermark
+    forces the cast — take it. Differences (gaps, windows rendered back
+    in the same session tz) are tz-invariant either way.
+    """
+    if isinstance(df.schema[col].dataType, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df

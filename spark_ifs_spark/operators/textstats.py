@@ -353,3 +353,59 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sum(F.col("k") * F.col("t")).alias("ll_micronats"),
         )
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame, key_col: str, text_col: str
+) -> DataFrame:
+    """``(src_a, src_b, n_common, n_a, n_b, jaccard)`` for every
+    unordered pair of ``key_col`` groups — vocabulary Jaccard between
+    sources, the "which crawls duplicate each other" corpus diagnostic
+    that decides mixture weights and dedup priorities.
+
+    Plan: the corpus collapses FIRST to distinct ``(source, token)``
+    (one map-side-combined aggregate — shuffled cells are
+    vocabulary-sized, and the Zipf head dies in the combiner); the
+    pair intersection is an inverted-index self-join on token where a
+    token shared by ``s`` sources emits ``s·(s−1)/2`` pairs — bounded
+    by sources², never by corpus size; per-source vocabulary sizes are
+    a second aggregate over the SAME vocabulary relation and broadcast
+    back (source-count rows). No corpus-scale relation is ever joined
+    or re-scanned: scoring runs entirely on vocabulary-sized and
+    source-sized inputs after the first aggregate.
+    """
+    toks = (
+        df.select(
+            F.col(key_col).alias("src"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.select(F.col("src").alias("src_a"), "tok")
+    b = toks.select(F.col("src").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

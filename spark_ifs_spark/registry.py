@@ -2260,6 +2260,36 @@ GROUP BY per_doc.doc_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard — see :func:`~spark_ifs_spark.
+    operators.textstats.source_vocab_overlap` for the inverted-index
+    plan and the sources²-bounded fan-out argument."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.source_vocab_overlap(docs, "source", "text")
+
+
+def sql_source_overlap() -> str:
+    return """
+WITH toks AS (
+  SELECT DISTINCT source AS src, w.tok
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) w
+  WHERE w.tok <> ''
+), sizes AS (
+  SELECT src, count(*) AS n FROM toks GROUP BY src
+), inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = inter.src_a
+JOIN sizes sb ON sb.src = inter.src_b
+"""
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Rademacher random projection of the embeddings down to
     ``PROJ_DIMS`` components — see :func:`~spark_ifs_spark.operators.
@@ -2358,6 +2388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_customers": q_idle_customers,
     "lm_bigram_logprob": q_lm_bigram_logprob,
     "embedding_project": q_embedding_project,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -2425,4 +2456,5 @@ ORACLES: dict[str, str] = {
     "idle_customers": sql_idle_customers(),
     "lm_bigram_logprob": sql_lm_bigram_logprob(),
     "embedding_project": sql_embedding_project(),
+    "source_overlap": sql_source_overlap(),
 }

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from spark_ifs_spark.functions.timeutil import epoch_us
+from spark_ifs_spark.functions.timeutil import ensure_event_time, epoch_us
 
 
 def windowed_event_counts(
@@ -30,7 +30,7 @@ def windowed_event_counts(
     """Tumbling-window counts/sums per event type:
     ``(window_start, window_end, event_type, n_events, sum_value)``."""
     if df.isStreaming:
-        df = df.withWatermark("ts", watermark)
+        df = ensure_event_time(df, "ts").withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -80,7 +80,11 @@ def join_events_to_user_profile(
     profile row. The static side is broadcast per micro-batch — no
     stream state at all, the canonical enrichment topology (stream-stream
     joins are reserved for when BOTH sides are unbounded)."""
-    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    ev = (
+        ensure_event_time(events, "ts").withWatermark("ts", watermark)
+        if events.isStreaming
+        else events
+    )
     return ev.join(F.broadcast(profiles), "user_id", "left")
 
 
@@ -108,9 +112,9 @@ def attribute_events(
     ``tests/test_streaming.py``).
     """
     if lead.isStreaming:
-        lead = lead.withWatermark("ts", watermark)
+        lead = ensure_event_time(lead, "ts").withWatermark("ts", watermark)
     if follow.isStreaming:
-        follow = follow.withWatermark("ts", watermark)
+        follow = ensure_event_time(follow, "ts").withWatermark("ts", watermark)
     l = lead.select(
         F.col(key).alias("user_id"),
         F.col("event_id").alias("lead_id"),
@@ -145,6 +149,7 @@ def dedup_events(df: DataFrame, watermark: str = "1 hour") -> DataFrame:
     input takes the plain ``dropDuplicates`` (one shuffle on the id).
     """
     if df.isStreaming:
+        df = ensure_event_time(df, "ts")
         return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
             ["event_id"]
         )
@@ -159,7 +164,7 @@ def sessionize(
     """Session windows per user: ``(user_id, session_start, session_end,
     n_events, sum_value)`` with a ``gap`` inactivity timeout."""
     if df.isStreaming:
-        df = df.withWatermark("ts", watermark)
+        df = ensure_event_time(df, "ts").withWatermark("ts", watermark)
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(

@@ -29,6 +29,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 STATE_SCHEMA = "n bigint, s double"
@@ -58,4 +59,55 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+class _RunningStatsProcessor(StatefulProcessor):
+    """``StatefulProcessor`` for :func:`running_user_stats_tws` — same
+    (n, s) fold as :func:`_update_user_stats`, expressed against the
+    ``transformWithStateInPandas`` handle API."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("agg", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s = self._state.get() if self._state.exists() else (0, 0.0)
+        for pdf in rows:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+        self._state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """``running_user_stats`` on the ``transformWithStateInPandas``
+    API (Spark 4's successor to ``applyInPandasWithState``): typed named
+    state cells, timer support, and per-cell TTL — the surface a
+    production pipeline wants for entity accumulators that must expire
+    (rate limiters, dedup caches). Semantics here are identical to
+    :func:`running_user_stats` (commutative fold, so the final emission
+    per user equals the batch ``GROUP BY`` whatever the batch order) —
+    parity across BOTH stateful APIs is pinned in
+    ``tests/test_streaming.py``.
+
+    Same topology and state bound as the module docstring: one
+    key-partition shuffle per micro-batch, O(1) state per user.
+
+    Runtime dependency note: ``transformWithStateInPandas`` talks to
+    the JVM state server over a protobuf channel, so it needs the
+    ``protobuf`` Python package at EXECUTION time (plan construction
+    does not). Environments without it should use
+    :func:`running_user_stats` — identical results; the parity test
+    skips itself where protobuf is absent.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningStatsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -319,3 +319,58 @@ def test_attribution_stream_stream_join_equals_batch(spark, events_stream_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_running_user_stats_tws_parity(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas operator ≡ batch GROUP BY (and hence ≡
+    the applyInPandasWithState operator, which has the same pin). The
+    TWS runtime needs the protobuf package for its state-server
+    channel; skip (don't fail) where the environment lacks it."""
+    import pytest
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs the protobuf package")
+
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.streaming.stateful import running_user_stats_tws
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    src = str(tmp_path / "tws_src")
+    ev.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .option("checkpointLocation", str(tmp_path / "tws_ck"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n,"
+            "       max_by(sum_value, n_events) AS s"
+            " FROM tws_stats GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    assert all(
+        got[u][0] == want[u][0] and abs(got[u][1] - want[u][1]) < 1e-6
+        for u in want
+    )
