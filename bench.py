@@ -99,6 +99,7 @@ def main() -> None:
         "lm_bigram_logprob",
         "embedding_project",
         "source_overlap",
+        "events_latest_state",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

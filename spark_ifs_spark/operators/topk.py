@@ -84,3 +84,39 @@ def topk_per_key(
     keys = list(key_cols)
     w = Window.partitionBy(*keys).orderBy(*_order_cols(order_col, descending, tiebreak_cols))
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One row per key: the row with the greatest ``(order_col,
+    tiebreak_cols...)`` — CDC/changelog compaction ("current state of
+    every entity from its event feed"), the first step of turning an
+    append-only event lake into a snapshot table.
+
+    Plan: ``max(struct(order, tiebreaks, payload))`` — ONE hash
+    aggregate with map-side partial combine, so a hot key reduces
+    locally on every input partition before a single shuffled row per
+    (partition, key) moves. Compare the window formulation
+    (``row_number() OVER (PARTITION BY key ORDER BY ...)``): that sorts
+    and shuffles every version of every key to one task — the classic
+    compaction skew-killer when one entity has 10^8 updates. The
+    struct comparison is lexicographic by field order, so ties resolve
+    by the tiebreak columns and the result is deterministic whenever
+    (order, tiebreaks) is unique per key.
+    """
+    keys = list(key_cols)
+    payload = [c for c in df.columns if c not in keys]
+    ordered = F.struct(
+        F.col(order_col).alias("_o"),
+        *[F.col(c).alias(f"_t{i}") for i, c in enumerate(tiebreak_cols)],
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.max(ordered).alias("_best"))
+        .select(*keys, *[F.col(f"_best._p.{c}").alias(c) for c in payload])
+    )

@@ -2260,6 +2260,40 @@ GROUP BY per_doc.doc_id
 """
 
 
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: each user's most recent event — see
+    :func:`~spark_ifs_spark.operators.topk.compact_latest` for why this
+    is one map-combined aggregate and not a window sort."""
+    from spark_ifs_spark.functions.timeutil import epoch_us
+    from spark_ifs_spark.operators.topk import compact_latest
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    out = compact_latest(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        epoch_us(out, "ts").alias("ts_us"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+def sql_events_latest_state() -> str:
+    return """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       round(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard — see :func:`~spark_ifs_spark.
     operators.textstats.source_vocab_overlap` for the inverted-index
@@ -2389,6 +2423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_logprob": q_lm_bigram_logprob,
     "embedding_project": q_embedding_project,
     "source_overlap": q_source_overlap,
+    "events_latest_state": q_events_latest_state,
 }
 
 ORACLES: dict[str, str] = {
@@ -2457,4 +2492,5 @@ ORACLES: dict[str, str] = {
     "lm_bigram_logprob": sql_lm_bigram_logprob(),
     "embedding_project": sql_embedding_project(),
     "source_overlap": sql_source_overlap(),
+    "events_latest_state": sql_events_latest_state(),
 }

@@ -1,0 +1,62 @@
+"""JSONL source/sink: lossless round-trip, corrupt-line capture, strict
+mode, and the no-inference contract."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_jsonl_round_trip(spark, sf_dir, tmp_path):
+    from spark_ifs_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back_rows = read_jsonl(spark, path).collect()
+    assert all(r["_corrupt_record"] is None for r in back_rows)
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r)[:-1] for r in back_rows}
+    assert a == b
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    from spark_ifs_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "ok2", "lang": "en", "source": "s", "n_chars": 3}\n'
+    )
+    rows = read_jsonl(spark, str(p)).collect()
+    # (filtering on _corrupt_record alone is disallowed on raw JSON
+    # scans — QUERY_ONLY_CORRUPT_RECORD_COLUMN — so assert on rows)
+    assert len(rows) == 3
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    assert {r["doc_id"] for r in rows if r["_corrupt_record"] is None} == {1, 2}
+
+
+def test_jsonl_strict_raises(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import SparkUpgradeException
+    from py4j.protocol import Py4JJavaError
+
+    from spark_ifs_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "bad2.jsonl"
+    p.write_text('{"doc_id": 1}\nnot json\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), strict=True).collect()
+
+
+def test_jsonl_schema_is_not_inferred(spark, tmp_path):
+    """The reader must use the supplied schema verbatim (no inference
+    pass): a field absent from the schema is dropped, types follow the
+    DDL not the data."""
+    from spark_ifs_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "extra.jsonl"
+    p.write_text('{"doc_id": 7, "text": "t", "surprise": true}\n')
+    df = read_jsonl(spark, str(p))
+    assert "surprise" not in df.columns
+    assert dict(df.dtypes)["doc_id"] == "bigint"  # DDL type, not inferred
+    assert df.first()["doc_id"] == 7
