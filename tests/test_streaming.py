@@ -374,3 +374,44 @@ def test_running_user_stats_tws_parity(spark, sf_dir, tmp_path):
         got[u][0] == want[u][0] and abs(got[u][1] - want[u][1]) < 1e-6
         for u in want
     )
+
+
+def test_streaming_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed file sink across restarts: a second run over the
+    same source must be a no-op, and a run after new files arrive must
+    emit ONLY the new rows — the exactly-once/idempotent-restart
+    contract a 100 TB event lake depends on (reprocessing after a
+    failure must never double-write history)."""
+    import os
+    import shutil
+
+    from spark_ifs_spark.sources.parquet import load_events
+    from spark_ifs_spark.streaming.events import write_events_stream
+
+    batch = load_events(spark, sf_dir).limit(2000).localCheckpoint(eager=True)
+    half1 = batch.filter(batch["event_id"] % 2 == 0)
+    half2 = batch.filter(batch["event_id"] % 2 == 1)
+
+    src = str(tmp_path / "src")
+    out, ckpt = str(tmp_path / "lake"), str(tmp_path / "ckpt")
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = write_events_stream(stream, out, ckpt)
+        assert q.awaitTermination(120)
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half1.count()
+
+    # restart with nothing new: must write zero rows
+    run()
+    assert spark.read.parquet(out).count() == n1
+
+    # new files arrive; restart picks up ONLY those
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run()
+    back = spark.read.parquet(out)
+    assert back.count() == batch.count()
+    assert back.select("event_id").distinct().count() == batch.count()
