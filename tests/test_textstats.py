@@ -94,3 +94,41 @@ def test_adjacent_pair_counts_single_shuffle(spark):
     # pair construction is map-side: the only exchange feeds the count
     # aggregate (TakeOrdered adds no sort shuffle)
     assert count_exchanges(textstats.adjacent_pair_counts(df, "text")) <= 1
+
+
+def test_bigram_logprob_tiny_corpus(spark):
+    """Hand-checked scores: model trained on the corpus itself,
+    ln(c_pair/c_left) quantized to micronats."""
+    import math
+
+    from spark_ifs_spark.operators.textstats import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c")], "id long, text string"
+    )
+    # corpus bigrams: doc1: (a b), (b a), (a b); doc2: (a b), (b a), (a c)
+    # c_pair: (a b)=3, (b a)=2, (a c)=1 ; c_left: a·=4, b·=2
+    t_ab = math.floor(math.log(3 / 4) * 1e6)
+    t_ba = math.floor(math.log(2 / 2) * 1e6)
+    t_ac = math.floor(math.log(1 / 4) * 1e6)
+    got = {r["id"]: (r["n_bigrams"], r["ll_micronats"]) for r in
+           bigram_logprob(df, "id", "text").collect()}
+    assert got == {
+        1: (3, 2 * t_ab + t_ba),
+        2: (3, t_ab + t_ba + t_ac),
+    }
+
+
+def test_source_vocab_overlap_tiny(spark):
+    from spark_ifs_spark.operators.textstats import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [("s1", "a b c"), ("s2", "b c d"), ("s3", "x")],
+        "source string, text string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in source_vocab_overlap(df, "source", "text").collect()
+    }
+    # s1∩s2={b,c}: 2/(3+3-2)=0.5 ; s3 shares nothing → no rows emitted
+    assert rows == {("s1", "s2"): (2, 3, 3, 0.5)}
