@@ -100,6 +100,7 @@ def main() -> None:
         "embedding_project",
         "source_overlap",
         "events_latest_state",
+        "docs_sample_n",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

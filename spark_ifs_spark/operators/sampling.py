@@ -178,3 +178,39 @@ def cap_per_key(
         descending=descending,
         buckets=buckets,
     )
+
+
+def sample_exact_n(
+    df: DataFrame,
+    id_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` rows, uniformly at random, DETERMINISTIC across
+    runs, engines, cluster sizes, and input orderings — the eval-subset
+    / human-review draw. ``df.sample()`` can't do this (fraction-based,
+    partition-dependent); ``orderBy(rand()).limit(n)`` is neither
+    deterministic nor engine-portable.
+
+    The draw order is the md5 hash of ``(seed, id)`` (ties, i.e. hash
+    collisions, break by id) — a random permutation under the
+    random-oracle view of md5, so the first ``n`` of it are a uniform
+    sample. New corpus versions mostly preserve membership: a document's
+    rank never changes, so the sample only shifts where insertions
+    displace the tail — the stability property backfills want.
+
+    Plan: ``TakeOrdered(n)`` — each task keeps its local top-``n`` by
+    hash and the driver merges per-partition heads; no global sort, no
+    full shuffle, driver traffic is partitions × n rows. Keep ``n`` at
+    human-review scale (the same contract as any top-k); for
+    percent-scale draws use :func:`split_assign`, which is a projection.
+    """
+    if n <= 0:
+        raise ValueError("n must be > 0")
+    h = md5_int60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_h", h)
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_h")
+    )

@@ -70,6 +70,8 @@ ANN_LSH_PLANES = 6
 ANN_LSH_SEED = 42
 PROJ_DIMS = 8
 PROJ_SEED = 7
+SAMPLE_N = 100
+SAMPLE_SEED = 13
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -2294,6 +2296,31 @@ WHERE rn = 1
 """
 
 
+def q_docs_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-N uniform draw — see :func:`~spark_ifs_spark.
+    operators.sampling.sample_exact_n` (hash-ordered TakeOrdered; no
+    global sort)."""
+    from spark_ifs_spark.operators.sampling import sample_exact_n
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_exact_n(docs, "doc_id", SAMPLE_N, SAMPLE_SEED).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def sql_docs_sample_n() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_bucket  # noqa: F401
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    keyed = f"concat('{SAMPLE_SEED}:', CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY {sql_md5_int60(keyed)} ASC, doc_id ASC
+LIMIT {SAMPLE_N}
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary Jaccard — see :func:`~spark_ifs_spark.
     operators.textstats.source_vocab_overlap` for the inverted-index
@@ -2424,6 +2451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_project": q_embedding_project,
     "source_overlap": q_source_overlap,
     "events_latest_state": q_events_latest_state,
+    "docs_sample_n": q_docs_sample_n,
 }
 
 ORACLES: dict[str, str] = {
@@ -2493,4 +2521,5 @@ ORACLES: dict[str, str] = {
     "embedding_project": sql_embedding_project(),
     "source_overlap": sql_source_overlap(),
     "events_latest_state": sql_events_latest_state(),
+    "docs_sample_n": sql_docs_sample_n(),
 }

@@ -164,3 +164,13 @@ def test_bigram_logprob_shuffle_shape(spark, sf_dir):
     # pair-count agg + left-context window + per-doc agg + final doc
     # agg = 4; a 5th would mean a corpus branch got recomputed
     assert count_exchanges(out) <= 5, explain_str(out)
+
+
+def test_sample_exact_n_is_take_ordered(spark, sf_dir):
+    """The deterministic draw must compile to TakeOrdered (per-partition
+    heads merged on the driver), never a global Sort + Limit."""
+    from spark_ifs_spark.operators.sampling import sample_exact_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(sample_exact_n(docs, "doc_id", 50))
+    assert "TakeOrderedAndProject" in plan, plan
