@@ -2192,21 +2192,26 @@ WHERE l.l_quantity < t.threshold
 
 
 def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: well-funded customers who never ordered — a
-    scalar-aggregate threshold plus an anti-join. Plan: the global
-    average is a 1-row aggregate broadcast into the filter (Spark's
-    scalar-subquery execution, written as a crossJoin of a 1-row
-    frame); the NOT EXISTS is a left-anti shuffle join on custkey
-    (big-big safe); the final rollup keys on nationkey — bounded."""
+    """TPC-H Q22 shape: well-funded customers with no URGENT order — a
+    scalar-aggregate threshold plus an anti-join against a filtered
+    subquery (the priority filter pushes to the orders scan and keeps
+    the result non-degenerate on the synthetic data, where every
+    customer has *some* order). Plan: the global average is a 1-row
+    aggregate broadcast into the filter (Spark's scalar-subquery
+    execution, written as a crossJoin of a 1-row frame); the NOT
+    EXISTS is a left-anti shuffle join on custkey (big-big safe); the
+    final rollup keys on nationkey — bounded."""
     cust = _read(spark, sf_dir, "customer")
-    orders = _read(spark, sf_dir, "orders")
+    urgent = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.avg("c_acctbal").alias("avg_bal")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
-        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
@@ -2220,7 +2225,10 @@ def sql_idle_customers() -> str:
 SELECT c_nationkey, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
 FROM customer c
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
 GROUP BY c_nationkey
 """
 
