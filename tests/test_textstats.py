@@ -132,3 +132,28 @@ def test_source_vocab_overlap_tiny(spark):
     }
     # s1∩s2={b,c}: 2/(3+3-2)=0.5 ; s3 shares nothing → no rows emitted
     assert rows == {("s1", "s2"): (2, 3, 3, 0.5)}
+
+
+def test_approx_percentile_swap_within_tolerance(spark, sf_dir):
+    """SCALE.md names approx_percentile as the drop-in for the exact
+    per-group quantiles at corpus scale — show the swap actually lands
+    within its accuracy contract on real data (same plan shape, one
+    grouped aggregate)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r["lang"]: r["p"]
+        for r in docs.groupBy("lang")
+        .agg(F.expr("percentile(n_chars, 0.9)").alias("p"))
+        .collect()
+    }
+    approx = {
+        r["lang"]: r["p"]
+        for r in docs.groupBy("lang")
+        .agg(F.expr("approx_percentile(n_chars, 0.9, 1000)").alias("p"))
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for lang, p in exact.items():
+        assert abs(approx[lang] - p) <= max(0.05 * p, 1.0), (lang, p, approx[lang])
