@@ -101,6 +101,8 @@ def main() -> None:
         "source_overlap",
         "events_latest_state",
         "docs_sample_n",
+        "events_winsorized",
+        "docs_profile",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

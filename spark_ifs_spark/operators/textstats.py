@@ -409,3 +409,35 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def winsorize_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Input columns plus ``{value}_clipped``: per-key quantile clipping
+    (winsorization) — the robust-stats guard against outliers poisoning
+    per-source statistics or per-feature normalizers.
+
+    Plan: per-key [lo, hi] quantiles are ONE grouped aggregate over a
+    cardinality-bounded key space, broadcast-joined back; the clamp is
+    a scan-fused projection. The corpus relation never shuffles. At
+    corpus scale swap ``percentile`` → ``approx_percentile`` (same
+    plan; accuracy contract pinned by
+    ``test_approx_percentile_swap_within_tolerance``).
+    """
+    q = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_qlo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_qhi"),
+    )
+    return (
+        df.join(F.broadcast(q), key_col)
+        .withColumn(
+            f"{value_col}_clipped",
+            F.least(F.greatest(F.col(value_col), F.col("_qlo")), F.col("_qhi")),
+        )
+        .drop("_qlo", "_qhi")
+    )

@@ -2313,6 +2313,73 @@ WHERE rn = 1
 """
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized value sums — see :func:`~spark_ifs_spark.
+    operators.textstats.winsorize_by_key` (bounded quantile aggregate
+    broadcast back; corpus never shuffles)."""
+    from spark_ifs_spark.operators.textstats import winsorize_by_key
+
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize_by_key(ev, "event_type", "value", 0.01, 0.99)
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value_clipped"), 4).alias("sum_clipped"),
+    )
+
+
+def sql_events_winsorized() -> str:
+    return """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS qlo,
+         quantile_cont(value, 0.99) AS qhi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(sum(least(greatest(e.value, q.qlo), q.qhi)), 4) AS sum_clipped
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table in ONE aggregate:
+    per column — null count, distinct count, and (numeric) min/max.
+    The ingest-gate report a pipeline runs before admitting a shard;
+    every statistic folds map-side, so profiling is scan-bound at any
+    corpus size (a second pass would double the 100 TB scan for no
+    reason)."""
+    docs = _read(spark, sf_dir, "documents")
+    aggs = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+        ]
+    aggs += [
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    return docs.agg(*aggs)
+
+
+def sql_docs_profile() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = []
+    for c in cols:
+        parts.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls"
+        )
+        parts.append(f"count(DISTINCT {c}) AS {c}_distinct")
+    parts += [
+        "min(n_chars) AS n_chars_min",
+        "max(n_chars) AS n_chars_max",
+        "count(*) AS n_rows",
+    ]
+    return "SELECT " + ", ".join(parts) + " FROM documents"
+
+
 def q_docs_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-N uniform draw — see :func:`~spark_ifs_spark.
     operators.sampling.sample_exact_n` (hash-ordered TakeOrdered; no
@@ -2469,6 +2536,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "events_latest_state": q_events_latest_state,
     "docs_sample_n": q_docs_sample_n,
+    "events_winsorized": q_events_winsorized,
+    "docs_profile": q_docs_profile,
 }
 
 ORACLES: dict[str, str] = {
@@ -2539,4 +2608,6 @@ ORACLES: dict[str, str] = {
     "source_overlap": sql_source_overlap(),
     "events_latest_state": sql_events_latest_state(),
     "docs_sample_n": sql_docs_sample_n(),
+    "events_winsorized": sql_events_winsorized(),
+    "docs_profile": sql_docs_profile(),
 }
