@@ -228,3 +228,24 @@ def test_contaminated_ids_semantics(spark):
     assert got == [1, 3]
     # n larger than every doc → nothing flagged, no errors
     assert contaminated_ids(corpus, eval_set, "doc_id", "text", n=50).count() == 0
+
+
+def test_sample_exact_n_stable_under_growth(spark, sf_dir):
+    """Determinism + stability: same draw twice; and growing the corpus
+    only displaces members whose hash rank falls past n — survivors of
+    the grown draw that existed before must be exactly the old members
+    that kept rank < n (membership is rank-monotone, never reshuffled)."""
+    from spark_ifs_spark.operators.sampling import sample_exact_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.filter("doc_id % 2 = 0")
+    s1 = {r["doc_id"] for r in sample_exact_n(half, "doc_id", 50).collect()}
+    s2 = {r["doc_id"] for r in sample_exact_n(half, "doc_id", 50).collect()}
+    assert s1 == s2
+
+    grown = {r["doc_id"] for r in sample_exact_n(docs, "doc_id", 50).collect()}
+    # old members still present in the grown draw = old members whose
+    # global rank stayed < n; crucially no NEW even-id member appears
+    # that wasn't in the half-corpus draw (ranks never improve)
+    even_grown = {d for d in grown if d % 2 == 0}
+    assert even_grown <= s1
