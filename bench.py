@@ -103,6 +103,9 @@ def main() -> None:
         "docs_sample_n",
         "events_winsorized",
         "docs_profile",
+        "events_rollup",
+        "docs_length_deciles",
+        "events_type_pivot",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -2380,6 +2380,105 @@ def sql_docs_profile() -> str:
     return "SELECT " + ", ".join(parts) + " FROM documents"
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals in ONE pass: ``ROLLUP(event_type, day)``
+    emits (type, day), (type, ·), and (·, ·) aggregation levels from a
+    single shuffle — the subtotal report that would otherwise be three
+    unioned aggregates scanning the corpus three times. Grouping-set
+    expansion happens map-side; the key space stays bounded
+    (types × days + types + 1)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sql_events_rollup() -> str:
+    return """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+"""
+
+
+def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles via ``ntile(10)`` — the
+    length-bucketing step before padding-efficient batch assembly.
+    The window orders by the unique (n_chars, doc_id) pair, so bucket
+    boundaries are total-order deterministic on both engines; the
+    rollup after it is a bounded aggregate."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def sql_docs_length_deciles() -> str:
+    return """
+SELECT lang, CAST(ntile(10) OVER (
+         PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+       ) AS INT) AS decile, doc_id, n_chars
+FROM documents
+"""  # outer aggregate below
+
+
+def sql_docs_length_deciles_full() -> str:
+    return f"""
+WITH d AS ({sql_docs_length_deciles()})
+SELECT lang, decile, count(*) AS n,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM d GROUP BY lang, decile
+"""
+
+
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational transpose: one row per day, one value column per
+    event type (``df.groupBy().pivot()`` with an EXPLICIT type list —
+    the implicit form runs a distinct-scan first and bakes data into
+    the plan, which a 100 TB pipeline never wants). Compiles to the
+    same single CASE-aggregate pass as the Q12 shape."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["view", "click", "purchase"]
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value"
+        )
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+def sql_events_type_pivot() -> str:
+    arms = ", ".join(
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 4) AS \"{t}\""
+        for t in ["view", "click", "purchase"]
+    )
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, {arms}
+FROM events GROUP BY 1
+"""
+
+
 def q_docs_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-N uniform draw — see :func:`~spark_ifs_spark.
     operators.sampling.sample_exact_n` (hash-ordered TakeOrdered; no
@@ -2538,6 +2637,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_sample_n": q_docs_sample_n,
     "events_winsorized": q_events_winsorized,
     "docs_profile": q_docs_profile,
+    "events_rollup": q_events_rollup,
+    "docs_length_deciles": q_docs_length_deciles,
+    "events_type_pivot": q_events_type_pivot,
 }
 
 ORACLES: dict[str, str] = {
@@ -2610,4 +2712,7 @@ ORACLES: dict[str, str] = {
     "docs_sample_n": sql_docs_sample_n(),
     "events_winsorized": sql_events_winsorized(),
     "docs_profile": sql_docs_profile(),
+    "events_rollup": sql_events_rollup(),
+    "docs_length_deciles": sql_docs_length_deciles_full(),
+    "events_type_pivot": sql_events_type_pivot(),
 }
