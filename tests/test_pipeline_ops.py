@@ -249,3 +249,60 @@ def test_sample_exact_n_stable_under_growth(spark, sf_dir):
     # that wasn't in the half-corpus draw (ranks never improve)
     even_grown = {d for d in grown if d % 2 == 0}
     assert even_grown <= s1
+
+
+def test_winsorize_bounds_and_row_preservation(spark, sf_dir):
+    """Clipped values live in [p_lo, p_hi] of their key group; no rows
+    are gained or lost by the broadcast-join plan."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.textstats import winsorize_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+    w = winsorize_by_key(ev, "event_type", "value", 0.05, 0.95)
+    assert w.count() == ev.count()
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    bad = (
+        w.join(q, "event_type")
+        .filter((F.col("value_clipped") < F.col("lo")) | (F.col("value_clipped") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_rollup_levels_are_consistent(spark, sf_dir):
+    """ROLLUP invariants: each (type, NULL) subtotal equals the sum of
+    its (type, day) rows, and the grand-total row equals the sum of the
+    subtotals — one shuffle produced all three levels coherently."""
+    from spark_ifs_spark.registry import q_events_rollup
+
+    rows = q_events_rollup(spark, sf_dir).collect()
+    days = {}
+    subtotals = {}
+    grand = None
+    for r in rows:
+        if r["event_type"] is None and r["day"] is None:
+            grand = r["n"]
+        elif r["day"] is None:
+            subtotals[r["event_type"]] = r["n"]
+        else:
+            days[r["event_type"]] = days.get(r["event_type"], 0) + r["n"]
+    assert days == subtotals
+    assert grand == sum(subtotals.values())
+
+
+def test_compact_latest_is_idempotent(spark, sf_dir):
+    """Compacting a compacted table is the identity."""
+    from spark_ifs_spark.operators.topk import compact_latest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    once = compact_latest(ev, ["user_id"], "ts", ["event_id"])
+    twice = compact_latest(once, ["user_id"], "ts", ["event_id"])
+    a = {tuple(r) for r in once.collect()}
+    b = {tuple(r) for r in twice.collect()}
+    assert a == b
