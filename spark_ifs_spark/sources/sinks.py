@@ -86,3 +86,44 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int = 64,
+    seed: int = 42,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Deterministic shard layout for training-data delivery: every row
+    lands in shard ``md5(seed, id) % n_shards`` — membership is a pure
+    function of (seed, id), so re-runs, backfills, and other engines
+    produce byte-identical shard assignment (the property data loaders
+    and resumable training jobs rely on). Returns the manifest
+    ``(shard, n_rows)`` the loader checks against.
+
+    Plan: the shard key is a scan-fused projection; one
+    ``repartition(shard)`` shuffle groups each shard's rows so
+    ``partitionBy`` emits ONE file per shard (without it every task
+    writes a sliver of every shard — n_tasks × n_shards files, the
+    classic small-files explosion); the manifest is a bounded aggregate
+    on the same key.
+    """
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    shard = (
+        md5_int60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+        % F.lit(n_shards)
+    ).cast("int")
+    tagged = df.withColumn("shard", shard)
+    (
+        tagged.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+    return tagged.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -46,3 +46,32 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_training_shards_deterministic_layout(spark, sf_dir, tmp_path):
+    """Shard membership is a pure function of (seed, id): re-writing
+    yields the identical manifest; each shard dir reads back exactly
+    its own members; shard count is bounded by n_shards."""
+    import os
+
+    from spark_ifs_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1, p2 = str(tmp_path / "sh1"), str(tmp_path / "sh2")
+    m1 = {r["shard"]: r["n_rows"] for r in
+          write_training_shards(docs, "doc_id", p1, n_shards=8).collect()}
+    m2 = {r["shard"]: r["n_rows"] for r in
+          write_training_shards(docs, "doc_id", p2, n_shards=8).collect()}
+    assert m1 == m2 and sum(m1.values()) == docs.count()
+    dirs = [d for d in os.listdir(p1) if d.startswith("shard=")]
+    assert 0 < len(dirs) <= 8
+
+    # one data file per shard (repartition before partitionBy)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(p1, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(p1)
+    assert back.count() == docs.count()
+    one = back.filter(back["shard"] == sorted(m1)[0])
+    assert one.count() == m1[sorted(m1)[0]]
