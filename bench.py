@@ -106,6 +106,7 @@ def main() -> None:
         "events_rollup",
         "docs_length_deciles",
         "events_type_pivot",
+        "corpus_diff",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

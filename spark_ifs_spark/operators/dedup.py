@@ -452,3 +452,34 @@ def contaminated_ids(
         .select("id")
         .distinct()
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fp_col: str,
+) -> DataFrame:
+    """``(id, status)`` over two corpus snapshots: ``added`` (id only in
+    ``new``), ``removed`` (only in ``old``), ``changed`` (both, content
+    fingerprint differs), ``unchanged`` — the snapshot diff that decides
+    what an incremental pipeline run must reprocess (changed ∪ added)
+    and retract (removed).
+
+    Plan: ONE full-outer shuffle join on the id over (id, fingerprint)
+    projections — content never rides the join, only digests (compute
+    ``fp_col`` with :func:`~spark_ifs_spark.operators.textstats.
+    fingerprint` upstream so the shuffled rows are two small columns).
+    Both sides co-partition on the id, so snapshots maintained with the
+    bucketed sink diff with no Exchange at all.
+    """
+    o = old.select(F.col(id_col).alias("id"), F.col(fp_col).alias("_fp_old"))
+    n = new.select(F.col(id_col).alias("id"), F.col(fp_col).alias("_fp_new"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("id", status.alias("status"))

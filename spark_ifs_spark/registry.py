@@ -2380,6 +2380,65 @@ def sql_docs_profile() -> str:
     return "SELECT " + ", ".join(parts) + " FROM documents"
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the documents table and a derived "next
+    version" (drop ``id % 7 == 0``, rewrite ``id % 11 == 0``, append
+    re-keyed copies) — one full-outer digest join; see
+    :func:`~spark_ifs_spark.operators.dedup.corpus_diff`. Reported as
+    bounded per-status counts."""
+    from spark_ifs_spark.operators.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    old = fingerprint(docs, "doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # ordered limit → TakeOrdered: deterministic, unlike a bare limit
+    appended = (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    new = fingerprint(edited.unionByName(appended), "doc_id", "text")
+    # fingerprint() aliases the id column to "id"
+    return (
+        dedup.corpus_diff(old, new, "id", "fp")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_corpus_diff() -> str:
+    return """
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         text
+  FROM documents
+), new_docs AS (
+  SELECT id, CASE WHEN id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM fp WHERE id % 7 != 0
+  UNION ALL
+  SELECT id + 10000000 AS id, text
+  FROM (SELECT id, text FROM fp ORDER BY id LIMIT 50)
+), new_fp AS (
+  SELECT id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM new_docs
+)
+SELECT CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n
+FROM fp o FULL OUTER JOIN new_fp n USING (id)
+GROUP BY 1
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals in ONE pass: ``ROLLUP(event_type, day)``
     emits (type, day), (type, ·), and (·, ·) aggregation levels from a
@@ -2640,6 +2699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "docs_length_deciles": q_docs_length_deciles,
     "events_type_pivot": q_events_type_pivot,
+    "corpus_diff": q_corpus_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -2715,4 +2775,5 @@ ORACLES: dict[str, str] = {
     "events_rollup": sql_events_rollup(),
     "docs_length_deciles": sql_docs_length_deciles_full(),
     "events_type_pivot": sql_events_type_pivot(),
+    "corpus_diff": sql_corpus_diff(),
 }
