@@ -107,6 +107,8 @@ def main() -> None:
         "docs_length_deciles",
         "events_type_pivot",
         "corpus_diff",
+        "events_props_json",
+        "unconverted_views",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

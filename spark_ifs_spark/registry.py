@@ -2439,6 +2439,77 @@ GROUP BY 1
 """
 
 
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column with
+    an EXPLICIT schema (``from_json`` — schema inference over a 100 TB
+    JSON column is a second full scan, same rule as the JSONL source)
+    and aggregate on the extracted field. The parse is a scan-fused
+    projection; the aggregate keys on event_type — bounded."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json("props", "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+def sql_events_props_json() -> str:
+    return """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+def q_unconverted_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-interval join: views with NO same-user click inside the
+    30-minute horizon — attribution's complement (the funnel-drop
+    report). Plan: left-anti join with an equi key (user) plus the
+    event-time range condition; Spark executes the equi part as a
+    hash/sort-merge anti join and evaluates the range residual per
+    matched key group — never a cartesian. Rolled up per user, bounded
+    output."""
+    ev = _read(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    unconv = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 30 minutes")),
+        "left_anti",
+    )
+    return unconv.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_unconverted")
+    )
+
+
+def sql_unconverted_views() -> str:
+    return """
+SELECT v.user_id, count(*) AS n_unconverted
+FROM events v
+WHERE v.event_type = 'view'
+  AND NOT EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = v.user_id
+      AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+  )
+GROUP BY v.user_id
+"""
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals in ONE pass: ``ROLLUP(event_type, day)``
     emits (type, day), (type, ·), and (·, ·) aggregation levels from a
@@ -2700,6 +2771,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_deciles": q_docs_length_deciles,
     "events_type_pivot": q_events_type_pivot,
     "corpus_diff": q_corpus_diff,
+    "events_props_json": q_events_props_json,
+    "unconverted_views": q_unconverted_views,
 }
 
 ORACLES: dict[str, str] = {
@@ -2776,4 +2849,6 @@ ORACLES: dict[str, str] = {
     "docs_length_deciles": sql_docs_length_deciles_full(),
     "events_type_pivot": sql_events_type_pivot(),
     "corpus_diff": sql_corpus_diff(),
+    "events_props_json": sql_events_props_json(),
+    "unconverted_views": sql_unconverted_views(),
 }
