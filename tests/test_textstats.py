@@ -157,3 +157,15 @@ def test_approx_percentile_swap_within_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for lang, p in exact.items():
         assert abs(approx[lang] - p) <= max(0.05 * p, 1.0), (lang, p, approx[lang])
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The HLL++ swap for exact distinct counts (vocabulary size, user
+    counts) at corpus scale — pin its rsd contract on real data."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t")).filter("t <> ''")
+    exact = toks.select(F.countDistinct("t").alias("n")).first()["n"]
+    approx = toks.select(F.approx_count_distinct("t", 0.02).alias("n")).first()["n"]
+    assert abs(approx - exact) <= max(0.06 * exact, 5), (exact, approx)
