@@ -2622,7 +2622,6 @@ def q_docs_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_docs_sample_n() -> str:
-    from spark_ifs_spark.operators.sampling import sql_split_bucket  # noqa: F401
     from spark_ifs_spark.functions.hashing import sql_md5_int60
 
     keyed = f"concat('{SAMPLE_SEED}:', CAST(doc_id AS VARCHAR))"
