@@ -109,6 +109,7 @@ def main() -> None:
         "corpus_diff",
         "events_props_json",
         "unconverted_views",
+        "events_cube",
     ]
 
     # min-of-2 per query (the protocol B5 always used, extended to every

@@ -2539,6 +2539,35 @@ GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
 """
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, weekday): all four aggregation levels —
+    (t,w), (t,·), (·,w), (·,·) — from ONE shuffle, completing the
+    grouping-sets family next to ROLLUP (which omits (·,w)). Key space
+    stays types × 7 + types + 7 + 1."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.date_format("ts", "E").alias("weekday"), "value"
+        )
+        .cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sql_events_cube() -> str:
+    # DuckDB strftime('%a') gives the same abbreviated weekday names as
+    # Spark's 'E' pattern under the C/POSIX default locale
+    return """
+SELECT event_type, strftime(ts, '%a') AS weekday,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, strftime(ts, '%a'))
+"""
+
+
 def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language length deciles via ``ntile(10)`` — the
     length-bucketing step before padding-efficient batch assembly.
@@ -2772,6 +2801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_diff": q_corpus_diff,
     "events_props_json": q_events_props_json,
     "unconverted_views": q_unconverted_views,
+    "events_cube": q_events_cube,
 }
 
 ORACLES: dict[str, str] = {
@@ -2850,4 +2880,5 @@ ORACLES: dict[str, str] = {
     "corpus_diff": sql_corpus_diff(),
     "events_props_json": sql_events_props_json(),
     "unconverted_views": sql_unconverted_views(),
+    "events_cube": sql_events_cube(),
 }
