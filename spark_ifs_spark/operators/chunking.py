@@ -103,6 +103,10 @@ def pack_chunks(
     """
     if target_tokens <= 0:
         raise ValueError("target_tokens must be > 0")
+    if isinstance(partition_cols, str):  # bare string iterates per-char
+        partition_cols = [partition_cols]
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
     w = (
         Window.partitionBy(*partition_cols)
         .orderBy(*[F.col(c).asc() for c in order_cols])

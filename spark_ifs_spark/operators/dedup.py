@@ -36,7 +36,7 @@ from spark_ifs_spark.functions.hashing import (
 )
 
 
-def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
+def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str] | str) -> DataFrame:
     """Groups by the dedup key; returns ``(keep_id, n_dups)`` — the
     smallest id in each group and the group size.
 
@@ -44,6 +44,8 @@ def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
     exactness; at 100 TB swap the key for ``md5(concat_ws(...))`` first
     so the shuffle carries digests, not document bodies.
     """
+    if isinstance(key_cols, str):  # a bare string would iterate per-char
+        key_cols = [key_cols]
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
     ).select("keep_id", "n_dups")

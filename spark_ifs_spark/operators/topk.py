@@ -53,7 +53,7 @@ def salted_topk_per_key(
     global top-k is contained in the union of its per-salt top-ks under
     any assignment.
     """
-    keys = list(key_cols)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     order = _order_cols(order_col, descending, tiebreak_cols)
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
     w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
@@ -81,7 +81,7 @@ def topk_per_key(
 ) -> DataFrame:
     """Single-stage window top-k (the small-data / unskewed baseline;
     semantically identical to :func:`salted_topk_per_key`)."""
-    keys = list(key_cols)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     w = Window.partitionBy(*keys).orderBy(*_order_cols(order_col, descending, tiebreak_cols))
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -108,7 +108,7 @@ def compact_latest(
     by the tiebreak columns and the result is deterministic whenever
     (order, tiebreaks) is unique per key.
     """
-    keys = list(key_cols)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload = [c for c in df.columns if c not in keys]
     ordered = F.struct(
         F.col(order_col).alias("_o"),

@@ -306,3 +306,38 @@ def test_compact_latest_is_idempotent(spark, sf_dir):
     a = {tuple(r) for r in once.collect()}
     b = {tuple(r) for r in twice.collect()}
     assert a == b
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Library surface on 0-row inputs: every operator must return an
+    empty (or identity) result, never raise — an incremental pipeline's
+    first run and quiet-period batches are empty inputs."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.chunking import chunk_documents, pack_chunks
+    from spark_ifs_spark.operators.dedup import corpus_diff, exact_dedup, word_shingles
+    from spark_ifs_spark.operators.sampling import sample_exact_n, weighted_mix
+    from spark_ifs_spark.operators.textstats import (
+        bigram_logprob,
+        source_vocab_overlap,
+        winsorize_by_key,
+    )
+    from spark_ifs_spark.operators.topk import compact_latest
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string, n_chars long"
+    )
+    assert word_shingles(docs, "doc_id", "text").count() == 0
+    assert bigram_logprob(docs, "doc_id", "text").count() == 0
+    assert source_vocab_overlap(docs, "source", "text").count() == 0
+    # bare string for a Sequence[str] param must mean one column
+    assert exact_dedup(docs, "doc_id", "text").count() == 0
+    assert sample_exact_n(docs, "doc_id", 10).count() == 0
+    assert weighted_mix(docs, "doc_id", "source", "n_chars", {"s": 100}).count() == 0
+    assert compact_latest(docs, ["source"], "n_chars", ["doc_id"]).count() == 0
+    assert winsorize_by_key(docs, "source", "n_chars").count() == 0
+    ch = chunk_documents(docs, "doc_id", "text", 8, 2)
+    assert ch.count() == 0
+    assert pack_chunks(ch, ["id"], "n_tokens", 64).count() == 0
+    fp = docs.select(F.col("doc_id").alias("id"), F.lit("x").alias("fp"))
+    assert corpus_diff(fp, fp, "id", "fp").count() == 0
