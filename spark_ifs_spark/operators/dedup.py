@@ -83,37 +83,59 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
 
 
+def ngram_candidates(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Distinct co-shingled ``(id_a, id_b)`` candidates (``id_a < id_b``)
+    from a ``(id, sh)`` shingle relation, with the inverted-index join
+    gated by shingle document frequency: a stop-shingle present in a
+    large corpus fraction contributes ~DF² candidate rows, so shingles
+    with ``DF > max_df`` are excluded from CANDIDACY (scoring still uses
+    every shingle — see :func:`ngram_jaccard_pairs`). The DF aggregate is
+    one extra hash ``groupBy`` over the shingle relation — linear work
+    that buys out the quadratic blowup. ``max_df=None`` disables the cap.
+    """
+    cand_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        cand_sh = sh.join(rare, "sh")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard ≥ threshold:
     ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
 
-    Exact (not approximate): candidate pairs come from the shingle
-    inverted index, so only pairs sharing ≥1 shingle are scored —
-    sub-quadratic whenever shingles are selective. For corpora where even
-    that explodes (stop-shingles), use :func:`minhash_lsh_pairs`.
+    Candidate pairs come from the shingle inverted index gated by a
+    document-frequency cap (:func:`ngram_candidates`): only pairs
+    sharing ≥1 shingle with ``DF ≤ max_df`` are scored. Scoring itself
+    is EXACT over the full shingle sets — the cap gates candidacy, never
+    the Jaccard arithmetic — so the only pairs ever missed are those
+    whose entire overlap is stop-shingles (which at ``threshold ≥ 0.5``
+    means near-duplicate boilerplate; raise ``max_df`` or use
+    :func:`minhash_lsh_pairs` if those matter).
     """
-    # the shingle relation feeds three consumers (sizes + both join
-    # sides); persist so the tokenize/join chain runs once
+    # the shingle relation feeds four consumers (DF cap, candidates,
+    # sizes, verify); persist so the tokenize chain runs once
     sh = word_shingles(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    cand = ngram_candidates(sh, max_df)
+    return _jaccard_verify(cand, sh, sh, threshold)
 
 
 def minhash_signatures(

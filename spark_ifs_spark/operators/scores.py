@@ -66,6 +66,10 @@ def mi_codes(ai: np.ndarray, bi: np.ndarray, nb: int, n: int) -> float:
     """
     assert ai.shape == bi.shape, f"code vectors differ: {ai.shape} vs {bi.shape}"
     assert n == ai.size, f"n={n} does not match {ai.size} rows"
+    assert bi.size == 0 or int(bi.max()) < nb, (
+        f"nb={nb} does not bound codes in bi (max {int(bi.max())}); "
+        "a too-small nb collides joint-table cells into silently wrong MI"
+    )
     if n == 0:  # same empty-input answer as mi_vec
         return 0.0
     pa = np.bincount(ai).astype(np.float64) / n

@@ -25,6 +25,9 @@ table, which *is* the conventional encoding at scale: ``label`` +
 
 from __future__ import annotations
 
+import atexit
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +61,7 @@ MRMR_K = 5
 EMB_DIMS = 64
 NGRAM_N = 3
 JACCARD_THRESHOLD = 0.5
+NGRAM_MAX_DF = 1000
 MINHASH_HASHES = 16
 MINHASH_ROWS_PER_BAND = 2
 SIMHASH_BITS = 60
@@ -74,8 +78,20 @@ SAMPLE_N = 100
 SAMPLE_SEED = 13
 
 #: per-session memo of the staged 2-file streaming source for
-#: q_events_user_stats (see there)
-_USER_STATS_STAGED: dict[str, str] = {}
+#: q_events_user_stats, keyed by (sf_dir, source-file mtime) so an
+#: in-session change to the events parquet restages instead of reading
+#: stale data. Dirs are removed at interpreter exit (atexit) — the memo
+#: exists to make repeat timings measure the stream, not the staging.
+_USER_STATS_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_staged_dirs() -> None:
+    import shutil
+
+    for src in _USER_STATS_STAGED.values():
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    _USER_STATS_STAGED.clear()
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -343,25 +359,36 @@ sh AS (
   JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
 )"""
 
-_SQL_JACCARD_FROM_SH = f"""
-sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
-inter AS (
-  SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
-  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
-  GROUP BY 1, 2
-)"""
-
-
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD)
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def sql_dedup_ngram_jaccard() -> str:
+    # Same semantics as the Spark side: candidate pairs require a shared
+    # shingle with DF <= NGRAM_MAX_DF; the Jaccard itself is exact over
+    # ALL shingles of the candidate pair.
     return f"""
 WITH {_SQL_SHINGLES},
-{_SQL_JACCARD_FROM_SH}
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM sh x
+  JOIN sh y ON x.sh = y.sh AND x.id < y.id
+  JOIN dfreq d ON d.sh = x.sh
+  WHERE d.df <= {NGRAM_MAX_DF}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.id_a
+  JOIN sh y ON y.id = c.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
 SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
@@ -1081,12 +1108,21 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select("user_id", "value")
     name = f"user_stats_{uuid.uuid4().hex[:8]}"
     # the 2-file staged source is identical across calls in a session —
-    # memoize it (repeat timings then measure the stream, not the stage)
-    src = _USER_STATS_STAGED.get(sf_dir)
+    # memoize it (repeat timings then measure the stream, not the stage).
+    # Keyed on source mtime so in-session data changes restage; stale
+    # entries for the same sf_dir are removed eagerly, the rest at exit.
+    mtime = os.path.getmtime(_t(sf_dir, "events"))
+    key = (sf_dir, mtime)
+    src = _USER_STATS_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        for old_key in [k for k in _USER_STATS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_USER_STATS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
         src = os.path.join(tempfile.mkdtemp(prefix="sis_stateful_"), "src")
         ev.repartition(2).write.mode("overwrite").parquet(src)
-        _USER_STATS_STAGED[sf_dir] = src
+        _USER_STATS_STAGED[key] = src
     d = tempfile.mkdtemp(prefix="sis_stateful_ckpt_")
     try:
         stream = (
@@ -2343,12 +2379,17 @@ GROUP BY e.event_type
 
 
 def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality profile of the documents table in ONE aggregate:
-    per column — null count, distinct count, and (numeric) min/max.
-    The ingest-gate report a pipeline runs before admitting a shard;
-    every statistic folds map-side, so profiling is scan-bound at any
-    corpus size (a second pass would double the 100 TB scan for no
-    reason)."""
+    """Data-quality profile of the documents table in ONE aggregate
+    expression: per column — null count, distinct count, and (numeric)
+    min/max. The ingest-gate report a pipeline runs before admitting a
+    shard. Plan shape, honestly: the five exact ``countDistinct`` columns
+    compile to Catalyst's Expand-based multi-distinct (each input row is
+    replicated ~6× and shuffled on the distinct keys), so this is one
+    scan but NOT a purely map-side fold. That is the price of exact
+    distinct counts the DuckDB oracle can reproduce; at 100 TB swap each
+    ``countDistinct`` for ``approx_count_distinct`` (HLL++ sketches fold
+    map-side, collapsing the plan to a single partial aggregate — same
+    swap documented for dedup digests)."""
     docs = _read(spark, sf_dir, "documents")
     aggs = []
     for c in ["doc_id", "text", "lang", "source", "n_chars"]:
@@ -2725,57 +2766,15 @@ GROUP BY e.vec_id, sg.k
 """
 
 
+# Registry order matters: the driver's correctness gate checks a positional
+# window of the first 50 entries. Round 3 gated entries 1-50 of the old
+# ordering; round 4 rotates the 26 never-gated queries (plus any new ones)
+# to the front so that across rounds every query earns a hard driver-side
+# CORRECTNESS row. Entries beyond the window stay oracle-verified locally by
+# tests/test_entry_oracle.py, which replicates the driver's gate per query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "mi_pair_lineitem": q_mi_pair_lineitem,
-    "mi_relevance": q_mi_relevance,
-    "mi_matrix": q_mi_matrix,
-    "mrmr_top1": q_mrmr_top1,
-    "mrmr_select_k5": q_mrmr_select_k5,
-    "mrmr_miq_k5": q_mrmr_miq_k5,
-    "row_select_k5": q_row_select_k5,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_embedding": q_dedup_embedding,
-    "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
-    "ann_topk": q_ann_topk,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "embedding_top_pairs": q_embedding_top_pairs,
-    "text_token_counts": q_text_token_counts,
-    "text_quality": q_text_quality,
-    "text_repetition": q_text_repetition,
-    "corpus_clean": q_corpus_clean,
-    "vocab_top50": q_vocab_top50,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "multimodal_features": q_multimodal_features,
-    "events_daily": q_events_daily,
-    "events_sessionize": q_events_sessionize,
-    "events_user_stats": q_events_user_stats,
-    "lineitem_pricing": q_lineitem_pricing,
-    "nation_revenue": q_nation_revenue,
-    "priority_orders": q_priority_orders,
-    "events_topk_per_type": q_events_topk_per_type,
-    "events_asof_signup": q_events_asof_signup,
-    "events_attribution": q_events_attribution,
-    "events_rolling_7d": q_events_rolling_7d,
-    "supplier_diversity": q_supplier_diversity,
-    "split_counts": q_split_counts,
-    "docs_cap_per_source": q_docs_cap_per_source,
-    "scrub_pii": q_scrub_pii,
-    "doc_chunks": q_doc_chunks,
-    "packed_bins": q_packed_bins,
-    "decontam_ids": q_decontam_ids,
-    "tfidf_top3": q_tfidf_top3,
-    "doc_length_quantiles": q_doc_length_quantiles,
-    "kmeans_step": q_kmeans_step,
-    "dup_clusters": q_dup_clusters,
-    "dedup_spans": q_dedup_spans,
-    "dedup_incremental": q_dedup_incremental,
-    "pipeline_end_to_end": q_pipeline_end_to_end,
-    "mix_by_source": q_mix_by_source,
+    # --- new in round 4 (never gated) ---
+    # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2802,59 +2801,63 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_json": q_events_props_json,
     "unconverted_views": q_unconverted_views,
     "events_cube": q_events_cube,
+    # --- gated green in round 3; most load-bearing kept inside the window ---
+    "mi_pair_lineitem": q_mi_pair_lineitem,
+    "mi_relevance": q_mi_relevance,
+    "mi_matrix": q_mi_matrix,
+    "mrmr_top1": q_mrmr_top1,
+    "mrmr_select_k5": q_mrmr_select_k5,
+    "mrmr_miq_k5": q_mrmr_miq_k5,
+    "row_select_k5": q_row_select_k5,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_bucketed": q_dedup_embedding_bucketed,
+    "dedup_spans": q_dedup_spans,
+    "dedup_incremental": q_dedup_incremental,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "events_daily": q_events_daily,
+    "events_sessionize": q_events_sessionize,
+    "events_user_stats": q_events_user_stats,
+    "pipeline_end_to_end": q_pipeline_end_to_end,
+    "dup_clusters": q_dup_clusters,
+    "kmeans_step": q_kmeans_step,
+    # --- gated green in round 3; beyond the window this round ---
+    "embedding_top_pairs": q_embedding_top_pairs,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
+    "corpus_clean": q_corpus_clean,
+    "vocab_top50": q_vocab_top50,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "lineitem_pricing": q_lineitem_pricing,
+    "nation_revenue": q_nation_revenue,
+    "priority_orders": q_priority_orders,
+    "events_topk_per_type": q_events_topk_per_type,
+    "events_asof_signup": q_events_asof_signup,
+    "events_attribution": q_events_attribution,
+    "events_rolling_7d": q_events_rolling_7d,
+    "supplier_diversity": q_supplier_diversity,
+    "split_counts": q_split_counts,
+    "docs_cap_per_source": q_docs_cap_per_source,
+    "scrub_pii": q_scrub_pii,
+    "doc_chunks": q_doc_chunks,
+    "packed_bins": q_packed_bins,
+    "decontam_ids": q_decontam_ids,
+    "tfidf_top3": q_tfidf_top3,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "mix_by_source": q_mix_by_source,
 }
 
 ORACLES: dict[str, str] = {
-    "mi_pair_lineitem": sql_mi_pair_lineitem(),
-    "mi_relevance": sql_mi_relevance(),
-    "mi_matrix": sql_mi_matrix(),
-    "mrmr_top1": sql_mrmr_top1(),
-    "mrmr_select_k5": sql_mrmr_select_k5(),
-    "mrmr_miq_k5": sql_mrmr_miq_k5(),
-    "row_select_k5": sql_mrmr_select_k5(),  # alternate encoding ≡ conventional
-    "dedup_exact": sql_dedup_exact(),
-    "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
-    "dedup_minhash": sql_dedup_minhash(),
-    "dedup_simhash": sql_dedup_simhash(),
-    "dedup_embedding": sql_dedup_embedding(),
-    "dedup_embedding_bucketed": sql_dedup_embedding(),  # distributed plan ≡ exact oracle
-    "ann_topk": sql_ann_topk(),
-    "ann_topk_ivf": sql_ann_topk_ivf(),
-    "ann_topk_lsh": sql_ann_topk_lsh(),
-    "embedding_top_pairs": sql_embedding_top_pairs(),
-    "text_token_counts": sql_text_token_counts(),
-    "text_quality": sql_text_quality(),
-    "text_repetition": sql_text_repetition(),
-    "corpus_clean": sql_corpus_clean(),
-    "vocab_top50": sql_vocab_top50(),
-    "lang_id": sql_lang_id(),
-    "doc_fingerprint": sql_doc_fingerprint(),
-    "multimodal_features": sql_multimodal_features(),
-    "events_daily": sql_events_daily(),
-    "events_sessionize": sql_events_sessionize(),
-    "events_user_stats": sql_events_user_stats(),
-    "lineitem_pricing": sql_lineitem_pricing(),
-    "nation_revenue": sql_nation_revenue(),
-    "priority_orders": sql_priority_orders(),
-    "events_topk_per_type": sql_events_topk_per_type(),
-    "events_asof_signup": sql_events_asof_signup(),
-    "events_attribution": sql_events_attribution(),
-    "events_rolling_7d": sql_events_rolling_7d(),
-    "supplier_diversity": sql_supplier_diversity(),
-    "split_counts": sql_split_counts(),
-    "docs_cap_per_source": sql_docs_cap_per_source(),
-    "scrub_pii": sql_scrub_pii(),
-    "doc_chunks": sql_doc_chunks(),
-    "packed_bins": sql_packed_bins(),
-    "decontam_ids": sql_decontam_ids(),
-    "tfidf_top3": sql_tfidf_top3(),
-    "doc_length_quantiles": sql_doc_length_quantiles(),
-    "kmeans_step": sql_kmeans_step(),
-    "dup_clusters": sql_dup_clusters(),
-    "dedup_spans": sql_dedup_spans(),
-    "dedup_incremental": sql_dedup_incremental(),
-    "pipeline_end_to_end": sql_pipeline_end_to_end(),
-    "mix_by_source": sql_mix_by_source(),
+    # --- new in round 4 (never gated) ---
+    # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),
     "bpe_token_counts": sql_bpe_token_counts(),
@@ -2881,4 +2884,56 @@ ORACLES: dict[str, str] = {
     "events_props_json": sql_events_props_json(),
     "unconverted_views": sql_unconverted_views(),
     "events_cube": sql_events_cube(),
+    # --- gated green in round 3; most load-bearing kept inside the window ---
+    "mi_pair_lineitem": sql_mi_pair_lineitem(),
+    "mi_relevance": sql_mi_relevance(),
+    "mi_matrix": sql_mi_matrix(),
+    "mrmr_top1": sql_mrmr_top1(),
+    "mrmr_select_k5": sql_mrmr_select_k5(),
+    "mrmr_miq_k5": sql_mrmr_miq_k5(),
+    "row_select_k5": sql_mrmr_select_k5(),  # alternate encoding ≡ conventional
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_ngram_jaccard": sql_dedup_ngram_jaccard(),
+    "dedup_minhash": sql_dedup_minhash(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "dedup_embedding": sql_dedup_embedding(),
+    "dedup_embedding_bucketed": sql_dedup_embedding(),  # distributed plan ≡ exact oracle
+    "dedup_spans": sql_dedup_spans(),
+    "dedup_incremental": sql_dedup_incremental(),
+    "ann_topk": sql_ann_topk(),
+    "ann_topk_ivf": sql_ann_topk_ivf(),
+    "ann_topk_lsh": sql_ann_topk_lsh(),
+    "events_daily": sql_events_daily(),
+    "events_sessionize": sql_events_sessionize(),
+    "events_user_stats": sql_events_user_stats(),
+    "pipeline_end_to_end": sql_pipeline_end_to_end(),
+    "dup_clusters": sql_dup_clusters(),
+    "kmeans_step": sql_kmeans_step(),
+    # --- gated green in round 3; beyond the window this round ---
+    "embedding_top_pairs": sql_embedding_top_pairs(),
+    "text_token_counts": sql_text_token_counts(),
+    "text_quality": sql_text_quality(),
+    "text_repetition": sql_text_repetition(),
+    "corpus_clean": sql_corpus_clean(),
+    "vocab_top50": sql_vocab_top50(),
+    "lang_id": sql_lang_id(),
+    "doc_fingerprint": sql_doc_fingerprint(),
+    "multimodal_features": sql_multimodal_features(),
+    "lineitem_pricing": sql_lineitem_pricing(),
+    "nation_revenue": sql_nation_revenue(),
+    "priority_orders": sql_priority_orders(),
+    "events_topk_per_type": sql_events_topk_per_type(),
+    "events_asof_signup": sql_events_asof_signup(),
+    "events_attribution": sql_events_attribution(),
+    "events_rolling_7d": sql_events_rolling_7d(),
+    "supplier_diversity": sql_supplier_diversity(),
+    "split_counts": sql_split_counts(),
+    "docs_cap_per_source": sql_docs_cap_per_source(),
+    "scrub_pii": sql_scrub_pii(),
+    "doc_chunks": sql_doc_chunks(),
+    "packed_bins": sql_packed_bins(),
+    "decontam_ids": sql_decontam_ids(),
+    "tfidf_top3": sql_tfidf_top3(),
+    "doc_length_quantiles": sql_doc_length_quantiles(),
+    "mix_by_source": sql_mix_by_source(),
 }

@@ -44,6 +44,38 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert (0, 2) not in got
 
 
+def test_ngram_df_cap_keeps_candidates_subquadratic(spark):
+    """Adversarial stop-shingle fixture: one shingle shared by 50% of a
+    200-doc corpus. Uncapped, the inverted-index self-join emits
+    ~100·99/2 ≈ 4950 candidate pairs from that shingle alone; with the
+    DF cap the stop-shingle never reaches the join, so candidacy falls
+    to only genuinely co-shingled (rare-overlap) pairs."""
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:  # 100 docs share the "common header three" shingle
+            rows.append((i, f"common header three unique{i} tail{i} words{i}"))
+        else:
+            rows.append((i, f"distinct{i} body{i} text{i} only{i} here{i}"))
+    # one true near-dup pair sharing RARE shingles must survive the cap
+    rows.append((200, "alpha beta gamma delta epsilon zeta"))
+    rows.append((201, "alpha beta gamma delta epsilon eta"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    uncapped = dedup.ngram_candidates(sh, max_df=None).count()
+    capped = dedup.ngram_candidates(sh, max_df=10).count()
+    assert uncapped >= 100 * 99 // 2  # the quadratic blowup is real
+    assert capped < 200  # sub-quadratic: stop-shingle gated out
+
+    # exactness survives the cap: the rare-shingle near-dup pair is
+    # found and its Jaccard is computed over ALL shingles
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_df=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(200, 201)] == pytest.approx(3 / 5)  # |∩|=3, |∪|=5
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
     pairs = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, rows_per_band=2, threshold=0.3

@@ -37,14 +37,14 @@ def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
 
 
 def test_jsonl_strict_raises(spark, tmp_path):
-    from pyspark.errors.exceptions.captured import SparkUpgradeException
-    from py4j.protocol import Py4JJavaError
-
+    """FAILFAST mode must surface the malformed record as an error —
+    match on the mode's documented error text so an unrelated failure
+    (bad path, schema typo) cannot green this test."""
     from spark_ifs_spark.sources.jsonl import read_jsonl
 
     p = tmp_path / "bad2.jsonl"
     p.write_text('{"doc_id": 1}\nnot json\n')
-    with pytest.raises(Exception):
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         read_jsonl(spark, str(p), strict=True).collect()
 
 
