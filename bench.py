@@ -7,6 +7,13 @@ mRMR in both encodings (+ the reference CLI's cross-encoding identity
 check as a hard assert), B4 synthetic 10k×50 matrix selection, plus the
 pipeline-extension headliners (minhash dedup, ann, simhash, text stats,
 events windows, pricing scan-agg).
+
+Failure protocol (round 2's bench crashed mid-run and published nothing,
+costing a full round of perf signal): every query runs in its own
+try/except, a failing query records an ``errors[name]`` message instead
+of aborting the run, the JSON line is ALWAYS printed (partial timings
+included), and the exit code is nonzero iff anything failed — so a crash
+is loud but never silent about the queries that did complete.
 """
 
 from __future__ import annotations
@@ -16,11 +23,124 @@ import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+BENCH_QUERIES = [
+    "mi_relevance",          # B1
+    "mi_matrix",
+    "mrmr_select_k5",        # B2 (conventional, embeddings)
+    "mrmr_miq_k5",
+    "row_select_k5",         # B3 (alternate, embeddings)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_embedding_bucketed",
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_lsh",
+    "embedding_top_pairs",
+    "text_token_counts",
+    "text_quality",
+    "text_repetition",
+    "corpus_clean",
+    "vocab_top50",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_features",
+    "events_daily",
+    "events_sessionize",
+    "events_user_stats",
+    "lineitem_pricing",
+    "nation_revenue",
+    "priority_orders",
+    "shipping_priority",
+    "returned_revenue",
+    "events_topk_per_type",
+    "events_asof_signup",
+    "events_attribution",
+    "events_rolling_7d",
+    "supplier_diversity",
+    "split_counts",
+    "docs_cap_per_source",
+    "scrub_pii",
+    "doc_chunks",
+    "packed_bins",
+    "decontam_ids",
+    "tfidf_top3",
+    "doc_length_quantiles",
+    "kmeans_step",
+    "dup_clusters",
+    "dedup_spans",
+    "dedup_incremental",
+    "pipeline_end_to_end",
+    "mix_by_source",
+    "bpe_pairs_top50",
+    "bpe_train_merges",
+    "bpe_token_counts",
+    "embedding_gram",
+    "pca_power_step",
+    "pca_power_iter2",
+    "order_priority_mix",
+    "promo_revenue",
+    "small_order_revenue",
+    "idle_customers",
+    "lm_bigram_logprob",
+    "embedding_project",
+    "source_overlap",
+    "events_latest_state",
+    "docs_sample_n",
+    "events_winsorized",
+    "docs_profile",
+    "events_rollup",
+    "docs_length_deciles",
+    "events_type_pivot",
+    "corpus_diff",
+    "events_props_json",
+    "unconverted_views",
+    "events_cube",
+]
 
-def main() -> None:
+
+def run_queries(
+    spark, sf_dir: str, queries, names: list[str], repeats: int = 2
+) -> tuple[dict[str, float], dict[str, list], dict[str, str]]:
+    """Time each named query (min-of-``repeats``), isolating failures.
+
+    Returns ``(timings, results, errors)`` — a query that raises on any
+    repeat lands in ``errors`` (first line of the exception, for the JSON
+    report) and in neither other dict; the remaining queries still run.
+
+    min-of-2 per query (the protocol B5 always used, extended to every
+    entry in round 2): timings in one long shared local[32] session are
+    contention/GC-noisy (observed 2-5x swings on identical plans) and
+    the first few entries otherwise absorb JVM + parquet-footer warmup
+    that is not query cost. The min is the reproducible per-query
+    number; correctness asserts (B4) still check the collected rows.
+    """
+    timings: dict[str, float] = {}
+    results: dict[str, list] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        best = float("inf")
+        try:
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                rows = queries[name](spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # isolate: one bad query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+            traceback.print_exc(file=sys.stderr)
+            continue
+        timings[name] = round(best, 3)
+        results[name] = rows
+    return timings, results, errors
+
+
+def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -35,140 +155,57 @@ def main() -> None:
     from spark_ifs_spark.registry import QUERIES
     from spark_ifs_spark.sources.generator import random_conventional_df
 
-    bench_queries = [
-        "mi_relevance",          # B1
-        "mi_matrix",
-        "mrmr_select_k5",        # B2 (conventional, embeddings)
-        "mrmr_miq_k5",
-        "row_select_k5",         # B3 (alternate, embeddings)
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash",
-        "dedup_simhash",
-        "dedup_embedding",
-        "dedup_embedding_bucketed",
-        "ann_topk",
-        "ann_topk_ivf",
-        "ann_topk_lsh",
-        "embedding_top_pairs",
-        "text_token_counts",
-        "text_quality",
-        "text_repetition",
-        "corpus_clean",
-        "vocab_top50",
-        "lang_id",
-        "doc_fingerprint",
-        "multimodal_features",
-        "events_daily",
-        "events_sessionize",
-        "events_user_stats",
-        "lineitem_pricing",
-        "nation_revenue",
-        "priority_orders",
-        "shipping_priority",
-        "returned_revenue",
-        "events_topk_per_type",
-        "events_asof_signup",
-        "events_attribution",
-        "events_rolling_7d",
-        "supplier_diversity",
-        "split_counts",
-        "docs_cap_per_source",
-        "scrub_pii",
-        "doc_chunks",
-        "packed_bins",
-        "decontam_ids",
-        "tfidf_top3",
-        "doc_length_quantiles",
-        "kmeans_step",
-        "dup_clusters",
-        "dedup_spans",
-        "dedup_incremental",
-        "pipeline_end_to_end",
-        "mix_by_source",
-        "bpe_pairs_top50",
-        "bpe_train_merges",
-        "bpe_token_counts",
-        "embedding_gram",
-        "pca_power_step",
-        "pca_power_iter2",
-        "order_priority_mix",
-        "promo_revenue",
-        "small_order_revenue",
-        "idle_customers",
-        "lm_bigram_logprob",
-        "embedding_project",
-        "source_overlap",
-        "events_latest_state",
-        "docs_sample_n",
-        "events_winsorized",
-        "docs_profile",
-        "events_rollup",
-        "docs_length_deciles",
-        "events_type_pivot",
-        "corpus_diff",
-        "events_props_json",
-        "unconverted_views",
-        "events_cube",
-    ]
-
-    # min-of-2 per query (the protocol B5 always used, extended to every
-    # entry in round 2): timings in one long shared local[32] session are
-    # contention/GC-noisy (observed 2-5x swings on identical plans) and
-    # the first few entries otherwise absorb JVM + parquet-footer warmup
-    # that is not query cost. The min is the reproducible per-query
-    # number; correctness asserts (B4) still check the collected rows.
-    timings: dict[str, float] = {}
-    results: dict[str, list] = {}
-    for name in bench_queries:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        results[name] = rows
+    timings, results, errors = run_queries(spark, sf_dir, QUERIES, BENCH_QUERIES)
 
     # B4: cross-encoding identity on the embeddings selection (CL:167-169)
-    conv = [(r["rank"], r["feature"]) for r in results["mrmr_select_k5"]]
-    alt = [(r["rank"], r["feature"]) for r in results["row_select_k5"]]
-    assert conv == alt, f"encoding mismatch: {conv} vs {alt}"
+    try:
+        conv = [(r["rank"], r["feature"]) for r in results["mrmr_select_k5"]]
+        alt = [(r["rank"], r["feature"]) for r in results["row_select_k5"]]
+        assert conv == alt, f"encoding mismatch: {conv} vs {alt}"
+    except Exception as exc:
+        errors["cross_encoding_identity"] = (
+            f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+        )
+        traceback.print_exc(file=sys.stderr)
 
     # B5: synthetic 10k x 50 categorical matrix, full greedy k=10.
-    # min-of-2: this entry runs last in a long shared session and is the
-    # most sensitive to transient GC/scheduler noise (observed 5x swings
-    # on identical plans); the min is the reproducible number.
     # fixture generation is staged (and materialized) OUTSIDE the timed
     # region — the entry measures the selector, not the RNG fixture
-    wide, names = random_conventional_df(spark, rows=10_000, cols=51, seed=42)
-    wide = wide.localCheckpoint(eager=True)
-    b5 = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        sel = select_columns(wide, "label", names, num=10)
-        assert len(sel) == 10
-        b5.append(time.perf_counter() - t0)
-    timings["mrmr_k10_synthetic_10kx50"] = round(min(b5), 3)
+    try:
+        wide, names = random_conventional_df(spark, rows=10_000, cols=51, seed=42)
+        wide = wide.localCheckpoint(eager=True)
+        b5 = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sel = select_columns(wide, "label", names, num=10)
+            assert len(sel) == 10
+            b5.append(time.perf_counter() - t0)
+        timings["mrmr_k10_synthetic_10kx50"] = round(min(b5), 3)
+    except Exception as exc:
+        errors["mrmr_k10_synthetic_10kx50"] = (
+            f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+        )
+        traceback.print_exc(file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "config": {
-                    "pyspark": spark.version,
-                    "master": f"local[{cpus}]",
-                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                },
-            }
-        )
-    )
+    report = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "config": {
+            "pyspark": spark.version,
+            "master": f"local[{cpus}]",
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        },
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
     spark.stop()
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
