@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_spans",
     "dedup_incremental",
     "pipeline_end_to_end",
+    "pipeline_audit",
     "mix_by_source",
     "bpe_pairs_top50",
     "bpe_train_merges",

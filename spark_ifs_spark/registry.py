@@ -1852,6 +1852,90 @@ GROUP BY 1
 """
 
 
+def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level lineage for :func:`q_pipeline_end_to_end` — the
+    audit trail a real pretraining pipeline publishes next to its output:
+    one row per stage ``(stage, n_in, n_out, n_dropped)``, where
+    ``01_clean`` and ``02_dedup`` record their drop counts and each
+    ``03_split:*`` fans the surviving documents out (dropping nothing).
+    Every count is a scalar aggregate (one row each); the final report
+    assembles them with cross joins of 1-row relations + a union — no
+    driver-side arithmetic, so the audit runs inside the same job as the
+    pipeline would at 100 TB."""
+    docs = _read(spark, sf_dir, "documents")
+    clean = q_corpus_clean(spark, sf_dir).select("id")
+    clusters = q_dup_clusters(spark, sf_dir)
+    reps = clusters.groupBy("cluster").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        clusters.join(reps, "cluster")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    kept = clean.join(losers, clean["id"] == losers["doc_id"], "left_anti")
+
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    ncl = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    nk = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    scalars = tot.crossJoin(ncl).crossJoin(nk)
+    stage_clean = scalars.select(
+        F.lit("01_clean").alias("stage"),
+        F.col("n_total").alias("n_in"),
+        F.col("n_clean").alias("n_out"),
+        (F.col("n_total") - F.col("n_clean")).alias("n_dropped"),
+    )
+    stage_dedup = scalars.select(
+        F.lit("02_dedup").alias("stage"),
+        F.col("n_clean").alias("n_in"),
+        F.col("n_kept").alias("n_out"),
+        (F.col("n_clean") - F.col("n_kept")).alias("n_dropped"),
+    )
+    splits = (
+        split_assign(kept, "id", SPLIT_WEIGHTS, seed=SPLIT_SEED)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_out"))
+        .crossJoin(nk)
+        .select(
+            F.concat(F.lit("03_split:"), F.col("split")).alias("stage"),
+            F.col("n_kept").alias("n_in"),
+            "n_out",
+            F.lit(0).cast("long").alias("n_dropped"),
+        )
+    )
+    return stage_clean.unionAll(stage_dedup).unionAll(splits)
+
+
+def sql_pipeline_audit() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("k.id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+WITH clean AS (SELECT id FROM ({sql_corpus_clean()}) t),
+clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+reps AS (SELECT cluster, min(doc_id) AS keep_id FROM clusters GROUP BY cluster),
+losers AS (
+  SELECT c.doc_id FROM clusters c JOIN reps r ON c.cluster = r.cluster
+  WHERE c.doc_id <> r.keep_id
+),
+kept AS (
+  SELECT id FROM clean
+  WHERE id NOT IN (SELECT doc_id FROM losers)
+),
+tot AS (SELECT count(*) AS n_total FROM documents),
+ncl AS (SELECT count(*) AS n_clean FROM clean),
+nk AS (SELECT count(*) AS n_kept FROM kept),
+sp AS (SELECT {case} AS split, count(*) AS n_out FROM kept k GROUP BY 1)
+SELECT '01_clean' AS stage, n_total AS n_in, n_clean AS n_out,
+       n_total - n_clean AS n_dropped
+FROM tot, ncl
+UNION ALL
+SELECT '02_dedup', n_clean, n_kept, n_clean - n_kept FROM ncl, nk
+UNION ALL
+SELECT '03_split:' || split, n_kept, n_out, CAST(0 AS BIGINT) FROM sp, nk
+"""
+
+
 #: span width for the span-level exact-dedup query
 SPAN_WORDS = 8
 
@@ -2774,6 +2858,7 @@ GROUP BY e.vec_id, sg.k
 # tests/test_entry_oracle.py, which replicates the driver's gate per query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
+    "pipeline_audit": q_pipeline_audit,
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
@@ -2857,6 +2942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 4 (never gated) ---
+    "pipeline_audit": sql_pipeline_audit(),
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),
