@@ -83,27 +83,34 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(shingles).alias("sh"))
 
 
+def _df_partition(
+    sh: DataFrame, max_df: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Split a ``(id, sh)`` shingle relation into ``(rare, high)`` by
+    shingle document frequency: ``rare`` carries shingles with
+    ``DF ≤ max_df`` (eligible for the inverted-index join), ``high`` the
+    rest. One extra hash ``groupBy`` + join over the shingle relation —
+    linear work that buys out the quadratic candidate blowup a
+    stop-shingle causes (~DF² pair rows). ``max_df=None`` → ``(sh,
+    None)``, the uncapped original."""
+    if max_df is None:
+        return sh, None
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    flagged = sh.join(dfreq, "sh")
+    rare = flagged.filter(F.col("df_") <= max_df).select("id", "sh")
+    high = flagged.filter(F.col("df_") > max_df).select("id", "sh")
+    return rare, high
+
+
 def ngram_candidates(sh: DataFrame, max_df: int | None) -> DataFrame:
     """Distinct co-shingled ``(id_a, id_b)`` candidates (``id_a < id_b``)
-    from a ``(id, sh)`` shingle relation, with the inverted-index join
-    gated by shingle document frequency: a stop-shingle present in a
-    large corpus fraction contributes ~DF² candidate rows, so shingles
-    with ``DF > max_df`` are excluded from CANDIDACY (scoring still uses
-    every shingle — see :func:`ngram_jaccard_pairs`). The DF aggregate is
-    one extra hash ``groupBy`` over the shingle relation — linear work
-    that buys out the quadratic blowup. ``max_df=None`` disables the cap.
-    """
-    cand_sh = sh
-    if max_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
-        )
-        cand_sh = sh.join(rare, "sh")
-    a = cand_sh.alias("a")
-    b = cand_sh.alias("b")
+    from a ``(id, sh)`` shingle relation — pairs sharing ≥1 shingle with
+    ``DF ≤ max_df`` (:func:`_df_partition`). Stop-shingles above the cap
+    never reach the self-join, so candidacy stays sub-quadratic; scoring
+    still uses every shingle (see :func:`ngram_jaccard_pairs`)."""
+    rare, _ = _df_partition(sh, max_df)
+    a = rare.alias("a")
+    b = rare.alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -123,19 +130,62 @@ def ngram_jaccard_pairs(
     ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
 
     Candidate pairs come from the shingle inverted index gated by a
-    document-frequency cap (:func:`ngram_candidates`): only pairs
-    sharing ≥1 shingle with ``DF ≤ max_df`` are scored. Scoring itself
-    is EXACT over the full shingle sets — the cap gates candidacy, never
-    the Jaccard arithmetic — so the only pairs ever missed are those
-    whose entire overlap is stop-shingles (which at ``threshold ≥ 0.5``
-    means near-duplicate boilerplate; raise ``max_df`` or use
-    :func:`minhash_lsh_pairs` if those matter).
+    document-frequency cap: only pairs sharing ≥1 shingle with
+    ``DF ≤ max_df`` are scored. Scoring itself is EXACT over the full
+    shingle sets — the intersection is ``i_rare`` (counted directly off
+    the capped self-join, the same one-shuffle shape as the uncapped
+    form) plus a correction counted over ONLY the high-DF postings of
+    candidate pairs, which is empty whenever no shingle exceeds the cap.
+    The only pairs ever missed are those whose entire overlap is
+    stop-shingles (at ``threshold ≥ 0.5`` that means near-duplicate
+    boilerplate; raise ``max_df`` or use :func:`minhash_lsh_pairs` if
+    those matter).
     """
-    # the shingle relation feeds four consumers (DF cap, candidates,
-    # sizes, verify); persist so the tokenize chain runs once
-    sh = word_shingles(df, id_col, text_col, n).persist()
-    cand = ngram_candidates(sh, max_df)
-    return _jaccard_verify(cand, sh, sh, threshold)
+    # the DF-flagged shingle relation feeds several consumers (both
+    # self-join sides, the correction sides, sizes) — persist THAT, not
+    # the bare shingles, or the dfreq+join recomputes per consumer
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is None:
+        flagged = sh.persist()
+        rare: DataFrame = flagged
+        high: DataFrame | None = None
+    else:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        flagged = sh.join(dfreq, "sh").persist()
+        rare = flagged.filter(F.col("df_") <= max_df).select("id", "sh")
+        high = flagged.filter(F.col("df_") > max_df).select("id", "sh")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if high is not None:
+        ha = high.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        hb = high.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+        corr = (
+            inter.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i_high"))
+        )
+        inter = (
+            inter.join(corr, ["id_a", "id_b"], "left")
+            .withColumn("i", F.col("i") + F.coalesce(F.col("i_high"), F.lit(0)))
+            .select("id_a", "id_b", "i")
+        )
+    sizes = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_signatures(
