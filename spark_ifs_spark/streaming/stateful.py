@@ -103,7 +103,12 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     ``protobuf`` Python package at EXECUTION time (plan construction
     does not). Environments without it should use
     :func:`running_user_stats` — identical results; the parity test
-    skips itself where protobuf is absent.
+    skips itself where protobuf is absent. (Vendoring the protobuf
+    runtime was investigated and rejected: this sandbox has no network
+    and no wheel on disk, and the runtime is far too large to
+    reimplement. In its place ``test_tws_processor_logic_with_fake_
+    handle`` executes the processor's init/fold/emit logic against an
+    in-memory handle, so everything but Spark's own channel runs.)
     """
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningStatsProcessor(),

@@ -376,6 +376,77 @@ def test_running_user_stats_tws_parity(spark, sf_dir, tmp_path):
     )
 
 
+def test_tws_processor_logic_with_fake_handle(spark, sf_dir):
+    """Executes the ``_RunningStatsProcessor`` fold for real — init,
+    multi-batch handleInputRows, state round-trips, emission shape —
+    against an in-memory fake of the TWS handle/ValueState API, and pins
+    it row-for-row against the ``applyInPandasWithState`` transition on
+    the same batches. The protobuf state-server channel is the ONLY part
+    this can't cover (it is absent in this sandbox, which is why
+    ``test_running_user_stats_tws_parity`` self-skips here); the
+    operator's own logic does execute."""
+    import pandas as pd
+
+    from spark_ifs_spark.streaming.stateful import (
+        _RunningStatsProcessor,
+        _update_user_stats,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    class FakeGroupState:  # applyInPandasWithState-side equivalent
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    proc = _RunningStatsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    gs = FakeGroupState()
+
+    batches = [
+        [pd.DataFrame({"value": [1.0, 2.5]})],
+        [pd.DataFrame({"value": [0.5]}), pd.DataFrame({"value": [3.0, -1.0]})],
+    ]
+    for rows in batches:
+        tws_out = pd.concat(list(proc.handleInputRows((7,), iter(rows), None)))
+        aip_out = pd.concat(list(_update_user_stats((7,), iter(rows), gs)))
+        pd.testing.assert_frame_equal(
+            tws_out.reset_index(drop=True), aip_out.reset_index(drop=True)
+        )
+    # both APIs hold identical folded state after two micro-batches
+    assert handle.states["agg"].get() == gs.get == (5, 6.0)
+    proc.close()
+
+
 def test_streaming_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
     """Checkpointed file sink across restarts: a second run over the
     same source must be a no-op, and a run after new files arrive must
