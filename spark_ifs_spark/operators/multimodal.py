@@ -3,10 +3,13 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched ``mapInPandas`` passes.
 The Spark-side plumbing (schema, batch iteration, partition sizing) is
-real and tested; the actual codec calls are STUBBED — the image/audio
-libraries are not in this container — behind ``decode_fn`` injection
-points with a deterministic fake for tests, and a default that raises
-``NotImplementedError`` naming the dependency.
+real and tested, and so are the uncompressed-interchange codecs: PPM/BMP
+image decode, nearest-neighbor PPM resize, and WAV (PCM/IEEE-float)
+audio probing run on REAL bytes via the dependency-free
+``functions.codecs``. Formats that need an entropy decoder (JPEG/PNG/
+MP3/MP4 demux) stay behind the ``decode_fn``/``resize_fn``/``split_fn``
+injection points — the default raises ``NotImplementedError`` naming
+the library to inject; deterministic fakes remain for oracle tests.
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never shuffle payloads (all transforms are map-side ``mapInPandas``),
@@ -44,12 +47,21 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
     """Decode a real image payload → (width, height, channels).
 
-    STUB: real decoding needs an image library (e.g. Pillow/opencv) that
-    is not installed in this environment.
+    PPM (P6) and uncompressed BMP decode for real via the
+    dependency-free ``functions.codecs``; formats that need an entropy
+    decoder (JPEG/PNG/...) still raise ``NotImplementedError`` naming
+    the library to inject.
     """
+    from spark_ifs_spark.functions import codecs
+
+    if payload[:2] == b"P6":
+        w, h, c, _ = codecs.decode_ppm(payload)
+        return (w, h, c)
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp_dims(payload)
     raise NotImplementedError(
-        "image decoding requires an image library (e.g. Pillow); "
-        "inject decode_fn= with a real decoder in production"
+        "only PPM/BMP decode without an image library; inject decode_fn= "
+        "with a real decoder (e.g. Pillow) for compressed formats"
     )
 
 
@@ -139,13 +151,18 @@ def resize_images(
     """binary payloads → resized payloads (``RESIZED_SCHEMA``), one
     Arrow-batched map-side pass; payloads never shuffle.
 
-    ``resize_fn`` is the codec injection point (STUB — real resampling
-    needs an image library not in this container; the default raises)."""
+    ``resize_fn`` is the codec injection point; the default resamples
+    PPM payloads for real (nearest-neighbor, ``functions.codecs``) and
+    raises for formats that need an image library."""
     if resize_fn is None:
         def resize_fn(payload: bytes, w: int, h: int) -> bytes:
+            from spark_ifs_spark.functions import codecs
+
+            if payload[:2] == b"P6":
+                return codecs.resize_ppm(payload, w, h)
             raise NotImplementedError(
-                "image resize requires an image library (e.g. Pillow); "
-                "inject resize_fn= with a real resizer in production"
+                "only PPM resizes without an image library; inject "
+                "resize_fn= with a real resizer (e.g. Pillow) otherwise"
             )
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -239,14 +256,19 @@ def extract_audio_features(
     decode_fn: Callable[[bytes], tuple[int, int]] | None = None,
 ) -> DataFrame:
     """audio payloads → ``AUDIO_FEATURES_SCHEMA`` rows, Arrow-batched
-    map-side pass. ``decode_fn`` is the codec injection point (STUB —
-    real probing needs an audio library not in this container; the
-    default raises)."""
+    map-side pass. ``decode_fn`` is the codec injection point; the
+    default probes RIFF/WAVE (PCM + IEEE-float) for real via the
+    dependency-free ``functions.codecs`` and raises for compressed
+    formats that need an audio library."""
     if decode_fn is None:
         def decode_fn(payload: bytes) -> tuple[int, int]:
+            from spark_ifs_spark.functions import codecs
+
+            if payload[:4] == b"RIFF":
+                return codecs.decode_wav(payload)
             raise NotImplementedError(
-                "audio decoding requires an audio library (e.g. soundfile); "
-                "inject decode_fn= with a real decoder in production"
+                "only WAV decodes without an audio library; inject "
+                "decode_fn= with a real decoder (e.g. soundfile) otherwise"
             )
 
     import numpy as np
