@@ -166,6 +166,63 @@ def test_bigram_logprob_shuffle_shape(spark, sf_dir):
     assert count_exchanges(out) <= 5, explain_str(out)
 
 
+def test_aqe_splits_skewed_big_big_join(spark):
+    """The big-big orderkey joins (returned_revenue Q10, Q12's
+    order_priority_mix) rely on AQE's skew-join split at 100 TB: one hot
+    orderkey must NOT serialize its entire partition into a single task.
+    Adversarial fixture — one key owning ~83% of the probe side — joined
+    under forced SMJ (broadcast would mask the skew path) with the skew
+    thresholds scaled to test data. Asserts the executed plan actually
+    took the skew split (``skew=true``) AND the result is exact."""
+    hot = 1_000_000
+    overrides = {
+        # the dim side is small here only to keep the test fast; -1
+        # forces the SMJ path a real big-big join would take
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the hot partition is ~100k rows but lz4 shuffle compression
+        # squeezes the constant-key pairs under 16KB — scale the byte
+        # thresholds to the fixture or the split never triggers
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = spark.range(0, 120_000).select(
+            F.when(F.col("id") < 100_000, F.lit(hot))
+            .otherwise(F.col("id") % 1000)
+            .alias("l_orderkey"),
+            F.col("id").alias("val"),
+        )
+        orders = spark.range(0, 1001).select(
+            F.when(F.col("id") == 1000, F.lit(hot))
+            .otherwise(F.col("id"))
+            .alias("o_orderkey"),
+            (F.col("id") % 5).alias("o_priority"),
+        )
+        joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        out = joined.groupBy("o_priority").agg(F.count(F.lit(1)).alias("n"))
+        got = {r["o_priority"]: r["n"] for r in out.collect()}
+        # every probe row matches exactly one order row: 100k hot rows to
+        # priority 0 (1000 % 5), cold rows spread 20 rows x 200 keys per
+        # priority
+        assert sum(got.values()) == 120_000
+        assert got[0] == 100_000 + 4_000
+        assert all(got[p] == 4_000 for p in (1, 2, 3, 4))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_sample_exact_n_is_take_ordered(spark, sf_dir):
     """The deterministic draw must compile to TakeOrdered (per-partition
     heads merged on the driver), never a global Sort + Limit."""
