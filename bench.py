@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "row_select_k5",         # B3 (alternate, embeddings)
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_fuzzy_edit",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",

@@ -188,6 +188,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 16,
+    len_band: int = 16,
+    len_col: str | None = None,
+) -> DataFrame:
+    """All document pairs within Levenshtein distance ``max_dist``:
+    ``(id_a, id_b, dist)`` with ``id_a < id_b`` — fuzzy dedup for
+    short-ish text (titles, questions, boilerplate variants) where
+    token-set Jaccard is too coarse.
+
+    Scale shape — length-band blocking instead of a cross join: edit
+    distance ≥ |len(a) − len(b)|, so only pairs within ``len_band``
+    chars of each other can match (requires ``len_band ≥ max_dist``;
+    asserted). Each doc lands in bucket ``len // len_band``, the right
+    side is emitted into its own and its successor bucket, and the
+    equi-join on bucket produces every in-band pair at least once; the
+    orientation is then normalized to ``id_a < id_b`` and deduped AFTER
+    the distance filter, so the distinct runs on the (tiny) match set,
+    never on candidates. The Levenshtein itself is Spark's built-in
+    JVM implementation WITH the threshold argument — banded O(d·n)
+    early-exit, not the O(n²) full matrix — and the join carries
+    ``(id, len, text)`` only.
+    """
+    assert len_band >= max_dist, (
+        f"len_band={len_band} < max_dist={max_dist} would miss pairs whose "
+        "length difference exceeds the band"
+    )
+    length = (
+        F.col(len_col) if len_col is not None else F.length(F.col(text_col))
+    ).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        length.alias("len"),
+        (length / len_band).cast("long").alias("bucket"),
+    )
+    left = base.select("id", "txt", "len", "bucket")
+    right = base.select(
+        F.col("id").alias("rid"),
+        F.col("txt").alias("rtxt"),
+        F.col("len").alias("rlen"),
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    cand = left.join(right, "bucket").filter(
+        (F.col("id") != F.col("rid"))
+        & (F.abs(F.col("len") - F.col("rlen")) <= len_band)
+    )
+    scored = cand.select(
+        F.least(F.col("id"), F.col("rid")).alias("id_a"),
+        F.greatest(F.col("id"), F.col("rid")).alias("id_b"),
+        F.levenshtein(F.col("txt"), F.col("rtxt"), max_dist).alias("dist"),
+    ).filter(F.col("dist") >= 0)  # threshold form returns -1 past max_dist
+    return scored.distinct()
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 16, seed: int = 42
 ) -> DataFrame:

@@ -397,6 +397,36 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
 """
 
 
+#: fuzzy edit-distance dedup params — band must be >= max distance
+EDIT_MAX_DIST = 16
+EDIT_LEN_BAND = 16
+
+
+def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs under length-band blocking — the fuzzy
+    dedup complement to token-set Jaccard (catches single-char edits
+    Jaccard over-counts and transpositions it misses)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.edit_distance_pairs(
+        docs, "doc_id", "text",
+        max_dist=EDIT_MAX_DIST, len_band=EDIT_LEN_BAND, len_col="n_chars",
+    )
+    return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+def sql_dedup_fuzzy_edit() -> str:
+    # same blocking semantics: only pairs within the length band are
+    # candidates (band >= max_dist makes the block lossless)
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM documents a
+JOIN documents b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {EDIT_LEN_BAND}
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     out = dedup.minhash_lsh_pairs(
@@ -2859,6 +2889,7 @@ GROUP BY e.vec_id, sg.k
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
     "pipeline_audit": q_pipeline_audit,
+    "dedup_fuzzy_edit": q_dedup_fuzzy_edit,
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
@@ -2943,6 +2974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     # --- new in round 4 (never gated) ---
     "pipeline_audit": sql_pipeline_audit(),
+    "dedup_fuzzy_edit": sql_dedup_fuzzy_edit(),
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),

@@ -90,6 +90,47 @@ def test_minhash_lsh_finds_exact_and_near_dups(spark, docs):
     assert got <= exact
 
 
+def test_edit_distance_pairs_blocking_is_lossless(spark):
+    """Length-band blocking must find every pair within max_dist —
+    including pairs straddling a bucket boundary — and nothing beyond
+    the distance threshold. Brute-force python Levenshtein is the
+    oracle."""
+    rows = [
+        (0, "abcdefghijklmnop"),         # len 16, bucket boundary cases
+        (1, "abcdefghijklmnopq"),        # dist 1 to 0, len 17 (next bucket at band 16... within band)
+        (2, "abcdefghijklmnopqrstuvwx"),  # dist 8 to 1
+        (3, "zzzzzzzzzzzzzzzz"),          # dist 16 to 0 (all substitutions)
+        (4, "completely different text here"),
+        (5, "completely different text hers"),  # dist 1 to 4
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_pairs(
+            df, "doc_id", "text", max_dist=16, len_band=16
+        ).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = lev(rows[i][1], rows[j][1])
+            if d <= 16 and abs(len(rows[i][1]) - len(rows[j][1])) <= 16:
+                want[(rows[i][0], rows[j][0])] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1  # cross-bucket pair found
+    assert got[(0, 3)] == 16  # at-threshold pair kept
+
+
 def test_simhash_properties(spark, docs):
     fps = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
     assert fps[0] == fps[3]  # identical text → identical fingerprint
