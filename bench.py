@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "ann_topk",
     "ann_topk_ivf",
+    "ann_topk_ivf_trained",
     "ann_topk_lsh",
     "embedding_top_pairs",
     "text_token_counts",

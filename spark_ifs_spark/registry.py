@@ -632,6 +632,103 @@ SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN
 """
 
 
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-k over LLOYD-TRAINED centroids (one k-means
+    iteration from the seed centroids, means rounded to 6dp so both
+    engines quantize away summation-order ulps). The oracle replicates
+    the ENTIRE training loop in SQL — seed assignment, per-cell means
+    with the empty-cell-keeps-seed convention, re-assignment to the
+    trained centroids, probe selection — so trained-approximate is as
+    hash-checked as exact."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = similarity.ivf_centroids_kmeans(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, iters=1
+    )
+    cents = [(cid, [round(x, 6) for x in v]) for cid, v in cents]
+    out = similarity.cosine_topk_ivf(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        n_probe=IVF_PROBE,
+        exclude_ids=[0],
+        centroids=cents,
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_ivf_trained() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a.cell AS cid, CAST(t.i AS INT) AS dim,
+         round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 6) AS m
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+),
+seedd AS (
+  SELECT cid, CAST(t.i AS INT) AS dim, round(CAST(ce[t.i + 1] AS DOUBLE), 6) AS m
+  FROM cents CROSS JOIN range({EMB_DIMS}) t(i)
+),
+trained AS (
+  SELECT s.cid, s.dim, coalesce(mn.m, s.m) AS m
+  FROM seedd s LEFT JOIN means mn ON mn.cid = s.cid AND mn.dim = s.dim
+),
+vc2 AS (
+  SELECT e.vec_id AS id, tr.cid,
+         sum(CAST(e.embedding[tr.dim + 1] AS DOUBLE) * tr.m) /
+         (sqrt(sum(CAST(e.embedding[tr.dim + 1] AS DOUBLE) * CAST(e.embedding[tr.dim + 1] AS DOUBLE))) *
+          sqrt(sum(tr.m * tr.m))) AS cos
+  FROM embeddings e CROSS JOIN trained tr
+  GROUP BY e.vec_id, tr.cid
+),
+assign2 AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc2
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM vc2 WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN assign2 a ON a.id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cid FROM qprobe)
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH-gated approximate top-k: scan restricted to the
     query's sign-of-projection bucket, exact cosine within it. The
@@ -2890,6 +2987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
     "pipeline_audit": q_pipeline_audit,
     "dedup_fuzzy_edit": q_dedup_fuzzy_edit,
+    "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
@@ -2975,6 +3073,7 @@ ORACLES: dict[str, str] = {
     # --- new in round 4 (never gated) ---
     "pipeline_audit": sql_pipeline_audit(),
     "dedup_fuzzy_edit": sql_dedup_fuzzy_edit(),
+    "ann_topk_ivf_trained": sql_ann_topk_ivf_trained(),
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),
