@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "pca_power_step",
     "pca_power_iter2",
     "order_priority_mix",
+    "nation_trade_volume",
+    "bracket_revenue",
+    "top_supplier",
     "promo_revenue",
     "small_order_revenue",
     "idle_customers",

@@ -2348,6 +2348,147 @@ GROUP BY t.doc_id
 """
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped volume between a nation pair by year.
+    Plan: the big lineitem/orders join shuffles on orderkey; supplier,
+    customer and (twice) the 25-row nation dim broadcast; the date
+    filter pushes to the lineitem scan; year() folds into the
+    aggregate key."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    nation = _read(spark, sf_dir, "nation")
+    sup = (
+        _read(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def sql_nation_trade_volume() -> str:
+    return """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three disjunctive brand/size/
+    quantity brackets. Plan: part broadcasts, the OR-of-ANDs predicate
+    evaluates inside one codegen stage after the join, and the whole
+    query folds to a single scalar aggregate — one scan of lineitem."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def sql_bracket_revenue() -> str:
+    return """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    quarter. The 'revenue view' aggregates once; the max is a scalar
+    aggregate broadcast back as an equi-filter — NOT a global-sort
+    window, which would funnel every supplier through one task at
+    scale. Revenue is rounded before the max compare so tie resolution
+    is engine-portable."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    sup = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["max_rev"])
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def sql_top_supplier() -> str:
+    return """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+
 def q_order_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: conditional aggregation over a big-big join —
     per return flag, how many lines belong to urgent-ish vs other
@@ -2988,6 +3129,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_audit": q_pipeline_audit,
     "dedup_fuzzy_edit": q_dedup_fuzzy_edit,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
+    "nation_trade_volume": q_nation_trade_volume,
+    "bracket_revenue": q_bracket_revenue,
+    "top_supplier": q_top_supplier,
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": q_bpe_pairs_top50,
     "bpe_train_merges": q_bpe_train,
@@ -3074,6 +3218,9 @@ ORACLES: dict[str, str] = {
     "pipeline_audit": sql_pipeline_audit(),
     "dedup_fuzzy_edit": sql_dedup_fuzzy_edit(),
     "ann_topk_ivf_trained": sql_ann_topk_ivf_trained(),
+    "nation_trade_volume": sql_nation_trade_volume(),
+    "bracket_revenue": sql_bracket_revenue(),
+    "top_supplier": sql_top_supplier(),
     # --- ungated in round 3 (old positions 51-76) ---
     "bpe_pairs_top50": sql_bpe_pairs_top50(),
     "bpe_train_merges": sql_bpe_train(),
