@@ -108,6 +108,15 @@ BENCH_QUERIES = [
     "events_props_json",
     "unconverted_views",
     "events_cube",
+    "market_share",
+    "custdist",
+    "big_volume_customers",
+    "widget_part_suppliers",
+    "decontam_overlap",
+    "bm25_topk",
+    "tfidf_cosine_pairs",
+    "ann_topk_sq8",
+    "dedup_exact_normalized",
 ]
 
 

@@ -24,7 +24,7 @@ every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_ifs_spark.functions.hashing import (
@@ -617,3 +617,90 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("id", status.alias("status"))
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """``(id, n_shingles, n_hit, overlap_ppm)`` — per-document n-gram
+    contamination *fraction* against a held-out eval set, the graded
+    form of :func:`contaminated_ids` (published recipes threshold this
+    fraction rather than any-overlap: a doc quoting one eval sentence
+    differs from a verbatim eval copy).
+
+    ``overlap_ppm = floor(n_hit * 1e6 / n_shingles)`` — integer
+    parts-per-million so per-document values are exact on both engines
+    (no double division inside an aggregate).
+
+    Plan: corpus shingles are distinct per doc map-side
+    (:func:`word_shingles`), the deduplicated eval side is BROADCAST,
+    and the membership flag rides a broadcast LEFT join — the corpus is
+    scanned once, nothing corpus-scale shuffles except the per-doc
+    count aggregate keyed on the id. Same 100 TB posture as
+    :func:`contaminated_ids`; docs shorter than ``n`` words have no
+    shingles and drop out (no 0/0 row).
+    """
+    corpus_sh = word_shingles(corpus, id_col, text_col, n)
+    eval_sh = (
+        word_shingles(eval_set, id_col, text_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    agg = (
+        corpus_sh.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return agg.select(
+        "id",
+        "n_shingles",
+        "n_hit",
+        F.floor(F.col("n_hit") * F.lit(1000000) / F.col("n_shingles")).alias(
+            "overlap_ppm"
+        ),
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for normalization-robust exact dedup:
+    lowercase, strip every non-alphanumeric/space character, collapse
+    whitespace runs, trim. Regexes are RE2/Java-portable (character
+    classes only) so DuckDB's ``regexp_replace(..., 'g')`` produces the
+    identical string and the oracle stays exact."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", "")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+def exact_dedup_normalized(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(keep_id, n_dups, norm_digest)`` — exact dedup after
+    :func:`normalize_text` (catches the near-universal web-dup case:
+    same body, different case/punctuation/whitespace).
+
+    Plan: normalization is a map-side projection fused into the scan;
+    the group key is a 60-bit md5 digest of the normalized text, so the
+    ONE shuffle this query has carries ~16-byte keys, never document
+    bodies — this is the digest-key swap :func:`exact_dedup`'s docstring
+    defers to, made the default here because normalized text is exactly
+    the case where bodies are large and keys collide often.
+    """
+    norm = normalize_text(F.col(text_col))
+    keyed = df.select(
+        F.col(id_col).alias("id"), md5_int60(norm).alias("norm_digest")
+    )
+    return (
+        keyed.groupBy("norm_digest")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups", "norm_digest")
+    )

@@ -695,3 +695,74 @@ def random_project(
     return df.select(
         F.col(id_col).alias("id"), F.explode(comps).alias("c")
     ).select("id", F.col("c.k").alias("k"), F.col("c.v").alias("v"))
+
+
+def sq8_params(df: DataFrame, vec_col: str, dims: int) -> list[tuple[float, float]]:
+    """Per-dimension ``(min, max)`` over the corpus — the codebook for
+    8-bit scalar quantization. ONE pass, no explode: ``2·dims`` min/max
+    aggregate expressions fold map-side, and the driver holds only
+    ``O(dims)`` scalars (the same bounded-metadata posture as
+    ``ivf_centroids``)."""
+    aggs = []
+    for j in range(dims):
+        x = F.col(vec_col)[j].cast("double")
+        aggs.append(F.min(x).alias(f"mn{j}"))
+        aggs.append(F.max(x).alias(f"mx{j}"))
+    row = df.agg(*aggs).collect()[0]
+    return [(float(row[f"mn{j}"]), float(row[f"mx{j}"])) for j in range(dims)]
+
+
+def _sq8_code(x: Column, mn: float, mx: float) -> Column:
+    """255·(x−mn)/(mx−mn), floored and clamped to [0, 255] — BIGINT."""
+    if mx == mn:
+        return F.lit(0).cast("long")
+    scaled = F.floor((x - F.lit(mn)) * F.lit(255.0) / F.lit(mx - mn))
+    return F.least(F.lit(255).cast("long"), F.greatest(F.lit(0).cast("long"), scaled))
+
+
+def topk_sq8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    params: Sequence[tuple[float, float]] | None = None,
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """``(id, dot_q)`` — top-``k`` by INTEGER dot product in 8-bit
+    scalar-quantized space: the memory-compression half of a
+    quantized-ANN stack (IVF gates candidates, SQ8/PQ shrinks them 4×
+    so a 100 TB float32 corpus rescans from a 25 TB code table that
+    fits page cache — reranking the shortlist at full precision is the
+    standard second stage and composes with :func:`cosine_topk`).
+
+    Exactness: codes are ``floor``-clamped BIGINTs, the query is
+    quantized with the identical formula, and the score is an exact
+    integer sum of products — no floating accumulation anywhere, so
+    Spark and the SQL oracle agree bit-for-bit (ties broken id-asc).
+
+    Plan: the codebook is ``O(dims)`` driver metadata
+    (:func:`sq8_params`); scoring is a map-side projection of
+    ``dims`` fused multiply-adds inside whole-stage codegen, then ONE
+    ``TakeOrdered`` — the corpus is scanned once and never shuffled.
+    """
+    dims = len(query)
+    if params is None:
+        params = sq8_params(df, vec_col, dims)
+    qc: list[int] = []
+    for x, (mn, mx) in zip(query, params):
+        if mx == mn:
+            qc.append(0)
+        else:
+            c = math.floor((float(x) - mn) * 255.0 / (mx - mn))
+            qc.append(max(0, min(255, c)))
+    score: Column = F.lit(0).cast("long")
+    for j, (w, (mn, mx)) in enumerate(zip(qc, params)):
+        if w == 0:
+            continue
+        code = _sq8_code(F.col(vec_col)[j].cast("double"), mn, mx)
+        score = score + F.lit(w).cast("long") * code
+    scored = df.select(F.col(id_col).alias("id"), score.alias("dot_q"))
+    if exclude_ids:
+        scored = scored.filter(~F.col("id").isin(*[int(i) for i in exclude_ids]))
+    return scored.orderBy(F.col("dot_q").desc(), F.col("id").asc()).limit(k)

@@ -441,3 +441,149 @@ def winsorize_by_key(
         )
         .drop("_qlo", "_qhi")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``(id, score_micro)`` — top-``k`` documents for a bag-of-words
+    query under Okapi BM25, the lexical half of every hybrid (sparse +
+    dense) retrieval stack.
+
+    Scoring: ``idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    the standard ``idf(t) = ln(1 + (N−df+0.5)/(df+0.5))``. Each
+    per-(doc, term) score is quantized to integer MICRO-units
+    (``floor(x·1e6)`` as BIGINT) before the per-document sum — the same
+    exact-integer-sum convention as :func:`bigram_logprob`, so totals
+    are invariant to partitioning/addition order on both engines.
+
+    Plan: the token explode filters to the query vocabulary BEFORE any
+    shuffle (a |Q|-term ``isin`` fused into the scan projection), so
+    the only corpus-scale aggregates key on (id, term) for ≤|Q| terms
+    per doc and on term for document frequencies — both map-side
+    combined. Corpus stats (N, total length) are two driver scalars
+    from one aggregate; the final top-k is ``TakeOrdered`` (score desc,
+    id asc), never a global sort. At 100 TB: one scan, two small
+    shuffles, a k-row result.
+    """
+    text = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(text, " ").alias("_toks"),
+    ).select("id", "_toks", F.size("_toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["total_len"]) / float(stats["n"])
+    tf = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    per_term = F.floor(idf * (tfd * F.lit(k1 + 1.0) / denom) * F.lit(1000000.0))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select("id", per_term.cast("long").alias("s_micro"))
+        .groupBy("id")
+        .agg(F.sum("s_micro").alias("score_micro"))
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("id").asc()).limit(k)
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """``(id_a, id_b, cos_sim)`` — document pairs with tf-idf cosine ≥
+    ``threshold`` over a DF-pruned vocabulary: sparse all-pairs
+    similarity by inverted-index join (the token-space complement of
+    the dense-embedding kernels in ``similarity.py``).
+
+    Vocabulary pruning IS the semantics here, not an approximation:
+    terms with document frequency > ``max_df`` are dropped from every
+    vector (classic stopword/boilerplate pruning — they carry the least
+    idf weight and ALL the quadratic join cost), so cosines are exact
+    over the pruned space and candidate generation is sub-quadratic by
+    construction.
+
+    Exactness: weights are integers — ``w = tf · floor(ln(N/df)·1e6)``
+    as BIGINT — so dot products and squared norms are exact integer
+    sums on both engines; the only floating steps are two correctly-
+    rounded ``sqrt`` calls and one division, then ``round(·, 6)``.
+    Zero-weight terms (df = N) are dropped from vectors and norms.
+
+    Plan: one token aggregate (map-side combined), one vocabulary-sized
+    DF aggregate joined back (AQE sizes the build side), squared norms
+    per doc off the weight relation, and ONE inverted-index self-join on
+    the term, grouped to (id_a, id_b) dot products. Terms with df = 1
+    pair with nothing and skip the join (they still count toward
+    norms — they are part of the vector).
+    """
+    n_docs = df.count()
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_micro = F.floor(
+        F.log(F.lit(float(n_docs)) / F.col("df")) * F.lit(1000000.0)
+    ).cast("long")
+    weights = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") <= max_df)
+        .select(
+            "id",
+            "term",
+            "df",
+            (F.col("tf").cast("long") * idf_micro).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .persist()
+    )
+    norms = weights.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    joinable = weights.filter(F.col("df") >= 2)
+    a, bb = joinable.alias("a"), joinable.alias("b")
+    dots = (
+        a.join(
+            bb,
+            (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("na2"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -201,3 +201,50 @@ def test_minhash_lsh_pairs_against(spark, docs):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
     assert got[(3, 0)] == pytest.approx(1.0)
     assert all(a >= 3 and b < 3 for a, b in got)
+
+
+def test_contamination_overlap_fraction(spark):
+    # eval doc shares exactly one 3-gram window region with corpus doc 10
+    rows = [
+        (10, "a b c d e f"),        # corpus: shingles abc bcd cde def
+        (11, "x y z w v u"),        # corpus: no overlap
+        (97, "c d e q r s"),        # eval (mod-97 style id irrelevant here)
+    ]
+    corpus = spark.createDataFrame(rows[:2], ["doc_id", "text"])
+    eval_set = spark.createDataFrame(rows[2:], ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in dedup.contamination_overlap(
+            corpus, eval_set, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert out[10]["n_shingles"] == 4
+    assert out[10]["n_hit"] == 1  # 'c d e'
+    assert out[10]["overlap_ppm"] == 250000
+    assert out[11]["n_hit"] == 0 and out[11]["overlap_ppm"] == 0
+
+
+def test_contamination_overlap_short_docs_drop(spark):
+    corpus = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    eval_set = spark.createDataFrame([(2, "a b c")], ["doc_id", "text"])
+    assert (
+        dedup.contamination_overlap(corpus, eval_set, "doc_id", "text", n=3).count()
+        == 0
+    )
+
+
+def test_exact_dedup_normalized_collapses_case_and_punct(spark):
+    rows = [
+        (0, "Hello, World!"),
+        (1, "hello   world"),     # same canonical form as 0
+        (2, "hello world again"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["keep_id"]: r["n_dups"] for r in dedup.exact_dedup_normalized(df, "doc_id", "text").collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_normalize_text_expression(spark):
+    df = spark.createDataFrame([("  A--b  C!  ",)], ["t"])
+    got = df.select(dedup.normalize_text(F.col("t")).alias("n")).first()["n"]
+    assert got == "ab c"

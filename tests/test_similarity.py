@@ -261,3 +261,43 @@ def test_power_iteration_loop(spark):
     v = np.array(power_iteration(df, "v", 4, iters=25, normalize=True))
     evals, evecs = np.linalg.eigh(G)
     assert abs(abs(float(v @ evecs[:, -1])) - 1.0) < 1e-3
+
+
+def test_sq8_params_and_codes(spark):
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 1.0, 5.0]),
+        (2, [0.5, 0.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    params = similarity.sq8_params(df, "embedding", 3)
+    assert params == [(0.0, 1.0), (-1.0, 1.0), (5.0, 5.0)]  # dim 2 constant
+
+
+def test_topk_sq8_matches_numpy_quantized(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(40, 8).astype("float32")
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    query = [float(x) for x in vecs[0]]
+    out = similarity.topk_sq8(df, "vec_id", "embedding", query, k=5, exclude_ids=[0]).collect()
+
+    mn, mx = vecs.astype("float64").min(axis=0), vecs.astype("float64").max(axis=0)
+
+    def code(v):
+        c = np.floor((v - mn) * 255.0 / (mx - mn))
+        return np.clip(c, 0, 255).astype("int64")
+
+    qc = code(np.array(query, dtype="float64"))
+    scores = {i: int(code(vecs[i].astype("float64")) @ qc) for i in range(1, 40)}
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["id"], r["dot_q"]) for r in out] == expect
+
+
+def test_topk_sq8_constant_dim_contributes_zero(spark):
+    rows = [(0, [1.0, 3.0]), (1, [0.0, 3.0]), (2, [0.5, 3.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.topk_sq8(df, "vec_id", "embedding", [1.0, 3.0], k=3).collect()
+    # dim 1 is constant -> code 0 everywhere; ranking driven by dim 0 only
+    assert [r["id"] for r in out] == [0, 2, 1]
+    assert out[2]["dot_q"] == 0

@@ -169,3 +169,64 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     exact = toks.select(F.countDistinct("t").alias("n")).first()["n"]
     approx = toks.select(F.approx_count_distinct("t", 0.02).alias("n")).first()["n"]
     assert abs(approx - exact) <= max(0.06 * exact, 5), (exact, approx)
+
+
+def test_bm25_prefers_rare_term_and_caps_k(spark):
+    rows = [
+        (0, "spark spark spark runs fast"),
+        (1, "spark runs on a cluster"),
+        (2, "the cat sat on the mat"),
+        (3, "cluster of stars in the sky"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.bm25_topk(df, "doc_id", "text", ["spark", "cluster"], k=3).collect()
+    assert len(out) == 3
+    ids = [r["id"] for r in out]
+    assert 2 not in ids  # no query term at all
+    # tf saturation (k1) means doc 1's two distinct query terms beat
+    # doc 0's tf=3 on one term; doc 0 still outranks single-term doc 3
+    assert ids[0] == 1
+    assert ids.index(0) < ids.index(3)
+    # scores strictly ordered desc, ties impossible here
+    scores = [r["score_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, longer doc scores lower under b > 0
+    rows = [
+        (0, "spark is neat"),
+        (1, "spark " + "filler " * 30 + "end"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r["score_micro"] for r in textstats.bm25_topk(df, "doc_id", "text", ["spark"], k=10).collect()}
+    assert out[0] > out[1]
+
+
+def test_tfidf_cosine_pairs_identical_docs_score_one(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.5, max_df=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert r["cos_sim"] == 1.0
+
+
+def test_tfidf_cosine_pairs_df_pruning_drops_stop_terms(spark):
+    # 'common' appears in every doc; with max_df=2 it is pruned from the
+    # vector space entirely, so the docs share nothing and no pair emerges
+    rows = [
+        (0, "common alpha"),
+        (1, "common beta"),
+        (2, "common gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert (
+        textstats.tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.1, max_df=2).count()
+        == 0
+    )
