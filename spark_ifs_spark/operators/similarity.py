@@ -699,17 +699,22 @@ def random_project(
 
 def sq8_params(df: DataFrame, vec_col: str, dims: int) -> list[tuple[float, float]]:
     """Per-dimension ``(min, max)`` over the corpus — the codebook for
-    8-bit scalar quantization. ONE pass, no explode: ``2·dims`` min/max
-    aggregate expressions fold map-side, and the driver holds only
+    8-bit scalar quantization. One posexplode + ONE dim-keyed min/max
+    aggregate: partial aggregation collapses every task to ``dims``
+    rows before the (tiny) shuffle, and the driver holds only
     ``O(dims)`` scalars (the same bounded-metadata posture as
-    ``ivf_centroids``)."""
-    aggs = []
-    for j in range(dims):
-        x = F.col(vec_col)[j].cast("double")
-        aggs.append(F.min(x).alias(f"mn{j}"))
-        aggs.append(F.max(x).alias(f"mx{j}"))
-    row = df.agg(*aggs).collect()[0]
-    return [(float(row[f"mn{j}"]), float(row[f"mx{j}"])) for j in range(dims)]
+    ``ivf_centroids``). The explode-free alternative — ``2·dims``
+    separate aggregate expressions — is plan-quadratic (compile cost
+    dominated a measured run 50:1) and was replaced by this shape."""
+    rows = (
+        df.select(F.posexplode(as_double_array(vec_col)).alias("j", "x"))
+        .filter(F.col("j") < dims)
+        .groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_dim = {r["j"]: (float(r["mn"]), float(r["mx"])) for r in rows}
+    return [by_dim[j] for j in range(dims)]
 
 
 def _sq8_code(x: Column, mn: float, mx: float) -> Column:
@@ -756,12 +761,32 @@ def topk_sq8(
         else:
             c = math.floor((float(x) - mn) * 255.0 / (mx - mn))
             qc.append(max(0, min(255, c)))
-    score: Column = F.lit(0).cast("long")
-    for j, (w, (mn, mx)) in enumerate(zip(qc, params)):
-        if w == 0:
-            continue
-        code = _sq8_code(F.col(vec_col)[j].cast("double"), mn, mx)
-        score = score + F.lit(w).cast("long") * code
+    # one higher-order-function loop over literal codebook arrays — a
+    # dims-wide flat sum of least/greatest/floor trees is semantically
+    # identical but plan-quadratic (compile cost swamps the scan)
+    qc_arr = F.array(*[F.lit(int(w)) for w in qc])
+    mn_arr = F.array(*[F.lit(float(mn)) for mn, _ in params])
+    mx_arr = F.array(*[F.lit(float(mx)) for _, mx in params])
+    vec = as_double_array(vec_col)
+
+    def _step(acc: Column, i: Column) -> Column:
+        qw = F.element_at(qc_arr, i + 1).cast("long")
+        x = F.element_at(vec, i + 1)
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        scaled = F.floor((x - mn) * F.lit(255.0) / (mx - mn))
+        code = F.least(
+            F.lit(255).cast("long"), F.greatest(F.lit(0).cast("long"), scaled)
+        )
+        # qw = 0 exactly covers constant dims (mx = mn): skip them both
+        # to avoid the 0/0 division and because the product is 0 anyway
+        return F.when(qw == 0, acc).otherwise(acc + qw * code)
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        F.lit(0).cast("long"),
+        _step,
+    )
     scored = df.select(F.col(id_col).alias("id"), score.alias("dot_q"))
     if exclude_ids:
         scored = scored.filter(~F.col("id").isin(*[int(i) for i in exclude_ids]))
