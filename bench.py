@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "tfidf_cosine_pairs",
     "ann_topk_sq8",
     "dedup_exact_normalized",
+    "cms_term_counts",
+    "pmi_top_pairs",
+    "quality_lr_score",
 ]
 
 

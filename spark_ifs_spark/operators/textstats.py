@@ -587,3 +587,65 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def pmi_top_pairs(
+    df: DataFrame, text_col: str, k: int = 30, min_count: int = 5
+) -> DataFrame:
+    """``(pair, c_ab, pmi_micro)`` — top-``k`` adjacent-token
+    collocations by pointwise mutual information, ``ln(p(ab) /
+    (p(a)·p(b)))`` — the classic phrase-mining signal (PMI-scored
+    bigram merging is how word2vec-era pipelines and tokenizer
+    pre-merges find multi-word units).
+
+    ``pmi_micro = floor(ln(c_ab·N / (c_a·c_b)) · 1e6)`` as BIGINT — the
+    inner products and counts are exact integers, the single ln/divide
+    is reproduced verbatim by the oracle, and ranking happens on the
+    integer (total order: pmi desc, pair asc). ``min_count`` suppresses
+    the low-frequency PMI explosion (a hapax pair has near-maximal PMI).
+
+    Plan: unigram and bigram counts are each ONE map-side-combined
+    aggregate over scan-fused expressions (``zip_with`` bigrams — no
+    pos+1 self-join); the PMI join runs on the vocabulary-sized count
+    relations (AQE sizes the build sides), and the cut is TakeOrdered,
+    never a global sort. Token totals are one scalar aggregate.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    total = int(
+        df.select(F.sum(F.size(F.split(F.col(text_col), " "))).alias("t"))
+        .collect()[0]["t"]
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("_wa"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("_wb"), F.col("c_w").alias("c_b"))
+    pmi = F.floor(
+        F.log(
+            (F.col("c_ab") * F.lit(total)) / (F.col("c_a") * F.col("c_b"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        big.withColumn("_wa", F.substring_index(F.col("pair"), " ", 1))
+        .withColumn("_wb", F.substring_index(F.col("pair"), " ", -1))
+        .join(ua, "_wa")
+        .join(ub, "_wb")
+        .select("pair", "c_ab", pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), F.col("pair").asc())
+        .limit(k)
+    )

@@ -1,0 +1,91 @@
+"""Count-Min Sketch and logistic-regression-step operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators import lr, sketches
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    words = (["the"] * 50) + (["spark"] * 20) + (["rare"] * 2) + ["hapax"]
+    return spark.createDataFrame([(w,) for w in words], ["w"])
+
+
+def test_cms_never_underestimates(spark, tokens):
+    cms = sketches.cms_build(tokens, "w", depth=4, width=64, seed=9)
+    est = {
+        r["term"]: r["est"]
+        for r in sketches.cms_estimate(
+            cms, ["the", "spark", "rare", "hapax", "absent"], depth=4, width=64, seed=9
+        ).collect()
+    }
+    exact = {"the": 50, "spark": 20, "rare": 2, "hapax": 1, "absent": 0}
+    for t, c in exact.items():
+        assert est[t] >= c, t
+    # with 73 tokens in a 4x64 grid, collisions are bounded: the absent
+    # term cannot exceed the total stream size, and the heavy term
+    # estimate is close to truth
+    assert est["the"] <= 73
+    assert est["absent"] <= 73
+
+
+def test_cms_grid_is_bounded(spark, tokens):
+    cms = sketches.cms_build(tokens, "w", depth=4, width=64, seed=9)
+    assert cms.count() <= 4 * 64
+    # every token contributes to exactly `depth` cells
+    total = cms.groupBy("r").agg(F.sum("c").alias("s")).collect()
+    assert all(row["s"] == 73 for row in total)
+
+
+def test_cms_merge_is_cell_addition(spark):
+    a = spark.createDataFrame([("x",), ("y",)], ["w"])
+    b = spark.createDataFrame([("x",), ("z",)], ["w"])
+    whole = spark.createDataFrame([("x",), ("y",), ("x",), ("z",)], ["w"])
+    kw = dict(depth=3, width=32, seed=5)
+    merged = (
+        sketches.cms_build(a, "w", **kw)
+        .unionByName(sketches.cms_build(b, "w", **kw))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = sketches.cms_build(whole, "w", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_lr_train_separates_classes(spark):
+    # y = 1 iff x1 is large; two well-separated clusters
+    rows = [(i, 1.0, 2.0 + (i % 3) * 0.1, 1.0) for i in range(30)]
+    rows += [(100 + i, 1.0, -2.0 - (i % 3) * 0.1, 0.0) for i in range(30)]
+    df = spark.createDataFrame(rows, ["id", "x0", "x1", "y"])
+    w = lr.lr_train(df, ["x0", "x1"], "y", iters=3)
+    assert w[1] > 0  # positive slope on the separating feature
+    scored = {r["id"]: r["score_micro"] for r in lr.lr_score(df, ["x0", "x1"], w, "id").collect()}
+    assert min(scored[i] for i in range(30)) > max(scored[100 + i] for i in range(30))
+
+
+def test_lr_step_matches_numpy_replica(spark):
+    import numpy as np
+
+    rows = [(0, 1.0, 0.5, 1.0), (1, 1.0, -0.25, 0.0), (2, 1.0, 1.5, 1.0)]
+    df = spark.createDataFrame(rows, ["id", "x0", "x1", "y"])
+    w = lr.lr_train(df, ["x0", "x1"], "y", iters=2)
+
+    X = np.array([[1.0, 0.5], [1.0, -0.25], [1.0, 1.5]])
+    y = np.array([1.0, 0.0, 1.0])
+    wm = [0, 0]
+    n = 3
+    for _ in range(2):
+        margin = X @ (np.array(wm) / 1e6)
+        p = 1.0 / (1.0 + np.exp(-margin))
+        out = []
+        for j in range(2):
+            gj = int(np.floor((p - y) * X[:, j] * 1e6).sum())
+            q = abs(gj) // (2 * n)
+            out.append(wm[j] + q if gj < 0 else wm[j] - q)
+        wm = out
+    assert w == wm

@@ -230,3 +230,29 @@ def test_tfidf_cosine_pairs_df_pruning_drops_stop_terms(spark):
         textstats.tfidf_cosine_pairs(df, "doc_id", "text", threshold=0.1, max_df=2).count()
         == 0
     )
+
+
+def test_pmi_top_pairs_prefers_exclusive_collocation(spark):
+    # "new york" always co-occur exclusively; "the cat" words appear in
+    # many other contexts -> PMI(new york) > PMI(the cat)
+    rows = [
+        (0, "new york new york new york new york new york"),
+        (1, "the cat the dog the bird the cat the fish"),
+        (2, "cat and dog and bird and fish and the"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.pmi_top_pairs(df, "text", k=5, min_count=2)
+    rowsc = out.collect()
+    pmis = {r["pair"]: r["pmi_micro"] for r in rowsc}
+    assert "new york" in pmis
+    assert pmis["new york"] == max(pmis.values())
+    # deterministic total order
+    keys = [(-r["pmi_micro"], r["pair"]) for r in rowsc]
+    assert keys == sorted(keys)
+
+
+def test_pmi_min_count_filters_hapax_pairs(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h")], ["doc_id", "text"]
+    )  # every pair occurs once
+    assert textstats.pmi_top_pairs(df, "text", k=10, min_count=2).count() == 0
