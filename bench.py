@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "cms_term_counts",
     "pmi_top_pairs",
     "quality_lr_score",
+    "events_funnel",
+    "events_cohorts",
+    "events_scd2",
 ]
 
 

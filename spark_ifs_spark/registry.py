@@ -1324,6 +1324,7 @@ PMI_K = 30
 PMI_MIN_COUNT = 5
 LR_FEATURES = ["x0", "x1", "x2"]
 LR_ITERS = 2
+FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3675,6 +3676,91 @@ FROM feats CROSS JOIN w2
 """
 
 
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-stage funnel (view → click-after-view →
+    purchase-after-click): per-user conditional-min chains, every join
+    user-keyed — see ``operators/events_analytics.funnel_counts``."""
+    from spark_ifs_spark.operators import events_analytics
+
+    ev = _read(spark, sf_dir, "events")
+    return events_analytics.funnel_counts(
+        ev, "user_id", "ts", "event_type", FUNNEL_STAGES
+    )
+
+
+def sql_events_funnel() -> str:
+    s0, s1, s2 = FUNNEL_STAGES
+    return f"""
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = '{s0}' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = '{s1}' AND e.ts > s0.t0
+  GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{s2}' AND e.ts > s1.t1
+  GROUP BY 1
+)
+SELECT '{s0}' AS stage, CAST(count(*) AS BIGINT) AS users FROM s0
+UNION ALL SELECT '{s1}', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT '{s2}', CAST(count(*) AS BIGINT) FROM s2
+"""
+
+
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention grid (first-activity-week × week offset)
+    — ``operators/events_analytics.cohort_retention``."""
+    from spark_ifs_spark.operators import events_analytics
+
+    ev = _read(spark, sf_dir, "events")
+    return events_analytics.cohort_retention(ev, "user_id", "ts")
+
+
+def sql_events_cohorts() -> str:
+    return """
+WITH first AS (
+  SELECT user_id, min(ts) AS f FROM events GROUP BY 1
+), cohort AS (
+  SELECT user_id, date_trunc('week', f) AS cw FROM first
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cw, wk) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act JOIN cohort USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD2 validity intervals per user (one entity-keyed
+    window, ties total-ordered by event id) —
+    ``operators/events_analytics.scd2_intervals``."""
+    from spark_ifs_spark.operators import events_analytics
+
+    ev = _read(spark, sf_dir, "events")
+    return events_analytics.scd2_intervals(
+        ev, "user_id", "ts", "event_id", ["event_type", "value"]
+    )
+
+
+def sql_events_scd2() -> str:
+    return """
+SELECT user_id, event_id, event_type, value,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+       ) AS valid_to_us
+FROM events
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates the 26 never-gated queries (plus any new ones)
@@ -3683,6 +3769,9 @@ FROM feats CROSS JOIN w2
 # tests/test_entry_oracle.py, which replicates the driver's gate per query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
+    "events_funnel": q_events_funnel,
+    "events_cohorts": q_events_cohorts,
+    "events_scd2": q_events_scd2,
     "cms_term_counts": q_cms_term_counts,
     "pmi_top_pairs": q_pmi_top_pairs,
     "quality_lr_score": q_quality_lr_score,
@@ -3784,6 +3873,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 4 (never gated) ---
+    "events_funnel": sql_events_funnel(),
+    "events_cohorts": sql_events_cohorts(),
+    "events_scd2": sql_events_scd2(),
     "cms_term_counts": sql_cms_term_counts(),
     "pmi_top_pairs": sql_pmi_top_pairs(),
     "quality_lr_score": sql_quality_lr_score(),

@@ -1,0 +1,78 @@
+"""Funnel / cohort-retention / SCD2 operator tests (hand-checked)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from spark_ifs_spark.operators import events_analytics
+
+
+def _ts(day: int, hour: int = 0) -> datetime:
+    return datetime(2024, 1, day, hour)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # u1: full ordered funnel; u2: click BEFORE any view (must not count
+    # as click-after-view); u3: view only
+    rows = [
+        (0, _ts(1), 1, "view"),
+        (1, _ts(2), 1, "click"),
+        (2, _ts(3), 1, "purchase"),
+        (3, _ts(1), 2, "click"),
+        (4, _ts(2), 2, "view"),
+        (5, _ts(10), 2, "purchase"),
+        (6, _ts(1), 3, "view"),
+    ]
+    return spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+
+
+def test_funnel_order_matters(spark, events):
+    out = {
+        r["stage"]: r["users"]
+        for r in events_analytics.funnel_counts(
+            events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    # u2's click precedes their first view -> only u1 clicks after view;
+    # u2's purchase chains off nothing (no click after view)
+    assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_grid(spark):
+    # u1 first active week of Jan 1 (Mon), active again week of Jan 8;
+    # u2 first active week of Jan 8 only
+    rows = [
+        (0, _ts(2), 1, "view"),
+        (1, _ts(9), 1, "view"),
+        (2, _ts(10), 2, "view"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in events_analytics.cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_scd2_interval_chain(spark, events):
+    out = events_analytics.scd2_intervals(
+        events, "user_id", "ts", "event_id", ["event_type"]
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["valid_from_us"])
+        # chain property: each interval ends where the next begins;
+        # exactly one open interval per user, and it is the last one
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+        assert rows[-1]["valid_to_us"] is None
+        assert all(r["valid_to_us"] is not None for r in rows[:-1])
