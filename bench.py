@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_cohorts",
     "events_scd2",
+    "event_transitions",
+    "docs_weighted_sample",
 ]
 
 

@@ -138,3 +138,41 @@ def scd2_intervals(
             )
         ),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+) -> DataFrame:
+    """``(from_type, to_type, c, p_micro)`` — first-order Markov
+    transition counts and probabilities between consecutive events of
+    the same entity (next-event prediction, anomaly scoring, session
+    modeling).
+
+    ``p_micro = floor(c·1e6 / c_from)`` — integer ppm of the row-wise
+    conditional, exact on both engines. Plan: ONE entity-keyed window
+    builds (type, next_type) pairs (ties total-ordered by the event
+    id), one bounded types² aggregate counts them, and the per-from
+    totals come from a window over that bounded relation — nothing
+    event-scale shuffles twice.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "c",
+        F.floor(F.col("c") * F.lit(1000000) / F.sum("c").over(totals)).alias(
+            "p_micro"
+        ),
+    )

@@ -214,3 +214,45 @@ def sample_exact_n(
         .limit(n)
         .drop("_h")
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — deterministic across runs, engines,
+    cluster sizes, and input orderings (the weighted counterpart of
+    :func:`sample_exact_n`).
+
+    Algorithm A-ES (Efraimidis–Spirakis): each row draws a uniform
+    ``u`` from the md5 hash of ``(seed, id)`` and ranks by
+    ``u^(1/w)`` — equivalently ``ln(u)/w``, which is what we order by
+    (descending; ties, i.e. md5 collisions, break by id). The top-``n``
+    of that order IS a weighted sample without replacement.
+
+    Weights must be strictly positive — a zero weight divides to −inf
+    and sinks the row, which is the correct limit but asserts nothing;
+    negative weights are a caller bug.
+
+    Plan: same as :func:`sample_exact_n` — the rank key is a scan-fused
+    projection and the cut is ``TakeOrdered(n)``; no global sort, no
+    shuffle of the corpus. Nothing floating leaves the operator (the
+    key is dropped), so engine-identical selection needs only identical
+    double arithmetic on the way in, which (h+1)/(2^60+1), ``ln``, and
+    one division give.
+    """
+    if n <= 0:
+        raise ValueError("n must be > 0")
+    h = md5_int60(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_k", key)
+        .orderBy(F.col("_k").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("_k")
+    )

@@ -1325,6 +1325,8 @@ PMI_MIN_COUNT = 5
 LR_FEATURES = ["x0", "x1", "x2"]
 LR_ITERS = 2
 FUNNEL_STAGES = ["view", "click", "purchase"]
+WSAMPLE_N = 50
+WSAMPLE_SEED = 17
 
 
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3761,6 +3763,66 @@ FROM events
 """
 
 
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive
+    per-user events (``events_analytics.transition_matrix``) — integer
+    ppm conditionals."""
+    from spark_ifs_spark.operators import events_analytics
+
+    ev = _read(spark, sf_dir, "events")
+    return events_analytics.transition_matrix(
+        ev, "user_id", "ts", "event_id", "event_type"
+    )
+
+
+def sql_event_transitions() -> str:
+    return """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, c,
+       CAST(floor(c * 1000000 / sum(c) OVER (PARTITION BY from_type)) AS BIGINT) AS p_micro
+FROM counts
+"""
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-ES md5
+    keys, probability ∝ document length) —
+    ``operators/sampling.weighted_sample_n``."""
+    from spark_ifs_spark.operators.sampling import weighted_sample_n
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") + F.lit(1)
+    )
+    return weighted_sample_n(docs, "doc_id", "w", WSAMPLE_N, WSAMPLE_SEED).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def sql_docs_weighted_sample() -> str:
+    keyed = f"concat('{WSAMPLE_SEED}:', CAST(doc_id AS VARCHAR))"
+    h = sql_md5_int60(keyed)
+    denom = float(2**60 + 1)
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY ln(CAST({h} + 1 AS DOUBLE) / {denom!r}) / CAST(n_chars + 1 AS DOUBLE) DESC,
+         doc_id ASC
+LIMIT {WSAMPLE_N}
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates the 26 never-gated queries (plus any new ones)
@@ -3769,6 +3831,8 @@ FROM events
 # tests/test_entry_oracle.py, which replicates the driver's gate per query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
+    "event_transitions": q_event_transitions,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "events_funnel": q_events_funnel,
     "events_cohorts": q_events_cohorts,
     "events_scd2": q_events_scd2,
@@ -3873,6 +3937,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 4 (never gated) ---
+    "event_transitions": sql_event_transitions(),
+    "docs_weighted_sample": sql_docs_weighted_sample(),
     "events_funnel": sql_events_funnel(),
     "events_cohorts": sql_events_cohorts(),
     "events_scd2": sql_events_scd2(),

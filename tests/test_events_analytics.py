@@ -76,3 +76,27 @@ def test_scd2_interval_chain(spark, events):
             assert a["valid_to_us"] == b["valid_from_us"]
         assert rows[-1]["valid_to_us"] is None
         assert all(r["valid_to_us"] is not None for r in rows[:-1])
+
+
+def test_transition_matrix_hand_checked(spark):
+    rows = [
+        (0, _ts(1), 1, "a"),
+        (1, _ts(2), 1, "b"),
+        (2, _ts(3), 1, "a"),
+        (3, _ts(4), 1, "b"),
+        (4, _ts(1), 2, "a"),
+        (5, _ts(2), 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        (r["from_type"], r["to_type"]): (r["c"], r["p_micro"])
+        for r in events_analytics.transition_matrix(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).collect()
+    }
+    # from 'a': a->b twice (u1), a->c once (u2); from 'b': b->a once
+    assert out[("a", "b")] == (2, 666666)
+    assert out[("a", "c")] == (1, 333333)
+    assert out[("b", "a")] == (1, 1000000)
+    # transitions never cross users: no (b, a) from u2, no (c, ...) rows
+    assert ("c", "a") not in out and len(out) == 3

@@ -341,3 +341,27 @@ def test_operators_tolerate_empty_input(spark):
     assert pack_chunks(ch, ["id"], "n_tokens", 64).count() == 0
     fp = docs.select(F.col("doc_id").alias("id"), F.lit("x").alias("fp"))
     assert corpus_diff(fp, fp, "id", "fp").count() == 0
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from spark_ifs_spark.operators.sampling import weighted_sample_n
+
+    # 5 heavy rows (w=10000) among 200 light rows (w=1): a 20-row draw
+    # should include all heavy rows with overwhelming probability
+    rows = [(i, 10000.0) for i in range(5)] + [(100 + i, 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    picked = {r["id"] for r in weighted_sample_n(df, "id", "w", 20, seed=3).collect()}
+    assert set(range(5)) <= picked
+    assert len(picked) == 20
+
+
+def test_weighted_sample_deterministic_and_order_invariant(spark):
+    from pyspark.sql import functions as F
+    from spark_ifs_spark.operators.sampling import weighted_sample_n
+
+    rows = [(i, float(1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    a = sorted(r["id"] for r in weighted_sample_n(df, "id", "w", 10, seed=5).collect())
+    shuffled = df.orderBy(F.rand(1)).repartition(7)
+    b = sorted(r["id"] for r in weighted_sample_n(shuffled, "id", "w", 10, seed=5).collect())
+    assert a == b
