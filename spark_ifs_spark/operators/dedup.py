@@ -221,24 +221,43 @@ def edit_distance_pairs(
     length = (
         F.col(len_col) if len_col is not None else F.length(F.col(text_col))
     ).cast("long")
+    # 16-bucket character histogram, computed ONCE per doc: every unit
+    # edit moves at most 2 units of L1 mass between histograms, so
+    # L1(a, b) > 2·max_dist proves dist > max_dist — an O(16) per-pair
+    # rejection that spares the O(d·n) levenshtein on the (dominant)
+    # non-matching candidates. The bound is conservative: no match is
+    # ever dropped, so the oracle is unchanged.
+    chars = F.split(F.col(text_col), "")
+    hist = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.size(F.filter(chars, lambda c: F.ascii(c) % 16 == b)),
+    )
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         length.alias("len"),
         (length / len_band).cast("long").alias("bucket"),
+        hist.alias("hist"),
     )
-    left = base.select("id", "txt", "len", "bucket")
+    left = base.select("id", "txt", "len", "bucket", "hist")
     right = base.select(
         F.col("id").alias("rid"),
         F.col("txt").alias("rtxt"),
         F.col("len").alias("rlen"),
+        F.col("hist").alias("rhist"),
         F.explode(
             F.array(F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket"),
     )
+    l1 = F.aggregate(
+        F.zip_with(F.col("hist"), F.col("rhist"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     cand = left.join(right, "bucket").filter(
         (F.col("id") != F.col("rid"))
         & (F.abs(F.col("len") - F.col("rlen")) <= len_band)
+        & (l1 <= 2 * max_dist)
     )
     scored = cand.select(
         F.least(F.col("id"), F.col("rid")).alias("id_a"),

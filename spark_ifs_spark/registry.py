@@ -398,8 +398,8 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
 
 
 #: fuzzy edit-distance dedup params — band must be >= max distance
-EDIT_MAX_DIST = 16
-EDIT_LEN_BAND = 16
+EDIT_MAX_DIST = 12
+EDIT_LEN_BAND = 12
 
 
 def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
