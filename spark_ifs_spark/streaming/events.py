@@ -179,3 +179,69 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def upsert_materialized_view(
+    stream: DataFrame,
+    view_path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str] = [],
+):
+    """Incremental materialized view by per-batch MERGE: each
+    micro-batch is compacted to latest-per-key
+    (:func:`~spark_ifs_spark.operators.topk.compact_latest`) and merged
+    into the parquet view — existing keys are replaced when the batch
+    carries a strictly newer ``(order, tiebreaks)`` version, new keys
+    are inserted, untouched keys are carried over. ``foreachBatch``
+    because the file sink alone can only append: upsert needs a
+    read-modify-write, and the batch hook is Structured Streaming's
+    sanctioned way to run one (with the batch id available for
+    idempotence — a replayed batch merges to the same state, so
+    restarts are safe even though the write itself is not
+    transactional the way a table format's would be).
+
+    Scale shape: per batch, ONE compaction aggregate over the (small)
+    batch + one key-keyed merge join against the view. The merge
+    rewrites the view — at 100 TB the view is key-partitioned or
+    bucketed so the join is Exchange-free and only touched partitions
+    rewrite (`sources/sinks.py:write_bucketed` is that layout; a table
+    format with MERGE INTO — Delta/Iceberg — drops in here verbatim).
+    State never lives in the stream: the view IS the state, so a
+    restart resumes from the checkpoint with zero state-store recovery.
+
+    Returns the StreamingQuery.
+    """
+    from spark_ifs_spark.operators.topk import compact_latest
+
+    spark = stream.sparkSession
+    cols = stream.columns
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        latest = compact_latest(batch, key_cols, order_col, tiebreak_cols)
+        try:
+            view = spark.read.parquet(view_path)
+            existing = True
+        except Exception:
+            existing = False
+        if existing:
+            merged = compact_latest(
+                view.select(*cols).unionByName(latest.select(*cols)),
+                key_cols,
+                order_col,
+                tiebreak_cols,
+            )
+        else:
+            merged = latest
+        # materialize BEFORE overwrite: the plan reads the same files
+        # the write replaces
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(view_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -486,3 +486,70 @@ def test_streaming_sink_restart_is_exactly_once(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == batch.count()
     assert back.select("event_id").distinct().count() == batch.count()
+
+
+def test_upsert_materialized_view_two_batches(spark, tmp_path):
+    """Drive the foreachBatch MERGE over two real micro-batches: batch 2
+    must replace keys it carries newer versions for, insert new keys,
+    and carry over untouched keys; the final view must equal one-shot
+    compaction of the full feed."""
+    from spark_ifs_spark.operators.topk import compact_latest
+    from spark_ifs_spark.streaming.events import upsert_materialized_view
+
+    src = tmp_path / "feed"
+    view = tmp_path / "view"
+    ckpt = tmp_path / "ckpt"
+    b1 = spark.createDataFrame(
+        [(1, 10, "a1"), (2, 10, "b1"), (3, 10, "c1")], ["k", "v", "payload"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, 20, "b2"), (4, 5, "d1")], ["k", "v", "payload"]
+    )
+    b1.write.parquet(str(src / "f1.parquet"))
+    schema = b1.schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = upsert_materialized_view(
+            stream, str(view), str(ckpt), ["k"], "v", []
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r["k"]: (r["v"], r["payload"]) for r in spark.read.parquet(str(view)).collect()}
+    assert got1 == {1: (10, "a1"), 2: (10, "b1"), 3: (10, "c1")}
+
+    b2.write.parquet(str(src / "f2.parquet"))
+    run()  # second availableNow run picks up only the new file
+    got2 = {r["k"]: (r["v"], r["payload"]) for r in spark.read.parquet(str(view)).collect()}
+    assert got2 == {1: (10, "a1"), 2: (20, "b2"), 3: (10, "c1"), 4: (5, "d1")}
+
+    # equivalence: the incremental view == one-shot compaction of the feed
+    full = compact_latest(b1.unionByName(b2), ["k"], "v")
+    expect = {r["k"]: (r["v"], r["payload"]) for r in full.collect()}
+    assert got2 == expect
+
+
+def test_upsert_view_stale_batch_does_not_regress(spark, tmp_path):
+    """A batch carrying an OLDER version of an existing key must not
+    overwrite the newer state already in the view (the merge compacts
+    by (order, tiebreaks), not by arrival)."""
+    from spark_ifs_spark.streaming.events import upsert_materialized_view
+
+    src = tmp_path / "feed"
+    view = tmp_path / "view"
+    ckpt = tmp_path / "ckpt"
+    schema = "k long, v long, payload string"
+    spark.createDataFrame([(1, 50, "new")], schema).write.parquet(str(src / "f1.parquet"))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        upsert_materialized_view(
+            stream, str(view), str(ckpt), ["k"], "v", []
+        ).awaitTermination(120)
+
+    run()
+    spark.createDataFrame([(1, 10, "stale")], schema).write.parquet(str(src / "f2.parquet"))
+    run()
+    got = {r["k"]: (r["v"], r["payload"]) for r in spark.read.parquet(str(view)).collect()}
+    assert got == {1: (50, "new")}
