@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "events_scd2",
     "event_transitions",
     "docs_weighted_sample",
+    "textrank_keywords",
 ]
 
 

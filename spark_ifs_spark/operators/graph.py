@@ -237,3 +237,60 @@ def cluster_representatives(
     return components.groupBy("component").agg(
         agg.alias("keep_id"), F.count(F.lit(1)).alias("n_members")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """``(id, pr_micro)`` — PageRank after ``iters`` power iterations
+    over a DIRECTED ``(src, dst)`` edge relation, in exact integer
+    micro-units.
+
+    Update: ``pr' = floor((1−d)·1e6) + floor(d · Σ_in (pr // deg))`` —
+    every per-edge contribution is truncating integer division (SQL
+    ``//`` on signed ints), the in-sum is an exact integer sum, and the
+    one float product per node per iteration (``d · S``, with S exact in
+    a double) floors identically on both engines. Dangling nodes (no
+    out-edges) contribute nothing — their mass leaks, the standard
+    simple variant; add a dangling-mass term if conservation matters.
+
+    Plan per iteration — the shape that survives 100 TB graphs:
+    out-degrees are ONE edge aggregate computed once; each iteration is
+    one ranks⋈edges join keyed on the source plus one dst-keyed sum.
+    Ranks never leave the cluster (no driver state at all, unlike the
+    O(d) loops of `lr_train`/`power_iteration` — the rank vector is
+    node-sized). Iteration count is a constant, so lineage stays
+    shallow; for deep loops truncate like `connected_components` does.
+    """
+    n = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base_micro = 1_000_000
+    teleport = int((1.0 - damping) * base_micro)
+    ranks = n.select("id", F.lit(base_micro).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(edges, ranks["id"] == edges["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("deg")).cast("long").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            n.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.floor(
+                        F.lit(damping) * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+    return ranks.select("id", F.col("pr").alias("pr_micro"))

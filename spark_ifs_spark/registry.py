@@ -1327,6 +1327,8 @@ LR_ITERS = 2
 FUNNEL_STAGES = ["view", "click", "purchase"]
 WSAMPLE_N = 50
 WSAMPLE_SEED = 17
+PAGERANK_ITERS = 2
+PAGERANK_DAMPING = 0.85
 
 
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3823,6 +3825,79 @@ LIMIT {WSAMPLE_N}
 """
 
 
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank: PageRank over the token co-occurrence graph (nodes =
+    corpus vocabulary, edges = distinct adjacent-token pairs in both
+    directions) — the classic graph-based keyword ranking, and the
+    registry's iterative-graph-algorithm exemplar beyond connected
+    components (``operators/graph.pagerank``; ranks never visit the
+    driver). Unweighted-edge variant; integer-micro ranks."""
+    from spark_ifs_spark.operators import graph
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, m - 1),
+        F.slice(toks, 2, m - 1),
+        lambda a, b: F.struct(a.alias("src"), b.alias("dst")),
+    )
+    fwd = docs.select(F.explode(pairs).alias("p")).select("p.src", "p.dst")
+    edges = (
+        fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = docs.select(F.explode(toks).alias("term")).distinct()
+    out = graph.pagerank(
+        edges, nodes, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return out.select(F.col("id").alias("term"), "pr_micro")
+
+
+def sql_textrank_keywords() -> str:
+    teleport = int((1.0 - PAGERANK_DAMPING) * 1000000)
+    d = PAGERANK_DAMPING
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), fwd AS (
+  SELECT DISTINCT t[s.i] AS src, t[s.i + 1] AS dst
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2
+), edges AS (
+  SELECT src, dst FROM fwd WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM fwd WHERE src <> dst
+), nodes AS (
+  SELECT DISTINCT w.w AS id FROM toks, LATERAL (SELECT unnest(t) AS w) w
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), r0 AS (
+  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes
+), c1 AS (
+  SELECT e.dst AS id, CAST(sum(r0.pr // d.deg) AS BIGINT) AS s
+  FROM r0 JOIN edges e ON e.src = r0.id JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), r1 AS (
+  SELECT nodes.id,
+         CAST({teleport} + floor({d} * CAST(coalesce(c1.s, 0) AS DOUBLE)) AS BIGINT) AS pr
+  FROM nodes LEFT JOIN c1 USING (id)
+), c2 AS (
+  SELECT e.dst AS id, CAST(sum(r1.pr // d.deg) AS BIGINT) AS s
+  FROM r1 JOIN edges e ON e.src = r1.id JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), r2 AS (
+  SELECT nodes.id,
+         CAST({teleport} + floor({d} * CAST(coalesce(c2.s, 0) AS DOUBLE)) AS BIGINT) AS pr
+  FROM nodes LEFT JOIN c2 USING (id)
+)
+SELECT id AS term, pr AS pr_micro FROM r2
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates the 26 never-gated queries (plus any new ones)
@@ -3831,6 +3906,7 @@ LIMIT {WSAMPLE_N}
 # tests/test_entry_oracle.py, which replicates the driver's gate per query.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
+    "textrank_keywords": q_textrank_keywords,
     "event_transitions": q_event_transitions,
     "docs_weighted_sample": q_docs_weighted_sample,
     "events_funnel": q_events_funnel,
@@ -3937,6 +4013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     # --- new in round 4 (never gated) ---
+    "textrank_keywords": sql_textrank_keywords(),
     "event_transitions": sql_event_transitions(),
     "docs_weighted_sample": sql_docs_weighted_sample(),
     "events_funnel": sql_events_funnel(),

@@ -85,3 +85,37 @@ def test_cluster_representatives(spark):
         for r in cluster_representatives(comps).collect()
     }
     assert reps == {1: (1, 3), 10: (10, 2)}
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star receives every spoke's full rank; spokes split the
+    hub's contribution: hand-checked 2-iteration integer arithmetic."""
+    from spark_ifs_spark.operators.graph import pagerank
+
+    # star: spokes 1..4 <-> hub 0 (undirected = both directions)
+    edges = []
+    for i in range(1, 5):
+        edges += [(0, i), (i, 0)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    n = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    out = {r["id"]: r["pr_micro"] for r in pagerank(e, n, iters=2).collect()}
+    # iter1: hub = 150000+floor(.85*4e6) = 3550000
+    #        spoke = 150000+floor(.85*(1e6//4)) = 362500
+    # iter2: hub gets 4*362500; spoke gets 3550000//4
+    assert out[0] == 150000 + int(0.85 * (4 * 362500))
+    assert all(
+        out[i] == 150000 + int(0.85 * (3550000 // 4)) for i in range(1, 5)
+    )
+
+
+def test_pagerank_dangling_node_keeps_teleport_rank(spark):
+    from spark_ifs_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    n = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    out = {r["id"]: r["pr_micro"] for r in pagerank(e, n, iters=2).collect()}
+    # node 3 is isolated: teleport only; node 1 receives nothing (2 is
+    # dangling, its mass leaks by design)
+    assert out[3] == 150000
+    assert out[1] == 150000
+    assert out[2] > 150000
