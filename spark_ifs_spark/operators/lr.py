@@ -91,19 +91,29 @@ def lr_train(
     return w
 
 
+def lr_score_expr(
+    feature_cols: list[str], weights_micro: list[int]
+) -> Column:
+    """``floor(σ(w·x)·1e6)`` as a single column expression — the one
+    source of truth for the scoring formula (margin folded
+    left-to-right in feature order, the engine-reproducible sequence),
+    usable as a plain projection anywhere."""
+    margin: Column = F.lit(0.0)
+    for w, c in zip(weights_micro, feature_cols):
+        margin = margin + F.lit(w / 1000000.0) * F.col(c)
+    return F.floor(_sigmoid(margin) * F.lit(1000000.0)).cast("long")
+
+
 def lr_score(
     df: DataFrame,
     feature_cols: list[str],
     weights_micro: list[int],
     id_col: str,
 ) -> DataFrame:
-    """``(id, score_micro)`` — ``floor(σ(w·x)·1e6)`` per row: the scoring
-    pass that applies a trained quality classifier corpus-wide. Pure
-    map-side projection, zero shuffles."""
-    margin: Column = F.lit(0.0)
-    for w, c in zip(weights_micro, feature_cols):
-        margin = margin + F.lit(w / 1000000.0) * F.col(c)
+    """``(id, score_micro)`` — the scoring pass that applies a trained
+    quality classifier corpus-wide. Pure map-side projection, zero
+    shuffles (:func:`lr_score_expr`)."""
     return df.select(
         F.col(id_col).alias("id"),
-        F.floor(_sigmoid(margin) * F.lit(1000000.0)).cast("long").alias("score_micro"),
+        lr_score_expr(feature_cols, weights_micro).alias("score_micro"),
     )

@@ -122,3 +122,54 @@ def test_row_selector_persistence(spark, tmp_path):
     assert loaded.getFiltered() == model.getFiltered()
     assert model.getSelectionScores() is not None
     assert loaded.getSelectionScores() == model.getSelectionScores()
+
+
+def test_quality_classifier_fit_transform_persist(spark, tmp_path):
+    """QualityClassifier: Pipeline-surface parity with the selectors —
+    fit/transform, weights as Params, DefaultParams save/load round
+    trip, and transform as a pure projection (no shuffle)."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.ml.quality_classifier import (
+        QualityClassifier,
+        QualityClassifierModel,
+    )
+    from spark_ifs_spark.operators.lr import lr_train
+    from spark_ifs_spark.plans.checks import assert_no_exchange
+
+    rows = [(i, 1.0, 2.0, 1.0) for i in range(20)]
+    rows += [(100 + i, 1.0, -2.0, 0.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "x0", "x1", "label"])
+    est = QualityClassifier(featureCols=["x0", "x1"], labelCol="label", numIters=3)
+    model = est.fit(df)
+    # weights identical to the raw operator (same arithmetic path)
+    assert model.getWeightsMicro() == lr_train(df, ["x0", "x1"], "label", iters=3)
+
+    out = model.transform(df)
+    assert "score_micro" in out.columns and "doc_id" in out.columns
+    assert_no_exchange(out, "QualityClassifierModel.transform")
+    scored = {r["doc_id"]: r["score_micro"] for r in out.collect()}
+    assert min(scored[i] for i in range(20)) > max(scored[100 + i] for i in range(20))
+
+    path = str(tmp_path / "qc_model")
+    model.save(path)
+    loaded = QualityClassifierModel.load(path)
+    assert loaded.getWeightsMicro() == model.getWeightsMicro()
+    assert loaded.getFeatureCols() == ["x0", "x1"]
+    relo = {r["doc_id"]: r["score_micro"] for r in loaded.transform(df).collect()}
+    assert relo == scored
+
+
+def test_quality_classifier_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from spark_ifs_spark.ml.quality_classifier import QualityClassifier
+
+    df = spark.createDataFrame([(1, 1.0, 0.0)], ["id", "x0", "label"])
+    with _pytest.raises(ValueError, match="featureCols"):
+        QualityClassifier(labelCol="label").fit(df)
+    with _pytest.raises(ValueError, match="numIters"):
+        QualityClassifier(featureCols=["x0"]).setNumIters(0)
+    model = QualityClassifier(featureCols=["x0"], labelCol="label").fit(df)
+    with _pytest.raises(ValueError, match="already exists"):
+        model.transform(df.withColumn("score_micro", df["x0"]))
