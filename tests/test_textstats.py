@@ -256,3 +256,29 @@ def test_pmi_min_count_filters_hapax_pairs(spark):
         [(0, "a b c d e f g h")], ["doc_id", "text"]
     )  # every pair occurs once
     assert textstats.pmi_top_pairs(df, "text", k=10, min_count=2).count() == 0
+
+
+def test_tfidf_pairs_stop_term_stays_subquadratic(spark):
+    """Adversarial: one term in 50% of docs. With the DF cap it must be
+    pruned from the vector space, so the candidate join sees only the
+    rare discriminative terms — pair volume stays bounded by true
+    near-dups, not by the stop term's quadratic fan-out."""
+    from spark_ifs_spark.operators import textstats
+
+    n = 400
+    rows = []
+    for i in range(n):
+        stop = "common " if i % 2 == 0 else ""
+        rows.append((i, f"{stop}unique{i} filler{i % 50}"))
+    # plus one true near-dup pair sharing a rare term
+    rows += [(1000, "rareterm alpha"), (1001, "rareterm alpha")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.tfidf_cosine_pairs(
+        df, "doc_id", "text", threshold=0.9, max_df=50
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in pairs
+    # 'common' (df=200 > 50) pruned: without the cap it alone would
+    # produce C(200,2)=19900 candidate pairs; the filler groups (df=8)
+    # bound what remains
+    assert len(pairs) < 300
