@@ -100,3 +100,28 @@ def test_transition_matrix_hand_checked(spark):
     assert out[("b", "a")] == (1, 1000000)
     # transitions never cross users: no (b, a) from u2, no (c, ...) rows
     assert ("c", "a") not in out and len(out) == 3
+
+
+def test_funnel_empty_first_stage(spark):
+    df = spark.createDataFrame(
+        [(0, _ts(1), 1, "click")], ["event_id", "ts", "user_id", "event_type"]
+    )
+    out = {
+        r["stage"]: r["users"]
+        for r in events_analytics.funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "click"]
+        ).collect()
+    }
+    assert out == {"view": 0, "click": 0}
+
+
+def test_transition_matrix_single_event_users(spark):
+    # one event per user -> no transitions at all
+    rows = [(i, _ts(1 + i), i, "a") for i in range(3)]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    assert (
+        events_analytics.transition_matrix(
+            df, "user_id", "ts", "event_id", "event_type"
+        ).count()
+        == 0
+    )

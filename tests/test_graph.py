@@ -119,3 +119,12 @@ def test_pagerank_dangling_node_keeps_teleport_rank(spark):
     assert out[3] == 150000
     assert out[1] == 150000
     assert out[2] > 150000
+
+
+def test_pagerank_empty_edges_all_teleport(spark):
+    from spark_ifs_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    n = spark.createDataFrame([(1,), (2,)], ["id"])
+    out = {r["id"]: r["pr_micro"] for r in pagerank(e, n, iters=2).collect()}
+    assert out == {1: 150000, 2: 150000}

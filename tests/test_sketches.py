@@ -89,3 +89,13 @@ def test_lr_step_matches_numpy_replica(spark):
             out.append(wm[j] + q if gj < 0 else wm[j] - q)
         wm = out
     assert w == wm
+
+
+def test_cms_estimate_on_empty_sketch_is_zero(spark):
+    empty = spark.createDataFrame([], "w string")
+    cms = sketches.cms_build(empty, "w", depth=3, width=16, seed=1)
+    est = {
+        r["term"]: r["est"]
+        for r in sketches.cms_estimate(cms, ["x"], depth=3, width=16, seed=1).collect()
+    }
+    assert est == {"x": 0}
