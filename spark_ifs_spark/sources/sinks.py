@@ -127,3 +127,59 @@ def write_training_shards(
         .save(path)
     )
     return tagged.groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into size-targeted files; returns
+    ``(files_before, files_after)``.
+
+    The small-files problem is the dominant operational failure of
+    streaming/incremental sinks at lake scale: thousands of KB-sized
+    files per partition turn every scan into a metadata storm (footer
+    reads, scheduler tasks) — NameNode/object-store pressure grows with
+    file COUNT, not bytes. Compaction is the standing maintenance job
+    every event lake runs.
+
+    File count is computed from actual on-disk bytes /
+    ``target_file_bytes`` (never from row counts — row width varies),
+    floored at ``min_files``. The rewrite stages into a sibling
+    directory first and swaps via rename, so a reader never observes a
+    half-written table; the swap is the non-transactional analogue of
+    a table format's commit (Delta/Iceberg `OPTIMIZE` replaces this
+    whole function on a real lake).
+
+    The rewrite itself is ONE ``coalesce`` (no shuffle — merging files
+    needs no repartition by key; use ``write_bucketed`` upstream if a
+    layout contract must survive the rewrite).
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    before = len(files)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, int(total_bytes // target_file_bytes))
+    staged = path.rstrip("/") + "._compacting"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(staged)
+    old = path.rstrip("/") + "._old"
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old)
+    after = len(
+        [
+            f
+            for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        ]
+    )
+    return before, after

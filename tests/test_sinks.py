@@ -75,3 +75,26 @@ def test_training_shards_deterministic_layout(spark, sf_dir, tmp_path):
     assert back.count() == docs.count()
     one = back.filter(back["shard"] == sorted(m1)[0])
     assert one.count() == m1[sorted(m1)[0]]
+
+
+def test_compact_small_files_preserves_rows_and_reduces_count(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.sources.sinks import compact_small_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 sliver files
+    rows_before = spark.read.parquet(path).count()
+
+    before, after = compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert before >= 64
+    assert after == 1  # everything fits one target-size file
+
+    out = spark.read.parquet(path)
+    assert out.count() == rows_before
+    assert out.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(10_000))
+    # no staging residue
+    import os
+    parent = os.path.dirname(path)
+    assert not any("._compacting" in d or "._old" in d for d in os.listdir(parent))
