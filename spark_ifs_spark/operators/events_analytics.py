@@ -122,6 +122,16 @@ def scd2_intervals(
     changelog row's validity interval: from its timestamp until the
     entity's next change (NULL for the current row). ONE entity-keyed
     window; ties break by the event id so the chain is total.
+
+    Skew note, honestly: ``lead()`` needs the entity's full ordered
+    history in one task, so a pathologically hot entity (10^8 updates)
+    serializes — unlike :func:`~spark_ifs_spark.operators.topk.
+    compact_latest`, which avoids the window because latest-state
+    doesn't need order. If hot entities are real, pre-split the key by
+    time range ((key, day) window, then stitch each day's last interval
+    to the next day's first — one extra bounded join); interval
+    construction inherently needs per-entity order, so that stitch is
+    the floor, not an artifact of this formulation.
     """
     from_us = epoch_us(df, ts_col)
     base = df.select(
