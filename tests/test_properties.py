@@ -108,3 +108,59 @@ def test_salted_topk_property(spark):
         ra = sorted((r["key"], r["rank"], r["rid"]) for r in a.collect())
         rb = sorted((r["key"], r["rank"], r["rid"]) for r in b.collect())
         assert ra == rb, f"trial {trial}: {n=} {n_keys=} {k=} {buckets=}"
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "f!", "G", "h i"]),
+        min_size=1,
+        max_size=200,
+    ),
+    probes=st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "ee", "zz"]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    seed=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=30, deadline=None)
+def test_cms_never_underestimates_property(spark, words, probes, seed):
+    """CMS invariant under any stream and any probe set: min-over-rows
+    estimate >= true count (collisions only ever ADD)."""
+    from collections import Counter
+
+    from spark_ifs_spark.operators import sketches
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    cms = sketches.cms_build(df, "w", depth=3, width=8, seed=seed)
+    est = {
+        r["term"]: r["est"]
+        for r in sketches.cms_estimate(
+            cms, probes, depth=3, width=8, seed=seed
+        ).collect()
+    }
+    truth = Counter(words)
+    for t in probes:
+        assert est[t] >= truth.get(t, 0), (t, est[t], truth.get(t, 0))
+
+
+@given(s=st.text(max_size=60), seed=st.integers(min_value=0, max_value=3))
+@settings(max_examples=40, deadline=None)
+def test_normalize_text_idempotent(spark, s, seed):
+    """normalize(normalize(x)) == normalize(x) for arbitrary input —
+    the canonical-form contract normalized dedup rests on."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.dedup import normalize_text
+
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        normalize_text(F.col("t")).alias("once"),
+        normalize_text(normalize_text(F.col("t"))).alias("twice"),
+    ).first()
+    assert row["once"] == row["twice"]
+    out = row["once"]
+    assert out == out.strip()
+    assert "  " not in out
+    assert all(c.islower() or c.isdigit() or c == " " for c in out)
