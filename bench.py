@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "docs_weighted_sample",
     "textrank_keywords",
+    "session_journeys",
 ]
 
 

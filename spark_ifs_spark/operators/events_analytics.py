@@ -186,3 +186,64 @@ def transition_matrix(
             "p_micro"
         ),
     )
+
+
+def session_journeys(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap_s: int = 1800,
+    k: int = 10,
+) -> DataFrame:
+    """``(journey, n)`` — the top-``k`` most frequent per-session event
+    sequences ("user journeys": ``view>click>purchase``), sessions cut
+    at ``gap_s`` seconds of inactivity.
+
+    Gap sessionization in BATCH (the stream side uses
+    ``F.session_window``): a session starts where the gap from the
+    previous event exceeds ``gap_s``; the session id is the running sum
+    of those start flags — two stacked windows over ONE user-keyed sort
+    (Spark evaluates both in a single Exchange+Sort, no second
+    shuffle). The journey string is built with an order-embedded
+    aggregate — ``array_sort(collect_list(struct(ts_us, id, type)))``
+    — so the sequence is total-ordered and engine-reproducible (ties by
+    the event id), not dependent on collect order. The journey count
+    key space is bounded by distinct sequences, and the cut is
+    TakeOrdered (n desc, journey asc).
+    """
+    us = epoch_us(df, ts_col).alias("_us")
+    base = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_t"),
+        us,
+    )
+    w = Window.partitionBy("_u").orderBy(F.col("_us").asc(), F.col("_id").asc())
+    start = F.when(
+        F.col("_us") - F.lag("_us").over(w) > gap_s * 1_000_000, 1
+    ).otherwise(F.lit(0))
+    sid = F.sum(start).over(
+        Window.partitionBy("_u")
+        .orderBy(F.col("_us").asc(), F.col("_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = base.withColumn("_sid", sid)
+    journeys = sessions.groupBy("_u", "_sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_us", "_id", "_t"))
+                ),
+                lambda x: x["_t"],
+            ),
+            ">",
+        ).alias("journey")
+    )
+    return (
+        journeys.groupBy("journey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("journey").asc())
+        .limit(k)
+    )

@@ -1329,6 +1329,8 @@ WSAMPLE_N = 50
 WSAMPLE_SEED = 17
 PAGERANK_ITERS = 2
 PAGERANK_DAMPING = 0.85
+JOURNEY_GAP_S = 43200
+JOURNEY_K = 10
 
 
 def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3898,6 +3900,50 @@ SELECT id AS term, pr AS pr_micro FROM r2
 """
 
 
+
+
+def q_session_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: gap-sessionized (12 h inactivity) per-session
+    event sequences, counted corpus-wide
+    (``events_analytics.session_journeys`` — batch gap sessionization
+    via stacked windows over ONE user-keyed sort, order-embedded
+    journey aggregate, TakeOrdered cut)."""
+    from spark_ifs_spark.operators import events_analytics
+
+    ev = _read(spark, sf_dir, "events")
+    return events_analytics.session_journeys(
+        ev, "user_id", "ts", "event_id", "event_type",
+        gap_s=JOURNEY_GAP_S, k=JOURNEY_K,
+    )
+
+
+def sql_session_journeys() -> str:
+    gap_us = JOURNEY_GAP_S * 1_000_000
+    return f"""
+WITH base AS (
+  SELECT user_id AS u, event_id AS id, event_type AS t, epoch_us(ts) AS us
+  FROM events
+), flagged AS (
+  SELECT u, id, t, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY u ORDER BY us, id) > {gap_us}
+              THEN 1 ELSE 0 END AS strt
+  FROM base
+), sess AS (
+  SELECT u, id, t, us,
+         sum(strt) OVER (PARTITION BY u ORDER BY us, id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), j AS (
+  SELECT u, sid, string_agg(t, '>' ORDER BY us, id) AS journey
+  FROM sess GROUP BY 1, 2
+)
+SELECT journey, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1
+ORDER BY n DESC, journey ASC
+LIMIT {JOURNEY_K}
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates the 26 never-gated queries (plus any new ones)
@@ -4009,6 +4055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top3": q_tfidf_top3,
     "doc_length_quantiles": q_doc_length_quantiles,
     "mix_by_source": q_mix_by_source,
+    "session_journeys": q_session_journeys,
 }
 
 ORACLES: dict[str, str] = {
@@ -4116,4 +4163,5 @@ ORACLES: dict[str, str] = {
     "tfidf_top3": sql_tfidf_top3(),
     "doc_length_quantiles": sql_doc_length_quantiles(),
     "mix_by_source": sql_mix_by_source(),
+    "session_journeys": sql_session_journeys(),
 }

@@ -125,3 +125,24 @@ def test_transition_matrix_single_event_users(spark):
         ).count()
         == 0
     )
+
+
+def test_session_journeys_gap_cut_and_order(spark):
+    from datetime import timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        # u1 session 1: a>b ; 3h gap ; session 2: c
+        (0, base, 1, "a"),
+        (1, base + timedelta(minutes=5), 1, "b"),
+        (2, base + timedelta(hours=3), 1, "c"),
+        # u2 one session identical journey a>b
+        (3, base, 2, "a"),
+        (4, base + timedelta(minutes=30), 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = events_analytics.session_journeys(
+        df, "user_id", "ts", "event_id", "event_type", gap_s=3600, k=5
+    ).collect()
+    got = [(r["journey"], r["n"]) for r in out]
+    assert got == [("a>b", 2), ("c", 1)]
