@@ -3946,10 +3946,15 @@ LIMIT {JOURNEY_K}
 
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
-# ordering; round 4 rotates the 26 never-gated queries (plus any new ones)
-# to the front so that across rounds every query earns a hard driver-side
-# CORRECTNESS row. Entries beyond the window stay oracle-verified locally by
-# tests/test_entry_oracle.py, which replicates the driver's gate per query.
+# ordering; round 4 rotates every never-yet-gated query to the front —
+# positions 1-50 are now EXACTLY the 50 queries without a prior driver
+# CORRECTNESS row (24 new in round 4 + the 26 ungated from round 3),
+# so after this round every registered query has at least one hard
+# driver-side row across r3+r4. session_journeys (added after the window
+# filled) sits last and rotates forward in round 5. Entries beyond the
+# window stay oracle-verified locally by tests/test_entry_oracle.py, which
+# replicates the driver's gate per query at sf0.001 (and on demand at
+# sf0.01/sf0.1 via SPARK_IFS_TEST_SF_DIR).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
     "textrank_keywords": q_textrank_keywords,
