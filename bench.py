@@ -28,6 +28,8 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "mi_pair_lineitem",
+    "mrmr_top1",
     "mi_relevance",          # B1
     "mi_matrix",
     "mrmr_select_k5",        # B2 (conventional, embeddings)
