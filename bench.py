@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "docs_weighted_sample",
     "textrank_keywords",
     "session_journeys",
+    "supplier_zscore",
+    "monthly_growth",
 ]
 
 

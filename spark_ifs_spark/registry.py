@@ -3944,6 +3944,88 @@ LIMIT {JOURNEY_K}
 """
 
 
+
+
+def q_supplier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped standardization: per-nation z-score of supplier account
+    balance in integer micro-units — the feature-engineering complement
+    of per-key winsorization. Plan: one bounded per-nation mean/stddev
+    aggregate broadcast back into a scan-fused projection; the supplier
+    relation never shuffles. z uses the POPULATION stddev
+    (``stddev_pop`` ≡ DuckDB) computed as sqrt of the exact variance
+    formula both engines share; rows in single-supplier nations (stddev
+    0) emit NULL, not a division error."""
+    sup = _read(spark, sf_dir, "supplier")
+    stats = sup.groupBy("s_nationkey").agg(
+        F.avg("s_acctbal").alias("mu"),
+        F.stddev_pop("s_acctbal").alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0,
+        F.floor(
+            (F.col("s_acctbal") - F.col("mu")) / F.col("sigma") * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return (
+        sup.join(F.broadcast(stats), "s_nationkey")
+        .select("s_suppkey", "s_nationkey", z.alias("z_micro"))
+    )
+
+
+def sql_supplier_zscore() -> str:
+    return """
+WITH stats AS (
+  SELECT s_nationkey, avg(s_acctbal) AS mu, stddev_pop(s_acctbal) AS sigma
+  FROM supplier GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_nationkey,
+       CASE WHEN st.sigma > 0
+            THEN CAST(floor((s.s_acctbal - st.mu) / st.sigma * 1000000.0) AS BIGINT)
+       END AS z_micro
+FROM supplier s JOIN stats st USING (s_nationkey)
+"""
+
+
+def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order revenue growth: window-over-aggregate —
+    the lag/window runs on the BOUNDED monthly relation (months², not
+    orders), so the only corpus-scale work is one map-combined monthly
+    aggregate. Growth in integer ppm of the prior month (floor), NULL
+    for the first month."""
+    orders = _read(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    growth = F.when(
+        prev.isNotNull(),
+        F.floor((F.col("revenue") - prev) * F.lit(1000000.0) / prev).cast("long"),
+    )
+    return monthly.select("month", "revenue", growth.alias("growth_ppm")).orderBy(
+        "month"
+    )
+
+
+def sql_monthly_growth() -> str:
+    return """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+            THEN CAST(floor((revenue - lag(revenue) OVER (ORDER BY month)) * 1000000.0
+                            / lag(revenue) OVER (ORDER BY month)) AS BIGINT)
+       END AS growth_ppm
+FROM monthly
+ORDER BY month
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -4061,6 +4143,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_quantiles": q_doc_length_quantiles,
     "mix_by_source": q_mix_by_source,
     "session_journeys": q_session_journeys,
+    "supplier_zscore": q_supplier_zscore,
+    "monthly_growth": q_monthly_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -4169,4 +4253,6 @@ ORACLES: dict[str, str] = {
     "doc_length_quantiles": sql_doc_length_quantiles(),
     "mix_by_source": sql_mix_by_source(),
     "session_journeys": sql_session_journeys(),
+    "supplier_zscore": sql_supplier_zscore(),
+    "monthly_growth": sql_monthly_growth(),
 }
