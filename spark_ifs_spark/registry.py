@@ -3947,42 +3947,63 @@ LIMIT {JOURNEY_K}
 
 
 def q_supplier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped standardization: per-nation z-score of supplier account
-    balance in integer micro-units — the feature-engineering complement
-    of per-key winsorization. Plan: one bounded per-nation mean/stddev
-    aggregate broadcast back into a scan-fused projection; the supplier
-    relation never shuffles. z uses the POPULATION stddev
-    (``stddev_pop`` ≡ DuckDB) computed as sqrt of the exact variance
-    formula both engines share; rows in single-supplier nations (stddev
-    0) emit NULL, not a division error."""
+    """Grouped standardization: per-nation population z-score of
+    supplier account balance in integer micro-units — the
+    feature-engineering complement of per-key winsorization.
+
+    Exactness: ``avg``/``stddev_pop`` are float sums whose
+    partition-order ulps cross floor boundaries (observed at sf0.01),
+    so z is computed from EXACT integer sufficient statistics over
+    balance cents ``b = round(100·acctbal)``:
+    ``z = (n·b − S) / sqrt(n·Q − S²)`` with ``S = Σb``, ``Q = Σb²`` —
+    algebraically identical to ``(x − μ)/σ_pop``, but the only floats
+    are one correctly-rounded sqrt of an exact BIGINT and one division.
+    σ = 0 is exactly ``n·Q = S²``; those rows emit NULL, not an error.
+    (``n·Q`` bounds: fine through ~10⁶-row groups in cents; at lake
+    scale promote the sums to DECIMAL.)
+
+    Plan: one bounded per-nation aggregate broadcast back into a
+    scan-fused projection; the supplier relation never shuffles."""
     sup = _read(spark, sf_dir, "supplier")
-    stats = sup.groupBy("s_nationkey").agg(
-        F.avg("s_acctbal").alias("mu"),
-        F.stddev_pop("s_acctbal").alias("sigma"),
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    keyed = sup.select("s_suppkey", "s_nationkey", cents.alias("b"))
+    stats = keyed.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b").alias("s_"),
+        F.sum(F.col("b") * F.col("b")).alias("q"),
     )
+    disc = F.col("n") * F.col("q") - F.col("s_") * F.col("s_")
     z = F.when(
-        F.col("sigma") > 0,
+        disc > 0,
         F.floor(
-            (F.col("s_acctbal") - F.col("mu")) / F.col("sigma") * F.lit(1000000.0)
+            (F.col("n") * F.col("b") - F.col("s_")).cast("double")
+            * F.lit(1000000.0)
+            / F.sqrt(disc.cast("double"))
         ).cast("long"),
     )
     return (
-        sup.join(F.broadcast(stats), "s_nationkey")
+        keyed.join(F.broadcast(stats), "s_nationkey")
         .select("s_suppkey", "s_nationkey", z.alias("z_micro"))
     )
 
 
 def sql_supplier_zscore() -> str:
     return """
-WITH stats AS (
-  SELECT s_nationkey, avg(s_acctbal) AS mu, stddev_pop(s_acctbal) AS sigma
-  FROM supplier GROUP BY 1
+WITH keyed AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS b
+  FROM supplier
+), stats AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(b) AS BIGINT) AS s_, CAST(sum(b * b) AS BIGINT) AS q
+  FROM keyed GROUP BY 1
 )
-SELECT s.s_suppkey, s.s_nationkey,
-       CASE WHEN st.sigma > 0
-            THEN CAST(floor((s.s_acctbal - st.mu) / st.sigma * 1000000.0) AS BIGINT)
+SELECT k.s_suppkey, k.s_nationkey,
+       CASE WHEN st.n * st.q - st.s_ * st.s_ > 0
+            THEN CAST(floor(CAST(st.n * k.b - st.s_ AS DOUBLE) * 1000000.0
+                            / sqrt(CAST(st.n * st.q - st.s_ * st.s_ AS DOUBLE))) AS BIGINT)
        END AS z_micro
-FROM supplier s JOIN stats st USING (s_nationkey)
+FROM keyed k JOIN stats st USING (s_nationkey)
 """
 
 
