@@ -309,3 +309,43 @@ def test_widget_suppliers_semi_join(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "LeftSemi" in plan
     assert any("p_name" in f for f in pushed_filters(df))
+
+
+def test_session_journeys_single_sort_for_both_windows(spark, sf_dir):
+    """The gap flag and the running session id are two windows over the
+    SAME user-keyed order — Spark must evaluate them in one
+    Exchange+Sort, not shuffle twice; the journey and count aggregates
+    add at most two more exchanges."""
+    from spark_ifs_spark.operators.events_analytics import session_journeys
+    from spark_ifs_spark.sources.parquet import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = session_journeys(ev, "user_id", "ts", "event_id", "event_type")
+    assert count_exchanges(out) <= 3, explain_str(out, "simple")
+
+
+def test_supplier_zscore_broadcasts_stats_no_corpus_shuffle(spark, sf_dir):
+    """The bounded per-nation stats ride a broadcast join back; the
+    supplier relation itself never shuffles (its only exchange feeds
+    the bounded aggregate)."""
+    from spark_ifs_spark.registry import q_supplier_zscore
+
+    df = q_supplier_zscore(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    # one exchange for the stats aggregate; none for the probe side
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_monthly_growth_window_runs_on_bounded_relation(spark, sf_dir):
+    """The lag window must sit ABOVE the monthly aggregate (months-sized
+    input), never over the orders scan."""
+    from spark_ifs_spark.registry import q_monthly_growth
+
+    df = q_monthly_growth(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    # textual order in the formatted plan: Window appears above (before)
+    # the HashAggregate chain that consumes the scan
+    w_pos = plan.find("Window")
+    agg_pos = plan.find("HashAggregate")
+    assert w_pos != -1 and agg_pos != -1 and w_pos < agg_pos, plan
