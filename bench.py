@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "session_journeys",
     "supplier_zscore",
     "monthly_growth",
+    "events_daily_anomaly",
 ]
 
 

@@ -4047,6 +4047,60 @@ ORDER BY month
 """
 
 
+
+
+def q_events_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scoring: each (event_type, day)'s count z-scored
+    against that type's full daily history — the monitoring query every
+    event pipeline alerts on. Exactness: daily counts are integers, so
+    the z-score uses the same exact-integer sufficient-statistic form
+    as ``supplier_zscore`` (``(n·x−S)/sqrt(n·Q−S²)``) — no float
+    aggregate anywhere. Plan: ONE corpus-scale map-combined aggregate
+    to (type, day); everything after runs on the bounded types×days
+    relation (per-type stats broadcast back)."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s_"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    disc = F.col("n") * F.col("q") - F.col("s_") * F.col("s_")
+    z = F.when(
+        disc > 0,
+        F.floor(
+            (F.col("n") * F.col("c") - F.col("s_")).cast("double")
+            * F.lit(1000000.0)
+            / F.sqrt(disc.cast("double"))
+        ).cast("long"),
+    )
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", "day", "c", z.alias("z_micro")
+    )
+
+
+def sql_events_daily_anomaly() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s_, CAST(sum(c * c) AS BIGINT) AS q
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.c,
+       CASE WHEN st.n * st.q - st.s_ * st.s_ > 0
+            THEN CAST(floor(CAST(st.n * d.c - st.s_ AS DOUBLE) * 1000000.0
+                            / sqrt(CAST(st.n * st.q - st.s_ * st.s_ AS DOUBLE))) AS BIGINT)
+       END AS z_micro
+FROM daily d JOIN stats st USING (event_type)
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -4166,6 +4220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_journeys": q_session_journeys,
     "supplier_zscore": q_supplier_zscore,
     "monthly_growth": q_monthly_growth,
+    "events_daily_anomaly": q_events_daily_anomaly,
 }
 
 ORACLES: dict[str, str] = {
@@ -4276,4 +4331,5 @@ ORACLES: dict[str, str] = {
     "session_journeys": sql_session_journeys(),
     "supplier_zscore": sql_supplier_zscore(),
     "monthly_growth": sql_monthly_growth(),
+    "events_daily_anomaly": sql_events_daily_anomaly(),
 }
