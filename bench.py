@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "supplier_zscore",
     "monthly_growth",
     "events_daily_anomaly",
+    "customer_rfm",
 ]
 
 
