@@ -133,6 +133,14 @@ BENCH_QUERIES = [
     "monthly_growth",
     "events_daily_anomaly",
     "customer_rfm",
+    "forecast_revenue",
+    "late_suppliers",
+    "part_pair_counts",
+    "decontam_bloom",
+    "boilerplate_shingles",
+    "docs_novelty",
+    "docs_temperature_mix",
+    "gopher_filters",
 ]
 
 

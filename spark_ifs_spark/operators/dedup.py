@@ -24,6 +24,7 @@ every operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -722,4 +723,113 @@ def exact_dedup_normalized(
         keyed.groupBy("norm_digest")
         .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .select("keep_id", "n_dups", "norm_digest")
+    )
+
+
+#: driver-side budget for the eval-shingle collect in
+#: :func:`contaminated_ids_bloom` — 20M distinct shingles × 8 bytes is
+#: 160 MB of int64 on the driver, a comfortable ceiling for any real
+#: eval suite (MMLU+BBH+HumanEval-scale suites are < 1M shingles).
+BLOOM_EVAL_BUDGET = 20_000_000
+
+
+def _bloom_build(hashes, fp_rate: float):
+    """Build a Bloom bitset over int64 hashes → ``(bits, m, k)``.
+
+    Standard sizing: ``m = -n·ln(p)/ln(2)²`` bits, ``k = (m/n)·ln 2``
+    probe functions, double hashing ``idx_j = h1 + j·h2 (mod m)`` from
+    the two 32-bit halves of each 64-bit hash (Kirsch-Mitzenmacher).
+    Pure numpy — no dependency beyond what Spark itself ships.
+    """
+    import math
+
+    import numpy as np
+
+    n = max(len(hashes), 1)
+    m = max(64, int(math.ceil(-n * math.log(fp_rate) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    h1 = h >> np.uint64(32)
+    h2 = h & np.uint64(0xFFFFFFFF)
+    for j in range(k):
+        idx = (h1 + np.uint64(j) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bits, m, k
+
+
+def _bloom_might_contain(bits, m: int, k: int):
+    """Vectorized membership test over an int64-hash numpy array."""
+    import numpy as np
+
+    def test(h64):
+        h = np.asarray(h64, dtype=np.int64).view(np.uint64)
+        h1 = h >> np.uint64(32)
+        h2 = h & np.uint64(0xFFFFFFFF)
+        ok = np.ones(len(h), dtype=bool)
+        for j in range(k):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(m)
+            byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        return ok
+
+    return test
+
+
+def contaminated_ids_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    fp_rate: float = 0.01,
+) -> DataFrame:
+    """``(id)`` — exact n-gram decontamination for the regime where the
+    eval set is too large to broadcast as a set: a Bloom filter over the
+    eval shingles prefilters the corpus map-side, then a shuffle
+    semi-join on the surviving shingles confirms exactly.
+
+    Why not :func:`contaminated_ids`? That path broadcasts the eval
+    shingle SET — fine to a few hundred MB. Past that, the exact set
+    doesn't fit on executors but its Bloom sketch does (~12 MB per 10M
+    shingles at 1% FP): the sketch is built once (distributed xxhash64,
+    one budget-gated driver collect of int64s), broadcast, and applied
+    as an Arrow-batched pandas predicate INSIDE the scan stage — ~99%
+    of corpus shingles die before the shuffle. The semi-join then only
+    moves the ≤(true ∪ 1% FP) survivors, and because it is an EXACT
+    join the Bloom's false positives never reach the result: output is
+    bit-identical to the broadcast path, so the DuckDB oracle is the
+    plain n-gram-overlap SQL. At 100 TB the shuffle shrinks from the
+    full shingle relation to ~contamination-rate × corpus.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    eval_sh = (
+        word_shingles(eval_set, id_col, text_col, n).select("sh").distinct()
+    )
+    hashed = eval_sh.select(F.xxhash64("sh").alias("h"))
+    n_sh = hashed.count()
+    assert n_sh <= BLOOM_EVAL_BUDGET, (
+        f"eval shingle count {n_sh} exceeds BLOOM_EVAL_BUDGET "
+        f"{BLOOM_EVAL_BUDGET}; shard the eval set and union the results"
+    )
+    hashes = [r["h"] for r in hashed.collect()]
+    bits, m, k = _bloom_build(hashes, fp_rate)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((bits, m, k))
+
+    @pandas_udf("boolean")
+    def might_contain(h: pd.Series) -> pd.Series:
+        b, mm, kk = bc.value
+        return pd.Series(_bloom_might_contain(b, mm, kk)(h.to_numpy()))
+
+    corpus_sh = word_shingles(corpus, id_col, text_col, n)
+    pre = corpus_sh.withColumn("h", F.xxhash64("sh")).filter(
+        might_contain(F.col("h"))
+    )
+    return (
+        pre.join(eval_sh, "sh", "leftsemi")  # exact confirm — FPs die here
+        .select("id")
+        .distinct()
     )

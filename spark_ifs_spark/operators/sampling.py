@@ -256,3 +256,46 @@ def weighted_sample_n(
         .limit(n)
         .drop("_k")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-resampled mixture at α = 0.5: downsample each
+    ``key_col`` group so kept counts are ∝ ``n_key^α`` — the standard
+    multilingual rebalancing (mT5/XLM-R's temperature sampling) that
+    lifts low-resource languages without fully flattening the mix.
+
+    Derivation: with group sizes ``n_l``, target shares ``q_l ∝ n_l^α``
+    and downsample-only keep rates ``r_l = (n_min/n_l)^(1-α)`` (the
+    smallest group keeps everything, larger groups shed toward their
+    flattened share). At α = ½ this is ``r_l = sqrt(n_min/n_l)``, and
+    the keep test ``bucket < r_l·B`` rationalizes to
+
+        ``bucket² · n_l  <  n_min · B²``
+
+    — pure 64-bit integer arithmetic (exact while ``n_l·10^8 < 2^63``,
+    i.e. up to ~9×10^10 docs per group), so the decision is
+    bit-identical across engines, runs, and cluster sizes, like every
+    sampler here (same ``(seed, id)`` md5 bucket).
+
+    Plan: one cardinality-bounded aggregate (one row per language),
+    its ``min()`` folded in a second tiny aggregate, both broadcast
+    back; the corpus relation is never shuffled — the keep decision is
+    a scan-fused projection. Zero corpus-side shuffles at 100 TB.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    bucket = _split_bucket(F.col(id_col), seed)
+    return (
+        df.join(F.broadcast(counts), key_col)
+        .crossJoin(F.broadcast(nmin))
+        .where(
+            bucket * bucket * F.col("_n")
+            < F.col("_nmin") * F.lit(SPLIT_BUCKETS * SPLIT_BUCKETS)
+        )
+        .drop("_n", "_nmin")
+    )

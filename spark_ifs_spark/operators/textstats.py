@@ -649,3 +649,152 @@ def pmi_top_pairs(
         .orderBy(F.col("pmi_micro").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def shingle_doc_freq(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """``(sh, df, frac)`` — document frequency of distinct word
+    ``n``-gram shingles, with ``frac`` = df / corpus size.
+
+    The CCNet/RefinedWeb boilerplate primitive: a line (here, with no
+    line structure in the corpus, a word shingle) present in a large
+    fraction of documents is template chrome — nav bars, cookie
+    banners, licence footers — not content. Plan: shingles build
+    map-side (:func:`~spark_ifs_spark.operators.dedup.word_shingles`,
+    zero shuffles), ONE hash groupBy counts df (map-side combined;
+    shuffle rows are shingle keys, never documents), and the corpus
+    size joins in as a broadcast literal-sized aggregate. At 100 TB
+    swap the string shingle key for its 60-bit digest — same plan,
+    ~16-byte shuffle keys.
+    """
+    from spark_ifs_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.count(F.lit(1)).alias("n_docs"))
+    return dfreq.crossJoin(F.broadcast(total)).select(
+        "sh", "df", (F.col("df") / F.col("n_docs")).alias("frac")
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_frac: float = 0.02,
+) -> DataFrame:
+    """``(id, n_shingles, n_boiler, boiler_frac)`` — per-document share
+    of distinct shingles that are corpus boilerplate (shingle document
+    frequency > ``max_frac`` of the corpus).
+
+    The document-level novelty score that drives template filtering:
+    a doc whose shingles are mostly high-DF is chrome, whatever its
+    length or stopword profile says. Plan: the shingle relation is
+    built ONCE and reused for both the DF aggregate and the per-doc
+    rollup — one groupBy(sh), one join back on sh (shingle-keyed, so
+    boilerplate skew is bounded by the cap itself: a shingle's join
+    fan-out IS its df, already counted), one groupBy(id). Shuffles
+    carry (sh) and (id) keys only.
+    """
+    from spark_ifs_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n)
+    n_docs = F.broadcast(df.select(F.count(F.lit(1)).alias("n_docs")))
+    dfreq = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .select("sh", (F.col("df") > F.col("n_docs") * max_frac).alias("is_boiler"))
+    )
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_boiler",
+            (F.col("n_boiler") / F.col("n_shingles")).alias("boiler_frac"),
+        )
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021, Table A1 — adapted to
+#: this corpus's scale-free synthetic text; the CONTRACT is the rule
+#: set, the constants are tunable).
+GOPHER_MIN_WORDS = 16
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 2.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_WORD_FRAC = 0.20
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_words, ok_word_count, ok_mean_word_len, ok_stopwords,
+    ok_top_word, pass_all)`` — the Gopher rule bundle as independent
+    boolean flags plus the conjunction, so a pipeline can report WHY a
+    document was dropped (rule-level drop rates are the first thing a
+    data-quality dashboard shows).
+
+    Rules: word count in [16, 100k]; mean word length in [2, 10];
+    ≥2 stopword marker hits; most-frequent word ≤20% of tokens (the
+    repetition rule). The first three are pure map-side expressions
+    fused into the scan. The top-word rule needs a per-(doc, word)
+    count — ONE explode + groupBy keyed on (id, w), map-side combined,
+    then ``max_by`` per doc; shuffle rows are (id, word) pairs. At
+    100 TB this is the only rule with a shuffle, and its key space is
+    per-doc-bounded (docs have bounded distinct words), so no hot keys.
+    """
+    text = F.col(text_col)
+    n_words = F.size(F.split(text, " "))
+    mean_wl = (F.length(text) - (n_words - 1)) / n_words
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_word(text, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        ((n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)).alias(
+            "ok_word_count"
+        ),
+        ((mean_wl >= GOPHER_MIN_MEAN_WL) & (mean_wl <= GOPHER_MAX_MEAN_WL)).alias(
+            "ok_mean_word_len"
+        ),
+        (stop_hits >= GOPHER_MIN_STOP_HITS).alias("ok_stopwords"),
+    )
+    top_frac = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(text, " ")).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg((F.max("c") / F.sum("c")).alias("top_word_frac"))
+    )
+    return (
+        base.join(top_frac, "id")
+        .withColumn("ok_top_word", F.col("top_word_frac") <= GOPHER_MAX_TOP_WORD_FRAC)
+        .select(
+            "id",
+            "n_words",
+            "ok_word_count",
+            "ok_mean_word_len",
+            "ok_stopwords",
+            "ok_top_word",
+            (
+                F.col("ok_word_count")
+                & F.col("ok_mean_word_len")
+                & F.col("ok_stopwords")
+                & F.col("ok_top_word")
+            ).alias("pass_all"),
+        )
+    )

@@ -4165,6 +4165,337 @@ FROM per
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — the pure scan-aggregate.
+    Plan: all three predicates push to the parquet scan (min/max row-group
+    pruning takes the year filter), ONE partial+final aggregate, zero
+    joins; at 100 TB this query is I/O-bound by design and the filter
+    pushdown (asserted in test_plans.py) is the whole game."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+def sql_forecast_revenue() -> str:
+    return """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+#: Q21 late rule — this testdata has no commit/receipt dates, so "late"
+#: is shipped > LATE_DAYS after the order date (same plan shape as the
+#: reference TPC-H predicate, different column arithmetic).
+LATE_DAYS = 150
+
+
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier finished order — the exists/not-exists double
+    correlated subquery, the hardest relational shape in the TPC-H deck.
+
+    Plan: expressed as one left-semi + one left-anti join instead of
+    per-row subqueries, so Catalyst runs them as two shuffle joins
+    co-keyed on l_orderkey — the semi ("some OTHER supplier in this
+    order") and the anti ("no OTHER supplier was late") reuse the same
+    hash partitioning as the late-rows relation they filter, and the
+    final count is a bounded groupBy on s_suppkey. Supplier is a
+    broadcast dimension. No correlated per-row execution anywhere."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "leftsemi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "leftanti",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "numwait")
+    )
+
+
+def sql_late_suppliers() -> str:
+    return f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+),
+waiting AS (
+  SELECT t.l_orderkey, t.l_suppkey
+  FROM late t
+  WHERE EXISTS (
+      SELECT 1 FROM lineitem x
+      WHERE x.l_orderkey = t.l_orderkey AND x.l_suppkey <> t.l_suppkey)
+    AND NOT EXISTS (
+      SELECT 1 FROM late y
+      WHERE y.l_orderkey = t.l_orderkey AND y.l_suppkey <> t.l_suppkey)
+)
+SELECT s.s_suppkey AS suppkey, s.s_name, count(*) AS numwait
+FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def q_part_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: unordered part pairs co-occurring in an
+    order, counted over orders — the co-occurrence primitive behind
+    "bought together", tag co-occurrence, and domain co-citation graphs.
+    Plan: see :func:`~spark_ifs_spark.operators.affinity.
+    co_occurrence_pairs` — 2 shuffles, no join, pairs expand map-side
+    from per-basket sorted item arrays under a hard per-basket cap."""
+    from spark_ifs_spark.operators import affinity
+
+    li = _read(spark, sf_dir, "lineitem")
+    return affinity.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+
+
+def sql_part_pair_counts() -> str:
+    # the Spark side's per-basket cap (64 smallest ids) never binds at
+    # TPC-H shapes (<= 7 lineitems/order), so the uncapped SQL matches
+    return """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_baskets
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+"""
+
+
+#: bloom decontamination params — distinct n / eval split from
+#: decontam_ids so the two queries exercise different data
+BLOOM_DECONTAM_N = 5
+BLOOM_EVAL_MOD = 89
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the eval-set-too-
+    big-to-broadcast path: a numpy Bloom sketch over eval 5-gram hashes
+    is broadcast, kills ~99% of corpus shingles INSIDE the scan stage
+    (Arrow-batched pandas predicate), and a shuffle semi-join confirms
+    exactly, so false positives never reach the result and the oracle
+    is the plain overlap SQL. See :func:`~spark_ifs_spark.operators.
+    dedup.contaminated_ids_bloom`."""
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+    return dedup.contaminated_ids_bloom(
+        corpus, eval_set, "doc_id", "text", n=BLOOM_DECONTAM_N
+    )
+
+
+def sql_decontam_bloom() -> str:
+    n = BLOOM_DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(t[s.i + 1 : s.i + {n}], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - {n})) AS i) s
+  WHERE len(t) >= {n}
+)
+SELECT DISTINCT c.doc_id AS id
+FROM sh c
+WHERE c.doc_id % {BLOOM_EVAL_MOD} != 0
+  AND EXISTS (
+    SELECT 1 FROM sh e
+    WHERE e.doc_id % {BLOOM_EVAL_MOD} = 0 AND e.sh = c.sh
+  )
+"""
+
+
+#: boilerplate shingle params (3-gram to reuse the _SQL_SHINGLES CTE)
+BOILER_MIN_FRAC = 0.05
+BOILER_TOP = 50
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate detection (CCNet-style, shingle-unit): the top
+    50 word 3-grams by document frequency among those present in ≥5% of
+    documents — template chrome, not content. Deterministic top-k: the
+    (df DESC, sh ASC) order is total."""
+    from spark_ifs_spark.operators.textstats import shingle_doc_freq
+
+    docs = _read(spark, sf_dir, "documents")
+    out = shingle_doc_freq(docs, "doc_id", "text", n=3)
+    return (
+        out.filter(F.col("frac") >= BOILER_MIN_FRAC)
+        .orderBy(F.col("df").desc(), F.col("sh").asc())
+        .limit(BOILER_TOP)
+        .select("sh", "df", F.round("frac", 6).alias("frac"))
+    )
+
+
+def sql_boilerplate_shingles() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT sh, df, round(df * 1.0 / n_docs, 6) AS frac
+FROM dfreq, tot
+WHERE df * 1.0 / n_docs >= {BOILER_MIN_FRAC}
+ORDER BY df DESC, sh ASC
+LIMIT {BOILER_TOP}
+"""
+
+
+NOVELTY_MAX_FRAC = 0.05
+
+
+def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram
+    shingles that are corpus boilerplate (shingle DF > 5% of docs) — the
+    document-level score that template filtering thresholds on. See
+    :func:`~spark_ifs_spark.operators.textstats.boilerplate_fraction`."""
+    from spark_ifs_spark.operators.textstats import boilerplate_fraction
+
+    docs = _read(spark, sf_dir, "documents")
+    out = boilerplate_fraction(
+        docs, "doc_id", "text", n=3, max_frac=NOVELTY_MAX_FRAC
+    )
+    return out.select(
+        "id", "n_shingles", "n_boiler", F.round("boiler_frac", 6).alias("boiler_frac")
+    )
+
+
+def sql_docs_novelty() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT s.id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN d.df > tot.n_docs * {NOVELTY_MAX_FRAC} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN d.df > tot.n_docs * {NOVELTY_MAX_FRAC} THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS boiler_frac
+FROM sh s JOIN dfreq d USING (sh), tot
+GROUP BY s.id, tot.n_docs
+"""
+
+
+TEMP_MIX_SEED = 7
+
+
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled multilingual mix (α = 0.5, mT5-style):
+    downsample each language so kept counts are ∝ sqrt(n_lang), lifting
+    low-resource languages; report kept (docs, chars) per language.
+    The keep decision is exact 64-bit integer arithmetic (see
+    :func:`~spark_ifs_spark.operators.sampling.temperature_mix`), so
+    the result is bit-identical across engines and cluster sizes."""
+    from spark_ifs_spark.operators.sampling import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "doc_id", "lang", TEMP_MIX_SEED)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def sql_docs_temperature_mix() -> str:
+    from spark_ifs_spark.operators.sampling import SPLIT_BUCKETS, sql_split_bucket
+
+    b = sql_split_bucket("d.doc_id", TEMP_MIX_SEED)
+    return f"""
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS nmin FROM n),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN n USING (lang), mn
+  WHERE {b} * {b} * n.n < mn.nmin * {SPLIT_BUCKETS * SPLIT_BUCKETS}
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang
+"""
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter bundle: per-doc boolean flags (word
+    count, mean word length, stopword presence, top-word repetition)
+    plus the conjunction — rule-level drop attribution, the first
+    data-quality dashboard a pretraining pipeline needs. See
+    :func:`~spark_ifs_spark.operators.textstats.gopher_quality_flags`."""
+    from spark_ifs_spark.operators.textstats import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text")
+
+
+def sql_gopher_filters() -> str:
+    from spark_ifs_spark.operators import textstats as ts
+
+    stop_sum = " + ".join(_sql_count_word(w) for w in ts.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS mwl,
+         ({stop_sum}) AS stop_hits
+  FROM documents
+),
+wc AS (
+  SELECT doc_id AS id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+top AS (SELECT id, max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_frac FROM wc GROUP BY 1)
+SELECT b.id, b.n_words,
+       b.n_words >= {ts.GOPHER_MIN_WORDS} AND b.n_words <= {ts.GOPHER_MAX_WORDS} AS ok_word_count,
+       b.mwl >= {ts.GOPHER_MIN_MEAN_WL} AND b.mwl <= {ts.GOPHER_MAX_MEAN_WL} AS ok_mean_word_len,
+       b.stop_hits >= {ts.GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+       t.top_frac <= {ts.GOPHER_MAX_TOP_WORD_FRAC} AS ok_top_word,
+       (b.n_words >= {ts.GOPHER_MIN_WORDS} AND b.n_words <= {ts.GOPHER_MAX_WORDS})
+         AND (b.mwl >= {ts.GOPHER_MIN_MEAN_WL} AND b.mwl <= {ts.GOPHER_MAX_MEAN_WL})
+         AND b.stop_hits >= {ts.GOPHER_MIN_STOP_HITS}
+         AND t.top_frac <= {ts.GOPHER_MAX_TOP_WORD_FRAC} AS pass_all
+FROM base b JOIN top t ON b.id = t.id
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -4286,6 +4617,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_growth": q_monthly_growth,
     "events_daily_anomaly": q_events_daily_anomaly,
     "customer_rfm": q_customer_rfm,
+    # --- added after the round-4 window filled; rotate forward in round 5 ---
+    "forecast_revenue": q_forecast_revenue,
+    "late_suppliers": q_late_suppliers,
+    "part_pair_counts": q_part_pair_counts,
+    "decontam_bloom": q_decontam_bloom,
+    "boilerplate_shingles": q_boilerplate_shingles,
+    "docs_novelty": q_docs_novelty,
+    "docs_temperature_mix": q_docs_temperature_mix,
+    "gopher_filters": q_gopher_filters,
 }
 
 ORACLES: dict[str, str] = {
@@ -4398,4 +4738,13 @@ ORACLES: dict[str, str] = {
     "monthly_growth": sql_monthly_growth(),
     "events_daily_anomaly": sql_events_daily_anomaly(),
     "customer_rfm": sql_customer_rfm(),
+    # --- added after the round-4 window filled; rotate forward in round 5 ---
+    "forecast_revenue": sql_forecast_revenue(),
+    "late_suppliers": sql_late_suppliers(),
+    "part_pair_counts": sql_part_pair_counts(),
+    "decontam_bloom": sql_decontam_bloom(),
+    "boilerplate_shingles": sql_boilerplate_shingles(),
+    "docs_novelty": sql_docs_novelty(),
+    "docs_temperature_mix": sql_docs_temperature_mix(),
+    "gopher_filters": sql_gopher_filters(),
 }
