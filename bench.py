@@ -141,6 +141,9 @@ BENCH_QUERIES = [
     "docs_novelty",
     "docs_temperature_mix",
     "gopher_filters",
+    "split_leakage",
+    "cluster_size_stats",
+    "ann_recall_audit",
 ]
 
 
