@@ -164,3 +164,60 @@ def test_normalize_text_idempotent(spark, s, seed):
     assert out == out.strip()
     assert "  " not in out
     assert all(c.islower() or c.isdigit() or c == " " for c in out)
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 8)), min_size=1, max_size=60
+    ),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_co_occurrence_matches_bruteforce(spark, baskets):
+    from itertools import combinations
+
+    from spark_ifs_spark.operators.affinity import co_occurrence_pairs
+
+    df = spark.createDataFrame(baskets, "basket int, item int")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in co_occurrence_pairs(df, "basket", "item").collect()
+    }
+    by_basket: dict[int, set[int]] = {}
+    for b, i in baskets:
+        by_basket.setdefault(b, set()).add(i)
+    want: dict[tuple[int, int], int] = {}
+    for items in by_basket.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+@given(
+    sizes=st.lists(st.integers(1, 400), min_size=1, max_size=5),
+    seed=st.integers(0, 10),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_temperature_mix_matches_bruteforce(spark, sizes, seed):
+    """The Spark keep decision equals the per-row Python reference:
+    bucket(seed, id)^2 * n_group < n_min * B^2."""
+    import hashlib
+
+    from spark_ifs_spark.operators.sampling import SPLIT_BUCKETS, temperature_mix
+
+    def py_md5_int60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for g, n in enumerate(sizes):
+        rows += [(g * 100_000 + i, f"g{g}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    got = {r["id"] for r in temperature_mix(df, "id", "lang", seed=seed).collect()}
+    nmin = min(sizes)
+    want = set()
+    for g, n in enumerate(sizes):
+        for i in range(n):
+            rid = g * 100_000 + i
+            b = py_md5_int60(f"{seed}:{rid}") % SPLIT_BUCKETS
+            if b * b * n < nmin * SPLIT_BUCKETS * SPLIT_BUCKETS:
+                want.add(rid)
+    assert got == want
