@@ -189,6 +189,15 @@ def ngram_jaccard_pairs(
     )
 
 
+#: signature bins for the edit-distance L1 prefilter: 13 letter pairs +
+#: space; the catch-all bin (len − Σ matches) absorbs every other char,
+#: so the binning is total and the 1-edit→≤2-L1 bound holds for any text
+_EDIT_SIG_CLASSES = [
+    "[ab]", "[cd]", "[ef]", "[gh]", "[ij]", "[kl]", "[mn]",
+    "[op]", "[qr]", "[st]", "[uv]", "[wx]", "[yz]", " ",
+]
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str,
@@ -222,39 +231,53 @@ def edit_distance_pairs(
     length = (
         F.col(len_col) if len_col is not None else F.length(F.col(text_col))
     ).cast("long")
-    # 16-bucket character histogram, computed ONCE per doc: every unit
-    # edit moves at most 2 units of L1 mass between histograms, so
-    # L1(a, b) > 2·max_dist proves dist > max_dist — an O(16) per-pair
-    # rejection that spares the O(d·n) levenshtein on the (dominant)
-    # non-matching candidates. The bound is conservative: no match is
-    # ever dropped, so the oracle is unchanged.
-    chars = F.split(F.col(text_col), "")
-    hist = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
-        lambda b: F.size(F.filter(chars, lambda c: F.ascii(c) % 16 == b)),
-    )
-    base = df.select(
+    # Character-class histogram, one regexp_count per class (whole-stage
+    # codegen; the earlier zip_with/aggregate HOF form was interpreted
+    # per element). Every char falls in exactly ONE bin (13 letter
+    # pairs, space, catch-all = len − Σ others), so a unit edit moves at
+    # most 2 units of L1 mass between histograms: L1(a, b) > 2·max_dist
+    # proves dist > max_dist — a flat-int per-pair rejection that spares
+    # the O(d·n) levenshtein on the (dominant) non-matching candidates.
+    # Conservative bound: no match is ever dropped, oracle unchanged.
+    nclasses = len(_EDIT_SIG_CLASSES)
+    proj = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("txt"),
         length.alias("len"),
         (length / len_band).cast("long").alias("bucket"),
-        hist.alias("hist"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(c)).alias(f"h{i}")
+            for i, c in enumerate(_EDIT_SIG_CLASSES)
+        ],
     )
-    left = base.select("id", "txt", "len", "bucket", "hist")
+    rest = F.col("len")
+    for i in range(nclasses):
+        rest = rest - F.col(f"h{i}")
+    proj = proj.withColumn(f"h{nclasses}", rest)
+    # Materialization barrier: without it, CollapseProject fuses the
+    # signature projection into the join stage and the regexp scans
+    # re-evaluate PER CANDIDATE PAIR (measured 5x end-to-end slowdown —
+    # the candidate relation is ~200x larger than the corpus here). A
+    # cardinality-preserving aggregate on the unique id is a barrier
+    # Catalyst cannot collapse through; it costs one corpus-scale
+    # shuffle of signature rows, and unlike .cache() retains nothing in
+    # executor storage after the stage completes.
+    sig_cols = ["txt", "len", "bucket"] + [f"h{i}" for i in range(nclasses + 1)]
+    base = proj.groupBy("id").agg(*[F.first(c).alias(c) for c in sig_cols])
+    left = base
     right = base.select(
         F.col("id").alias("rid"),
         F.col("txt").alias("rtxt"),
         F.col("len").alias("rlen"),
-        F.col("hist").alias("rhist"),
+        *[F.col(f"h{i}").alias(f"rh{i}") for i in range(nclasses + 1)],
         F.explode(
             F.array(F.col("bucket"), F.col("bucket") + 1)
         ).alias("bucket"),
     )
-    l1 = F.aggregate(
-        F.zip_with(F.col("hist"), F.col("rhist"), lambda x, y: F.abs(x - y)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    l1 = None
+    for i in range(nclasses + 1):
+        term = F.abs(F.col(f"h{i}") - F.col(f"rh{i}"))
+        l1 = term if l1 is None else l1 + term
     cand = left.join(right, "bucket").filter(
         (F.col("id") != F.col("rid"))
         & (F.abs(F.col("len") - F.col("rlen")) <= len_band)

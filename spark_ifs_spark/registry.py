@@ -4286,11 +4286,14 @@ def q_part_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bought together", tag co-occurrence, and domain co-citation graphs.
     Plan: see :func:`~spark_ifs_spark.operators.affinity.
     co_occurrence_pairs` — 2 shuffles, no join, pairs expand map-side
-    from per-basket sorted item arrays under a hard per-basket cap."""
+    from per-basket sorted item arrays under a hard per-basket cap.
+    min_count=2 is the support floor: singleton pairs are noise (and at
+    sf0.1 ~97% of the raw pair space), so the result stays a few
+    thousand rows at every SF instead of growing with the corpus."""
     from spark_ifs_spark.operators import affinity
 
     li = _read(spark, sf_dir, "lineitem")
-    return affinity.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
+    return affinity.co_occurrence_pairs(li, "l_orderkey", "l_partkey", min_count=2)
 
 
 def sql_part_pair_counts() -> str:
@@ -4302,6 +4305,7 @@ SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_baskets
 FROM items a
 JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
+HAVING count(*) >= 2
 """
 
 
