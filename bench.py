@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "split_leakage",
     "cluster_size_stats",
     "ann_recall_audit",
+    "events_hll_users",
 ]
 
 

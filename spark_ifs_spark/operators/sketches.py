@@ -96,3 +96,121 @@ def cms_estimate(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+#: HLL bias-correction constant for m >= 128 buckets
+def _hll_alpha(m: int) -> float:
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Per-key approximate distinct count via a fully deterministic,
+    engine-portable HyperLogLog: ``(key..., est_distinct)``.
+
+    Why not ``approx_count_distinct``: Spark's HLL++ and DuckDB's
+    ``approx_count_distinct`` use different hash functions and bias
+    tables, so their estimates differ and the oracle can't check them.
+    This HLL is built from the repo's portable md5 hash with EXACT
+    integer bucket/rho arithmetic, so both engines compute the
+    bit-identical register file and the identical estimate — an
+    *approximate* statistic with an *exact* differential test.
+
+    Construction (classic Flajolet HLL, m = 2^p buckets): the 60-bit
+    md5 hash splits as ``bucket = h mod m``, ``w = h div m``;
+    ``rho(w) = (60-p) - bitlen(w) + 1`` (position of the leading 1 bit,
+    ``bitlen`` via ``length(bin(w))`` — identical in both engines), and
+    each bucket keeps ``M = max(rho)``. The harmonic sum
+    ``Σ 2^(-M_j)`` is carried as the EXACT integer ``Σ 2^(K - M_j)``
+    (``K = 60-p+1``, terms ≤ 2^52, so a BIGINT holds any m) — no float
+    accumulation to drift between engines; the single final division
+    produces the estimate, with the standard linear-counting correction
+    below ``2.5m`` when empty buckets remain.
+
+    Scale shape: ONE map-side-combined aggregate on (key, bucket) —
+    shuffle bounded by keys × m cells, corpus-size-independent, the
+    same posture as :func:`cms_build`. Sketches for different
+    partitions/batches merge by bucket-max, which the partial aggregate
+    already IS — the property that makes HLL the incremental corpus
+    statistic (union = merge, no re-scan).
+    """
+    m = 1 << p
+    wbits = 60 - p
+    K = wbits + 1
+    alpha = _hll_alpha(m)
+    h = md5_int60(F.col(value_col).cast("string"))
+    bucket = h % F.lit(m)
+    # h div m via shiftright — Spark's `/` is double division, which is
+    # lossy past 2^53 and would corrupt the top bits of a 60-bit hash
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(wbits) - F.length(F.bin(w)) + 1).otherwise(
+        F.lit(K)
+    )
+    regs = (
+        df.select(*key_cols, bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy(*key_cols, "_b")
+        .agg(F.max("_rho").alias("_M"))
+    )
+    per_key = regs.groupBy(*key_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {K} - _M)")).alias("_S_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    zeros = F.lit(m) - F.col("_n_present")
+    s_total = F.col("_S_present") + zeros * F.lit(1 << K)
+    raw = F.lit(alpha * m * m * float(1 << K)) / s_total.cast("double")
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_key.select(*key_cols, est.alias("est_distinct"))
+
+
+def sql_hll_distinct(
+    table: str, key_cols: list[str], value_col: str, p: int = 9
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same integer register file,
+    same estimate), for oracle construction."""
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    m = 1 << p
+    wbits = 60 - p
+    K = wbits + 1
+    alpha = _hll_alpha(m)
+    keys = ", ".join(key_cols)
+    h = sql_md5_int60(f"CAST({value_col} AS VARCHAR)")
+    # numerator alpha*m^2*2^K precomputed in PYTHON so both engines get
+    # the identical double literal (the Spark side does the same)
+    num = alpha * m * m * float(1 << K)
+    return f"""
+WITH regs AS (
+  SELECT {keys}, ({h}) % {m} AS b,
+         max(CASE WHEN ({h}) // {m} > 0
+             THEN {wbits} - length(bin(({h}) // {m})) + 1
+             ELSE {K} END) AS M
+  FROM {table}
+  GROUP BY {keys}, b
+),
+per_key AS (
+  SELECT {keys},
+         CAST(sum(1::BIGINT << ({K} - M)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM regs GROUP BY {keys}
+),
+scored AS (
+  SELECT {keys}, n_present,
+         CAST({num!r} AS DOUBLE)
+           / CAST(s_present + ({m} - n_present) * (1::BIGINT << {K}) AS DOUBLE) AS raw
+  FROM per_key
+)
+SELECT {keys},
+       CASE WHEN raw <= {2.5 * m!r} AND {m} - n_present > 0
+            THEN CAST({float(m)!r} AS DOUBLE)
+                 * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_present AS DOUBLE))
+            ELSE raw
+       END AS est_distinct
+FROM scored
+"""

@@ -99,3 +99,67 @@ def test_cms_estimate_on_empty_sketch_is_zero(spark):
         for r in sketches.cms_estimate(cms, ["x"], depth=3, width=16, seed=1).collect()
     }
     assert est == {"x": 0}
+
+
+# --- portable HyperLogLog ---------------------------------------------------
+
+
+def test_hll_estimate_within_expected_error(spark):
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame(
+        [("k", f"v{i}") for i in range(n)], "key string, v string"
+    )
+    est = hll_distinct(df, ["key"], "v", p=9).collect()[0]["est_distinct"]
+    # std error ~1.04/sqrt(512) = 4.6%; 3 sigma = 14%
+    assert abs(est - n) / n < 0.15, est
+
+
+def test_hll_small_range_linear_counting(spark):
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("k", f"v{i % 20}") for i in range(400)], "key string, v string"
+    )
+    est = hll_distinct(df, ["key"], "v", p=9).collect()[0]["est_distinct"]
+    # 20 distinct << 2.5m -> linear counting branch, near-exact
+    assert abs(est - 20) < 2, est
+
+
+def test_hll_merge_invariance(spark):
+    """Sketching a union equals sketching the parts — the register file
+    is a bucket-max, so partition/batch layout cannot change the
+    estimate (the property that makes HLL incrementally mergeable)."""
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    rows = [("k", f"v{i}") for i in range(3000)]
+    whole = spark.createDataFrame(rows, "key string, v string")
+    shuffled = spark.createDataFrame(rows[::-1], "key string, v string").repartition(7)
+    e1 = hll_distinct(whole, ["key"], "v", p=9).collect()[0]["est_distinct"]
+    e2 = hll_distinct(shuffled, ["key"], "v", p=9).collect()[0]["est_distinct"]
+    assert e1 == e2
+
+
+def test_hll_matches_duckdb_twin(spark):
+    import duckdb
+
+    from spark_ifs_spark.operators.sketches import hll_distinct, sql_hll_distinct
+
+    rows = [(f"t{i % 3}", i * 7919 % 1000) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    got = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(df, ["event_type"], "user_id", p=9).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", __import__("pandas").DataFrame(rows, columns=["event_type", "user_id"]))
+    want = {
+        k: v
+        for k, v in con.execute(
+            sql_hll_distinct("events", ["event_type"], "user_id", p=9)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
