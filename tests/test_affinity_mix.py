@@ -199,3 +199,30 @@ def test_temperature_mix_plan_corpus_never_shuffles(spark):
     plan = explain_str(out, "simple")
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --- empty-input pinning (repo convention: empty in -> empty/zero out,
+# never an exception) --------------------------------------------------------
+
+
+def test_new_operators_empty_inputs(spark):
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    empty_baskets = spark.createDataFrame([], "basket int, item string")
+    assert co_occurrence_pairs(empty_baskets, "basket", "item").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert shingle_doc_freq(empty_docs, "doc_id", "text").count() == 0
+    assert boilerplate_fraction(empty_docs, "doc_id", "text").count() == 0
+    assert gopher_quality_flags(empty_docs, "doc_id", "text").count() == 0
+
+    empty_lang = spark.createDataFrame([], "id long, lang string")
+    assert temperature_mix(empty_lang, "id", "lang").count() == 0
+
+    empty_ev = spark.createDataFrame([], "event_type string, user_id long")
+    assert hll_distinct(empty_ev, ["event_type"], "user_id").count() == 0
+
+    # bloom decontam: empty corpus and empty eval set both yield zero ids
+    docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
+    assert contaminated_ids_bloom(empty_docs, docs, "doc_id", "text", n=3).count() == 0
+    assert contaminated_ids_bloom(docs, empty_docs, "doc_id", "text", n=3).count() == 0

@@ -173,3 +173,50 @@ def test_quality_classifier_rejects_bad_params(spark):
     model = QualityClassifier(featureCols=["x0"], labelCol="label").fit(df)
     with _pytest.raises(ValueError, match="already exists"):
         model.transform(df.withColumn("score_micro", df["x0"]))
+
+
+def test_gopher_filter_transform_and_persist(spark, tmp_path):
+    from spark_ifs_spark.ml.gopher_filter import GopherFilter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, " ".join(["the", "of", "a", "to", "word", "nice"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    annotated = GopherFilter(idCol="doc_id", textCol="text").transform(docs)
+    got = {r["doc_id"]: r["pass_all"] for r in annotated.collect()}
+    assert got == {1: False, 2: True}
+    assert "ok_top_word" in annotated.columns
+
+    dropped = GopherFilter(
+        idCol="doc_id", textCol="text", filterRows=True
+    ).transform(docs)
+    assert [r["doc_id"] for r in dropped.collect()] == [2]
+    assert dropped.columns == docs.columns  # filter mode adds nothing
+
+    path = str(tmp_path / "gopher")
+    stage = GopherFilter(idCol="doc_id", textCol="text", filterRows=True)
+    stage.write().overwrite().save(path)
+    loaded = GopherFilter.load(path)
+    assert loaded.getFilterRows() is True
+    assert loaded.getIdCol() == "doc_id"
+    assert [r["doc_id"] for r in loaded.transform(docs).collect()] == [2]
+
+
+def test_gopher_filter_in_pipeline(spark):
+    from pyspark.ml import Pipeline
+
+    from spark_ifs_spark.ml.gopher_filter import GopherFilter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x"),
+            (2, " ".join(["the", "of", "a", "to", "word", "nice"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    pipe = Pipeline(stages=[GopherFilter(idCol="doc_id", textCol="text", filterRows=True)])
+    out = pipe.fit(docs).transform(docs)
+    assert [r["doc_id"] for r in out.collect()] == [2]
