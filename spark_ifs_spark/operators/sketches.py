@@ -138,10 +138,23 @@ def hll_distinct(
     already IS — the property that makes HLL the incremental corpus
     statistic (union = merge, no re-scan).
     """
+    return hll_estimate(
+        hll_registers(df, key_cols, value_col, p), key_cols, p
+    )
+
+
+def hll_registers(
+    df: DataFrame, key_cols: list[str], value_col: str, p: int = 9
+) -> DataFrame:
+    """``(key..., _b, _M)`` — the HLL register file (bucket → max rho).
+
+    Exposed separately because the register file IS the mergeable
+    state: union two register files and :func:`hll_merge` them, or fold
+    a stream's micro-batches into a stored register file and estimate
+    on demand — no re-scan of history, ever."""
     m = 1 << p
     wbits = 60 - p
     K = wbits + 1
-    alpha = _hll_alpha(m)
     h = md5_int60(F.col(value_col).cast("string"))
     bucket = h % F.lit(m)
     # h div m via shiftright — Spark's `/` is double division, which is
@@ -150,11 +163,30 @@ def hll_distinct(
     rho = F.when(w > 0, F.lit(wbits) - F.length(F.bin(w)) + 1).otherwise(
         F.lit(K)
     )
-    regs = (
+    return (
         df.select(*key_cols, bucket.alias("_b"), rho.alias("_rho"))
         .groupBy(*key_cols, "_b")
         .agg(F.max("_rho").alias("_M"))
     )
+
+
+def hll_merge(regs_a: DataFrame, regs_b: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Union two register files — bucket-wise max, the HLL merge law
+    (estimate(merge(A, B)) ≡ estimate(sketch(A ∪ B)), exactly)."""
+    return (
+        regs_a.unionByName(regs_b)
+        .groupBy(*key_cols, "_b")
+        .agg(F.max("_M").alias("_M"))
+    )
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str], p: int = 9) -> DataFrame:
+    """``(key..., est_distinct)`` from a register file (see
+    :func:`hll_distinct` for the arithmetic contract)."""
+    m = 1 << p
+    wbits = 60 - p
+    K = wbits + 1
+    alpha = _hll_alpha(m)
     per_key = regs.groupBy(*key_cols).agg(
         F.sum(F.expr(f"shiftleft(1L, {K} - _M)")).alias("_S_present"),
         F.count(F.lit(1)).alias("_n_present"),

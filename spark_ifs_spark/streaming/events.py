@@ -245,3 +245,53 @@ def upsert_materialized_view(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_hll(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    store_path: str,
+    checkpoint: str,
+    p: int = 9,
+):
+    """Incremental distinct-count sketching: fold each micro-batch's
+    HLL register file into a parquet register store by bucket-wise max
+    (:func:`~spark_ifs_spark.operators.sketches.hll_merge`). Estimating
+    at any point is :func:`~spark_ifs_spark.operators.sketches.
+    hll_estimate` over the store — distinct-users-per-key over an
+    UNBOUNDED stream with keys × 2^p cells of state and zero re-scan of
+    history.
+
+    Same ``foreachBatch`` posture as :func:`upsert_materialized_view`
+    (the store IS the state; restarts resume from the checkpoint), with
+    one extra property the merge law gives for free: replayed batches
+    are ABSORBED, not double-counted — max is idempotent, so
+    at-least-once delivery still yields the exact register file
+    (stronger than the upsert view, where idempotence relies on the
+    newer-version rule). Batch ≡ stream parity is asserted in
+    ``test_streaming.py``: the folded store equals the one-shot batch
+    register file bit-for-bit, hence identical estimates.
+
+    Returns the StreamingQuery.
+    """
+    from spark_ifs_spark.operators.sketches import hll_merge, hll_registers
+
+    spark = stream.sparkSession
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        regs = hll_registers(batch, key_cols, value_col, p)
+        try:
+            store = spark.read.parquet(store_path)
+            merged = hll_merge(store, regs, key_cols)
+        except Exception:
+            merged = regs
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
