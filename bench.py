@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "cluster_size_stats",
     "ann_recall_audit",
     "events_hll_users",
+    "docs_profile_sketch",
 ]
 
 

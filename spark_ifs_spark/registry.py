@@ -4660,6 +4660,54 @@ FROM hll h JOIN exact e USING (event_type)
 """
 
 
+_PROFILE_SKETCH_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_docs_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``docs_profile`` distinct counts as a TRUE single-pass plan:
+    all five columns stack into (col, value) pairs map-side and feed
+    ONE portable-HLL aggregate — no Expand multi-distinct (which
+    replicates every input row ~6x and shuffles the distinct keys),
+    shuffle bounded by 5 × 2^p register cells. This is the plan
+    ``q_docs_profile``'s docstring defers to, now with an EXACT oracle
+    (the portable HLL estimates identically in DuckDB) instead of the
+    unverifiable ``approx_count_distinct``. Output: (col,
+    est_distinct) per profiled column."""
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    stacked = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _PROFILE_SKETCH_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.v").filter(F.col("v").isNotNull())
+    out = hll_distinct(stacked, ["col"], "v", p=HLL_P)
+    return out.select("col", F.round("est_distinct", 4).alias("est_distinct"))
+
+
+def sql_docs_profile_sketch() -> str:
+    from spark_ifs_spark.operators.sketches import sql_hll_distinct
+
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM documents WHERE {c} IS NOT NULL"
+        for c in _PROFILE_SKETCH_COLS
+    )
+    hll = sql_hll_distinct("vals", ["col"], "v", p=HLL_P)
+    return f"""
+WITH vals AS ({stacked})
+SELECT col, round(est_distinct, 4) AS est_distinct
+FROM ({hll}) t
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -4794,6 +4842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_size_stats": q_cluster_size_stats,
     "ann_recall_audit": q_ann_recall_audit,
     "events_hll_users": q_events_hll_users,
+    "docs_profile_sketch": q_docs_profile_sketch,
 }
 
 ORACLES: dict[str, str] = {
@@ -4919,4 +4968,5 @@ ORACLES: dict[str, str] = {
     "cluster_size_stats": sql_cluster_size_stats(),
     "ann_recall_audit": sql_ann_recall_audit(),
     "events_hll_users": sql_events_hll_users(),
+    "docs_profile_sketch": sql_docs_profile_sketch(),
 }

@@ -416,3 +416,18 @@ def test_temperature_mix_keep_decision_scan_fused(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_profile_sketch_single_pass_no_expand(spark, sf_dir):
+    """The HLL profile must be ONE scan with no Expand multi-distinct
+    (the exact profile's plan replicates every row ~6x); shuffle keys
+    are register cells."""
+    from spark_ifs_spark.registry import q_docs_profile, q_docs_profile_sketch
+
+    sketch = q_docs_profile_sketch(spark, sf_dir)
+    plan = explain_str(sketch, "simple")
+    assert "Expand" not in plan, plan
+    assert count_exchanges(sketch) <= 2, plan
+    # and the exact profile genuinely has the Expand this avoids
+    exact_plan = explain_str(q_docs_profile(spark, sf_dir), "simple")
+    assert "Expand" in exact_plan
