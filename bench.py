@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "ann_recall_audit",
     "events_hll_users",
     "docs_profile_sketch",
+    "source_quality_report",
 ]
 
 

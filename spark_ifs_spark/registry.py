@@ -4716,6 +4716,79 @@ FROM ({hll}) t
 """
 
 
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data-quality dashboard: document count, Gopher
+    pass rate (integer ppm — float-aggregate-free), and mean quality
+    score per source — the report that decides which crawl sources get
+    up/down-weighted in the next mix. Composes ``gopher_quality_flags``
+    and ``quality_score`` (each individually oracle-gated) through one
+    id-keyed join and one bounded per-source aggregate; the corpus is
+    scanned twice (once per operator), each scan map-side."""
+    from spark_ifs_spark.operators.textstats import (
+        gopher_quality_flags,
+        quality_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "doc_id", "text").select("id", "pass_all")
+    qual = quality_score(docs, "doc_id", "text").select("id", "quality")
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        src.join(flags, "id")
+        .join(qual, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(
+                F.sum(F.col("pass_all").cast("long"))
+                * F.lit(1_000_000)
+                / F.count(F.lit(1))
+            ).cast("long").alias("pass_ppm"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
+
+
+def sql_source_quality_report() -> str:
+    from spark_ifs_spark.operators import textstats as ts
+
+    stop_sum = " + ".join(_sql_count_word(w) for w in ts.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, source,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS mwl,
+         ({stop_sum}) AS stop_hits
+  FROM documents
+),
+wc AS (
+  SELECT doc_id AS id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+top AS (SELECT id, max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_frac FROM wc GROUP BY 1),
+flags AS (
+  SELECT b.id, b.source,
+         (b.n_words >= {ts.GOPHER_MIN_WORDS} AND b.n_words <= {ts.GOPHER_MAX_WORDS})
+           AND (b.mwl >= {ts.GOPHER_MIN_MEAN_WL} AND b.mwl <= {ts.GOPHER_MAX_MEAN_WL})
+           AND b.stop_hits >= {ts.GOPHER_MIN_STOP_HITS}
+           AND t.top_frac <= {ts.GOPHER_MAX_TOP_WORD_FRAC} AS pass_all,
+         least(b.n_words / 50.0, 1.0)
+           * (1.0 - least(abs(b.mwl - 5.0) / 5.0, 1.0))
+           * least((b.stop_hits * 1.0 / b.n_words) * 5.0, 1.0) AS quality
+  FROM base b JOIN top t ON b.id = t.id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(floor(sum(CASE WHEN pass_all THEN 1 ELSE 0 END) * 1000000.0
+            / count(*)) AS BIGINT) AS pass_ppm,
+       round(avg(quality), 6) AS mean_quality
+FROM flags
+GROUP BY source
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -4851,6 +4924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_audit": q_ann_recall_audit,
     "events_hll_users": q_events_hll_users,
     "docs_profile_sketch": q_docs_profile_sketch,
+    "source_quality_report": q_source_quality_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -4977,4 +5051,5 @@ ORACLES: dict[str, str] = {
     "ann_recall_audit": sql_ann_recall_audit(),
     "events_hll_users": sql_events_hll_users(),
     "docs_profile_sketch": sql_docs_profile_sketch(),
+    "source_quality_report": sql_source_quality_report(),
 }
