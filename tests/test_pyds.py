@@ -66,3 +66,44 @@ def test_pyds_composes_with_engine_operators(spark):
     out = token_counts(df, "doc_id", "text")
     assert out.count() == 50
     assert out.filter("n_ws_tokens < 3").count() == 0
+
+
+def test_pyds_streaming_micro_batches(spark, tmp_path):
+    """Drive the streaming reader: availableNow pulls rows_per_batch per
+    trigger until max_rows; the result set must equal the deterministic
+    generator output exactly (replay-safe by construction)."""
+    _register(spark)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows_per_batch", 40)
+        .option("max_rows", 120)
+        .option("seed", 13)
+        .load()
+    )
+    assert stream.isStreaming
+    name = "pyds_stream_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # the Python micro-batch stream has no availableNow support (Spark
+    # falls back to one batch); poll until the 3 batches land, then stop
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table(name).count() < 120:
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table(name).collect()
+    assert len(got) == 120
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == list(range(120))
+    # deterministic regeneration: same seed -> same text for row 0
+    from spark_ifs_spark.sources.pyds import SyntheticDocsStreamReader
+
+    rdr = SyntheticDocsStreamReader(None, {"seed": "13"})
+    assert sorted(tuple(r) for r in got)[0] == rdr._gen(0)
