@@ -71,3 +71,12 @@ def sql_universal_hash(expr: str, a: int, b: int) -> str:
 
 def sql_band_power(idx: int) -> int:
     return pow(BAND_B, idx, MINHASH_P)
+
+
+def md5_int60_py(s: str) -> int:
+    """Driver-side Python twin of :func:`md5_int60` — same first 15 md5
+    hex digits as a 60-bit int (used to pre-compute partition-pruning
+    bucket literals for index lookups)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

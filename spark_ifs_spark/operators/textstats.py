@@ -487,6 +487,21 @@ def bm25_topk(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_score_postings(tf, n_docs, avgdl, k=k, k1=k1, b=b)
+
+
+def bm25_score_postings(
+    tf: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` from an ``(id, dl, term, tf)`` postings relation +
+    corpus scalars — shared by the scan path (:func:`bm25_topk`) and the
+    pruned inverted-index path (``sources/sinks.bm25_over_index``), so
+    both produce bit-identical integer-micro scores."""
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -183,3 +183,85 @@ def compact_small_files(
         ]
     )
     return before, after
+
+
+#: term-hash partition count for the inverted index layout
+INDEX_BUCKETS = 64
+
+
+def _term_bucket_expr(term_col):
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    return md5_int60(F.col(term_col) if isinstance(term_col, str) else term_col) % F.lit(
+        INDEX_BUCKETS
+    )
+
+
+def write_inverted_index(
+    df: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Materialize a BM25-ready inverted index: postings ``(term, id,
+    tf, dl)`` hive-partitioned by ``tb = md5(term) mod 64``, plus a
+    one-row corpus-stats table (N, total length) beside it.
+
+    The layout is the retrieval counterpart of the IVF corpus sink: a
+    query with |Q| terms prunes the scan to ≤|Q| of 64 directories
+    (``PartitionFilters``, plan-asserted), so query cost scales with
+    the posting lists touched, not the corpus — the property that makes
+    repeated lexical search over a fixed corpus cheap where
+    :func:`~spark_ifs_spark.operators.textstats.bm25_topk` re-scans.
+    Index build is one explode + one (id, term)-keyed count — the
+    tokenize work BM25 queries would each redo, paid once.
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("id", "_toks", F.size("_toks").alias("dl"))
+    postings = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", _term_bucket_expr("term"))
+    )
+    postings.write.mode("overwrite").partitionBy("tb").parquet(f"{path}/postings")
+    base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_over_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-``k`` over a :func:`write_inverted_index` layout —
+    bit-identical scores to the scan path (asserted in
+    ``test_sinks.py``), touching only the query terms' partitions.
+
+    Per-term document frequencies come from the pruned postings
+    themselves (a term's postings live entirely in its bucket, so the
+    pruned df IS the corpus df); corpus scalars come from the one-row
+    stats table."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.functions.hashing import md5_int60_py
+    from spark_ifs_spark.operators.textstats import bm25_score_postings
+
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["total_len"]) / float(n_docs)
+    buckets = sorted({md5_int60_py(t) % INDEX_BUCKETS for t in query_terms})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets))   # partition pruning
+        .filter(F.col("term").isin(*query_terms))
+        .select("id", "dl", "term", "tf")
+    )
+    return bm25_score_postings(postings, n_docs, avgdl, k=k, k1=k1, b=b)

@@ -98,3 +98,28 @@ def test_compact_small_files_preserves_rows_and_reduces_count(spark, tmp_path):
     import os
     parent = os.path.dirname(path)
     assert not any("._compacting" in d or "._old" in d for d in os.listdir(parent))
+
+
+def test_inverted_index_bm25_matches_scan_path_and_prunes(spark, sf_dir, tmp_path):
+    """The indexed BM25 must return bit-identical scores to the direct
+    scan operator, while its postings scan prunes to the query terms'
+    partitions (PartitionFilters on tb)."""
+    from spark_ifs_spark.operators.textstats import bm25_topk
+    from spark_ifs_spark.plans.checks import explain_str
+    from spark_ifs_spark.sources.sinks import bm25_over_index, write_inverted_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["spark", "shuffle", "join", "window"]
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, "doc_id", "text", path)
+
+    direct = [
+        (r["id"], r["score_micro"])
+        for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+    ]
+    indexed_df = bm25_over_index(spark, path, terms, k=10)
+    indexed = [(r["id"], r["score_micro"]) for r in indexed_df.collect()]
+    assert indexed == direct
+
+    plan = explain_str(indexed_df, "formatted")
+    assert "PartitionFilters" in plan and "tb" in plan, plan
