@@ -226,3 +226,45 @@ def test_new_operators_empty_inputs(spark):
     docs = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id long, text string")
     assert contaminated_ids_bloom(empty_docs, docs, "doc_id", "text", n=3).count() == 0
     assert contaminated_ids_bloom(docs, empty_docs, "doc_id", "text", n=3).count() == 0
+
+
+# --- adversarial skew -------------------------------------------------------
+
+
+def test_boilerplate_universal_shingle_stays_linear(spark):
+    """A shingle present in EVERY doc must not blow up the join: its
+    fan-out equals its df (each doc carries it once), so the joined
+    relation stays linear in the corpus — and every doc scores it as
+    boilerplate."""
+    rows = [(i, f"common boiler plate text unique{i} tail{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = boilerplate_fraction(df, "doc_id", "text", n=3, max_frac=0.5).collect()
+    assert len(out) == 300
+    # "common boiler plate" and "boiler plate text" are universal (df=300);
+    # each doc has 4 shingles total -> boiler_frac = 2/4
+    for r in out:
+        assert r["n_boiler"] == 2 and abs(r["boiler_frac"] - 0.5) < 1e-9
+
+
+def test_temperature_mix_extreme_skew_exact_rates(spark):
+    """10000:1 skew: keep rate for the giant group is sqrt(1/10000) =
+    1% — the kept count must land within binomial noise of 100, and the
+    singleton group must survive."""
+    rows = [(i, "giant") for i in range(10_000)] + [(10**7, "rare")]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    kept = temperature_mix(df, "id", "lang", seed=3).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in kept.collect()}
+    assert got.get("rare", 0) == 1
+    assert 60 <= got["giant"] <= 140, got
+
+
+def test_hll_single_hot_key_many_values(spark):
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(20_000)] + [("cold", 1)],
+        "key string, v long",
+    )
+    got = {r["key"]: r["est_distinct"] for r in hll_distinct(df, ["key"], "v", p=9).collect()}
+    assert abs(got["hot"] - 20_000) / 20_000 < 0.15
+    assert abs(got["cold"] - 1) < 0.5
