@@ -4795,11 +4795,14 @@ GROUP BY source
 # positions 1-50 are now EXACTLY the 50 queries without a prior driver
 # CORRECTNESS row (24 new in round 4 + the 26 ungated from round 3),
 # so after this round every registered query has at least one hard
-# driver-side row across r3+r4. session_journeys (added after the window
-# filled) sits last and rotates forward in round 5. Entries beyond the
-# window stay oracle-verified locally by tests/test_entry_oracle.py, which
+# driver-side row across r3+r4. Queries added after the window filled
+# (session_journeys through source_quality_report, the second-pass
+# round-4 batch) sit last and rotate forward in round 5 — they are the
+# only never-gated entries remaining. Entries beyond the window stay
+# oracle-verified locally by tests/test_entry_oracle.py, which
 # replicates the driver's gate per query at sf0.001 (and on demand at
-# sf0.01/sf0.1 via SPARK_IFS_TEST_SF_DIR).
+# sf0.01/sf0.1 via SPARK_IFS_TEST_SF_DIR; the full 119-query gate was
+# re-run green at sf0.01 this round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
     "textrank_keywords": q_textrank_keywords,
