@@ -147,6 +147,10 @@ BENCH_QUERIES = [
     "events_hll_users",
     "docs_profile_sketch",
     "source_quality_report",
+    "user_streaks",
+    "weighted_median_price",
+    "lineitem_corr",
+    "part_pair_lift",
 ]
 
 

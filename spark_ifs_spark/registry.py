@@ -4789,6 +4789,226 @@ GROUP BY source
 """
 
 
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands shape (day_number − row_number() is constant
+    within an island), the one classic windowed-SQL pattern the
+    registry did not yet cover. Plan: the corpus folds to DISTINCT
+    (user, day) first (one hash aggregate, map-combined), so the two
+    windows and the two bounded aggregates all run on the
+    users × days relation, never on raw events."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("dy")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dy")
+    grp = (
+        F.datediff(F.col("dy"), F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(w)
+    )
+    islands = days.select("user_id", grp.alias("grp"))
+    return (
+        islands.groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").alias("longest_streak"))
+    )
+
+
+def sql_user_streaks() -> str:
+    return """
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dy FROM events),
+g AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', dy)
+           - row_number() OVER (PARTITION BY user_id ORDER BY dy) AS grp
+  FROM d
+)
+SELECT user_id, max(len) AS longest_streak
+FROM (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2) s
+GROUP BY user_id
+"""
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — exact
+    weighted quantile via cumulative integer weights: the first price
+    whose running weight reaches half the group total. All comparisons
+    are 64-bit integer (`2·cum ≥ total`), and the cumulative window
+    orders by the TOTAL key (price, orderkey, linenumber), so the
+    crossing row — hence the median value — is engine-reproducible.
+    Plan: one per-group sort window over the lineitem projection + one
+    bounded aggregate; at scale swap in `approx_percentile` when the
+    per-group sort exceeds the shuffle budget (documented trade — this
+    is the exact-oracle form)."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    flagged = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    return (
+        flagged.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("w_median_price"))
+    )
+
+
+def sql_weighted_median_price() -> str:
+    return """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, round(min(l_extendedprice), 4) AS w_median_price
+FROM c WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+"""
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of (quantity, extended price) per return
+    flag from EXACT integer sufficient statistics: quantity is integral
+    (cast long), price quantized to cents (floor(x·100) as long), and
+    the five sums (Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    decimal(38,0)/HUGEINT — no float addition anywhere, so the single
+    final double expression computes from bit-identical inputs on both
+    engines (the `supplier_zscore` convention applied to correlation).
+    ONE map-combined aggregate; shuffle is 3 groups × 6 cells."""
+    li = _read(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    stats = (
+        li.select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") * n - sx * sy
+    vx = F.col("sxx").cast("double") * n - sx * sx
+    vy = F.col("syy").cast("double") * n - sy * sy
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    )
+
+
+def sql_lineitem_corr() -> str:
+    return """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sxy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_extendedprice * 100) AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS corr_qty_price
+FROM s
+"""
+
+
+PAIR_LIFT_MIN_COUNT = 3
+PAIR_LIFT_TOP = 30
+
+
+def q_part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for co-ordered part pairs:
+    ``lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`` in integer
+    MICRO-units (exact 64-bit arithmetic — `n_ab·N·10⁶` tops out near
+    2^41 at sf0.1), top 30 by (lift, pair) total order among pairs with
+    support ≥ 3. Composes the join-free pair counts with one bounded
+    per-item aggregate; the ranking is TakeOrdered, never a global
+    sort."""
+    from spark_ifs_spark.operators import affinity
+
+    li = _read(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_baskets = items.select("l_orderkey").distinct().count()
+    pairs = affinity.co_occurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=PAIR_LIFT_MIN_COUNT
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    fa = freq.select(F.col("l_partkey").alias("item_a"), F.col("n_item").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("item_b"), F.col("n_item").alias("n_b"))
+    out = (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            F.floor(
+                F.col("n_baskets") * F.lit(n_baskets) * F.lit(1_000_000)
+                / (F.col("n_a") * F.col("n_b"))
+            ).cast("long").alias("lift_micro"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift_micro").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(PAIR_LIFT_TOP)
+
+
+def sql_part_pair_lift() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS n FROM items),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_baskets
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {PAIR_LIFT_MIN_COUNT}
+),
+freq AS (SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1)
+SELECT p.item_a, p.item_b, p.n_baskets,
+       CAST(floor(p.n_baskets * nb.n * 1000000.0 / (fa.n_item * fb.n_item)) AS BIGINT) AS lift_micro
+FROM pairs p
+JOIN freq fa ON fa.l_partkey = p.item_a
+JOIN freq fb ON fb.l_partkey = p.item_b
+CROSS JOIN nb
+ORDER BY lift_micro DESC, item_a ASC, item_b ASC
+LIMIT {PAIR_LIFT_TOP}
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -4928,6 +5148,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_users": q_events_hll_users,
     "docs_profile_sketch": q_docs_profile_sketch,
     "source_quality_report": q_source_quality_report,
+    "user_streaks": q_user_streaks,
+    "weighted_median_price": q_weighted_median_price,
+    "lineitem_corr": q_lineitem_corr,
+    "part_pair_lift": q_part_pair_lift,
 }
 
 ORACLES: dict[str, str] = {
@@ -5055,4 +5279,8 @@ ORACLES: dict[str, str] = {
     "events_hll_users": sql_events_hll_users(),
     "docs_profile_sketch": sql_docs_profile_sketch(),
     "source_quality_report": sql_source_quality_report(),
+    "user_streaks": sql_user_streaks(),
+    "weighted_median_price": sql_weighted_median_price(),
+    "lineitem_corr": sql_lineitem_corr(),
+    "part_pair_lift": sql_part_pair_lift(),
 }
