@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "weighted_median_price",
     "lineitem_corr",
     "part_pair_lift",
+    "kwic_snippets",
+    "events_interarrival",
+    "events_value_histogram",
 ]
 
 

@@ -5009,6 +5009,138 @@ LIMIT {PAIR_LIFT_TOP}
 """
 
 
+KWIC_TERMS = ["spark", "shuffle"]
+KWIC_WINDOW = 2
+KWIC_LIMIT = 200
+
+
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: a ±2-word snippet around every
+    occurrence of the query terms — the retrieval-UX primitive (search
+    result previews, concordance building). Token-array based, NOT
+    regex: Spark's Java regex and DuckDB's RE2 disagree on enough edge
+    semantics that the oracle-exact form is array slicing over the same
+    whitespace split both engines already share. Map-side per doc (one
+    interpreted-HOF position filter + slices); the only shuffle is the
+    deterministic (doc, pos) TakeOrdered cut."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks)
+    hits = F.filter(
+        F.sequence(F.lit(1), m),
+        lambda i: F.element_at(toks, i).isin(*KWIC_TERMS),
+    )
+    lo = F.greatest(F.col("pos") - KWIC_WINDOW, F.lit(1))
+    hi = F.least(F.col("pos") + KWIC_WINDOW, F.col("m"))
+    return (
+        docs.select(
+            F.col("doc_id"), m.alias("m"), toks.alias("t"),
+            F.explode(hits).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.element_at(F.col("t"), F.col("pos")).alias("term"),
+            F.array_join(
+                F.slice(F.col("t"), lo, hi - lo + 1), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(KWIC_LIMIT)
+    )
+
+
+def sql_kwic_snippets() -> str:
+    terms = ", ".join(f"'{t}'" for t in KWIC_TERMS)
+    w = KWIC_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hits AS (
+  SELECT doc_id, t, s.i AS pos
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+  WHERE t[s.i] IN ({terms})
+)
+SELECT doc_id, pos, t[pos] AS term,
+       array_to_string(t[greatest(pos - {w}, 1):least(pos + {w}, len(t))], ' ') AS snippet
+FROM hits
+ORDER BY doc_id, pos
+LIMIT {KWIC_LIMIT}
+"""
+
+
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics: mean and max gap between a
+    user's consecutive events of the same type — the workload-cadence
+    profile capacity planning reads. Exact integer arithmetic
+    throughout: gaps are epoch-microsecond differences, the mean is
+    ``floor(Σgap / n)`` — no float aggregation. ONE (user, type)-keyed
+    lag window over the events projection, then a bounded per-type
+    aggregate."""
+    from pyspark.sql import Window
+
+    from spark_ifs_spark.functions.timeutil import epoch_us
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = epoch_us(ev, "ts")
+    gaps = (
+        ev.select(
+            "event_type",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.floor(F.sum("gap_us") / F.count(F.lit(1))).cast("long").alias("mean_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+def sql_events_interarrival() -> str:
+    return """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(floor(sum(gap_us) * 1.0 / count(*)) AS BIGINT) AS mean_gap_us,
+       max(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+HIST_BIN_WIDTH = 25
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the monitoring
+    distribution chart. Bin = floor(value / 25) computed identically in
+    both engines (one double division + floor); ONE map-combined
+    aggregate, shuffle bounded by types × bins."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_events_value_histogram() -> str:
+    return f"""
+SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin, count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -5152,6 +5284,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median_price": q_weighted_median_price,
     "lineitem_corr": q_lineitem_corr,
     "part_pair_lift": q_part_pair_lift,
+    "kwic_snippets": q_kwic_snippets,
+    "events_interarrival": q_events_interarrival,
+    "events_value_histogram": q_events_value_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -5283,4 +5418,7 @@ ORACLES: dict[str, str] = {
     "weighted_median_price": sql_weighted_median_price(),
     "lineitem_corr": sql_lineitem_corr(),
     "part_pair_lift": sql_part_pair_lift(),
+    "kwic_snippets": sql_kwic_snippets(),
+    "events_interarrival": sql_events_interarrival(),
+    "events_value_histogram": sql_events_value_histogram(),
 }
