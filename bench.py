@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "kwic_snippets",
     "events_interarrival",
     "events_value_histogram",
+    "lang_source_chisq",
+    "source_token_entropy",
+    "user_value_twa",
+    "orders_sla",
 ]
 
 

@@ -5141,6 +5141,208 @@ GROUP BY 1, 2
 """
 
 
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the (lang, source) contingency
+    table — "is language distribution uniform across crawl sources?",
+    the categorical-drift alarm. Reuses the engine's contingency
+    discipline (the MI operators' counts-only aggregation): observed
+    counts and the two marginals are exact integers from ONE hash
+    aggregate over the corpus plus two bounded rollups; the single
+    float expression ``Σ (o − e)²/e`` runs over the bounded levels²
+    relation. Output: one row (chi2, dof)."""
+    docs = _read(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    col = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
+    cells = (
+        obs.join(F.broadcast(row), "lang")
+        .join(F.broadcast(col), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("o").cast("double") - e) * (F.col("o") - e) / e).alias("x"))
+    )
+    nlang = docs.select("lang").distinct().count()
+    nsrc = docs.select("source").distinct().count()
+    return cells.agg(
+        F.round(F.sum("x"), 6).alias("chi2"),
+        F.lit((nlang - 1) * (nsrc - 1)).cast("long").alias("dof"),
+    )
+
+
+def sql_lang_source_chisq() -> str:
+    return """
+WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o) AS r FROM obs GROUP BY 1),
+c AS (SELECT source, sum(o) AS c FROM obs GROUP BY 1),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+dims AS (
+  SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof
+  FROM documents
+)
+SELECT round(sum((obs.o - CAST(r.r AS DOUBLE) * c.c / t.n)
+                * (obs.o - CAST(r.r AS DOUBLE) * c.c / t.n)
+                / (CAST(r.r AS DOUBLE) * c.c / t.n)), 6) AS chi2,
+       CAST(any_value(dims.dof) AS BIGINT) AS dof
+FROM obs JOIN r USING (lang) JOIN c USING (source), t, dims
+"""
+
+
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution —
+    low entropy = templated/repetitive source, the distributional
+    quality signal next to the rule-based filters. Computed as
+    ``ln N − (Σ c·ln c)/N`` from exact integer token counts (one
+    (source, token) hash aggregate, map-combined; the log-sum runs on
+    the bounded vocab × sources relation)."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_clnc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_clnc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def sql_source_token_entropy() -> str:
+    return """
+WITH counts AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+FROM counts
+GROUP BY source
+"""
+
+
+def q_user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user — each value weighted
+    by how long it was "current" (until the user's next event): the
+    billing/sensor aggregation where a plain mean over-counts bursts.
+    Exact integer core: values quantize to cents, durations are
+    epoch-µs lag differences, and Σ(v_c·Δt) / ΣΔt accumulates as
+    decimal(38,0)/HUGEINT products — the one double division happens on
+    exact inputs. ONE user-keyed lead window + one bounded aggregate."""
+    from pyspark.sql import Window
+
+    from spark_ifs_spark.functions.timeutil import epoch_us
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = epoch_us(ev, "ts")
+    spans = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("vc"),
+            (F.lead(us).over(w) - us).alias("dt"),
+        )
+        .filter(F.col("dt").isNotNull())
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.sum((F.col("vc") * F.col("dt")).cast("decimal(38,0)")).alias("_num"),
+            F.sum("dt").alias("_den"),
+        )
+        .select(
+            "user_id",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double") / 100.0, 6
+            ).alias("twa_value"),
+        )
+    )
+
+
+def sql_user_value_twa() -> str:
+    return """
+WITH spans AS (
+  SELECT user_id,
+         CAST(floor(value * 100) AS BIGINT) AS vc,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events
+)
+SELECT user_id,
+       round(CAST(sum(vc * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE) / 100.0, 6)
+         AS twa_value
+FROM spans WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+SLA_DAYS = 60
+
+
+def q_orders_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfilment SLA by priority: the share of orders whose
+    EVERY lineitem shipped within 60 days — relational division
+    ("for all") folded into one aggregate: ``min(shipped_in_sla)`` per
+    order instead of NOT EXISTS probing, then an integer-ppm rollup per
+    priority. Two aggregates, both map-combined; the orders⋈lineitem
+    join keys on the natural co-partitioned key."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                F.col("l_shipdate")
+                <= F.col("o_orderdate") + F.expr(f"INTERVAL {SLA_DAYS} DAYS")
+            ).cast("int").alias("in_sla"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.min("in_sla").alias("all_in_sla"))
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.floor(
+            F.sum("all_in_sla") * F.lit(1_000_000) / F.count(F.lit(1))
+        ).cast("long").alias("sla_ppm"),
+    )
+
+
+def sql_orders_sla() -> str:
+    return f"""
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         min(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL {SLA_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS all_in_sla
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(floor(sum(all_in_sla) * 1000000.0 / count(*)) AS BIGINT) AS sla_ppm
+FROM per_order
+GROUP BY o_orderpriority
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -5287,6 +5489,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kwic_snippets": q_kwic_snippets,
     "events_interarrival": q_events_interarrival,
     "events_value_histogram": q_events_value_histogram,
+    "lang_source_chisq": q_lang_source_chisq,
+    "source_token_entropy": q_source_token_entropy,
+    "user_value_twa": q_user_value_twa,
+    "orders_sla": q_orders_sla,
 }
 
 ORACLES: dict[str, str] = {
@@ -5421,4 +5627,8 @@ ORACLES: dict[str, str] = {
     "kwic_snippets": sql_kwic_snippets(),
     "events_interarrival": sql_events_interarrival(),
     "events_value_histogram": sql_events_value_histogram(),
+    "lang_source_chisq": sql_lang_source_chisq(),
+    "source_token_entropy": sql_source_token_entropy(),
+    "user_value_twa": sql_user_value_twa(),
+    "orders_sla": sql_orders_sla(),
 }
