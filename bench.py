@@ -158,6 +158,10 @@ BENCH_QUERIES = [
     "source_token_entropy",
     "user_value_twa",
     "orders_sla",
+    "events_rolling_7d_users",
+    "events_autocorr7",
+    "source_size_gini",
+    "supplier_mad_outliers",
 ]
 
 

@@ -5343,6 +5343,287 @@ GROUP BY o_orderpriority
 """
 
 
+def q_events_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT users per day — the rolling-uniques
+    dashboard metric that exact windowing cannot do incrementally
+    (distinct doesn't decompose over sliding windows) and the portable
+    HLL does by construction: per-day register files build once from
+    the corpus, and each day's trailing window is a bucket-max MERGE of
+    ≤7 bounded register sets (days × 2^p cells — the corpus is touched
+    exactly once). THE use case mergeable sketches exist for, with the
+    estimate still exactly reproduced by the DuckDB oracle."""
+    from spark_ifs_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = _read(spark, sf_dir, "events")
+    daily = hll_registers(
+        ev.select(F.to_date("ts").alias("dy"), "user_id"), ["dy"], "user_id", p=HLL_P
+    )
+    days = daily.select("dy").distinct()
+    win = days.select(F.col("dy").alias("win_day")).join(
+        daily,
+        (F.col("dy") <= F.col("win_day"))
+        & (F.col("dy") >= F.date_sub(F.col("win_day"), 6)),
+    )
+    merged = win.groupBy("win_day", "_b").agg(F.max("_M").alias("_M"))
+    out = hll_estimate(merged, ["win_day"], p=HLL_P)
+    return out.select(
+        F.date_format("win_day", "yyyy-MM-dd").alias("day"),
+        F.round("est_distinct", 4).alias("est_users_7d"),
+    )
+
+
+def sql_events_rolling_7d_users() -> str:
+    from spark_ifs_spark.operators.sketches import _hll_alpha
+
+    m = 1 << HLL_P
+    wbits = 60 - HLL_P
+    K = wbits + 1
+    num = _hll_alpha(m) * m * m * float(1 << K)
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    h = sql_md5_int60("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS dy, ({h}) % {m} AS b,
+         max(CASE WHEN ({h}) // {m} > 0
+             THEN {wbits} - length(bin(({h}) // {m})) + 1
+             ELSE {K} END) AS M
+  FROM events
+  GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT dy AS win_day FROM daily),
+merged AS (
+  SELECT d.win_day, r.b, max(r.M) AS M
+  FROM days d JOIN daily r
+    ON r.dy <= d.win_day AND r.dy >= d.win_day - INTERVAL 6 DAY
+  GROUP BY 1, 2
+),
+per_day AS (
+  SELECT win_day,
+         CAST(sum(1::BIGINT << ({K} - M)) AS BIGINT) AS s_present,
+         count(*) AS n_present
+  FROM merged GROUP BY 1
+),
+scored AS (
+  SELECT win_day, n_present,
+         CAST({num!r} AS DOUBLE)
+           / CAST(s_present + ({m} - n_present) * (1::BIGINT << {K}) AS DOUBLE) AS raw
+  FROM per_day
+)
+SELECT strftime(win_day, '%Y-%m-%d') AS day,
+       round(CASE WHEN raw <= {2.5 * m!r} AND {m} - n_present > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / CAST({m} - n_present AS DOUBLE))
+                  ELSE raw END, 4) AS est_users_7d
+FROM scored
+"""
+
+
+def q_events_autocorr7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-7 autocorrelation of daily event volume — "is there a weekly
+    cycle?" — as exact-integer Pearson over the (day, day+7) pairs of
+    the BOUNDED daily-counts relation (corpus folds to one count per
+    day first; the self-join and the five sufficient sums touch ~30
+    rows). Same decimal-exact convention as ``lineitem_corr``."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("dy")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lead = daily.select(
+        F.date_sub(F.col("dy"), 7).alias("dy"), F.col("x").alias("y")
+    )
+    pairs = daily.join(lead, "dy").select("x", "y")
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = F.col("sxy").cast("double") * n - sx * sy
+    vx = F.col("sxx").cast("double") * n - sx * sx
+    vy = F.col("syy").cast("double") * n - sy * sy
+    return stats.select(
+        "n", F.round(cov / F.sqrt(vx * vy), 6).alias("autocorr_lag7")
+    )
+
+
+def sql_events_autocorr7() -> str:
+    return """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS dy, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+pairs AS (
+  SELECT a.x, b.x AS y
+  FROM daily a JOIN daily b ON b.dy = a.dy + INTERVAL 7 DAY
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs
+)
+SELECT n,
+       round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS autocorr_lag7
+FROM s
+"""
+
+
+def q_source_size_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus mass across sources — the one-number
+    concentration alarm ("90% of chars from one crawl host?"). Exact
+    integer core over the BOUNDED per-source totals:
+    ``G = (2·Σᵢ i·sᵢ / (n·Σs)) − (n+1)/n`` with sizes ranked ascending
+    (ties broken by source name — total order, engine-reproducible);
+    the corpus itself folds in one map-combined aggregate."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.sum("n_chars").alias("s"))
+    w = Window.orderBy("s", "source")
+    ranked = sizes.select(
+        F.col("s"),
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("s")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("s").cast("double"))
+            - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def sql_source_size_gini() -> str:
+    return """
+WITH sizes AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, source) AS i FROM sizes
+)
+SELECT count(*) AS n_sources,
+       round(2.0 * CAST(sum(i * s) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(s) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
+MAD_SCALE = 1.4826
+MAD_K = 3.0
+
+
+def q_supplier_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection on supplier balances per nation: MAD
+    (median absolute deviation) instead of stddev — one extreme balance
+    cannot mask others (the flaw of the z-score form, kept side by side
+    as ``supplier_zscore``). Both medians are EXACT lower-medians via
+    the same integer cumulative-count crossing as the weighted median
+    (total-ordered windows, engine-reproducible); the only float step
+    is the final ``|x−med| > 3·1.4826·MAD`` comparison on identical
+    doubles. Windows run per nation over the bounded supplier
+    relation."""
+    from pyspark.sql import Window
+
+    supp = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+
+    def lower_median(df, part, val, extra_order, out):
+        cum = Window.partitionBy(part).orderBy(val, *extra_order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = Window.partitionBy(part)
+        flagged = df.select(
+            "*",
+            F.count(F.lit(1)).over(cum).alias("_cn"),
+            F.count(F.lit(1)).over(tot).alias("_tn"),
+        )
+        med = (
+            flagged.filter(F.col("_cn") * 2 >= F.col("_tn"))
+            .groupBy(part)
+            .agg(F.min(val).alias(out))
+        )
+        return df.join(F.broadcast(med), part)
+
+    with_med = lower_median(
+        supp, "s_nationkey", "s_acctbal", ["s_suppkey"], "med"
+    )
+    dev = with_med.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        "med",
+        F.abs(F.col("s_acctbal") - F.col("med")).alias("adev"),
+    )
+    with_mad = lower_median(dev, "s_nationkey", "adev", ["s_suppkey"], "mad")
+    return (
+        with_mad.groupBy("s_nationkey")
+        .agg(
+            F.round(F.min("med"), 4).alias("median_bal"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.col("adev") > F.lit(MAD_K * MAD_SCALE) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def sql_supplier_mad_outliers() -> str:
+    return f"""
+WITH c1 AS (
+  SELECT s_suppkey, s_nationkey, s_acctbal,
+         count(*) OVER (PARTITION BY s_nationkey
+                        ORDER BY s_acctbal, s_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         count(*) OVER (PARTITION BY s_nationkey) AS tn
+  FROM supplier
+),
+med AS (
+  SELECT s_nationkey, min(s_acctbal) AS med
+  FROM c1 WHERE cn * 2 >= tn GROUP BY 1
+),
+dev AS (
+  SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal, m.med,
+         abs(s.s_acctbal - m.med) AS adev
+  FROM supplier s JOIN med m USING (s_nationkey)
+),
+c2 AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY s_nationkey
+                        ORDER BY adev, s_suppkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         count(*) OVER (PARTITION BY s_nationkey) AS tn
+  FROM dev
+),
+mad AS (
+  SELECT s_nationkey, min(adev) AS mad
+  FROM c2 WHERE cn * 2 >= tn GROUP BY 1
+)
+SELECT d.s_nationkey,
+       round(min(d.med), 4) AS median_bal,
+       round(min(m.mad), 4) AS mad,
+       CAST(sum(CASE WHEN d.adev > {MAD_K * MAD_SCALE} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (s_nationkey)
+GROUP BY d.s_nationkey
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -5493,6 +5774,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_token_entropy": q_source_token_entropy,
     "user_value_twa": q_user_value_twa,
     "orders_sla": q_orders_sla,
+    "events_rolling_7d_users": q_events_rolling_7d_users,
+    "events_autocorr7": q_events_autocorr7,
+    "source_size_gini": q_source_size_gini,
+    "supplier_mad_outliers": q_supplier_mad_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -5631,4 +5916,8 @@ ORACLES: dict[str, str] = {
     "source_token_entropy": sql_source_token_entropy(),
     "user_value_twa": sql_user_value_twa(),
     "orders_sla": sql_orders_sla(),
+    "events_rolling_7d_users": sql_events_rolling_7d_users(),
+    "events_autocorr7": sql_events_autocorr7(),
+    "source_size_gini": sql_source_size_gini(),
+    "supplier_mad_outliers": sql_supplier_mad_outliers(),
 }
