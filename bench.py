@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "events_autocorr7",
     "source_size_gini",
     "supplier_mad_outliers",
+    "langid_confusion",
+    "funnel_latency",
+    "events_imputed",
 ]
 
 
