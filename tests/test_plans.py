@@ -431,3 +431,37 @@ def test_profile_sketch_single_pass_no_expand(spark, sf_dir):
     # and the exact profile genuinely has the Expand this avoids
     exact_plan = explain_str(q_docs_profile(spark, sf_dir), "simple")
     assert "Expand" in exact_plan
+
+
+def test_new_analytics_plan_shapes(spark, sf_dir):
+    """Scale shapes of the second-pass analytics batch, pinned:
+    streaks fold the corpus before windowing (1 scan, no join);
+    SLA is exactly one join + two aggregates; correlation is ONE
+    map-combined aggregate; weighted median is one sort window over
+    one scan; rolling-HLL touches events at most twice (register
+    build + day list) and merges registers, never raw events."""
+    from spark_ifs_spark.registry import QUERIES
+
+    def shape(name):
+        df = QUERIES[name](spark, sf_dir)
+        p = explain_str(df, "simple")
+        return df, p
+
+    df, p = shape("user_streaks")
+    assert p.count("Join") == 0 and p.count("Scan parquet") == 1
+    assert count_exchanges(df) <= 2, p
+
+    df, p = shape("orders_sla")
+    assert p.count("Join") == 1, p
+    assert count_exchanges(df) <= 2, p
+
+    df, p = shape("lineitem_corr")
+    assert p.count("Join") == 0 and p.count("Window") == 0
+    assert count_exchanges(df) <= 1, p
+
+    df, p = shape("weighted_median_price")
+    assert p.count("Scan parquet") == 1 and p.count("Join") == 0
+    assert count_exchanges(df) <= 1, p
+
+    df, p = shape("events_rolling_7d_users")
+    assert p.count("Scan parquet") <= 2, p  # register build + day list
