@@ -5815,13 +5815,13 @@ FROM stats s JOIN med m USING (event_type)
 # CORRECTNESS row (24 new in round 4 + the 26 ungated from round 3),
 # so after this round every registered query has at least one hard
 # driver-side row across r3+r4. Queries added after the window filled
-# (session_journeys through source_quality_report, the second-pass
-# round-4 batch) sit last and rotate forward in round 5 — they are the
+# (session_journeys through events_imputed — the second/third-pass
+# round-4 batches) sit last and rotate forward in round 5; they are the
 # only never-gated entries remaining. Entries beyond the window stay
 # oracle-verified locally by tests/test_entry_oracle.py, which
 # replicates the driver's gate per query at sf0.001 (and on demand at
-# sf0.01/sf0.1 via SPARK_IFS_TEST_SF_DIR; the full 119-query gate was
-# re-run green at sf0.01 this round).
+# sf0.01/sf0.1 via SPARK_IFS_TEST_SF_DIR; every query added this round
+# was additionally gated green at sf0.01 as it landed).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 (never gated) ---
     "textrank_keywords": q_textrank_keywords,
