@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "langid_confusion",
     "funnel_latency",
     "events_imputed",
+    "events_value_pcts_hist",
 ]
 
 
