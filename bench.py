@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "funnel_latency",
     "events_imputed",
     "events_value_pcts_hist",
+    "cluster_representatives",
 ]
 
 

@@ -5900,6 +5900,79 @@ GROUP BY event_type
 """
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection: per near-dup cluster, keep the
+    HIGHEST-quality member (ties to the lowest id) instead of the
+    min-id convention — the policy real pipelines want, since the first
+    crawl of a page is rarely its cleanest copy. One ``max_by``-style
+    ``max(struct(quality, -id))`` aggregate over the cluster relation
+    joined with the (map-side) quality scores; no window, no sort."""
+    from spark_ifs_spark.operators.graph import connected_components
+    from spark_ifs_spark.operators.textstats import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    cc = connected_components(pairs)
+    qual = quality_score(docs, "doc_id", "text").select("id", "quality")
+    best = (
+        cc.join(qual, "id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("id")).alias("neg_id")
+                )
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            F.col("component").alias("cluster"),
+            (-F.col("_b.neg_id")).cast("long").alias("keep_id"),
+            F.round("_b.q", 6).alias("keep_quality"),
+            "cluster_size",
+        )
+    )
+    return best
+
+
+def sql_cluster_representatives() -> str:
+    return f"""
+WITH clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+qual AS (
+  SELECT id, least(n_words / 50.0, 1.0)
+           * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+           * least(stop_ratio * 5.0, 1.0) AS quality
+  FROM (
+    SELECT doc_id AS id,
+           len(string_split(text, ' ')) AS n_words,
+           (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+             / len(string_split(text, ' ')) AS mean_wl,
+           ({' + '.join(_sql_count_word(w) for w in textstats.STOPWORDS)}) * 1.0
+             / len(string_split(text, ' ')) AS stop_ratio
+    FROM documents
+  ) b
+),
+j AS (
+  SELECT c.cluster, c.doc_id, q.quality
+  FROM clusters c JOIN qual q ON q.id = c.doc_id
+),
+mx AS (
+  SELECT cluster, max(quality) AS mq, count(*) AS cluster_size
+  FROM j GROUP BY cluster
+)
+SELECT j.cluster,
+       CAST(min(j.doc_id) AS BIGINT) AS keep_id,
+       round(any_value(mx.mq), 6) AS keep_quality,
+       CAST(any_value(mx.cluster_size) AS BIGINT) AS cluster_size
+FROM j JOIN mx ON j.cluster = mx.cluster AND j.quality = mx.mq
+GROUP BY j.cluster
+"""
+
+
 # Registry order matters: the driver's correctness gate checks a positional
 # window of the first 50 entries. Round 3 gated entries 1-50 of the old
 # ordering; round 4 rotates every never-yet-gated query to the front —
@@ -6058,6 +6131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_latency": q_funnel_latency,
     "events_imputed": q_events_imputed,
     "events_value_pcts_hist": q_events_value_pcts_hist,
+    "cluster_representatives": q_cluster_representatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -6204,4 +6278,5 @@ ORACLES: dict[str, str] = {
     "funnel_latency": sql_funnel_latency(),
     "events_imputed": sql_events_imputed(),
     "events_value_pcts_hist": sql_events_value_pcts_hist(),
+    "cluster_representatives": sql_cluster_representatives(),
 }
