@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "events_imputed",
     "events_value_pcts_hist",
     "cluster_representatives",
+    "benford_first_digit",
 ]
 
 
