@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_bucketed",
+    "dedup_embedding_lsh",
+    "dedup_embedding_lsh_recall",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

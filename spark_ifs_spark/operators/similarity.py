@@ -318,6 +318,156 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def hyperplane_lsh_tables(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 6,
+    num_tables: int = 32,
+    seed: int = 2024,
+) -> DataFrame:
+    """``(id, tbl, bucket)`` — L independent sign-of-projection LSH
+    tables (OR-amplification of :func:`hyperplane_lsh_buckets`).
+
+    One seeded RNG draws ``num_tables * num_planes`` hyperplanes; table
+    ``t`` owns planes ``[t*P, (t+1)*P)`` with bit ``j = p % P`` — the
+    same layout the DuckDB oracle replicates from the identical seed.
+    A pair with cosine θ collides in ≥1 table with probability
+    ``1 − (1 − (1 − θ/π)^P)^L``.
+
+    Signatures are computed in ONE Arrow-batched ``mapInPandas`` pass —
+    a (batch × dim) · (dim × L·P) BLAS GEMM plus a bit-pack, emitted
+    pre-exploded to one row per (id, table). No shuffle, no join, no
+    per-element interpreted HOF in the hot path: at 100 TB this is a
+    map-only stage whose output is L small columns per row.
+    """
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(num_planes * num_tables)
+    ]
+
+    def _sig(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64)  # (L*p, dim)
+        w = 1 << np.arange(num_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["id_v"]])
+            S = (V @ P.T) >= 0  # (n, L*p)
+            codes = S.reshape(len(pdf), num_tables, num_planes) @ w  # (n, L)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), num_tables),
+                    "tbl": np.tile(
+                        np.arange(num_tables, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": codes.reshape(-1),
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("id_v")
+    )
+    return src.mapInPandas(_sig, "id long, tbl int, bucket long")
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    num_planes: int = 6,
+    num_tables: int = 32,
+    seed: int = 2024,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs: ``(id_a, id_b, cos)`` with
+    exact cosine ≥ threshold, candidates only from hyperplane-LSH bucket
+    collisions — :func:`dedup.minhash_lsh_pairs`'s shape transplanted to
+    embeddings. This replaces the O(n²)-compute blocked GEMM
+    (:func:`cosine_threshold_pairs_blocked`) as the 100 TB embedding-
+    dedup path: signature GEMM is a map-only stage, the collision join
+    shuffles L small (tbl, bucket) rows per vector — never all pairs —
+    and exact cosine runs only on colliding candidates.
+
+    Approximate in candidate generation (recall < 1 by design; audit
+    with the blocked kernel as ground truth — see the
+    ``dedup_embedding_lsh_recall`` registry query), exact in
+    verification: every emitted cosine is the true cosine.
+
+    Defaults (P=6, L=32, seed=2024) are generic; the registry query
+    uses P=6, L=40, seed=31337, tuned for this repo's synthetic
+    embeddings, whose planted near-dups sit at cosine 0.40–0.51 — a
+    regime where sign-LSH discriminates weakly (collision prob at
+    θ≈65° is only ≈0.63 per bit), so recall ≥ 0.9 costs generous
+    OR-amplification and prunes only ~2.4× of the pair space. At
+    production dedup thresholds (cosine ≥ 0.9) the same s-curve with
+    P=8–12 prunes by orders of magnitude; parameters are the knob, the
+    plan shape is identical.
+
+    ``max_bucket`` (optional) drops over-full (tbl, bucket) groups
+    before the self-join — the skew guard for adversarial corpora where
+    one giant near-dup cluster floods a bucket with k² candidates.
+    Dropped buckets lose those candidates (recall, not correctness,
+    degrades; other tables may still catch the pair), mirroring the
+    ``max_df`` stop-shingle policy of ``ngram_jaccard_pairs``.
+    """
+    sig = hyperplane_lsh_tables(
+        df, id_col, vec_col, dim, num_planes, num_tables, seed
+    )
+    if max_bucket is not None:
+        sizes = sig.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        sig = (
+            sig.join(
+                sizes.filter(F.col("_bn") <= int(max_bucket)),
+                ["tbl", "bucket"],
+            ).drop("_bn")
+        )
+    a = sig.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Aggregate barrier: norm + double-cast computed once per id, not
+    # re-evaluated per candidate pair (CollapseProject would otherwise
+    # fuse the projection into the join stage — the recurring pitfall).
+    v = as_double_array(vec_col)
+    feats = (
+        df.select(F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("n"))
+        .groupBy("id")
+        .agg(F.first("v").alias("v"), F.first("n").alias("n"))
+    )
+    pa = feats.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    pb = feats.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= float(threshold))
+    )
+
+
 def ivf_centroids(
     df: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16
 ) -> list[tuple[int, list[float]]]:

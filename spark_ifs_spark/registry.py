@@ -72,6 +72,15 @@ IVF_PROBE = 4
 EMB_DEDUP_THRESHOLD = 0.4
 ANN_LSH_PLANES = 6
 ANN_LSH_SEED = 42
+# Embedding-pair LSH (dedup_embedding_lsh): P=6 bits × L=40 tables chosen
+# empirically — this data's planted near-dups sit at cosine 0.40–0.51,
+# where sign-LSH needs generous OR-amplification for recall ≥ 0.9
+# (measured 0.970/0.966/0.953 at sf0.001/0.01/0.1, candidate fraction
+# ~0.47 — weak pruning is the regime, not the operator; see
+# cosine_lsh_pairs docs for the production-threshold s-curve).
+EMB_LSH_PLANES = 6
+EMB_LSH_TABLES = 40
+EMB_LSH_SEED = 31337
 PROJ_DIMS = 8
 PROJ_SEED = 7
 SAMPLE_N = 100
@@ -547,6 +556,147 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD, num_blocks=4
     )
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the LSH-bucketed scale path:
+    candidates only from hyperplane-sign bucket collisions (P=6 bits ×
+    L=32 OR-amplified tables), exact cosine verify. The oracle embeds
+    the SAME seeded hyperplanes as SQL VALUES and replicates the bucket
+    gate exactly (the ``sql_ann_topk_lsh`` pattern) — approximate ≠
+    unchecked. Recall vs the exact blocked kernel is audited by
+    ``dedup_embedding_lsh_recall``."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_lsh_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_DEDUP_THRESHOLD,
+        num_planes=EMB_LSH_PLANES,
+        num_tables=EMB_LSH_TABLES,
+        seed=EMB_LSH_SEED,
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def _sql_emb_lsh_cand() -> str:
+    """Shared CTE chain replicating the cosine_lsh_pairs candidate gate:
+    planes VALUES → per-(vec, plane) projection → per-(vec, table)
+    bucket → distinct colliding (id_a < id_b) pairs, named ``cand``."""
+    import random as _random
+
+    rng = _random.Random(EMB_LSH_SEED)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(EMB_DIMS)]
+        for _ in range(EMB_LSH_PLANES * EMB_LSH_TABLES)
+    ]
+    vals = ",".join(
+        f"({p},{i},{w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""pl(p, i, w) AS (VALUES {vals}),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id, CAST(p // {EMB_LSH_PLANES} AS INT) AS tbl,
+         sum(CASE WHEN d >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(p % {EMB_LSH_PLANES} AS INT))
+             ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nrms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN nrms na ON na.vec_id = c.id_a
+  JOIN nrms nb ON nb.vec_id = c.id_b
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+)"""
+
+
+def sql_dedup_embedding_lsh() -> str:
+    return f"""
+WITH {_sql_emb_lsh_cand()}
+SELECT id_a, id_b, round(cos, 6) AS cos
+FROM lsh_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the LSH-bucketed embedding dedup against the
+    exact (recall-complete) blocked-GEMM kernel at the same threshold:
+    ``(n_exact, n_lsh, n_hit, recall_ppm)`` — the ``ann_recall_audit``
+    pattern. A pytest asserts recall_ppm ≥ 900_000."""
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_threshold_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD, num_blocks=4
+    ).select("id_a", "id_b")
+    found = similarity.cosine_lsh_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_DEDUP_THRESHOLD,
+        num_planes=EMB_LSH_PLANES,
+        num_tables=EMB_LSH_TABLES,
+        seed=EMB_LSH_SEED,
+    ).select("id_a", "id_b")
+    hits = exact.join(found, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.expr("(1000000 * n_hit) div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+def sql_dedup_embedding_lsh_recall() -> str:
+    return f"""
+WITH {_sql_emb_lsh_cand()},
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN nrms na ON na.vec_id = a.vec_id
+  JOIN nrms nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+e AS (SELECT id_a, id_b FROM exact_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
+f AS (SELECT id_a, id_b FROM lsh_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
+h AS (SELECT e.id_a, e.id_b FROM e JOIN f USING (id_a, id_b))
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM f) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hit,
+       CAST((1000000 * (SELECT count(*) FROM h)) // (SELECT count(*) FROM e) AS BIGINT) AS recall_ppm
+"""
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6191,6 +6341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_pcts_hist": q_events_value_pcts_hist,
     "cluster_representatives": q_cluster_representatives,
     "benford_first_digit": q_benford_first_digit,
+    # --- new in round 5 (stay at the END until gated; see rotation note) ---
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_embedding_lsh_recall": q_dedup_embedding_lsh_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -6339,6 +6492,9 @@ ORACLES: dict[str, str] = {
     "events_value_pcts_hist": sql_events_value_pcts_hist(),
     "cluster_representatives": sql_cluster_representatives(),
     "benford_first_digit": sql_benford_first_digit(),
+    # --- new in round 5 ---
+    "dedup_embedding_lsh": sql_dedup_embedding_lsh(),
+    "dedup_embedding_lsh_recall": sql_dedup_embedding_lsh_recall(),
 }
 
 

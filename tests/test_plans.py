@@ -465,3 +465,48 @@ def test_new_analytics_plan_shapes(spark, sf_dir):
 
     df, p = shape("events_rolling_7d_users")
     assert p.count("Scan parquet") <= 2, p  # register build + day list
+
+
+def test_cosine_lsh_pairs_no_all_pairs_fanout(spark, sf_dir):
+    """The LSH-bucketed embedding-pair plan must contain NO all-pairs
+    structure: no CartesianProduct / BroadcastNestedLoopJoin, no
+    block-pair Expand fan-out — candidates come only from an equi-join
+    on (tbl, bucket), and the signature stage is one Arrow mapInPandas
+    pass over the corpus."""
+    from spark_ifs_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = cosine_lsh_pairs(emb, "vec_id", "embedding", 64, threshold=0.4)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # signature stage is Arrow-batched, not per-row Python
+    assert "MapInPandas" in plan or "mapInPandas" in plan, plan
+    # the norm projection sits behind an aggregate barrier (first(...))
+    assert any("first(" in l for l in plan.splitlines()), plan
+
+
+def test_cosine_lsh_pairs_max_bucket_caps_candidates(spark):
+    """Adversarial giant-cluster skew: 60 near-identical vectors all
+    land in the same bucket in every table; max_bucket drops those
+    groups so candidate generation stays bounded (policy: recall, not
+    correctness, degrades — mirroring ngram max_df)."""
+    from spark_ifs_spark.operators.similarity import cosine_lsh_pairs
+
+    base = [1.0] * 8
+    rows = [(i, [x + 0.0001 * i for x in base]) for i in range(60)]
+    # plus a handful of scattered vectors
+    rows += [(100 + j, [(-1.0) ** (j + k) * (1.0 + k) for k in range(8)]) for j in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = cosine_lsh_pairs(
+        df, "vec_id", "embedding", 8, threshold=0.9, num_planes=4,
+        num_tables=4, seed=1, max_bucket=10,
+    )
+    uncapped = cosine_lsh_pairs(
+        df, "vec_id", "embedding", 8, threshold=0.9, num_planes=4,
+        num_tables=4, seed=1,
+    )
+    # uncapped: the 60-clone cluster yields ~60*59/2 pairs; capped: none
+    # of those buckets survive (60 > 10), so the clone pairs are gone
+    assert uncapped.count() >= 60 * 59 // 2
+    assert capped.count() < 60
