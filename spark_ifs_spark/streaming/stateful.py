@@ -24,12 +24,65 @@ global batch aggregate — which is how the oracle checks it
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+_PROTOSHIM_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "vendor", "protoshim")
+)
+
+
+def ensure_protobuf(spark=None) -> bool:
+    """Make ``google.protobuf`` importable, vendoring the minimal shim
+    (``spark_ifs_spark/vendor/protoshim``) ONLY if the real package is
+    absent — a real installation always wins because the first import
+    attempt happens before the shim dir is ever added to ``sys.path``.
+
+    Three propagation layers, because the TWS state-server channel
+    imports protobuf inside the PYTHON WORKER, not just the driver:
+    driver ``sys.path`` (this process), ``PYTHONPATH`` env (workers of
+    any JVM launched after this call — conftest calls this before the
+    test SparkSession exists), and ``sc.addPyFile`` of a shim zip when
+    a live session is passed (workers of an already-running JVM).
+    Returns True when ``google.protobuf`` imports.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        if _PROTOSHIM_DIR not in sys.path:
+            sys.path.insert(0, _PROTOSHIM_DIR)
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if _PROTOSHIM_DIR not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [_PROTOSHIM_DIR] + [p for p in parts if p]
+            )
+        try:
+            import google.protobuf  # noqa: F401
+        except ImportError:
+            return False
+    if spark is not None and _PROTOSHIM_DIR in sys.path:
+        import tempfile
+        import zipfile
+
+        zpath = os.path.join(tempfile.gettempdir(), "spark_ifs_protoshim.zip")
+        if not os.path.exists(zpath):
+            with zipfile.ZipFile(zpath, "w") as z:
+                for root, _dirs, files in os.walk(_PROTOSHIM_DIR):
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            z.write(full, os.path.relpath(full, _PROTOSHIM_DIR))
+        try:
+            spark.sparkContext.addPyFile(zpath)
+        except Exception:
+            pass  # already added in this context — PYTHONPATH still covers
+    return True
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 STATE_SCHEMA = "n bigint, s double"
@@ -99,17 +152,21 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
     key-partition shuffle per micro-batch, O(1) state per user.
 
     Runtime dependency note: ``transformWithStateInPandas`` talks to
-    the JVM state server over a protobuf channel, so it needs the
-    ``protobuf`` Python package at EXECUTION time (plan construction
-    does not). Environments without it should use
-    :func:`running_user_stats` — identical results; the parity test
-    skips itself where protobuf is absent. (Vendoring the protobuf
-    runtime was investigated and rejected: this sandbox has no network
-    and no wheel on disk, and the runtime is far too large to
-    reimplement. In its place ``test_tws_processor_logic_with_fake_
-    handle`` executes the processor's init/fold/emit logic against an
-    in-memory handle, so everything but Spark's own channel runs.)
+    the JVM state server over a protobuf channel, so it needs
+    ``google.protobuf`` importable at EXECUTION time (plan construction
+    does not). Where the real package is absent,
+    :func:`ensure_protobuf` activates the vendored minimal pure-Python
+    runtime (``vendor/protoshim`` — wire-format subset written from the
+    public encoding spec), which the JVM round-trip in
+    ``test_running_user_stats_tws_parity`` validates end-to-end.
     """
+    from pyspark.sql import SparkSession
+
+    if not ensure_protobuf(SparkSession.getActiveSession()):
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf and the "
+            "vendored shim failed to activate"
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_RunningStatsProcessor(),
         outputStructType=OUTPUT_SCHEMA,

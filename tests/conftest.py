@@ -4,6 +4,13 @@ import os
 
 import pytest
 
+# Activate the vendored protobuf shim (no-op when real protobuf exists)
+# BEFORE any SparkSession launches its JVM, so python workers inherit
+# the PYTHONPATH entry and the TWS state-server channel can import it.
+from spark_ifs_spark.streaming.stateful import ensure_protobuf
+
+ensure_protobuf()
+
 
 @pytest.fixture(scope="session")
 def spark():

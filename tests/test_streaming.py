@@ -324,14 +324,13 @@ def test_attribution_stream_stream_join_equals_batch(spark, events_stream_dir):
 def test_running_user_stats_tws_parity(spark, sf_dir, tmp_path):
     """transformWithStateInPandas operator ≡ batch GROUP BY (and hence ≡
     the applyInPandasWithState operator, which has the same pin). The
-    TWS runtime needs the protobuf package for its state-server
-    channel; skip (don't fail) where the environment lacks it."""
-    import pytest
+    TWS runtime needs google.protobuf for its state-server channel;
+    where the real package is absent, the vendored pure-Python shim
+    (vendor/protoshim) supplies it — this JVM round-trip is the shim's
+    authoritative wire-format validation."""
+    from spark_ifs_spark.streaming.stateful import ensure_protobuf
 
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip("transformWithStateInPandas needs the protobuf package")
+    assert ensure_protobuf(spark), "protobuf unavailable and shim failed"
 
     from pyspark.sql import functions as F
 
@@ -345,16 +344,31 @@ def test_running_user_stats_tws_parity(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        running_user_stats_tws(stream)
-        .writeStream.format("memory")
-        .queryName("tws_stats")
-        .option("checkpointLocation", str(tmp_path / "tws_ck"))
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # TWS state cells are column families — only the RocksDB provider
+    # (rocksdbjni ships in Spark's jars) supports them; the default
+    # HDFS-backed provider refuses at query start.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    assert q.awaitTermination(300)
+    try:
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .option("checkpointLocation", str(tmp_path / "tws_ck"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     got = {
         r["user_id"]: (r["n"], r["s"])
         for r in spark.sql(
