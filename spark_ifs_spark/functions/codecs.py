@@ -170,3 +170,175 @@ def decode_wav(payload: bytes) -> tuple[int, int]:
     if block_align is None or data_size is None:
         raise ValueError("WAV missing fmt or data chunk")
     return data_size // max(block_align, 1), int(sample_rate)
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib: IDAT inflate + per-scanline filter reversal).
+# Written from the public PNG specification (RFC 2083 / ISO 15948):
+# 8-byte signature, chunked layout with CRC32, IHDR geometry, zlib-
+# compressed filtered scanlines. Supports bit depth 8, color types
+# 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), and all
+# five scanline filters; interlaced images and other bit depths raise.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) over a PNG byte stream, verifying CRCs."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r}: CRC mismatch")
+        yield ctype, data
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise ValueError("truncated PNG (no IEND)")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """PNG → ``(width, height, channels, pixels)`` with ``pixels`` raw
+    interleaved rows (palette images are expanded to RGB)."""
+    import zlib
+
+    width = height = None
+    color_type = bit_depth = interlace = 0
+    idat = bytearray()
+    plte = b""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"PLTE":
+            plte = data
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG is not supported")
+    if bit_depth != 8:
+        raise ValueError(f"only bit depth 8 supported, got {bit_depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    nch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                up_left = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    if color_type == 3:  # expand palette indices to RGB
+        if not plte:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(out):
+            rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return (width, height, 3, bytes(rgb))
+    return (width, height, nch, bytes(out))
+
+
+def decode_png_dims(payload: bytes) -> tuple[int, int, int]:
+    """Header-only PNG probe → ``(width, height, channels)`` without
+    inflating pixel data (the feature-extraction fast path)."""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            nch = 3 if color_type == 3 else _PNG_CHANNELS[color_type]
+            return (width, height, nch)
+    raise ValueError("PNG missing IHDR")
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Raw interleaved ``pixels`` → PNG bytes (filter 0, one zlib
+    stream); channel count selects the PNG color type."""
+    import zlib
+
+    ctypes = {1: 0, 2: 4, 3: 2, 4: 6}
+    if channels not in ctypes:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"need {width * height * channels} bytes, got {len(pixels)}"
+        )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctypes[channels], 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor PNG resize: decode → resample → re-encode."""
+    w0, h0, nch, pixels = decode_png(payload)
+    out = bytearray(width * height * nch)
+    for y in range(height):
+        sy = min(y * h0 // height, h0 - 1)
+        for x in range(width):
+            sx = min(x * w0 // width, w0 - 1)
+            src = (sy * w0 + sx) * nch
+            dst = (y * width + x) * nch
+            out[dst : dst + nch] = pixels[src : src + nch]
+    return encode_png(width, height, bytes(out), nch)

@@ -47,10 +47,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
     """Decode a real image payload → (width, height, channels).
 
-    PPM (P6) and uncompressed BMP decode for real via the
-    dependency-free ``functions.codecs``; formats that need an entropy
-    decoder (JPEG/PNG/...) still raise ``NotImplementedError`` naming
-    the library to inject.
+    PPM (P6), uncompressed BMP, and PNG (stdlib-zlib inflate + filter
+    reversal) decode for real via the dependency-free
+    ``functions.codecs``; formats that need a full entropy decoder
+    (JPEG/...) still raise ``NotImplementedError`` naming the library
+    to inject.
     """
     from spark_ifs_spark.functions import codecs
 
@@ -59,9 +60,11 @@ def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
         return (w, h, c)
     if payload[:2] == b"BM":
         return codecs.decode_bmp_dims(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return codecs.decode_png_dims(payload)
     raise NotImplementedError(
-        "only PPM/BMP decode without an image library; inject decode_fn= "
-        "with a real decoder (e.g. Pillow) for compressed formats"
+        "only PPM/BMP/PNG decode without an image library; inject "
+        "decode_fn= with a real decoder (e.g. Pillow) for JPEG etc."
     )
 
 
@@ -160,8 +163,10 @@ def resize_images(
 
             if payload[:2] == b"P6":
                 return codecs.resize_ppm(payload, w, h)
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return codecs.resize_png(payload, w, h)
             raise NotImplementedError(
-                "only PPM resizes without an image library; inject "
+                "only PPM/PNG resize without an image library; inject "
                 "resize_fn= with a real resizer (e.g. Pillow) otherwise"
             )
 

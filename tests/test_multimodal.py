@@ -4,6 +4,7 @@ import hashlib
 
 import pytest
 
+from spark_ifs_spark.functions import codecs
 from spark_ifs_spark.operators import multimodal
 
 
@@ -194,3 +195,129 @@ def test_audio_features_plumbing(spark, sf_dir):
     assert len(rows) == 30
     assert all(r["sample_rate"] == 16000 for r in rows)
     assert all(r["duration_ms"] == int(r["n_samples"] * 1000 / 16000) for r in rows)
+
+
+def test_png_roundtrip_all_channel_counts():
+    import random
+
+    rng = random.Random(3)
+    for nch in (1, 2, 3, 4):
+        w, h = 9, 6
+        px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+        payload = codecs.encode_png(w, h, px, nch)
+        assert codecs.decode_png(payload) == (w, h, nch, px)
+        assert codecs.decode_png_dims(payload) == (w, h, nch)
+
+
+def test_png_filter_reversal_against_hand_forward_filters():
+    """Validate the decoder's filter reversal independently of the
+    encoder (which only emits filter 0): forward-apply each PNG filter
+    per the public spec, zlib the scanlines, wrap in chunks by hand, and
+    require decode to reproduce the original pixels."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(9)
+    w, h, nch = 8, 5, 3
+    stride = w * nch
+    px = bytes(rng.randrange(256) for _ in range(stride * h))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        ftype = y % 5  # exercise every filter type
+        raw.append(ftype)
+        for i in range(stride):
+            left = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            up_left = prev[i - nch] if i >= nch else 0
+            if ftype == 0:
+                raw.append(line[i])
+            elif ftype == 1:
+                raw.append((line[i] - left) & 0xFF)
+            elif ftype == 2:
+                raw.append((line[i] - up) & 0xFF)
+            elif ftype == 3:
+                raw.append((line[i] - ((left + up) >> 1)) & 0xFF)
+            else:
+                raw.append((line[i] - paeth(left, up, up_left)) & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert codecs.decode_png(payload) == (w, h, nch, px)
+
+
+def test_png_palette_expansion():
+    import struct
+    import zlib
+
+    w, h = 4, 2
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # red, green, blue
+    idx = bytes([0, 1, 2, 0, 2, 1, 0, 0])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + idx[y * w : (y + 1) * w] for y in range(h))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = codecs.decode_png(payload)
+    assert got[:3] == (w, h, 3)
+    assert got[3][:9] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+
+def test_png_corrupt_crc_rejected():
+    payload = bytearray(codecs.encode_png(3, 3, bytes(27), 3))
+    payload[20] ^= 0xFF  # flip a byte inside IHDR
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        codecs.decode_png(bytes(payload))
+
+
+def test_image_features_real_png_end_to_end(spark):
+    rows = [
+        (0, codecs.encode_png(6, 4, _checker_rgb(6, 4), 3)),
+        (1, codecs.encode_png(3, 3, bytes(9), 1)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    got = {
+        r["id"]: (r["width"], r["height"], r["channels"])
+        for r in multimodal.extract_image_features(df, "doc_id", "payload").collect()
+    }
+    assert got == {"0": (6, 4, 3), "1": (3, 3, 1)}
+
+
+def test_resize_real_png_end_to_end(spark):
+    payload = codecs.encode_png(6, 4, _checker_rgb(6, 4), 3)
+    df = spark.createDataFrame([(0, payload)], ["doc_id", "payload"])
+    out = multimodal.resize_images(df, "doc_id", "payload", 3, 2).collect()
+    assert len(out) == 1
+    w, h, c, _px = codecs.decode_png(bytes(out[0]["payload"]))
+    assert (w, h, c) == (3, 2, 3)
