@@ -68,12 +68,24 @@ class GopherFilter(Transformer, DefaultParamsReadable, DefaultParamsWritable):
         return self.getOrDefault(self.filterRows)
 
     def _transform(self, dataset: DataFrame) -> DataFrame:
+        """With ``filterRows=False`` every input row is preserved: the
+        flags (one row per distinct non-null id) are LEFT-joined back,
+        so null-id rows survive with null flags, and duplicate-id rows
+        each carry their id's flags (computed from one of the texts
+        sharing that id). With ``filterRows=True``, null-id rows are
+        dropped along with failing rows (they have no flags to pass)."""
         id_col = self.getIdCol()
         flags = gopher_quality_flags(dataset, id_col, self.getTextCol()).drop(
             "n_words"
         )
+        # one flag row per id (first wins on duplicates) so the join
+        # back is row-preserving — never a k×k fan-out on repeated ids
+        flag_cols = [c for c in flags.columns if c != "id"]
+        flags = flags.groupBy("id").agg(
+            *[F.first(c).alias(c) for c in flag_cols]
+        )
         joined = dataset.join(
-            flags.withColumnRenamed("id", id_col), id_col
+            flags.withColumnRenamed("id", id_col), id_col, "left"
         )
         if self.getFilterRows():
             return joined.filter(F.col("pass_all")).drop(

@@ -263,7 +263,23 @@ def edit_distance_pairs(
     # shuffle of signature rows, and unlike .cache() retains nothing in
     # executor storage after the stage completes.
     sig_cols = ["txt", "len", "bucket"] + [f"h{i}" for i in range(nclasses + 1)]
-    base = proj.groupBy("id").agg(*[F.first(c).alias(c) for c in sig_cols])
+    # PRECONDITION: ids must be unique — the barrier would otherwise
+    # collapse duplicate-id rows to one arbitrary text. Enforced
+    # JVM-side at execution (count per id rides the same aggregate;
+    # assert_true raises mid-stage, costing one extra count cell).
+    base = proj.groupBy("id").agg(
+        *[F.first(c).alias(c) for c in sig_cols],
+        F.count(F.lit(1)).alias("_idn"),
+    ).where(
+        F.assert_true(
+            F.col("_idn") == 1,
+            F.concat(
+                F.lit("edit_distance_pairs requires unique ids; id "),
+                F.col("id").cast("string"),
+                F.lit(" appears more than once"),
+            ),
+        ).isNull()
+    ).drop("_idn")
     left = base
     right = base.select(
         F.col("id").alias("rid"),
@@ -833,10 +849,13 @@ def contaminated_ids_bloom(
     )
     hashed = eval_sh.select(F.xxhash64("sh").alias("h"))
     n_sh = hashed.count()
-    assert n_sh <= BLOOM_EVAL_BUDGET, (
-        f"eval shingle count {n_sh} exceeds BLOOM_EVAL_BUDGET "
-        f"{BLOOM_EVAL_BUDGET}; shard the eval set and union the results"
-    )
+    if n_sh > BLOOM_EVAL_BUDGET:
+        # explicit raise, not assert: the budget must hold under
+        # `python -O` too — it gates an unbounded driver-side collect
+        raise ValueError(
+            f"eval shingle count {n_sh} exceeds BLOOM_EVAL_BUDGET "
+            f"{BLOOM_EVAL_BUDGET}; shard the eval set and union the results"
+        )
     hashes = [r["h"] for r in hashed.collect()]
     bits, m, k = _bloom_build(hashes, fp_rate)
     sc = corpus.sparkSession.sparkContext

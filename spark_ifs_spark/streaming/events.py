@@ -16,6 +16,9 @@ Spark's native state implementation.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -279,15 +282,35 @@ def streaming_hll(
 
     spark = stream.sparkSession
 
+    old_path = store_path.rstrip("/") + ".old"
+
+    def _read_store() -> DataFrame | None:
+        # Explicit existence probe (driver-visible path) instead of a
+        # bare except: a transient IO/parse error must FAIL the batch,
+        # not silently reset the accumulated registers. `.old` is the
+        # previous committed store — present only if a crash hit the
+        # swap window below, in which case it is complete and current.
+        for path in (store_path, old_path):
+            if os.path.isdir(path):
+                return spark.read.parquet(path)
+        return None
+
     def _fold(batch: DataFrame, batch_id: int) -> None:
         regs = hll_registers(batch, key_cols, value_col, p)
-        try:
-            store = spark.read.parquet(store_path)
-            merged = hll_merge(store, regs, key_cols)
-        except Exception:
-            merged = regs
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(store_path)
+        store = _read_store()
+        merged = hll_merge(store, regs, key_cols) if store is not None else regs
+        # Two-phase commit: write the merged store to a temp dir, then
+        # swap via renames. At every instant either `store_path` or
+        # `.old` holds a complete committed register file, so a crash
+        # mid-write can no longer discard history (the failure mode the
+        # old in-place mode('overwrite') rewrite had).
+        tmp_path = store_path.rstrip("/") + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(store_path):
+            os.rename(store_path, old_path)
+        os.rename(tmp_path, store_path)
+        shutil.rmtree(old_path, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(_fold)

@@ -248,3 +248,14 @@ def test_normalize_text_expression(spark):
     df = spark.createDataFrame([("  A--b  C!  ",)], ["t"])
     got = df.select(dedup.normalize_text(F.col("t")).alias("n")).first()["n"]
     assert got == "ab c"
+
+
+def test_edit_distance_pairs_rejects_duplicate_ids(spark):
+    """The signature barrier would silently collapse duplicate-id rows;
+    the precondition is now enforced JVM-side at execution."""
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc"), (1, "dddd eeee ffff"), (2, "aaaa bbbb cccd")],
+        "id long, text string",
+    )
+    with pytest.raises(Exception, match="unique ids"):
+        dedup.edit_distance_pairs(df, "id", "text", max_dist=5).collect()

@@ -220,3 +220,24 @@ def test_gopher_filter_in_pipeline(spark):
     pipe = Pipeline(stages=[GopherFilter(idCol="doc_id", textCol="text", filterRows=True)])
     out = pipe.fit(docs).transform(docs)
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_gopher_filter_keeps_null_and_duplicate_ids_when_not_filtering(spark):
+    """filterRows=False must preserve EVERY row: null-id rows survive
+    with null flags (left join), duplicate-id rows come back exactly
+    once each (flags are deduped per id — no k x k fan-out)."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.ml.gopher_filter import GopherFilter
+
+    good = "the quick brown fox jumps with and for was that " * 4
+    rows = [
+        (1, good), (2, "tiny"), (2, good), (None, good), (None, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = GopherFilter(idCol="doc_id", textCol="text").transform(docs)
+    assert out.count() == len(rows)  # row-preserving
+    null_rows = out.filter(F.col("doc_id").isNull()).collect()
+    assert len(null_rows) == 2
+    assert all(r["pass_all"] is None for r in null_rows)
+    assert out.filter(F.col("doc_id") == 2).count() == 2
