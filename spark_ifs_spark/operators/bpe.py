@@ -257,6 +257,14 @@ def bpe_encode(
                 "_ntok"
             ),
         )
+        # NO materialization barrier here, deliberately: the vocab side
+        # feeds the join's BroadcastExchange (or a shuffle Exchange for
+        # a giant vocab), and an Exchange materializes its input — the
+        # merge fold therefore already evaluates exactly once per
+        # DISTINCT word (asserted by the plan test). A first()-barrier
+        # variant was profiled at sf0.1 and is ~6x SLOWER: wrapping the
+        # giant fold expression in an extra aggregate re-generates and
+        # re-compiles the stage per query for no added correctness.
     )
     return (
         toks.join(vocab, "w")

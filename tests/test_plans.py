@@ -510,3 +510,35 @@ def test_cosine_lsh_pairs_max_bucket_caps_candidates(spark):
     # of those buckets survive (60 > 10), so the clone pairs are gone
     assert uncapped.count() >= 60 * 59 // 2
     assert capped.count() < 60
+
+
+def test_bpe_encode_merge_fold_evaluates_per_distinct_word(spark, sf_dir):
+    """The merge-fold expression must evaluate once per DISTINCT word
+    (the vocab/build side of the join, behind an Exchange that
+    materializes it), never per occurrence. Formatted-plan node numbers
+    are depth-first, so every build-side node — including the Project
+    carrying the fold lambda — must be numbered BEFORE the join; a fold
+    in a node after the join would be a join-stage projection, i.e.
+    per-occurrence re-evaluation."""
+    import re
+
+    from spark_ifs_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bpe_encode(docs, "doc_id", "text", [("t", "h"), ("th", "e")])
+    plan = explain_str(df, "formatted")
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    fold_nodes, join_nodes = [], []
+    for b in blocks:
+        m = re.match(r"\((\d+)\) (\S+)", b)
+        if not m:
+            continue
+        n, name = int(m.group(1)), m.group(2)
+        if "Join" in name:
+            join_nodes.append(n)
+        if "lambdafunction" in b:
+            fold_nodes.append(n)
+    assert join_nodes and fold_nodes, plan
+    assert max(fold_nodes) < min(join_nodes), plan
+    # and the build side is materialized by an exchange
+    assert "Exchange" in plan, plan
