@@ -385,6 +385,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard:
     ``(id_a, id_b, jaccard)``, ``id_a < id_b``, Jaccard ≥ threshold.
@@ -393,10 +394,29 @@ def minhash_lsh_pairs(
     collide in ≥1 band are compared. With b bands of r rows the detect
     probability is ``1−(1−j^r)^b`` — defaults (8 bands × 2) catch
     j ≥ 0.5 with p ≈ 0.9, j ≥ 0.8 with p ≈ 0.9998.
+
+    ``max_bucket`` is the giant-cluster skew guard: a k-copy template
+    document puts all k copies in ONE band bucket in EVERY band, and
+    the self-join then emits O(bands × k²) candidates — at corpus scale
+    a single hot template can dominate the whole job. With the cap set,
+    band buckets holding more than ``max_bucket`` signatures are
+    dropped before the join. Policy: recall degrades ONLY inside
+    over-full buckets, and a bucket that large means an exact-duplicate
+    or template cluster — collapse those first with the O(n) digest
+    paths (:func:`exact_duplicates` / :func:`duplicate_spans`), which
+    is both cheaper and recall-complete for them; pairs that also
+    collide in a non-full band are still found here.
     """
     # persist: consumed by signatures, sizes, and both verify join sides
     sh = word_shingles(df, id_col, text_col, n).persist()
     bands = _lsh_bands(sh, num_hashes, rows_per_band, seed)
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("_bn") <= int(max_bucket)), ["band", "bkey"]
+        ).drop("_bn")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -259,3 +259,31 @@ def test_edit_distance_pairs_rejects_duplicate_ids(spark):
     )
     with pytest.raises(Exception, match="unique ids"):
         dedup.edit_distance_pairs(df, "id", "text", max_dist=5).collect()
+
+
+def test_minhash_giant_template_cluster_capped(spark):
+    """Adversarial skew: 2,000 copies of one template document put all
+    copies in the same band bucket in EVERY band — uncapped, the band
+    self-join would emit O(bands x k^2) candidates (16M here). With
+    max_bucket the over-full buckets are dropped BEFORE the join, so
+    candidate generation stays bounded while unrelated near-dup pairs
+    elsewhere in the corpus are still found."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(2000)]
+    # a genuine near-dup pair outside the template cluster
+    rows += [
+        (10_000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (10_001, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu"),
+        (10_002, "completely different text about databases and streams here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket=100
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # the template cluster's 2M pairs are excluded by policy...
+    assert all(not (a < 2000 and b < 2000) for a, b in pairs), len(pairs)
+    # ...but the small-bucket near-dup pair is still found
+    assert (10_000, 10_001) in pairs
+    # and the candidate space stayed bounded (nothing k^2-shaped ran)
+    assert len(pairs) < 100
