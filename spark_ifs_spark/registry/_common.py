@@ -1,0 +1,313 @@
+"""Shared imports, tuning constants, and private helpers for the
+registry package (split mechanically from the original single-file
+registry; see __init__.py for the domain layout and dict build)."""
+
+from __future__ import annotations
+import atexit
+import os
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from spark_ifs_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_params,
+    sql_band_power,
+    sql_md5_int60,
+    sql_universal_hash,
+)
+from spark_ifs_spark.functions.mi import mi_from_joint_counts
+from spark_ifs_spark.operators import dedup, similarity, textstats
+from spark_ifs_spark.operators.melt import melt_array
+from spark_ifs_spark.operators.select_columns import select_columns
+from spark_ifs_spark.operators.select_rows import select_rows
+from spark_ifs_spark.operators.multimodal import (
+    attach_fake_payloads,
+    extract_image_features,
+    fake_image_decoder,
+)
+from spark_ifs_spark.streaming.events import sessionize, windowed_event_counts
+QUANT_SCALE = 8          # floor(x * 8) — exact in IEEE-754
+MRMR_DIMS = 16           # feature subset for the greedy-selection queries
+MRMR_K = 5
+EMB_DIMS = 64
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+NGRAM_MAX_DF = 1000
+MINHASH_HASHES = 16
+MINHASH_ROWS_PER_BAND = 2
+SIMHASH_BITS = 60
+ANN_K = 10
+TOP_PAIRS_K = 20
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+EMB_DEDUP_THRESHOLD = 0.4
+ANN_LSH_PLANES = 6
+ANN_LSH_SEED = 42
+EMB_LSH_PLANES = 6
+EMB_LSH_TABLES = 40
+EMB_LSH_SEED = 31337
+PROJ_DIMS = 8
+PROJ_SEED = 7
+SAMPLE_N = 100
+SAMPLE_SEED = 13
+_USER_STATS_STAGED: dict[tuple[str, float], str] = {}
+@atexit.register
+def _cleanup_staged_dirs() -> None:
+    import shutil
+
+    for src in _USER_STATS_STAGED.values():
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    _USER_STATS_STAGED.clear()
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from spark_ifs_spark.sources.parquet import load_table
+
+    return load_table(spark, sf_dir, name)
+def _quantized_wide(spark: SparkSession, sf_dir: str, dims: int) -> tuple[DataFrame, list[str]]:
+    emb = _read(spark, sf_dir, "embeddings")
+    cols = [f"f{j}" for j in range(dims)]
+    wide = emb.select(
+        F.col("label").cast("double").alias("label"),
+        F.col("vec_id"),
+        *[
+            F.floor(F.col("embedding")[j].cast("double") * QUANT_SCALE).cast("double").alias(c)
+            for j, c in enumerate(cols)
+        ],
+    )
+    return wide, cols
+def _sql_emb_long(dims: int) -> str:
+    return f"""
+long AS (
+  SELECT vec_id, i AS col, floor(CAST(embedding[i + 1] AS DOUBLE) * {QUANT_SCALE}) AS val
+  FROM embeddings, range({dims}) t(i)
+  UNION ALL
+  SELECT vec_id, -1 AS col, CAST(label AS DOUBLE) AS val FROM embeddings
+)"""
+def _sql_pair_mi(dims: int) -> str:
+    """CTE text computing mi(ca, cb) for ca in feature dims, cb in dims ∪ {-1}."""
+    return f"""
+{_sql_emb_long(dims)},
+pairs AS (
+  SELECT a.col AS ca, b.col AS cb, a.val AS va, b.val AS vb, count(*) AS c
+  FROM long a JOIN long b ON a.vec_id = b.vec_id
+  WHERE a.col >= 0 AND a.col <> b.col
+  GROUP BY 1, 2, 3, 4
+),
+tot AS (SELECT ca, cb, sum(c) AS n FROM pairs GROUP BY 1, 2),
+ma AS (SELECT ca, cb, va, sum(c) AS cna FROM pairs GROUP BY 1, 2, 3),
+mb AS (SELECT ca, cb, vb, sum(c) AS cnb FROM pairs GROUP BY 1, 2, 3),
+mi AS (
+  SELECT p.ca, p.cb,
+         sum((p.c * 1.0 / t.n) * ln((p.c * 1.0 * t.n) / (ma.cna * 1.0 * mb.cnb))) AS mi
+  FROM pairs p
+  JOIN tot t ON t.ca = p.ca AND t.cb = p.cb
+  JOIN ma ON ma.ca = p.ca AND ma.cb = p.cb AND ma.va = p.va
+  JOIN mb ON mb.ca = p.ca AND mb.cb = p.cb AND mb.vb = p.vb
+  GROUP BY 1, 2
+)"""
+def _sql_unrolled_greedy(score_sql: str) -> str:
+    """Unrolled k-round greedy selection over the pairwise-MI matrix.
+    ``score_sql`` combines ``r.score`` (relevance) with ``{red}`` (the
+    mean-redundancy scalar subquery) into the round score."""
+    rounds = []
+    prevs = []
+    for k in range(1, MRMR_K + 1):
+        if k == 1:
+            rounds.append("r1 AS (SELECT ca, mi AS score FROM mi WHERE cb = -1)")
+        else:
+            prev_union = " UNION ALL ".join(f"SELECT ca FROM w{j}" for j in range(1, k))
+            red = (
+                f"(SELECT avg(m.mi) FROM mi m WHERE m.ca = r.ca "
+                f"AND m.cb IN ({prev_union}))"
+            )
+            rounds.append(
+                f"""r{k} AS (
+  SELECT r.ca, {score_sql.format(red=red)} AS score
+  FROM r1 r WHERE r.ca NOT IN ({prev_union})
+)"""
+            )
+        rounds.append(f"w{k} AS (SELECT ca, score FROM r{k} ORDER BY score DESC, ca ASC LIMIT 1)")
+        prevs.append(f"SELECT {k} AS rank, ca AS feature, round(score, 6) AS score FROM w{k}")
+    body = ",\n".join(rounds)
+    final = "\nUNION ALL\n".join(prevs)
+    return f"WITH {_sql_pair_mi(MRMR_DIMS)},\n{body}\n{final}"
+_SQL_WORDS = """
+words AS (
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+)"""
+_SQL_SHINGLES = f"""
+{_SQL_WORDS},
+sh AS (
+  SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS sh
+  FROM words a
+  JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN words c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)"""
+EDIT_MAX_DIST = 12
+EDIT_LEN_BAND = 12
+def _sql_emb_lsh_cand() -> str:
+    """Shared CTE chain replicating the cosine_lsh_pairs candidate gate:
+    planes VALUES → per-(vec, plane) projection → per-(vec, table)
+    bucket → distinct colliding (id_a < id_b) pairs, named ``cand``."""
+    import random as _random
+
+    rng = _random.Random(EMB_LSH_SEED)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(EMB_DIMS)]
+        for _ in range(EMB_LSH_PLANES * EMB_LSH_TABLES)
+    ]
+    vals = ",".join(
+        f"({p},{i},{w!r})"
+        for p, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""pl(p, i, w) AS (VALUES {vals}),
+proj AS (
+  SELECT e.vec_id, pl.p, sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id, CAST(p // {EMB_LSH_PLANES} AS INT) AS tbl,
+         sum(CASE WHEN d >= 0
+             THEN (CAST(1 AS BIGINT) << CAST(p % {EMB_LSH_PLANES} AS INT))
+             ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nrms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN nrms na ON na.vec_id = c.id_a
+  JOIN nrms nb ON nb.vec_id = c.id_b
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+)"""
+def _sql_count_word(word: str) -> str:
+    return f"len(regexp_extract_all(' ' || text || ' ', ' {word} '))"
+SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+SPLIT_SEED = 42
+CAP_PER_SOURCE = 10
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+PACK_TARGET = 256
+DECONTAM_N = 4
+DECONTAM_EVAL_MOD = 97
+TFIDF_K = 3
+BM25_QUERY_TERMS = ["spark", "shuffle", "join", "window"]
+BM25_K = 10
+TFIDF_PAIR_THRESHOLD = 0.5
+TFIDF_PAIR_MAX_DF = 200
+BIGVOL_QTY = 300
+WIDGET_QTY = 60
+MKT_REGION = "ASIA"
+MKT_SUPP_NATION = "NATION_2"
+MKT_PART_TYPE = "PROMO"
+HLL_P = 9
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_SEED = 101
+CMS_PROBES = ["the", "spark", "join", "window", "batch", "scan", "stream", "zz_absent_zz"]
+PMI_K = 30
+PMI_MIN_COUNT = 5
+LR_FEATURES = ["x0", "x1", "x2"]
+LR_ITERS = 2
+FUNNEL_STAGES = ["view", "click", "purchase"]
+WSAMPLE_N = 50
+WSAMPLE_SEED = 17
+PAGERANK_ITERS = 2
+PAGERANK_DAMPING = 0.85
+JOURNEY_GAP_S = 43200
+JOURNEY_K = 10
+MIX_TARGETS = {f"src{i}": 1500 + 1500 * (i % 3) for i in range(20)}
+MIX_SEED = 7
+SPAN_WORDS = 8
+BPE_MERGES = 5
+def _sql_bpe_round(r: int) -> str:
+    """One unrolled BPE merge round: weighted pair counts → argbest →
+    run-parity merge (≡ the sequential left-to-right fold; candidates
+    can only be consecutive when x == y, and within such a run exactly
+    the even offsets merge)."""
+    i = "CAST(u.i AS INT)"
+    return f"""
+pairs{r} AS (
+  SELECT s[{i}] AS x, s[{i} + 1] AS y, sum(c) AS n
+  FROM syms{r}, unnest(generate_series(1, len(s) - 1)) AS u(i)
+  GROUP BY 1, 2
+),
+win{r} AS (SELECT x, y, n FROM pairs{r} ORDER BY n DESC, x ASC, y ASC LIMIT 1),
+pos{r} AS (
+  SELECT w, c, s, {i} AS pos,
+         ({i} < len(s)
+          AND s[{i}] = (SELECT x FROM win{r})
+          AND s[{i} + 1] = (SELECT y FROM win{r})) AS cand
+  FROM syms{r}, unnest(generate_series(1, len(s))) AS u(i)
+),
+rs{r} AS (
+  SELECT *, max(CASE WHEN NOT cand THEN pos END)
+              OVER (PARTITION BY w ORDER BY pos) AS last_nc
+  FROM pos{r}
+),
+m{r} AS (
+  SELECT *, cand AND ((pos - coalesce(last_nc, 0) - 1) % 2 = 0) AS merged
+  FROM rs{r}
+),
+k{r} AS (
+  SELECT w, c, pos,
+         CASE WHEN merged THEN s[pos] || s[pos + 1] ELSE s[pos] END AS sym,
+         coalesce(lag(merged) OVER (PARTITION BY w ORDER BY pos), false) AS absorbed
+  FROM m{r}
+),
+syms{r + 1} AS (
+  SELECT w, any_value(c) AS c, list(sym ORDER BY pos) AS s
+  FROM k{r} WHERE NOT absorbed GROUP BY w
+)"""
+def _lr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / F.lit(1000.0)).alias("x1"),
+        (F.size(F.split(F.col("text"), " ")) / F.lit(100.0)).alias("x2"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+    )
+LATE_DAYS = 150
+BLOOM_DECONTAM_N = 5
+BLOOM_EVAL_MOD = 89
+BOILER_MIN_FRAC = 0.05
+BOILER_TOP = 50
+NOVELTY_MAX_FRAC = 0.05
+TEMP_MIX_SEED = 7
+_PROFILE_SKETCH_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+PAIR_LIFT_MIN_COUNT = 3
+PAIR_LIFT_TOP = 30
+KWIC_TERMS = ["spark", "shuffle"]
+KWIC_WINDOW = 2
+KWIC_LIMIT = 200
+HIST_BIN_WIDTH = 25
+SLA_DAYS = 60
+MAD_SCALE = 1.4826
+MAD_K = 3.0
+IMPUTE_MISSING_MOD = 13
+HIST_QUANTILES = [0.5, 0.95, 0.99]
+import math as _math
+_BENFORD_PPM = {
+    d: int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000)) for d in range(1, 10)
+}

@@ -1,0 +1,718 @@
+"""Deduplication & decontamination queries (exact through embedding-LSH)."""
+
+from spark_ifs_spark.registry._common import *  # noqa: F401,F403
+from spark_ifs_spark.registry._common import (  # noqa: F401
+    _BENFORD_PPM,
+    _PROFILE_SKETCH_COLS,
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    _USER_STATS_STAGED,
+    _cleanup_staged_dirs,
+    _lr_features,
+    _quantized_wide,
+    _read,
+    _sql_bpe_round,
+    _sql_count_word,
+    _sql_emb_long,
+    _sql_emb_lsh_cand,
+    _sql_pair_mi,
+    _sql_unrolled_greedy,
+    _t,
+)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", ["text"])
+
+
+def sql_dedup_exact() -> str:
+    return "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text"
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_ngram_jaccard() -> str:
+    # Same semantics as the Spark side: candidate pairs require a shared
+    # shingle with DF <= NGRAM_MAX_DF; the Jaccard itself is exact over
+    # ALL shingles of the candidate pair.
+    return f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM sh x
+  JOIN sh y ON x.sh = y.sh AND x.id < y.id
+  JOIN dfreq d ON d.sh = x.sh
+  WHERE d.df <= {NGRAM_MAX_DF}
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.id = c.id_a
+  JOIN sh y ON y.id = c.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs under length-band blocking — the fuzzy
+    dedup complement to token-set Jaccard (catches single-char edits
+    Jaccard over-counts and transpositions it misses)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.edit_distance_pairs(
+        docs, "doc_id", "text",
+        max_dist=EDIT_MAX_DIST, len_band=EDIT_LEN_BAND, len_col="n_chars",
+    )
+    return out.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+def sql_dedup_fuzzy_edit() -> str:
+    # same blocking semantics: only pairs within the length band are
+    # candidates (band >= max_dist makes the block lossless)
+    return f"""
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM documents a
+JOIN documents b
+  ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= {EDIT_LEN_BAND}
+WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_minhash() -> str:
+    params = minhash_params(MINHASH_HASHES)
+    hash_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    rpb = MINHASH_ROWS_PER_BAND
+    powers = ", ".join(f"({j}, {sql_band_power(j)})" for j in range(rpb))
+    return f"""
+WITH {_SQL_SHINGLES},
+shi AS (SELECT id, {sql_md5_int60('sh')} AS x FROM sh),
+hp(i, a, b) AS (VALUES {hash_rows}),
+pw(j, p) AS (VALUES {powers}),
+sig AS (
+  SELECT shi.id, hp.i, min((hp.a * (shi.x % {MINHASH_P}) + hp.b) % {MINHASH_P}) AS minh
+  FROM shi CROSS JOIN hp
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, CAST(floor(i * 1.0 / {rpb}) AS INT) AS band,
+         sum((minh * pw.p) % {MINHASH_P}) % {MINHASH_P} AS bkey
+  FROM sig JOIN pw ON pw.j = i % {rpb}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS i
+  FROM cand
+  JOIN sh x ON x.id = cand.id_a
+  JOIN sh y ON y.id = cand.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+def sql_dedup_simhash() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (SELECT id, {sql_md5_int60('w')} AS h FROM toks),
+votes AS (
+  SELECT id, b.bit, sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, range({SIMHASH_BITS}) b(bit)
+  GROUP BY 1, 2
+)
+SELECT id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1
+"""
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (fifth dedup modality): every
+    vector pair with cosine ≥ threshold, via the blocked-GEMM all-pairs
+    kernel. Exact (not LSH-gated), so the SQL oracle is the literal
+    definition."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_threshold_pairs(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def sql_dedup_embedding() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum((CAST(a.embedding[i + 1] AS DOUBLE) / na.nrm) * (CAST(b.embedding[i + 1] AS DOUBLE) / nb.nrm)) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup query through the DISTRIBUTED plan: triangular
+    block-matrix GEMM (`similarity.py:_blocked_pairs_kernel`) — no
+    driver collect, no broadcast guard, recall-complete by construction,
+    so it is graded against the identical exact oracle as
+    ``dedup_embedding``. This is the 100 TB path; the broadcast kernel
+    is the small-corpus fast path that now falls back to this one."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_threshold_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD, num_blocks=4
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs through the LSH-bucketed scale path:
+    candidates only from hyperplane-sign bucket collisions (P=6 bits ×
+    L=32 OR-amplified tables), exact cosine verify. The oracle embeds
+    the SAME seeded hyperplanes as SQL VALUES and replicates the bucket
+    gate exactly (the ``sql_ann_topk_lsh`` pattern) — approximate ≠
+    unchecked. Recall vs the exact blocked kernel is audited by
+    ``dedup_embedding_lsh_recall``."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_lsh_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_DEDUP_THRESHOLD,
+        num_planes=EMB_LSH_PLANES,
+        num_tables=EMB_LSH_TABLES,
+        seed=EMB_LSH_SEED,
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def sql_dedup_embedding_lsh() -> str:
+    return f"""
+WITH {_sql_emb_lsh_cand()}
+SELECT id_a, id_b, round(cos, 6) AS cos
+FROM lsh_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the LSH-bucketed embedding dedup against the
+    exact (recall-complete) blocked-GEMM kernel at the same threshold:
+    ``(n_exact, n_lsh, n_hit, recall_ppm)`` — the ``ann_recall_audit``
+    pattern. A pytest asserts recall_ppm ≥ 900_000."""
+    emb = _read(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_threshold_pairs_blocked(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD, num_blocks=4
+    ).select("id_a", "id_b")
+    found = similarity.cosine_lsh_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_DEDUP_THRESHOLD,
+        num_planes=EMB_LSH_PLANES,
+        num_tables=EMB_LSH_TABLES,
+        seed=EMB_LSH_SEED,
+    ).select("id_a", "id_b")
+    hits = exact.join(found, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.expr("(1000000 * n_hit) div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+def sql_dedup_embedding_lsh_recall() -> str:
+    return f"""
+WITH {_sql_emb_lsh_cand()},
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN nrms na ON na.vec_id = a.vec_id
+  JOIN nrms nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+e AS (SELECT id_a, id_b FROM exact_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
+f AS (SELECT id_a, id_b FROM lsh_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
+h AS (SELECT e.id_a, e.id_b FROM e JOIN f USING (id_a, id_b))
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM f) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hit,
+       CAST((1000000 * (SELECT count(*) FROM h)) // (SELECT count(*) FROM e) AS BIGINT) AS recall_ppm
+"""
+
+
+def q_decontam_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 word 4-gram with
+    the held-out eval subset (doc_id % 97 == 0)."""
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return dedup.contaminated_ids(corpus, eval_set, "doc_id", "text", n=DECONTAM_N)
+
+
+def sql_decontam_ids() -> str:
+    n = DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(t[s.i + 1 : s.i + {n}], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - {n})) AS i) s
+  WHERE len(t) >= {n}
+)
+SELECT DISTINCT c.doc_id AS id
+FROM sh c
+WHERE c.doc_id % {DECONTAM_EVAL_MOD} != 0
+  AND EXISTS (
+    SELECT 1 FROM sh e
+    WHERE e.doc_id % {DECONTAM_EVAL_MOD} = 0 AND e.sh = c.sh
+  )
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: connected components over the minhash-LSH pair
+    graph (min-id label). The step that turns pairwise near-dup output
+    into "keep one per cluster"."""
+    from spark_ifs_spark.operators.graph import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+
+
+def sql_dup_clusters() -> str:
+    """Transitive closure via recursive CTE over the same pair relation
+    (exact at oracle scale; the Spark side is the O(log n) iterative
+    form that survives corpus scale)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {sql_dedup_minhash()}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+walk(node, reach) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+)
+SELECT node AS doc_id, least(node, min(reach)) AS cluster
+FROM walk GROUP BY node
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: documents with ``doc_id % 10 == 0``
+    play the newly-ingested batch, the rest the existing corpus; only
+    new×corpus band collisions are verified — the corpus is never
+    self-joined (``dedup.minhash_lsh_pairs_against``)."""
+    docs = _read(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = dedup.minhash_lsh_pairs_against(
+        new, corpus, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_incremental() -> str:
+    params = minhash_params(MINHASH_HASHES)
+    hash_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    rpb = MINHASH_ROWS_PER_BAND
+    powers = ", ".join(f"({j}, {sql_band_power(j)})" for j in range(rpb))
+    return f"""
+WITH {_SQL_SHINGLES},
+shi AS (SELECT id, {sql_md5_int60('sh')} AS x FROM sh),
+hp(i, a, b) AS (VALUES {hash_rows}),
+pw(j, p) AS (VALUES {powers}),
+sig AS (
+  SELECT shi.id, hp.i, min((hp.a * (shi.x % {MINHASH_P}) + hp.b) % {MINHASH_P}) AS minh
+  FROM shi CROSS JOIN hp
+  GROUP BY 1, 2
+),
+bands AS (
+  SELECT id, CAST(floor(i * 1.0 / {rpb}) AS INT) AS band,
+         sum((minh * pw.p) % {MINHASH_P}) % {MINHASH_P} AS bkey
+  FROM sig JOIN pw ON pw.j = i % {rpb}
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.id % 10 = 0 AND b.id % 10 <> 0
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT cand.id_a, cand.id_b, count(*) AS i
+  FROM cand
+  JOIN sh x ON x.id = cand.id_a
+  JOIN sh y ON y.id = cand.id_b AND y.sh = x.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style repeated-span removal: every non-first
+    occurrence of an 8-word span is cut corpus-wide and documents are
+    reassembled from their surviving spans (emptied docs drop)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.span_dedup(docs, "doc_id", "text", span_words=SPAN_WORDS)
+
+
+def sql_dedup_spans() -> str:
+    w = SPAN_WORDS
+    span_of = f"array_to_string(t[(CAST(u.i AS INT)*{w}+1):(CAST(u.i AS INT)*{w}+{w})], ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+spans AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         {sql_md5_int60(span_of)} AS h
+  FROM toks, unnest(generate_series(0, CAST(ceil(len(t) / {w}.0) AS BIGINT) - 1)) AS u(i)
+),
+win AS (SELECT h, min([doc_id, CAST(pos AS BIGINT)]) AS wnr FROM spans GROUP BY h),
+kp AS (
+  SELECT wnr[1] AS doc_id, list_sort(list(CAST(wnr[2] AS INT))) AS kp
+  FROM win GROUP BY 1
+)
+SELECT t.doc_id,
+       array_to_string(
+         list_transform(kp.kp, p -> array_to_string(t.t[(p*{w}+1):(p*{w}+{w})], ' ')),
+         ' ') AS text
+FROM toks t JOIN kp ON t.doc_id = kp.doc_id
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the documents table and a derived "next
+    version" (drop ``id % 7 == 0``, rewrite ``id % 11 == 0``, append
+    re-keyed copies) — one full-outer digest join; see
+    :func:`~spark_ifs_spark.operators.dedup.corpus_diff`. Reported as
+    bounded per-status counts."""
+    from spark_ifs_spark.operators.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    old = fingerprint(docs, "doc_id", "text")
+    edited = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # ordered limit → TakeOrdered: deterministic, unlike a bare limit
+    appended = (
+        docs.orderBy("doc_id")
+        .limit(50)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    new = fingerprint(edited.unionByName(appended), "doc_id", "text")
+    # fingerprint() aliases the id column to "id"
+    return (
+        dedup.corpus_diff(old, new, "id", "fp")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_corpus_diff() -> str:
+    return """
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         text
+  FROM documents
+), new_docs AS (
+  SELECT id, CASE WHEN id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM fp WHERE id % 7 != 0
+  UNION ALL
+  SELECT id + 10000000 AS id, text
+  FROM (SELECT id, text FROM fp ORDER BY id LIMIT 50)
+), new_fp AS (
+  SELECT id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM new_docs
+)
+SELECT CASE WHEN o.fp IS NULL THEN 'added'
+            WHEN n.fp IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n
+FROM fp o FULL OUTER JOIN new_fp n USING (id)
+GROUP BY 1
+"""
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark contamination: per-corpus-doc fraction (integer
+    ppm) of distinct word 4-grams shared with the held-out eval subset
+    (doc_id % 97 == 0) — the thresholdable form of ``decontam_ids``."""
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
+    return dedup.contamination_overlap(
+        corpus, eval_set, "doc_id", "text", n=DECONTAM_N
+    )
+
+
+def sql_decontam_overlap() -> str:
+    n = DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[s.i + 1 : s.i + {n}], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - {n})) AS i) s
+  WHERE len(t) >= {n}
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+)
+SELECT c.doc_id AS id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(floor(CAST(sum(CASE WHEN ev.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000 / CAST(count(*) AS BIGINT)) AS BIGINT) AS overlap_ppm
+FROM sh c LEFT JOIN ev ON c.sh = ev.sh
+WHERE c.doc_id % {DECONTAM_EVAL_MOD} != 0
+GROUP BY 1
+"""
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup: lowercase / strip punctuation /
+    collapse whitespace, then group on a 60-bit digest of the canonical
+    form (``dedup.exact_dedup_normalized`` — the digest-key shuffle)."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup_normalized(docs, "doc_id", "text")
+
+
+def sql_dedup_exact_normalized() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    return f"""
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups, nd AS norm_digest
+FROM (SELECT doc_id, {sql_md5_int60(norm)} AS nd FROM documents)
+GROUP BY nd
+"""
+
+
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the eval-set-too-
+    big-to-broadcast path: a numpy Bloom sketch over eval 5-gram hashes
+    is broadcast, kills ~99% of corpus shingles INSIDE the scan stage
+    (Arrow-batched pandas predicate), and a shuffle semi-join confirms
+    exactly, so false positives never reach the result and the oracle
+    is the plain overlap SQL. See :func:`~spark_ifs_spark.operators.
+    dedup.contaminated_ids_bloom`."""
+    docs = _read(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+    return dedup.contaminated_ids_bloom(
+        corpus, eval_set, "doc_id", "text", n=BLOOM_DECONTAM_N
+    )
+
+
+def sql_decontam_bloom() -> str:
+    n = BLOOM_DECONTAM_N
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(t[s.i + 1 : s.i + {n}], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - {n})) AS i) s
+  WHERE len(t) >= {n}
+)
+SELECT DISTINCT c.doc_id AS id
+FROM sh c
+WHERE c.doc_id % {BLOOM_EVAL_MOD} != 0
+  AND EXISTS (
+    SELECT 1 FROM sh e
+    WHERE e.doc_id % {BLOOM_EVAL_MOD} = 0 AND e.sh = c.sh
+  )
+"""
+
+
+def q_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: (cluster_size, n_clusters) over
+    the minhash connected components — the one-line summary of how
+    duplication is distributed (many doubletons vs one giant template
+    cluster demand different dedup policies). Plan: two bounded
+    aggregates over the cluster relation, which is already
+    corpus-sublinear (only docs with ≥1 near-dup edge appear)."""
+    from spark_ifs_spark.operators.graph import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def sql_cluster_size_stats() -> str:
+    return f"""
+SELECT cluster_size, count(*) AS n_clusters
+FROM (
+  SELECT cluster, count(*) AS cluster_size
+  FROM ({sql_dup_clusters()}) c
+  GROUP BY cluster
+) s
+GROUP BY cluster_size
+"""
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based survivor selection: per near-dup cluster, keep the
+    HIGHEST-quality member (ties to the lowest id) instead of the
+    min-id convention — the policy real pipelines want, since the first
+    crawl of a page is rarely its cleanest copy. One ``max_by``-style
+    ``max(struct(quality, -id))`` aggregate over the cluster relation
+    joined with the (map-side) quality scores; no window, no sort."""
+    from spark_ifs_spark.operators.graph import connected_components
+    from spark_ifs_spark.operators.textstats import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    cc = connected_components(pairs)
+    qual = quality_score(docs, "doc_id", "text").select("id", "quality")
+    best = (
+        cc.join(qual, "id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("quality").alias("q"), (-F.col("id")).alias("neg_id")
+                )
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            F.col("component").alias("cluster"),
+            (-F.col("_b.neg_id")).cast("long").alias("keep_id"),
+            F.round("_b.q", 6).alias("keep_quality"),
+            "cluster_size",
+        )
+    )
+    return best
+
+
+def sql_cluster_representatives() -> str:
+    return f"""
+WITH clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+qual AS (
+  SELECT id, least(n_words / 50.0, 1.0)
+           * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+           * least(stop_ratio * 5.0, 1.0) AS quality
+  FROM (
+    SELECT doc_id AS id,
+           len(string_split(text, ' ')) AS n_words,
+           (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+             / len(string_split(text, ' ')) AS mean_wl,
+           ({' + '.join(_sql_count_word(w) for w in textstats.STOPWORDS)}) * 1.0
+             / len(string_split(text, ' ')) AS stop_ratio
+    FROM documents
+  ) b
+),
+j AS (
+  SELECT c.cluster, c.doc_id, q.quality
+  FROM clusters c JOIN qual q ON q.id = c.doc_id
+),
+mx AS (
+  SELECT cluster, max(quality) AS mq, count(*) AS cluster_size
+  FROM j GROUP BY cluster
+)
+SELECT j.cluster,
+       CAST(min(j.doc_id) AS BIGINT) AS keep_id,
+       round(any_value(mx.mq), 6) AS keep_quality,
+       CAST(any_value(mx.cluster_size) AS BIGINT) AS cluster_size
+FROM j JOIN mx ON j.cluster = mx.cluster AND j.quality = mx.mq
+GROUP BY j.cluster
+"""
+
+

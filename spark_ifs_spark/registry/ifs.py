@@ -1,0 +1,227 @@
+"""Feature/row selection (the reference's IFS surface): MI, mRMR, selectors."""
+
+from spark_ifs_spark.registry._common import *  # noqa: F401,F403
+from spark_ifs_spark.registry._common import (  # noqa: F401
+    _BENFORD_PPM,
+    _PROFILE_SKETCH_COLS,
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    _USER_STATS_STAGED,
+    _cleanup_staged_dirs,
+    _lr_features,
+    _quantized_wide,
+    _read,
+    _sql_bpe_round,
+    _sql_count_word,
+    _sql_emb_long,
+    _sql_emb_lsh_cand,
+    _sql_pair_mi,
+    _sql_unrolled_greedy,
+    _t,
+)
+
+
+def q_mi_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    from spark_ifs_spark.functions.mi import joint_counts
+
+    return mi_from_joint_counts(
+        joint_counts(li, "l_returnflag", "l_linestatus"), group_cols=[]
+    ).select(F.round("mi", 6).alias("mi"))
+
+
+def sql_mi_pair_lineitem() -> str:
+    return """
+WITH joint AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), tot AS (SELECT sum(c) AS n FROM joint),
+ma AS (SELECT a, sum(c) AS ca FROM joint GROUP BY 1),
+mb AS (SELECT b, sum(c) AS cb FROM joint GROUP BY 1)
+SELECT round(sum((c * 1.0 / n) * ln((c * 1.0 * n) / (ca * 1.0 * cb))), 6) AS mi
+FROM joint
+CROSS JOIN tot
+JOIN ma USING (a)
+JOIN mb USING (b)
+"""
+
+
+def q_mi_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(quantized dim j, label) for every embedding dim (round-1
+    relevance of `selectColumns`, IFS:46-140 with S=∅)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    long = emb.select(
+        F.col("label").cast("double").alias("lab"),
+        F.posexplode(F.col("embedding")).alias("feature", "e"),
+    ).select("feature", "lab", F.floor(F.col("e").cast("double") * QUANT_SCALE).alias("q"))
+    joint = long.groupBy("feature", "q", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+    mi = mi_from_joint_counts(joint, ["feature"], a_col="q", b_col="lab")
+    return mi.select("feature", F.round("mi", 6).alias("mi"))
+
+
+def sql_mi_relevance() -> str:
+    return f"""
+WITH {_sql_pair_mi(EMB_DIMS)}
+SELECT ca AS feature, round(mi, 6) AS mi FROM mi WHERE cb = -1
+"""
+
+
+def q_mi_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pairwise MI matrix over the quantized dims (one explode + one
+    hash aggregate — the sufficient statistic any feature-selection run
+    draws from): ``(a, b, mi)`` with a<b, label as a=-1."""
+    from spark_ifs_spark.operators.select_columns import all_pairs_mi
+
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    out = all_pairs_mi(wide, "label", cols)
+    return out.select("a", "b", F.round("mi", 6).alias("mi"))
+
+
+def sql_mi_matrix() -> str:
+    return f"""
+WITH {_sql_pair_mi(MRMR_DIMS)}
+SELECT -1 AS a, ca AS b, round(mi, 6) AS mi FROM mi WHERE cb = -1
+UNION ALL
+SELECT ca AS a, cb AS b, round(mi, 6) AS mi FROM mi WHERE cb >= 0 AND ca < cb
+"""
+
+
+def q_mrmr_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 winner: argmax relevance (ColumnWiseScore.scala:51)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    long = emb.select(
+        F.col("label").cast("double").alias("lab"),
+        F.posexplode(F.col("embedding")).alias("feature", "e"),
+    ).select("feature", "lab", F.floor(F.col("e").cast("double") * QUANT_SCALE).alias("q"))
+    joint = long.groupBy("feature", "q", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+    mi = mi_from_joint_counts(joint, ["feature"], a_col="q", b_col="lab")
+    return (
+        mi.orderBy(F.col("mi").desc(), F.col("feature").asc())
+        .limit(1)
+        .select("feature", F.round("mi", 6).alias("score"))
+    )
+
+
+def sql_mrmr_top1() -> str:
+    return f"""
+WITH {_sql_pair_mi(EMB_DIMS)}
+SELECT ca AS feature, round(mi, 6) AS score FROM mi WHERE cb = -1
+ORDER BY mi DESC, ca ASC LIMIT 1
+"""
+
+
+def q_mrmr_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    sel = select_columns(wide, "label", cols, num=MRMR_K)
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_mrmr_select_k5() -> str:
+    """Unrolled greedy mRMR (difference form, MID), k=5."""
+    return _sql_unrolled_greedy("r.score - {red}")
+
+
+def q_mrmr_miq_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under the MIQ (quotient) score — exercises the
+    pluggable ColumnScore surface (reference trait
+    ``ColumnWiseScore.scala:9-23``) with a non-default plug-in."""
+    from spark_ifs_spark.operators.scores import MiqColumnScore
+
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    sel = select_columns(wide, "label", cols, num=MRMR_K, score=MiqColumnScore())
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_mrmr_miq_k5() -> str:
+    return _sql_unrolled_greedy("r.score / greatest({red}, 1e-12)")
+
+
+def q_row_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same selection through the ALTERNATE encoding: quantized dims
+    transposed to feature-rows, labels broadcast — must agree with
+    q_mrmr_select_k5 (the reference's differential invariant)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.col("label").cast("double").alias("lab"),
+        F.transform(
+            F.slice(F.col("embedding"), 1, MRMR_DIMS),
+            lambda x: F.floor(x.cast("double") * QUANT_SCALE),
+        ).alias("qarr"),
+    )
+    long = melt_array(q, "qarr", carry_cols=["vec_id"])
+    alt = (
+        long.groupBy("col")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("vec_id").alias("o"), F.col("value").alias("v")))
+            ).alias("s")
+        )
+        .select(F.col("col").cast("long").alias("id"), F.col("s.v").alias("features"))
+    )
+    labels = [
+        float(r["lab"]) for r in q.select("vec_id", "lab").orderBy("vec_id").collect()
+    ]
+    sel = select_rows(alt, num=MRMR_K, labels_row=labels)
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    return extract_image_features(payloads, "doc_id", "payload", decode_fn=fake_image_decoder)
+
+
+def sql_multimodal_features() -> str:
+    # fake decoder: w = 1 + first_byte % 64, h = 1 + last_byte % 64, c = 3;
+    # text is ASCII so bytes == chars; md5(payload) == md5(text)
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       1 + ascii(substr(text, 1, 1)) % 64 AS width,
+       1 + ascii(substr(text, length(text), 1)) % 64 AS height,
+       3 AS channels,
+       md5(text) AS feature_hash
+FROM documents
+"""
+
+
+def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent-token collocations by integer-micro PMI
+    (``textstats.pmi_top_pairs`` — phrase mining)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.pmi_top_pairs(
+        docs, "text", k=PMI_K, min_count=PMI_MIN_COUNT
+    )
+
+
+def sql_pmi_top_pairs() -> str:
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), total AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS n FROM toks
+), uni AS (
+  SELECT w.w AS w, CAST(count(*) AS BIGINT) AS c_w
+  FROM toks, LATERAL (SELECT unnest(t) AS w) w
+  GROUP BY 1
+), big AS (
+  SELECT t[s.i] || ' ' || t[s.i + 1] AS pair, CAST(count(*) AS BIGINT) AS c_ab
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2
+  GROUP BY 1
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT big.pair, big.c_ab,
+       CAST(floor(ln((big.c_ab * total.n) / (ua.c_w * ub.c_w)) * 1000000.0) AS BIGINT) AS pmi_micro
+FROM big
+CROSS JOIN total
+JOIN uni ua ON ua.w = string_split(big.pair, ' ')[1]
+JOIN uni ub ON ub.w = string_split(big.pair, ' ')[-1]
+ORDER BY pmi_micro DESC, pair ASC
+LIMIT {PMI_K}
+"""
+
+

@@ -1,0 +1,601 @@
+"""Embedding similarity/ANN/linear-algebra queries."""
+
+from spark_ifs_spark.registry._common import *  # noqa: F401,F403
+from spark_ifs_spark.registry._common import (  # noqa: F401
+    _BENFORD_PPM,
+    _PROFILE_SKETCH_COLS,
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    _USER_STATS_STAGED,
+    _cleanup_staged_dirs,
+    _lr_features,
+    _quantized_wide,
+    _read,
+    _sql_bpe_round,
+    _sql_count_word,
+    _sql_emb_long,
+    _sql_emb_lsh_cand,
+    _sql_pair_mi,
+    _sql_unrolled_greedy,
+    _t,
+)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.cosine_topk(emb, "vec_id", "embedding", [float(x) for x in qvec], k=ANN_K, exclude_ids=[0])
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk() -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed approximate top-k: same query vector as ``ann_topk`` but
+    scanning only the ``IVF_PROBE`` nearest of ``IVF_CENTROIDS`` cells.
+    The oracle replicates the IVF semantics exactly (same seed centroids,
+    same argmax assignment, same probe set), so approximate ≠ unchecked."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.cosine_topk_ivf(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        num_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        exclude_ids=[0],
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_ivf() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM vc WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cid FROM qprobe)
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed top-k over LLOYD-TRAINED centroids (one k-means
+    iteration from the seed centroids, means rounded to 6dp so both
+    engines quantize away summation-order ulps). The oracle replicates
+    the ENTIRE training loop in SQL — seed assignment, per-cell means
+    with the empty-cell-keeps-seed convention, re-assignment to the
+    trained centroids, probe selection — so trained-approximate is as
+    hash-checked as exact."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = similarity.ivf_centroids_kmeans(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, iters=1
+    )
+    cents = [(cid, [round(x, 6) for x in v]) for cid, v in cents]
+    out = similarity.cosine_topk_ivf(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        n_probe=IVF_PROBE,
+        exclude_ids=[0],
+        centroids=cents,
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_ivf_trained() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a.cell AS cid, CAST(t.i AS INT) AS dim,
+         round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 6) AS m
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+),
+seedd AS (
+  SELECT cid, CAST(t.i AS INT) AS dim, round(CAST(ce[t.i + 1] AS DOUBLE), 6) AS m
+  FROM cents CROSS JOIN range({EMB_DIMS}) t(i)
+),
+trained AS (
+  SELECT s.cid, s.dim, coalesce(mn.m, s.m) AS m
+  FROM seedd s LEFT JOIN means mn ON mn.cid = s.cid AND mn.dim = s.dim
+),
+vc2 AS (
+  SELECT e.vec_id AS id, tr.cid,
+         sum(CAST(e.embedding[tr.dim + 1] AS DOUBLE) * tr.m) /
+         (sqrt(sum(CAST(e.embedding[tr.dim + 1] AS DOUBLE) * CAST(e.embedding[tr.dim + 1] AS DOUBLE))) *
+          sqrt(sum(tr.m * tr.m))) AS cos
+  FROM embeddings e CROSS JOIN trained tr
+  GROUP BY e.vec_id, tr.cid
+),
+assign2 AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc2
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM vc2 WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN assign2 a ON a.id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0 AND a.cell IN (SELECT cid FROM qprobe)
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-gated approximate top-k: scan restricted to the
+    query's sign-of-projection bucket, exact cosine within it. The
+    hyperplanes are seeded Python float literals, so the oracle embeds
+    the SAME planes as SQL VALUES and replicates the bucket gate exactly
+    (the pattern ``sql_dedup_minhash`` uses for its hash params) —
+    approximate ≠ unchecked."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.cosine_topk_lsh(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        num_planes=ANN_LSH_PLANES,
+        seed=ANN_LSH_SEED,
+        exclude_ids=[0],
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_lsh() -> str:
+    import random
+
+    rng = random.Random(ANN_LSH_SEED)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(EMB_DIMS)] for _ in range(ANN_LSH_PLANES)
+    ]
+    vals = ",\n".join(
+        f"({j}, {i}, {w!r})"
+        for j, plane in enumerate(planes)
+        for i, w in enumerate(plane)
+    )
+    return f"""
+WITH pl(j, i, w) AS (VALUES {vals}),
+proj AS (
+  SELECT e.vec_id, pl.j, sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
+  FROM embeddings e CROSS JOIN pl
+  GROUP BY 1, 2
+),
+b AS (
+  SELECT vec_id,
+         sum(CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY 1
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[i + 1] AS DOUBLE) * CAST(q.qe[i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN b ON b.vec_id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0
+    AND b.bucket = (SELECT bucket FROM b WHERE vec_id = 0)
+  GROUP BY e.vec_id
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.cosine_top_pairs(emb, "vec_id", "embedding", k=TOP_PAIRS_K)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def sql_embedding_top_pairs() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum((CAST(a.embedding[i + 1] AS DOUBLE) / na.nrm) * (CAST(b.embedding[i + 1] AS DOUBLE) / nb.nrm)) AS cos
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(cos, 6) AS cos FROM scored
+ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT {TOP_PAIRS_K}
+"""
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings (cosine assignment to the
+    IVF seed centroids): per-(cell, dim) population and updated mean."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_step(emb, "vec_id", "embedding", IVF_CENTROIDS)
+    return out.select("cell", "dim", "n", F.round("mean", 6).alias("mean"))
+
+
+def sql_kmeans_step() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+)
+SELECT a.cell,
+       CAST(t.i AS INT) AS dim,
+       count(*) AS n,
+       round(avg(CAST(e.embedding[i + 1] AS DOUBLE)), 6) AS mean
+FROM embeddings e
+JOIN assign a ON a.id = e.vec_id
+CROSS JOIN range({EMB_DIMS}) t(i)
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle X^T X over quantized embeddings (quantization makes
+    the float sums bit-stable across engines — same ``floor(x*8)``
+    convention as the selectors)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    return similarity.gram_matrix(q, "qe", EMB_DIMS).select(
+        "i", "j", F.round("g", 6).alias("g")
+    )
+
+
+def sql_embedding_gram() -> str:
+    return f"""
+SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+       round(sum((floor(e.embedding[i.i + 1] * 8) / 8) * (floor(e.embedding[j.j + 1] * 8) / 8)), 6) AS g
+FROM embeddings e, range({EMB_DIMS}) i(i), range({EMB_DIMS}) j(j)
+WHERE i.i <= j.j
+GROUP BY 1, 2
+"""
+
+
+def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PCA power-iteration step y = X^T(Xv) over quantized
+    embeddings with v = (1/8, …, 1/8) — dyadic inputs keep every product
+    and sum exact in IEEE-754, so both engines agree bit-for-bit."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    out = similarity.power_iteration_step(q, "qe", EMB_DIMS, [0.125] * EMB_DIMS)
+    return out.select("dim", F.round("y", 6).alias("y"))
+
+
+def sql_pca_power_step() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x * 8) / 8) AS qe
+  FROM embeddings
+),
+d AS (SELECT vec_id, qe, 0.125 * list_sum(qe) AS dot FROM q)
+SELECT CAST(i.i AS INT) AS dim, round(sum(d.qe[i.i + 1] * d.dot), 6) AS y
+FROM d, range({EMB_DIMS}) i(i)
+GROUP BY 1
+"""
+
+
+def q_pca_power_iter2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unnormalized power-iteration steps y = (X^T X)^2 v0 over
+    quantized embeddings — the iterated form of ``pca_power_step``
+    driven through :func:`similarity.power_iteration` (driver holds only
+    the length-d iterate). Dyadic inputs keep every term exact in
+    IEEE-754, so skipping the sqrt normalization lets both engines agree
+    bit-for-bit across BOTH corpus passes."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    y = similarity.power_iteration(
+        q, "qe", EMB_DIMS, v0=[0.125] * EMB_DIMS, iters=2, normalize=False
+    )
+    return spark.createDataFrame(
+        [(i, round(val, 6)) for i, val in enumerate(y)], "dim int, y double"
+    )
+
+
+def sql_pca_power_iter2() -> str:
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> floor(x * 8) / 8) AS qe
+  FROM embeddings
+),
+d1 AS (SELECT qe, 0.125 * list_sum(qe) AS dot FROM q),
+y1 AS (
+  SELECT CAST(i.i AS INT) AS dim, sum(qe[i.i + 1] * dot) AS y
+  FROM d1, range({EMB_DIMS}) i(i) GROUP BY 1
+),
+v1 AS (SELECT list(y ORDER BY dim) AS v FROM y1),
+d2 AS (
+  SELECT qe,
+         list_sum(list_transform(generate_series(1, {EMB_DIMS}), j -> qe[j] * v[j])) AS dot
+  FROM q, v1
+)
+SELECT CAST(i.i AS INT) AS dim, round(sum(qe[i.i + 1] * dot), 6) AS y
+FROM d2, range({EMB_DIMS}) i(i)
+GROUP BY 1
+"""
+
+
+def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring (the CCNet/Gopher "perplexity
+    filter" signal) — see :func:`~spark_ifs_spark.operators.textstats.
+    bigram_logprob` for the integer-micronat determinism contract and
+    plan shape."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.bigram_logprob(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def sql_lm_bigram_logprob() -> str:
+    return """
+WITH occ AS (
+  SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS pair
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) s
+  WHERE len(t) >= 2
+), per_doc AS (
+  SELECT doc_id, pair, count(*) AS k FROM occ GROUP BY 1, 2
+), pair_counts AS (
+  SELECT pair, CAST(sum(k) AS BIGINT) AS c_pair FROM per_doc GROUP BY pair
+), left_counts AS (
+  SELECT split_part(pair, ' ', 1) AS l, CAST(sum(c_pair) AS BIGINT) AS c_left
+  FROM pair_counts GROUP BY 1
+), model AS (
+  SELECT pair, CAST(floor(ln(c_pair * 1.0 / c_left) * 1e6) AS BIGINT) AS t
+  FROM pair_counts JOIN left_counts ON split_part(pair, ' ', 1) = l
+)
+SELECT per_doc.doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * t) AS BIGINT) AS ll_micronats
+FROM per_doc JOIN model USING (pair)
+GROUP BY per_doc.doc_id
+"""
+
+
+def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Rademacher random projection of the embeddings down to
+    ``PROJ_DIMS`` components — see :func:`~spark_ifs_spark.operators.
+    similarity.random_project` for the JL argument and the
+    exact-in-binary quantization contract."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.random_project(
+        emb, "vec_id", "embedding", EMB_DIMS, out_dims=PROJ_DIMS, seed=PROJ_SEED
+    ).select(F.col("id").alias("vec_id"), "k", "v")
+
+
+def sql_embedding_project() -> str:
+    import random
+
+    rng = random.Random(PROJ_SEED)
+    signs = [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(EMB_DIMS)]
+        for _ in range(PROJ_DIMS)
+    ]
+    vals = ",\n".join(
+        f"({k}, {i}, {s!r})"
+        for k, row in enumerate(signs)
+        for i, s in enumerate(row)
+    )
+    return f"""
+WITH sg(k, i, s) AS (VALUES {vals})
+SELECT e.vec_id, CAST(sg.k AS INT) AS k,
+       sum((floor(CAST(e.embedding[sg.i + 1] AS DOUBLE) * 8) / 8) * sg.s) AS v
+FROM embeddings e JOIN sg ON true
+GROUP BY e.vec_id, sg.k
+"""
+
+
+def q_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN in 8-bit scalar-quantized space: integer dot-product top-10
+    against vec_id 0 (see ``similarity.topk_sq8`` — the 4× compression
+    stage of a quantized retrieval stack)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return similarity.topk_sq8(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        exclude_ids=[0],
+    )
+
+
+def sql_ann_topk_sq8() -> str:
+    return f"""
+WITH dims AS (
+  SELECT t.i + 1 AS j,
+         min(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS mn,
+         max(CAST(e.embedding[t.i + 1] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+), q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+), qc AS (
+  SELECT d.j,
+         CASE WHEN d.mx = d.mn THEN 0
+              ELSE least(255, greatest(0, CAST(floor(
+                (CAST(q.qe[d.j] AS DOUBLE) - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+         END AS c
+  FROM dims d CROSS JOIN q
+), scored AS (
+  SELECT e.vec_id AS id,
+         CAST(sum(qc.c * CASE WHEN d.mx = d.mn THEN 0
+              ELSE least(255, greatest(0, CAST(floor(
+                (CAST(e.embedding[d.j] AS DOUBLE) - d.mn) * 255.0 / (d.mx - d.mn)) AS BIGINT)))
+         END) AS BIGINT) AS dot_q
+  FROM embeddings e
+  CROSS JOIN dims d
+  JOIN qc ON qc.j = d.j
+  WHERE e.vec_id <> 0 AND qc.c <> 0
+  GROUP BY 1
+)
+SELECT id, dot_q FROM scored ORDER BY dot_q DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-probed ANN path against the brute-force exact
+    top-k, as a first-class query — the audit that keeps "approximate"
+    from meaning "unchecked" when cell counts or probe budgets change.
+    Plan: both paths run as usual (IVF gates candidates to n_probe
+    cells); the overlap count is a broadcast join of two k-row results."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    q = [float(x) for x in qvec]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", q, k=ANN_K, exclude_ids=[0])
+    approx = similarity.cosine_topk_ivf(
+        emb, "vec_id", "embedding", q,
+        k=ANN_K, num_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, exclude_ids=[0],
+    )
+    return (
+        exact.select("id")
+        .join(approx.select("id"), "id", "inner")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / F.lit(ANN_K), 6).alias("recall"),
+        )
+    )
+
+
+def sql_ann_recall_audit() -> str:
+    return f"""
+SELECT count(*) AS n_overlap,
+       round(count(*) * 1.0 / {ANN_K}, 6) AS recall
+FROM ({sql_ann_topk()}) e
+JOIN ({sql_ann_topk_ivf()}) a USING (id)
+"""
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the monitoring
+    distribution chart. Bin = floor(value / 25) computed identically in
+    both engines (one double division + floor); ONE map-combined
+    aggregate, shuffle bounded by types × bins."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_events_value_histogram() -> str:
+    return f"""
+SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin, count(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+

@@ -1,0 +1,160 @@
+"""Sketches: HLL, CMS, mergeable histograms, profile summaries."""
+
+from spark_ifs_spark.registry._common import *  # noqa: F401,F403
+from spark_ifs_spark.registry._common import (  # noqa: F401
+    _BENFORD_PPM,
+    _PROFILE_SKETCH_COLS,
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    _USER_STATS_STAGED,
+    _cleanup_staged_dirs,
+    _lr_features,
+    _quantized_wide,
+    _read,
+    _sql_bpe_round,
+    _sql_count_word,
+    _sql_emb_long,
+    _sql_emb_lsh_cand,
+    _sql_pair_mi,
+    _sql_unrolled_greedy,
+    _t,
+)
+
+
+def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table in ONE aggregate
+    expression: per column — null count, distinct count, and (numeric)
+    min/max. The ingest-gate report a pipeline runs before admitting a
+    shard. Plan shape, honestly: the five exact ``countDistinct`` columns
+    compile to Catalyst's Expand-based multi-distinct (each input row is
+    replicated ~6× and shuffled on the distinct keys), so this is one
+    scan but NOT a purely map-side fold. That is the price of exact
+    distinct counts the DuckDB oracle can reproduce; at 100 TB swap each
+    ``countDistinct`` for ``approx_count_distinct`` (HLL++ sketches fold
+    map-side, collapsing the plan to a single partial aggregate — same
+    swap documented for dedup digests)."""
+    docs = _read(spark, sf_dir, "documents")
+    aggs = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+        ]
+    aggs += [
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    return docs.agg(*aggs)
+
+
+def sql_docs_profile() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = []
+    for c in cols:
+        parts.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls"
+        )
+        parts.append(f"count(DISTINCT {c}) AS {c}_distinct")
+    parts += [
+        "min(n_chars) AS n_chars_min",
+        "max(n_chars) AS n_chars_max",
+        "count(*) AS n_rows",
+    ]
+    return "SELECT " + ", ".join(parts) + " FROM documents"
+
+
+def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point estimates for a fixed probe vocabulary
+    over the corpus token stream — frequency estimation whose shuffle is
+    a depth×width grid regardless of corpus cardinality (see
+    ``operators/sketches.py``). Estimates overcount, never undercount;
+    the absent probe shows the collision floor."""
+    from spark_ifs_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    cms = sketches.cms_build(
+        toks, "w", depth=CMS_DEPTH, width=CMS_WIDTH, seed=CMS_SEED
+    )
+    return sketches.cms_estimate(
+        cms, CMS_PROBES, depth=CMS_DEPTH, width=CMS_WIDTH, seed=CMS_SEED
+    )
+
+
+def sql_cms_term_counts() -> str:
+    params = minhash_params(CMS_DEPTH, CMS_SEED)
+    param_rows = ", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(params))
+    probe_rows = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    h = sql_md5_int60("w")
+    ph = sql_md5_int60("term")
+    P = MINHASH_P
+    return f"""
+WITH params(r, a, b) AS (VALUES {param_rows}),
+toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), hs AS (
+  SELECT {h} AS h FROM toks
+), cms AS (
+  SELECT p.r, ((p.a * (hs.h % {P}) + p.b) % {P}) % {CMS_WIDTH} AS bucket,
+         count(*) AS c
+  FROM hs CROSS JOIN params p
+  GROUP BY 1, 2
+), probes(term) AS (VALUES {probe_rows}),
+ph AS (
+  SELECT term, {ph} AS h FROM probes
+), pcells AS (
+  SELECT term, p.r, ((p.a * (ph.h % {P}) + p.b) % {P}) % {CMS_WIDTH} AS bucket
+  FROM ph CROSS JOIN params p
+)
+SELECT pcells.term, CAST(min(coalesce(cms.c, 0)) AS BIGINT) AS est
+FROM pcells LEFT JOIN cms ON cms.r = pcells.r AND cms.bucket = pcells.bucket
+GROUP BY 1
+"""
+
+
+def q_docs_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``docs_profile`` distinct counts as a TRUE single-pass plan:
+    all five columns stack into (col, value) pairs map-side and feed
+    ONE portable-HLL aggregate — no Expand multi-distinct (which
+    replicates every input row ~6x and shuffles the distinct keys),
+    shuffle bounded by 5 × 2^p register cells. This is the plan
+    ``q_docs_profile``'s docstring defers to, now with an EXACT oracle
+    (the portable HLL estimates identically in DuckDB) instead of the
+    unverifiable ``approx_count_distinct``. Output: (col,
+    est_distinct) per profiled column."""
+    from spark_ifs_spark.operators.sketches import hll_distinct
+
+    docs = _read(spark, sf_dir, "documents")
+    stacked = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in _PROFILE_SKETCH_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.v").filter(F.col("v").isNotNull())
+    out = hll_distinct(stacked, ["col"], "v", p=HLL_P)
+    return out.select("col", F.round("est_distinct", 4).alias("est_distinct"))
+
+
+def sql_docs_profile_sketch() -> str:
+    from spark_ifs_spark.operators.sketches import sql_hll_distinct
+
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM documents WHERE {c} IS NOT NULL"
+        for c in _PROFILE_SKETCH_COLS
+    )
+    hll = sql_hll_distinct("vals", ["col"], "v", p=HLL_P)
+    return f"""
+WITH vals AS ({stacked})
+SELECT col, round(est_distinct, 4) AS est_distinct
+FROM ({hll}) t
+"""
+
+

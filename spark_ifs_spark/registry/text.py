@@ -1,0 +1,1581 @@
+"""Text/corpus statistics, sampling, BPE, pipelines, misc analytics."""
+
+from spark_ifs_spark.registry._common import *  # noqa: F401,F403
+from spark_ifs_spark.registry._common import (  # noqa: F401
+    _BENFORD_PPM,
+    _PROFILE_SKETCH_COLS,
+    _SQL_SHINGLES,
+    _SQL_WORDS,
+    _USER_STATS_STAGED,
+    _cleanup_staged_dirs,
+    _lr_features,
+    _quantized_wide,
+    _read,
+    _sql_bpe_round,
+    _sql_count_word,
+    _sql_emb_long,
+    _sql_emb_lsh_cand,
+    _sql_pair_mi,
+    _sql_unrolled_greedy,
+    _t,
+)
+from spark_ifs_spark.registry.dedup import q_dup_clusters  # noqa: F401
+from spark_ifs_spark.registry.dedup import sql_dedup_minhash  # noqa: F401
+from spark_ifs_spark.registry.dedup import sql_dup_clusters  # noqa: F401
+
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_text_token_counts() -> str:
+    return f"""
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{textstats.TOKEN_RE}')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.quality_score(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def sql_text_quality() -> str:
+    stop_sum = " + ".join(_sql_count_word(w) for w in textstats.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS mean_wl,
+         ({stop_sum}) * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT id, n_words,
+       round(mean_wl, 6) AS mean_word_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(least(n_words / 50.0, 1.0)
+             * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+             * least(stop_ratio * 5.0, 1.0), 6) AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_lang_id() -> str:
+    langs = sorted(textstats.LANG_MARKERS)
+    counts = {
+        lang: " + ".join(_sql_count_word(w) for w in textstats.LANG_MARKERS[lang])
+        for lang in langs
+    }
+    cols = ",\n         ".join(f"({counts[lang]}) AS c_{lang}" for lang in langs)
+    m = "greatest(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN c_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         {cols}
+  FROM documents
+), mx AS (SELECT *, {m} AS m FROM base)
+SELECT id, CASE {case} END AS pred_lang FROM mx
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = textstats.repetition_ratio(_read(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id", "n_tokens", "n_distinct_tokens", F.round("repetition", 6).alias("repetition")
+    )
+
+
+def sql_text_repetition() -> str:
+    return """
+SELECT doc_id AS id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round(CASE WHEN len(string_split(text, ' ')) > 0
+             THEN (len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 1.0
+                  / len(string_split(text, ' '))
+             ELSE 0.0 END, 6) AS repetition
+FROM documents
+"""
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-cleaning pipeline — the operators composed the
+    way a training-data job uses them: exact-dedup on the normalized
+    fingerprint (keep lowest doc_id), then quality floor, then length
+    floor. Returns surviving ``(id, fp, quality)``. One shuffle (the
+    dedup groupBy); every filter is map-side."""
+    docs = _read(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(docs, "doc_id", "text")
+    q = textstats.quality_score(docs, "doc_id", "text")
+    keep = fp.groupBy("fp").agg(F.min("id").alias("id"))
+    return (
+        keep.join(q, "id")
+        .filter((F.col("quality") >= 0.1) & (F.col("n_words") >= 10))
+        .select("id", "fp", F.round("quality", 6).alias("quality"))
+    )
+
+
+def sql_corpus_clean() -> str:
+    # mirrors fingerprint + quality_score + dedup-keep-min + floors
+    stop_hits = " + ".join(_sql_count_word(w) for w in textstats.STOPWORDS)
+    return f"""
+WITH fp AS (
+  SELECT doc_id AS id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT fp, min(id) AS id FROM fp GROUP BY fp),
+q AS (
+  SELECT doc_id AS id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS mean_wl,
+         ({stop_hits}) * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT id, n_words,
+         least(n_words / 50.0, 1.0)
+         * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+         * least(stop_ratio * 5.0, 1.0) AS quality
+  FROM q
+)
+SELECT k.id, k.fp, round(s.quality, 6) AS quality
+FROM keep k JOIN scored s ON s.id = k.id
+WHERE s.quality >= 0.1 AND s.n_words >= 10
+"""
+
+
+def q_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency (token-asc tie-break)."""
+    out = textstats.vocab_counts(_read(spark, sf_dir, "documents"), "text")
+    return out.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(50)
+
+
+def sql_vocab_top50() -> str:
+    return """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def sql_doc_fingerprint() -> str:
+    return """
+SELECT doc_id AS id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train/val/test) — reported as counts per
+    (split, lang) so the oracle compares the full assignment compactly."""
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        split_assign(docs, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def sql_split_counts() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("doc_id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+SELECT {case} AS split, lang, count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota: keep the CAP_PER_SOURCE longest docs per source
+    (skew-safe two-stage salted window)."""
+    from spark_ifs_spark.operators.sampling import cap_per_key
+
+    docs = _read(spark, sf_dir, "documents")
+    return cap_per_key(
+        docs,
+        key_cols=["source"],
+        order_col="n_chars",
+        cap=CAP_PER_SOURCE,
+        tiebreak_cols=["doc_id"],
+        descending=True,
+    ).select("source", "doc_id", "n_chars", "rank")
+
+
+def sql_docs_cap_per_source() -> str:
+    return f"""
+SELECT source, doc_id, n_chars, rank
+FROM (
+  SELECT source, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+  FROM documents
+)
+WHERE rank <= {CAP_PER_SOURCE}
+"""
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents with deterministic synthetic PII appended
+    (the corpus generator emits none), so the redaction path is actually
+    exercised: one email and one 10-digit ref per doc."""
+    from spark_ifs_spark.operators.textstats import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com ref "),
+            F.col("doc_id") + F.lit(1_000_000_000),
+        ).alias("text"),
+    )
+    out = scrub_pii(docs, "doc_id", "text")
+    return out.select(
+        "id", F.md5("clean_text").alias("clean_md5"), "n_emails", "n_long_nums"
+    )
+
+
+def sql_scrub_pii() -> str:
+    # keep the regexes textually identical to textstats.PII_*_RE
+    from spark_ifs_spark.operators.textstats import PII_EMAIL_RE, PII_LONG_NUM_RE
+
+    email = PII_EMAIL_RE.replace("'", "''")
+    num = PII_LONG_NUM_RE
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ref ' || (doc_id + 1000000000) AS text
+  FROM documents
+), after_email AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM injected
+)
+SELECT doc_id AS id,
+       md5(regexp_replace(t1, '{num}', '<NUM>', 'g')) AS clean_md5,
+       CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{num}')) AS INT) AS n_long_nums
+FROM after_email
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (map-side array expression)."""
+    from spark_ifs_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP)
+    return out.select("id", "chunk_idx", "n_tokens", F.md5("chunk").alias("chunk_md5"))
+
+
+def sql_doc_chunks() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id AS id,
+       CAST(s.i AS INT) AS chunk_idx,
+       CAST(len(t[s.i * {stride} + 1 : s.i * {stride} + {CHUNK_TOKENS}]) AS INT) AS n_tokens,
+       md5(array_to_string(t[s.i * {stride} + 1 : s.i * {stride} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+FROM toks, LATERAL (SELECT unnest(generate_series(0, (len(t) - 1) // {stride})) AS i) s
+"""
+
+
+def q_packed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval sequence packing of the chunks into ~PACK_TARGET-token
+    bins per language partition; reported per (lang, bin)."""
+    from spark_ifs_spark.operators.chunking import chunk_documents, pack_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    # lang rides through the map-side chunker (carry_cols) — joining a
+    # per-row attribute back onto the chunk relation would shuffle the
+    # whole corpus at scale
+    chunks = chunk_documents(
+        docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP, carry_cols=["lang"]
+    )
+    packed = pack_chunks(
+        chunks,
+        partition_cols=["lang"],
+        size_col="n_tokens",
+        target_tokens=PACK_TARGET,
+        order_cols=["id", "chunk_idx"],
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+def sql_packed_bins() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), chunks AS (
+  SELECT doc_id AS id, lang, s.i AS chunk_idx,
+         len(t[s.i * {stride} + 1 : s.i * {stride} + {CHUNK_TOKENS}]) AS n_tokens
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, (len(t) - 1) // {stride})) AS i) s
+), packed AS (
+  SELECT lang, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {PACK_TARGET}) AS BIGINT) AS bin_id
+  FROM chunks
+)
+SELECT lang, bin_id, count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM packed
+GROUP BY 1, 2
+"""
+
+
+def q_tfidf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per document (rank by exact score, THEN round —
+    the registry's float-determinism convention)."""
+    from spark_ifs_spark.operators.textstats import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=TFIDF_K)
+    return out.select("id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+
+
+def sql_tfidf_top3() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id AS id, w.term, count(*) AS tf
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) w
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.id, tf.term, tf.tf * ln(n.n_docs * 1.0 / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT id, term, round(tfidf, 6) AS tfidf, rank
+FROM (
+  SELECT id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+WHERE rank <= {TFIDF_K}
+"""
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the same linear-interpolation
+    definition — verified value-identical). Scale note: swap in
+    ``approx_percentile(col, ..., accuracy)`` past the point where exact
+    per-group sort-aggregation is worth it; the plan shape (one grouped
+    aggregate) is unchanged."""
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))").alias("q"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return q.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("q")[0], 6).alias("p50"),
+        F.round(F.col("q")[1], 6).alias("p90"),
+        F.round(F.col("q")[2], 6).alias("p99"),
+    )
+
+
+def sql_doc_length_quantiles() -> str:
+    return """
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture: downsample every source to its char
+    budget, report kept (docs, chars) per source."""
+    from spark_ifs_spark.operators.sampling import weighted_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = weighted_mix(docs, "doc_id", "source", "n_chars", MIX_TARGETS, MIX_SEED)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def sql_mix_by_source() -> str:
+    from spark_ifs_spark.operators.sampling import SPLIT_BUCKETS, sql_split_bucket
+
+    vals = ", ".join(f"('{k}', {v})" for k, v in MIX_TARGETS.items())
+    bucket = sql_split_bucket("d.doc_id", MIX_SEED)
+    return f"""
+WITH tgt(source, target) AS (VALUES {vals}),
+tot AS (SELECT source, sum(n_chars) AS total FROM documents GROUP BY source),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN tot USING (source) JOIN tgt USING (source)
+  WHERE tot.total <= tgt.target
+     OR {bucket} * tot.total < tgt.target * {SPLIT_BUCKETS}
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY source
+"""
+
+
+def q_bpe_pairs_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training counting round: top-50 adjacent token pairs."""
+    from spark_ifs_spark.operators.textstats import adjacent_pair_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return adjacent_pair_counts(docs, "text", top_n=50)
+
+
+def sql_bpe_pairs_top50() -> str:
+    return """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC LIMIT 50
+"""
+
+
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-data pipeline composed end to end, the way
+    a real job chains the operators: quality/exact-dup clean
+    (``corpus_clean``) ∩ minhash-LSH near-dup *representatives only*
+    (``dup_clusters`` + keep-min) → deterministic train/val/test split
+    → per-split document and token budgets. One extra shuffle per
+    stage boundary; every stage's own plan is the one audited under its
+    individual query."""
+    clean = q_corpus_clean(spark, sf_dir).select("id")
+    clusters = q_dup_clusters(spark, sf_dir)
+    reps = clusters.groupBy("cluster").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        clusters.join(reps, "cluster")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    kept = clean.join(
+        losers, clean["id"] == losers["doc_id"], "left_anti"
+    )
+    docs = _read(spark, sf_dir, "documents")
+    toks = textstats.token_counts(docs, "doc_id", "text").select(
+        "id", "n_ws_tokens"
+    )
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    assigned = split_assign(
+        kept.join(toks, "id"), "id", SPLIT_WEIGHTS, seed=SPLIT_SEED
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("n_tokens"),
+    )
+
+
+def sql_pipeline_end_to_end() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("k.id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+WITH clean AS (SELECT id FROM ({sql_corpus_clean()}) t),
+clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+reps AS (SELECT cluster, min(doc_id) AS keep_id FROM clusters GROUP BY cluster),
+losers AS (
+  SELECT c.doc_id FROM clusters c JOIN reps r ON c.cluster = r.cluster
+  WHERE c.doc_id <> r.keep_id
+),
+kept AS (
+  SELECT id FROM clean
+  WHERE id NOT IN (SELECT doc_id FROM losers)
+),
+toks AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS n_ws_tokens
+  FROM documents
+)
+SELECT {case} AS split,
+       count(*) AS n_docs,
+       CAST(sum(t.n_ws_tokens) AS BIGINT) AS n_tokens
+FROM kept k JOIN toks t ON k.id = t.id
+GROUP BY 1
+"""
+
+
+def q_pipeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level lineage for :func:`q_pipeline_end_to_end` — the
+    audit trail a real pretraining pipeline publishes next to its output:
+    one row per stage ``(stage, n_in, n_out, n_dropped)``, where
+    ``01_clean`` and ``02_dedup`` record their drop counts and each
+    ``03_split:*`` fans the surviving documents out (dropping nothing).
+    Every count is a scalar aggregate (one row each); the final report
+    assembles them with cross joins of 1-row relations + a union — no
+    driver-side arithmetic, so the audit runs inside the same job as the
+    pipeline would at 100 TB."""
+    docs = _read(spark, sf_dir, "documents")
+    clean = q_corpus_clean(spark, sf_dir).select("id")
+    clusters = q_dup_clusters(spark, sf_dir)
+    reps = clusters.groupBy("cluster").agg(F.min("doc_id").alias("keep_id"))
+    losers = (
+        clusters.join(reps, "cluster")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    kept = clean.join(losers, clean["id"] == losers["doc_id"], "left_anti")
+
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    ncl = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    nk = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    scalars = tot.crossJoin(ncl).crossJoin(nk)
+    stage_clean = scalars.select(
+        F.lit("01_clean").alias("stage"),
+        F.col("n_total").alias("n_in"),
+        F.col("n_clean").alias("n_out"),
+        (F.col("n_total") - F.col("n_clean")).alias("n_dropped"),
+    )
+    stage_dedup = scalars.select(
+        F.lit("02_dedup").alias("stage"),
+        F.col("n_clean").alias("n_in"),
+        F.col("n_kept").alias("n_out"),
+        (F.col("n_clean") - F.col("n_kept")).alias("n_dropped"),
+    )
+    splits = (
+        split_assign(kept, "id", SPLIT_WEIGHTS, seed=SPLIT_SEED)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_out"))
+        .crossJoin(nk)
+        .select(
+            F.concat(F.lit("03_split:"), F.col("split")).alias("stage"),
+            F.col("n_kept").alias("n_in"),
+            "n_out",
+            F.lit(0).cast("long").alias("n_dropped"),
+        )
+    )
+    return stage_clean.unionAll(stage_dedup).unionAll(splits)
+
+
+def sql_pipeline_audit() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("k.id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+WITH clean AS (SELECT id FROM ({sql_corpus_clean()}) t),
+clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+reps AS (SELECT cluster, min(doc_id) AS keep_id FROM clusters GROUP BY cluster),
+losers AS (
+  SELECT c.doc_id FROM clusters c JOIN reps r ON c.cluster = r.cluster
+  WHERE c.doc_id <> r.keep_id
+),
+kept AS (
+  SELECT id FROM clean
+  WHERE id NOT IN (SELECT doc_id FROM losers)
+),
+tot AS (SELECT count(*) AS n_total FROM documents),
+ncl AS (SELECT count(*) AS n_clean FROM clean),
+nk AS (SELECT count(*) AS n_kept FROM kept),
+sp AS (SELECT {case} AS split, count(*) AS n_out FROM kept k GROUP BY 1)
+SELECT '01_clean' AS stage, n_total AS n_in, n_clean AS n_out,
+       n_total - n_clean AS n_dropped
+FROM tot, ncl
+UNION ALL
+SELECT '02_dedup', n_clean, n_kept, n_clean - n_kept FROM ncl, nk
+UNION ALL
+SELECT '03_split:' || split, n_kept, n_out, CAST(0 AS BIGINT) FROM sp, nk
+"""
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training, 5 merge rounds: corpus folded to a
+    word-frequency table once, merges learned over the vocabulary
+    relation (see ``operators/bpe.py``)."""
+    from spark_ifs_spark.operators import bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe.bpe_train(docs, "text", BPE_MERGES)
+
+
+def sql_bpe_train() -> str:
+    rounds = ",".join(_sql_bpe_round(r) for r in range(BPE_MERGES))
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rank, x, y, CAST(n AS BIGINT) AS n FROM win{r}"
+        for r in range(BPE_MERGES)
+    )
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+syms0 AS (SELECT w, c, string_split(w, '') AS s FROM words),
+{rounds}
+{finals}
+"""
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of BPE: train 5 merges, then tokenize the corpus
+    with them — per-document token counts. Merges are applied once per
+    distinct word (vocabulary relation), not per occurrence."""
+    from spark_ifs_spark.operators import bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe.bpe_train(docs, "text", BPE_MERGES)
+        .orderBy("rank")
+        .collect()
+    ]
+    return bpe.bpe_encode(docs, "doc_id", "text", merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+
+
+def sql_bpe_token_counts() -> str:
+    rounds = ",".join(_sql_bpe_round(r) for r in range(BPE_MERGES))
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+syms0 AS (SELECT w, c, string_split(w, '') AS s FROM words),
+{rounds},
+wtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT t.doc_id, CAST(sum(len(v.s)) AS BIGINT) AS n_tokens
+FROM wtok t JOIN syms{BPE_MERGES} v ON t.w = v.w
+WHERE t.w <> ''
+GROUP BY t.doc_id
+"""
+
+
+def q_order_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation over a big-big join —
+    per return flag, how many lines belong to urgent-ish vs other
+    orders. Plan: the date filter pushes to the lineitem scan, the join
+    shuffles on orderkey (sort-merge; AQE re-plans if one side
+    collapses), and the CASE counts fold into ONE hash aggregate over a
+    3-row key space — never two joins or two passes."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1997-01-01"
+    )
+    orders = _read(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def sql_order_priority_mix() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q_docs_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length deciles via ``ntile(10)`` — the
+    length-bucketing step before padding-efficient batch assembly.
+    The window orders by the unique (n_chars, doc_id) pair, so bucket
+    boundaries are total-order deterministic on both engines; the
+    rollup after it is a bounded aggregate."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def sql_docs_length_deciles() -> str:
+    return """
+SELECT lang, CAST(ntile(10) OVER (
+         PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+       ) AS INT) AS decile, doc_id, n_chars
+FROM documents
+"""  # outer aggregate below
+
+
+def sql_docs_length_deciles_full() -> str:
+    return f"""
+WITH d AS ({sql_docs_length_deciles()})
+SELECT lang, decile, count(*) AS n,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM d GROUP BY lang, decile
+"""
+
+
+def q_docs_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-N uniform draw — see :func:`~spark_ifs_spark.
+    operators.sampling.sample_exact_n` (hash-ordered TakeOrdered; no
+    global sort)."""
+    from spark_ifs_spark.operators.sampling import sample_exact_n
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_exact_n(docs, "doc_id", SAMPLE_N, SAMPLE_SEED).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def sql_docs_sample_n() -> str:
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    keyed = f"concat('{SAMPLE_SEED}:', CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY {sql_md5_int60(keyed)} ASC, doc_id ASC
+LIMIT {SAMPLE_N}
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard — see :func:`~spark_ifs_spark.
+    operators.textstats.source_vocab_overlap` for the inverted-index
+    plan and the sources²-bounded fan-out argument."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.source_vocab_overlap(docs, "source", "text")
+
+
+def sql_source_overlap() -> str:
+    return """
+WITH toks AS (
+  SELECT DISTINCT source AS src, w.tok
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) w
+  WHERE w.tok <> ''
+), sizes AS (
+  SELECT src, count(*) AS n FROM toks GROUP BY src
+), inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.src = inter.src_a
+JOIN sizes sb ON sb.src = inter.src_b
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed bag-of-words query —
+    lexical retrieval with integer-micro exactness (see
+    ``textstats.bm25_topk`` for the plan narrative)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.bm25_topk(
+        docs, "doc_id", "text", BM25_QUERY_TERMS, k=BM25_K
+    )
+
+
+def sql_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents
+), stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS total FROM base
+), tf AS (
+  SELECT id, len(t) AS dl, w.term, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(t) AS term) w
+  WHERE w.term IN ({terms})
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.id,
+         CAST(floor(
+           ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE))
+                                  / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT) AS s_micro
+  FROM tf CROSS JOIN stats s JOIN dfreq d USING (term)
+)
+SELECT id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+FROM scored GROUP BY 1
+ORDER BY score_micro DESC, id ASC LIMIT {BM25_K}
+"""
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs similarity: doc pairs with tf-idf cosine ≥
+    threshold over a DF-pruned vocabulary (inverted-index join, integer
+    weights — see ``textstats.tfidf_cosine_pairs``)."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.tfidf_cosine_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=TFIDF_PAIR_THRESHOLD,
+        max_df=TFIDF_PAIR_MAX_DF,
+    )
+
+
+def sql_tfidf_cosine_pairs() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id AS id, w.term, count(*) AS tf
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS term) w
+  GROUP BY 1, 2
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), wts AS (
+  SELECT tf.id, tf.term, d.df,
+         CAST(tf.tf AS BIGINT)
+         * CAST(floor(ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1000000.0) AS BIGINT) AS w
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+  WHERE d.df <= {TFIDF_PAIR_MAX_DF}
+), wpos AS (
+  SELECT * FROM wts WHERE w > 0
+), norms AS (
+  SELECT id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM wpos GROUP BY 1
+), dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM wpos a JOIN wpos b ON a.term = b.term AND a.id < b.id
+  WHERE a.df >= 2
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cos_sim
+FROM dots
+JOIN norms na ON na.id = dots.id_a
+JOIN norms nb ON nb.id = dots.id_b
+WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6)
+      >= {TFIDF_PAIR_THRESHOLD}
+"""
+
+
+def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a tiny logistic quality classifier (2 full-batch GD steps,
+    integer-micro weights — ``operators/lr.py``) on cheap document
+    features, then score every document map-side. The oracle unrolls
+    both training iterations and the scoring pass as CTEs."""
+    from spark_ifs_spark.operators import lr
+
+    feats = _lr_features(spark, sf_dir)
+    w = lr.lr_train(feats, LR_FEATURES, "y", iters=LR_ITERS)
+    return lr.lr_score(feats, LR_FEATURES, w, "doc_id")
+
+
+def sql_quality_lr_score() -> str:
+    # margin under weights (wa, wb, wc) — mirrors the Spark fold order:
+    # ((0.0 + w0·x0) + w1·x1) + w2·x2
+    def margin(pre: str) -> str:
+        return (
+            f"(0.0 + ({pre}.wa / 1000000.0) * x0"
+            f" + ({pre}.wb / 1000000.0) * x1"
+            f" + ({pre}.wc / 1000000.0) * x2)"
+        )
+
+    sig = lambda m: f"(1.0 / (1.0 + exp(-{m})))"
+    g = lambda p_expr, x: (
+        f"CAST(sum(CAST(floor(({p_expr} - y) * {x} * 1000000.0) AS BIGINT)) AS BIGINT)"
+    )
+    m2 = margin("w1")
+    ms = margin("w2")
+    return f"""
+WITH feats AS (
+  SELECT doc_id AS id, 1.0 AS x0, n_chars / 1000.0 AS x1,
+         len(string_split(text, ' ')) / 100.0 AS x2,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM feats
+), g1 AS (
+  SELECT {g("0.5", "x0")} AS ga, {g("0.5", "x1")} AS gb, {g("0.5", "x2")} AS gc
+  FROM feats
+), w1 AS (
+  SELECT 0 - (g1.ga * 1 // (2 * nn.n)) AS wa,
+         0 - (g1.gb * 1 // (2 * nn.n)) AS wb,
+         0 - (g1.gc * 1 // (2 * nn.n)) AS wc
+  FROM g1 CROSS JOIN nn
+), g2 AS (
+  SELECT {g(sig(m2), "x0")} AS ga, {g(sig(m2), "x1")} AS gb, {g(sig(m2), "x2")} AS gc
+  FROM feats CROSS JOIN w1
+), w2 AS (
+  SELECT w1.wa - (g2.ga * 1 // (2 * nn.n)) AS wa,
+         w1.wb - (g2.gb * 1 // (2 * nn.n)) AS wb,
+         w1.wc - (g2.gc * 1 // (2 * nn.n)) AS wc
+  FROM g2 CROSS JOIN w1 CROSS JOIN nn
+)
+SELECT id, CAST(floor({sig(ms)} * 1000000.0) AS BIGINT) AS score_micro
+FROM feats CROSS JOIN w2
+"""
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-ES md5
+    keys, probability ∝ document length) —
+    ``operators/sampling.weighted_sample_n``."""
+    from spark_ifs_spark.operators.sampling import weighted_sample_n
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") + F.lit(1)
+    )
+    return weighted_sample_n(docs, "doc_id", "w", WSAMPLE_N, WSAMPLE_SEED).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def sql_docs_weighted_sample() -> str:
+    keyed = f"concat('{WSAMPLE_SEED}:', CAST(doc_id AS VARCHAR))"
+    h = sql_md5_int60(keyed)
+    denom = float(2**60 + 1)
+    return f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY ln(CAST({h} + 1 AS DOUBLE) / {denom!r}) / CAST(n_chars + 1 AS DOUBLE) DESC,
+         doc_id ASC
+LIMIT {WSAMPLE_N}
+"""
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank: PageRank over the token co-occurrence graph (nodes =
+    corpus vocabulary, edges = distinct adjacent-token pairs in both
+    directions) — the classic graph-based keyword ranking, and the
+    registry's iterative-graph-algorithm exemplar beyond connected
+    components (``operators/graph.pagerank``; ranks never visit the
+    driver). Unweighted-edge variant; integer-micro ranks."""
+    from spark_ifs_spark.operators import graph
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks)
+    # both edge directions emitted in ONE zip_with pass (HOFs are
+    # interpreted, so a union of fwd + reversed-fwd would evaluate the
+    # pair build twice — measured 3.4x slower); repartition spreads the
+    # single-file doc scan across cores before the interpreted explode
+    pairs = F.zip_with(
+        F.slice(toks, 1, m - 1),
+        F.slice(toks, 2, m - 1),
+        lambda a, b: F.array(
+            F.struct(a.alias("src"), b.alias("dst")),
+            F.struct(b.alias("src"), a.alias("dst")),
+        ),
+    )
+    edges = (
+        docs.repartition(32)
+        .select(F.explode(F.flatten(pairs)).alias("p"))
+        .select("p.src", "p.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = docs.select(F.explode(toks).alias("term")).distinct()
+    out = graph.pagerank(
+        edges, nodes, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+    return out.select(F.col("id").alias("term"), "pr_micro")
+
+
+def sql_textrank_keywords() -> str:
+    teleport = int((1.0 - PAGERANK_DAMPING) * 1000000)
+    d = PAGERANK_DAMPING
+    return f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), fwd AS (
+  SELECT DISTINCT t[s.i] AS src, t[s.i + 1] AS dst
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+  WHERE len(t) >= 2
+), edges AS (
+  SELECT src, dst FROM fwd WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM fwd WHERE src <> dst
+), nodes AS (
+  SELECT DISTINCT w.w AS id FROM toks, LATERAL (SELECT unnest(t) AS w) w
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), r0 AS (
+  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes
+), c1 AS (
+  SELECT e.dst AS id, CAST(sum(r0.pr // d.deg) AS BIGINT) AS s
+  FROM r0 JOIN edges e ON e.src = r0.id JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), r1 AS (
+  SELECT nodes.id,
+         CAST({teleport} + floor({d} * CAST(coalesce(c1.s, 0) AS DOUBLE)) AS BIGINT) AS pr
+  FROM nodes LEFT JOIN c1 USING (id)
+), c2 AS (
+  SELECT e.dst AS id, CAST(sum(r1.pr // d.deg) AS BIGINT) AS s
+  FROM r1 JOIN edges e ON e.src = r1.id JOIN deg d ON d.src = e.src
+  GROUP BY 1
+), r2 AS (
+  SELECT nodes.id,
+         CAST({teleport} + floor({d} * CAST(coalesce(c2.s, 0) AS DOUBLE)) AS BIGINT) AS pr
+  FROM nodes LEFT JOIN c2 USING (id)
+)
+SELECT id AS term, pr AS pr_micro FROM r2
+"""
+
+
+def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram
+    shingles that are corpus boilerplate (shingle DF > 5% of docs) — the
+    document-level score that template filtering thresholds on. See
+    :func:`~spark_ifs_spark.operators.textstats.boilerplate_fraction`."""
+    from spark_ifs_spark.operators.textstats import boilerplate_fraction
+
+    docs = _read(spark, sf_dir, "documents")
+    out = boilerplate_fraction(
+        docs, "doc_id", "text", n=3, max_frac=NOVELTY_MAX_FRAC
+    )
+    return out.select(
+        "id", "n_shingles", "n_boiler", F.round("boiler_frac", 6).alias("boiler_frac")
+    )
+
+
+def sql_docs_novelty() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+tot AS (SELECT count(*) AS n_docs FROM documents)
+SELECT s.id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN d.df > tot.n_docs * {NOVELTY_MAX_FRAC} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN d.df > tot.n_docs * {NOVELTY_MAX_FRAC} THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS boiler_frac
+FROM sh s JOIN dfreq d USING (sh), tot
+GROUP BY s.id, tot.n_docs
+"""
+
+
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled multilingual mix (α = 0.5, mT5-style):
+    downsample each language so kept counts are ∝ sqrt(n_lang), lifting
+    low-resource languages; report kept (docs, chars) per language.
+    The keep decision is exact 64-bit integer arithmetic (see
+    :func:`~spark_ifs_spark.operators.sampling.temperature_mix`), so
+    the result is bit-identical across engines and cluster sizes."""
+    from spark_ifs_spark.operators.sampling import temperature_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "doc_id", "lang", TEMP_MIX_SEED)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def sql_docs_temperature_mix() -> str:
+    from spark_ifs_spark.operators.sampling import SPLIT_BUCKETS, sql_split_bucket
+
+    b = sql_split_bucket("d.doc_id", TEMP_MIX_SEED)
+    return f"""
+WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS nmin FROM n),
+kept AS (
+  SELECT d.lang, d.n_chars
+  FROM documents d JOIN n USING (lang), mn
+  WHERE {b} * {b} * n.n < mn.nmin * {SPLIT_BUCKETS * SPLIT_BUCKETS}
+)
+SELECT lang, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY lang
+"""
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter bundle: per-doc boolean flags (word
+    count, mean word length, stopword presence, top-word repetition)
+    plus the conjunction — rule-level drop attribution, the first
+    data-quality dashboard a pretraining pipeline needs. See
+    :func:`~spark_ifs_spark.operators.textstats.gopher_quality_flags`."""
+    from spark_ifs_spark.operators.textstats import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text")
+
+
+def sql_gopher_filters() -> str:
+    from spark_ifs_spark.operators import textstats as ts
+
+    stop_sum = " + ".join(_sql_count_word(w) for w in ts.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS mwl,
+         ({stop_sum}) AS stop_hits
+  FROM documents
+),
+wc AS (
+  SELECT doc_id AS id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+top AS (SELECT id, max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_frac FROM wc GROUP BY 1)
+SELECT b.id, b.n_words,
+       b.n_words >= {ts.GOPHER_MIN_WORDS} AND b.n_words <= {ts.GOPHER_MAX_WORDS} AS ok_word_count,
+       b.mwl >= {ts.GOPHER_MIN_MEAN_WL} AND b.mwl <= {ts.GOPHER_MAX_MEAN_WL} AS ok_mean_word_len,
+       b.stop_hits >= {ts.GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+       t.top_frac <= {ts.GOPHER_MAX_TOP_WORD_FRAC} AS ok_top_word,
+       (b.n_words >= {ts.GOPHER_MIN_WORDS} AND b.n_words <= {ts.GOPHER_MAX_WORDS})
+         AND (b.mwl >= {ts.GOPHER_MIN_MEAN_WL} AND b.mwl <= {ts.GOPHER_MAX_MEAN_WL})
+         AND b.stop_hits >= {ts.GOPHER_MIN_STOP_HITS}
+         AND t.top_frac <= {ts.GOPHER_MAX_TOP_WORD_FRAC} AS pass_all
+FROM base b JOIN top t ON b.id = t.id
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: minhash near-dup pairs bucketed by
+    the split pair they straddle — the leakage check every eval split
+    needs BEFORE training (a near-dup of a test doc inside train
+    silently inflates eval). Output is (split_lo, split_hi, n_pairs);
+    any row with split_lo != split_hi is leakage.
+
+    Plan: the pair relation (LSH-bucketed, sub-quadratic) is tiny
+    relative to the corpus; the split label is a scan-fused hash
+    projection (zero extra shuffles), joined twice on the id — at
+    100 TB both joins key on doc ids with no skew (pair endpoints are
+    near-unique), and the final aggregate is bounded by split² rows."""
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    sp = split_assign(docs, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED).select(
+        "doc_id", "split"
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def sql_split_leakage() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case_a = sql_split_case("p.id_a", SPLIT_WEIGHTS, SPLIT_SEED)
+    case_b = sql_split_case("p.id_b", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+SELECT least({case_a}, {case_b}) AS split_lo,
+       greatest({case_a}, {case_b}) AS split_hi,
+       count(*) AS n_pairs
+FROM ({sql_dedup_minhash()}) p
+GROUP BY 1, 2
+"""
+
+
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data-quality dashboard: document count, Gopher
+    pass rate (integer ppm — float-aggregate-free), and mean quality
+    score per source — the report that decides which crawl sources get
+    up/down-weighted in the next mix. Composes ``gopher_quality_flags``
+    and ``quality_score`` (each individually oracle-gated) through one
+    id-keyed join and one bounded per-source aggregate; the corpus is
+    scanned twice (once per operator), each scan map-side."""
+    from spark_ifs_spark.operators.textstats import (
+        gopher_quality_flags,
+        quality_score,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "doc_id", "text").select("id", "pass_all")
+    qual = quality_score(docs, "doc_id", "text").select("id", "quality")
+    src = docs.select(F.col("doc_id").alias("id"), "source")
+    return (
+        src.join(flags, "id")
+        .join(qual, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.floor(
+                F.sum(F.col("pass_all").cast("long"))
+                * F.lit(1_000_000)
+                / F.count(F.lit(1))
+            ).cast("long").alias("pass_ppm"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
+
+
+def sql_source_quality_report() -> str:
+    from spark_ifs_spark.operators import textstats as ts
+
+    stop_sum = " + ".join(_sql_count_word(w) for w in ts.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, source,
+         len(string_split(text, ' ')) AS n_words,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS mwl,
+         ({stop_sum}) AS stop_hits
+  FROM documents
+),
+wc AS (
+  SELECT doc_id AS id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+),
+top AS (SELECT id, max(c) * 1.0 / CAST(sum(c) AS BIGINT) AS top_frac FROM wc GROUP BY 1),
+flags AS (
+  SELECT b.id, b.source,
+         (b.n_words >= {ts.GOPHER_MIN_WORDS} AND b.n_words <= {ts.GOPHER_MAX_WORDS})
+           AND (b.mwl >= {ts.GOPHER_MIN_MEAN_WL} AND b.mwl <= {ts.GOPHER_MAX_MEAN_WL})
+           AND b.stop_hits >= {ts.GOPHER_MIN_STOP_HITS}
+           AND t.top_frac <= {ts.GOPHER_MAX_TOP_WORD_FRAC} AS pass_all,
+         least(b.n_words / 50.0, 1.0)
+           * (1.0 - least(abs(b.mwl - 5.0) / 5.0, 1.0))
+           * least((b.stop_hits * 1.0 / b.n_words) * 5.0, 1.0) AS quality
+  FROM base b JOIN top t ON b.id = t.id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(floor(sum(CASE WHEN pass_all THEN 1 ELSE 0 END) * 1000000.0
+            / count(*)) AS BIGINT) AS pass_ppm,
+       round(avg(quality), 6) AS mean_quality
+FROM flags
+GROUP BY source
+"""
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — exact
+    weighted quantile via cumulative integer weights: the first price
+    whose running weight reaches half the group total. All comparisons
+    are 64-bit integer (`2·cum ≥ total`), and the cumulative window
+    orders by the TOTAL key (price, orderkey, linenumber), so the
+    crossing row — hence the median value — is engine-reproducible.
+    Plan: one per-group sort window over the lineitem projection + one
+    bounded aggregate; at scale swap in `approx_percentile` when the
+    per-group sort exceeds the shuffle budget (documented trade — this
+    is the exact-oracle form)."""
+    from pyspark.sql import Window
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("l_returnflag")
+    flagged = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("w").over(cum).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    return (
+        flagged.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("w_median_price"))
+    )
+
+
+def sql_weighted_median_price() -> str:
+    return """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag, round(min(l_extendedprice), 4) AS w_median_price
+FROM c WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+"""
+
+
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context extraction: a ±2-word snippet around every
+    occurrence of the query terms — the retrieval-UX primitive (search
+    result previews, concordance building). Token-array based, NOT
+    regex: Spark's Java regex and DuckDB's RE2 disagree on enough edge
+    semantics that the oracle-exact form is array slicing over the same
+    whitespace split both engines already share. Map-side per doc (one
+    interpreted-HOF position filter + slices); the only shuffle is the
+    deterministic (doc, pos) TakeOrdered cut."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks)
+    hits = F.filter(
+        F.sequence(F.lit(1), m),
+        lambda i: F.element_at(toks, i).isin(*KWIC_TERMS),
+    )
+    lo = F.greatest(F.col("pos") - KWIC_WINDOW, F.lit(1))
+    hi = F.least(F.col("pos") + KWIC_WINDOW, F.col("m"))
+    return (
+        docs.select(
+            F.col("doc_id"), m.alias("m"), toks.alias("t"),
+            F.explode(hits).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.element_at(F.col("t"), F.col("pos")).alias("term"),
+            F.array_join(
+                F.slice(F.col("t"), lo, hi - lo + 1), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id", "pos")
+        .limit(KWIC_LIMIT)
+    )
+
+
+def sql_kwic_snippets() -> str:
+    terms = ", ".join(f"'{t}'" for t in KWIC_TERMS)
+    w = KWIC_WINDOW
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hits AS (
+  SELECT doc_id, t, s.i AS pos
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) s
+  WHERE t[s.i] IN ({terms})
+)
+SELECT doc_id, pos, t[pos] AS term,
+       array_to_string(t[greatest(pos - {w}, 1):least(pos + {w}, len(t))], ' ') AS snippet
+FROM hits
+ORDER BY doc_id, pos
+LIMIT {KWIC_LIMIT}
+"""
+
+
+def q_lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the (lang, source) contingency
+    table — "is language distribution uniform across crawl sources?",
+    the categorical-drift alarm. Reuses the engine's contingency
+    discipline (the MI operators' counts-only aggregation): observed
+    counts and the two marginals are exact integers from ONE hash
+    aggregate over the corpus plus two bounded rollups; the single
+    float expression ``Σ (o − e)²/e`` runs over the bounded levels²
+    relation. Output: one row (chi2, dof)."""
+    docs = _read(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    row = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    col = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
+    cells = (
+        obs.join(F.broadcast(row), "lang")
+        .join(F.broadcast(col), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("o").cast("double") - e) * (F.col("o") - e) / e).alias("x"))
+    )
+    nlang = docs.select("lang").distinct().count()
+    nsrc = docs.select("source").distinct().count()
+    return cells.agg(
+        F.round(F.sum("x"), 6).alias("chi2"),
+        F.lit((nlang - 1) * (nsrc - 1)).cast("long").alias("dof"),
+    )
+
+
+def sql_lang_source_chisq() -> str:
+    return """
+WITH obs AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, sum(o) AS r FROM obs GROUP BY 1),
+c AS (SELECT source, sum(o) AS c FROM obs GROUP BY 1),
+t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+dims AS (
+  SELECT (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof
+  FROM documents
+)
+SELECT round(sum((obs.o - CAST(r.r AS DOUBLE) * c.c / t.n)
+                * (obs.o - CAST(r.r AS DOUBLE) * c.c / t.n)
+                / (CAST(r.r AS DOUBLE) * c.c / t.n)), 6) AS chi2,
+       CAST(any_value(dims.dof) AS BIGINT) AS dof
+FROM obs JOIN r USING (lang) JOIN c USING (source), t, dims
+"""
+
+
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution —
+    low entropy = templated/repetitive source, the distributional
+    quality signal next to the rule-based filters. Computed as
+    ``ln N − (Σ c·ln c)/N`` from exact integer token counts (one
+    (source, token) hash aggregate, map-combined; the log-sum runs on
+    the bounded vocab × sources relation)."""
+    docs = _read(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("_clnc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("_clnc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+def sql_source_token_entropy() -> str:
+    return """
+WITH counts AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(sum(c) AS DOUBLE))
+             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+FROM counts
+GROUP BY source
+"""
+
+
+def q_source_size_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus mass across sources — the one-number
+    concentration alarm ("90% of chars from one crawl host?"). Exact
+    integer core over the BOUNDED per-source totals:
+    ``G = (2·Σᵢ i·sᵢ / (n·Σs)) − (n+1)/n`` with sizes ranked ascending
+    (ties broken by source name — total order, engine-reproducible);
+    the corpus itself folds in one map-combined aggregate."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.sum("n_chars").alias("s"))
+    w = Window.orderBy("s", "source")
+    ranked = sizes.select(
+        F.col("s"),
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("s")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("s").cast("double"))
+            - (F.count(F.lit(1)) + 1).cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+def sql_source_size_gini() -> str:
+    return """
+WITH sizes AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s, source) AS i FROM sizes
+)
+SELECT count(*) AS n_sources,
+       round(2.0 * CAST(sum(i * s) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(s) AS DOUBLE))
+             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    heuristic language-ID against the labeled ``lang`` column — the
+    eval loop every model-assisted pipeline stage needs, run where the
+    data lives instead of exporting samples. One map-side prediction
+    projection (the ``lang_id`` operator) + one bounded langs² hash
+    aggregate."""
+    docs = _read(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs, "doc_id", "text")
+    truth = docs.select(F.col("doc_id").alias("id"), F.col("lang").alias("true_lang"))
+    return (
+        truth.join(pred, "id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_langid_confusion() -> str:
+    return f"""
+WITH pred AS ({sql_lang_id()})
+SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+FROM documents d JOIN pred p ON p.id = d.doc_id
+GROUP BY 1, 2
+"""
+
+
