@@ -979,3 +979,122 @@ def topk_sq8(
     if exclude_ids:
         scored = scored.filter(~F.col("id").isin(*[int(i) for i in exclude_ids]))
     return scored.orderBy(F.col("dot_q").desc(), F.col("id").asc()).limit(k)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    kcode: int = 16,
+    scale: int = 64,
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks: ``m`` subspaces of ``dim/m``
+    dims, each with ``kcode`` codewords = the integer-quantized
+    (``floor(x*scale)``) subvectors of the ``kcode`` smallest-id
+    vectors. Deterministic seed-codeword choice (the
+    :func:`ivf_centroids` pattern): no Lloyd fitting, bit-reproducible
+    across engines and the SQL oracle; production PQ would k-means
+    each subspace, with every downstream plan shape identical.
+    Driver state is ``O(m·kcode·dim/m) = O(kcode·dim)`` ints."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (
+        df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(kcode)
+        .collect()
+    )
+    if len(rows) < kcode:
+        raise ValueError(f"corpus has {len(rows)} rows < kcode {kcode}")
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        words = []
+        for r in rows:
+            words.append(
+                [int(math.floor(float(x) * scale)) for x in r["v"][j * sub : (j + 1) * sub]]
+            )
+        books.append(words)
+    return books
+
+
+def topk_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    m: int = 8,
+    kcode: int = 16,
+    rescore: int = 50,
+    scale: int = 64,
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """``(id, cos)`` — top-``k`` by exact cosine over a PQ-ADC
+    shortlist: the third leg of the quantized-ANN stack (IVF gates
+    cells, SQ8 compresses scalars, PQ compresses SUBVECTORS — at 100 TB
+    the corpus becomes an ``m``-byte-per-vector code table and
+    asymmetric-distance scoring is ``m`` table lookups per row).
+
+    Stage 1 (ADC): every vector's subspace codes are assigned map-side
+    — per subspace, argmin of the INTEGER L2 distance (quantized
+    ``floor(x*scale)`` coords, BIGINT sums — exact, engine-identical,
+    ties to the smallest codeword id) over ``kcode`` literal codewords
+    — and scored against the query's precomputed per-subspace
+    lookup table (integer dot with the chosen codeword). One scan, one
+    ``TakeOrdered`` of the ``rescore`` best, no corpus shuffle.
+
+    Stage 2: the shortlist (``rescore`` rows, broadcast) joins back for
+    EXACT cosine; final top-``k`` orders by (cos desc, id asc).
+    Approximate ≠ unchecked: the SQL oracle replicates codebook
+    derivation, integer assignment, ADC, and shortlist exactly.
+    """
+    dim = len(query)
+    sub = dim // m
+    books = pq_codebooks(df, id_col, vec_col, dim, m, kcode, scale)
+    # per-subspace query LUT: integer dot of quantized query subvector
+    # with each codeword (driver-side, m×kcode ints)
+    qint = [int(math.floor(float(x) * scale)) for x in query]
+    luts = [
+        [
+            sum(qint[j * sub + t] * w[t] for t in range(sub))
+            for w in books[j]
+        ]
+        for j in range(m)
+    ]
+    v = as_double_array(vec_col)
+    adc = F.lit(0).cast("long")
+    for j in range(m):
+        # integer-quantized subvector coords
+        coords = [
+            F.floor(F.element_at(v, j * sub + t + 1) * F.lit(float(scale))).cast("long")
+            for t in range(sub)
+        ]
+        cands = []
+        for cid, w in enumerate(books[j]):
+            d = F.lit(0).cast("long")
+            for t in range(sub):
+                diff = coords[t] - F.lit(int(w[t]))
+                d = d + diff * diff
+            cands.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        best = F.array_min(F.array(*cands))["cid"]
+        adc = adc + F.element_at(
+            F.array(*[F.lit(int(x)) for x in luts[j]]), best + 1
+        )
+    scored = df.select(F.col(id_col).alias("id"), v.alias("v"), adc.alias("adc"))
+    if exclude_ids:
+        scored = scored.filter(~F.col("id").isin(*[int(i) for i in exclude_ids]))
+    shortlist = (
+        scored.orderBy(F.col("adc").desc(), F.col("id").asc())
+        .limit(int(rescore))
+        .select("id", "v")
+    )
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    rescored = shortlist.select(
+        "id",
+        (_dot(F.col("v"), qarr) / (_norm(F.col("v")) * F.lit(qn))).alias("cos"),
+    )
+    return rescored.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)

@@ -311,3 +311,10 @@ import math as _math
 _BENFORD_PPM = {
     d: int(_math.floor(_math.log10(1 + 1 / d) * 1_000_000)) for d in range(1, 10)
 }
+
+
+# product quantization (ann_topk_pq)
+PQ_M = 8
+PQ_KCODE = 16
+PQ_RESCORE = 50
+PQ_SCALE = 64

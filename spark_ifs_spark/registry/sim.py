@@ -599,3 +599,88 @@ GROUP BY 1, 2
 """
 
 
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate top-k with exact rescore: the third leg of the
+    quantized-ANN stack (IVF gates cells, SQ8 compresses scalars, PQ
+    compresses subvectors to m one-byte codes). Codebooks are the
+    integer-quantized subvectors of the ``PQ_KCODE`` smallest-id
+    vectors (deterministic, no fitting), assignment and ADC are exact
+    BIGINT arithmetic, so the oracle replicates the entire shortlist
+    bit-for-bit before the final exact-cosine rescore."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.topk_pq(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        m=PQ_M,
+        kcode=PQ_KCODE,
+        rescore=PQ_RESCORE,
+        scale=PQ_SCALE,
+        exclude_ids=[0],
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_pq() -> str:
+    sub = EMB_DIMS // PQ_M
+    return f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+donors AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM embeddings ORDER BY vec_id LIMIT {PQ_KCODE}
+),
+cw AS (
+  SELECT CAST(t.i // {sub} AS INT) AS j, d.cid, CAST(t.i % {sub} AS INT) AS t,
+         CAST(floor(CAST(d.embedding[t.i + 1] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS w
+  FROM donors d CROSS JOIN range({EMB_DIMS}) t(i)
+),
+vc AS (
+  SELECT e.vec_id, CAST(t.i // {sub} AS INT) AS j, CAST(t.i % {sub} AS INT) AS t,
+         CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS x
+  FROM embeddings e CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0
+),
+dist AS (
+  SELECT vc.vec_id, vc.j, cw.cid, sum((vc.x - cw.w) * (vc.x - cw.w)) AS d
+  FROM vc JOIN cw ON cw.j = vc.j AND cw.t = vc.t
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+    FROM dist) s WHERE rn = 1
+),
+qint AS (
+  SELECT CAST(t.i // {sub} AS INT) AS j, CAST(t.i % {sub} AS INT) AS t,
+         CAST(floor(CAST(q.qe[t.i + 1] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS qx
+  FROM q CROSS JOIN range({EMB_DIMS}) t(i)
+),
+lut AS (
+  SELECT cw.j, cw.cid, CAST(sum(qint.qx * cw.w) AS BIGINT) AS dp
+  FROM cw JOIN qint ON qint.j = cw.j AND qint.t = cw.t
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT a.vec_id AS id, CAST(sum(l.dp) AS BIGINT) AS adc
+  FROM assign a JOIN lut l ON l.j = a.j AND l.cid = a.cid
+  GROUP BY 1
+),
+short AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT {PQ_RESCORE}),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[t.i + 1] AS DOUBLE) * CAST(e.embedding[t.i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN short s ON s.id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""

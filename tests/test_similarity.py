@@ -4,6 +4,7 @@ import math
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from spark_ifs_spark.operators import similarity
 
@@ -332,3 +333,49 @@ def test_cosine_lsh_pairs_every_emitted_cosine_is_exact(spark):
         expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cos"] - expect) < 1e-9
         assert r["cos"] >= 0.3
+
+
+def test_topk_pq_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC shortlist + exact rescore must recover most of the true
+    top-10 (recall@10 asserted; the shortlist is 5x k)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["id"] for r in similarity.cosine_topk(
+        emb, "vec_id", "embedding", qvec, k=10, exclude_ids=[0]).collect()}
+    approx = {r["id"] for r in similarity.topk_pq(
+        emb, "vec_id", "embedding", qvec, k=10, exclude_ids=[0]).collect()}
+    assert len(exact & approx) >= 7, (sorted(exact), sorted(approx))
+
+
+def test_topk_pq_integer_assignment_matches_numpy(spark):
+    """The BIGINT subspace assignment + ADC must equal a numpy replica
+    exactly (integer arithmetic — no fp divergence allowed)."""
+    import random as _r
+
+    rng = _r.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    out = similarity.topk_pq(
+        df, "vec_id", "embedding", q, k=5, m=4, kcode=8, rescore=12,
+        scale=32, exclude_ids=[0],
+    ).collect()
+
+    import math as _m
+    V = {i: v for i, v in rows}
+    books = similarity.pq_codebooks(df, "vec_id", "embedding", 16, m=4, kcode=8, scale=32)
+    qint = [int(_m.floor(x * 32)) for x in q]
+    def adc(v):
+        tot = 0
+        for j in range(4):
+            xs = [int(_m.floor(x * 32)) for x in v[j*4:(j+1)*4]]
+            best = min(range(8), key=lambda c: (sum((xs[t]-books[j][c][t])**2 for t in range(4)), c))
+            tot += sum(qint[j*4+t] * books[j][best][t] for t in range(4))
+        return tot
+    scores = sorted(((adc(V[i]), -i) for i in V if i != 0), reverse=True)[:12]
+    short = {-s[1] for s in scores}
+    def cos(a, b):
+        num = sum(x*y for x, y in zip(a, b))
+        return num / (_m.sqrt(sum(x*x for x in a)) * _m.sqrt(sum(x*x for x in b)))
+    want = sorted(((cos(V[i], q), -i) for i in short), reverse=True)[:5]
+    assert [(r["id"]) for r in out] == [-w[1] for w in want]
