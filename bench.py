@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_recall",
     "ann_topk_pq",
+    "semantic_dedup",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

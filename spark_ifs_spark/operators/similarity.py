@@ -1098,3 +1098,63 @@ def topk_pq(
         (_dot(F.col("v"), qarr) / (_norm(F.col("v")) * F.lit(qn))).alias("cos"),
     )
     return rescored.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.4,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup survivors: ``(id, cell)`` — the
+    documents kept after dropping near-identical-in-embedding-space
+    neighbors WITHIN each centroid cell (Abbas et al. 2023 recipe:
+    cluster, then dedup inside clusters only, so the pair computation
+    is corpus/num_centroids²-sized per cell instead of corpus²).
+
+    Drop rule (deterministic, SQL-expressible): drop ``d`` iff some
+    ``d'`` with a smaller id shares its cell and ``cos(d, d') ≥
+    threshold`` — the keep-lowest-id convention every dedup operator
+    here uses. Pessimistic relative to the sequential greedy (a dropped
+    doc can still shadow a later one), which only ever drops MORE
+    near-duplicates, never fewer — the safe direction for training-data
+    hygiene.
+
+    Plan: cell assignment is a map-side expression over centroid
+    literals (:func:`ivf_cell_expr` — no shuffle, no fitting); within
+    each cell one ``applyInPandas`` GEMM emits ≥-threshold pairs (the
+    per-bucket kernel of :func:`cosine_lsh_pairs`); survivors are a
+    left-anti join against the dropped-id set. Shuffle volume is one
+    (id, cell, vector) row per document — never pairs.
+    """
+    cells, cents = ivf_cells(df, id_col, vec_col, num_centroids)
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+    src = df.select(
+        F.col(id_col).alias("id"),
+        ivf_cell_expr(cents, vec_col).alias("cell"),
+        as_double_array(vec_col).alias("v"),
+    )
+
+    def _cell_drops(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": pd.Series(dtype="int64")})
+        k = len(pdf)
+        if k < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = U @ U.T
+        iu, ju = np.triu_indices(k, 1)
+        dropped = np.unique(ju[C[iu, ju] >= thr])
+        if dropped.size == 0:
+            return empty
+        return pd.DataFrame({"id": ids[dropped]})
+
+    drops = src.groupBy("cell").applyInPandas(_cell_drops, "id long")
+    return cells.join(drops, "id", "left_anti").select("id", "cell")

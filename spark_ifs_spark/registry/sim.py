@@ -684,3 +684,68 @@ scored AS (
 )
 SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
 """
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style survivors: centroid-cell assignment (seeded IVF
+    cells — map-side expression), within-cell embedding-cosine pair
+    detection (per-cell GEMM), keep-lowest-id drop rule. The oracle
+    replicates cells, in-cell pairs, and the anti-join exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(
+        emb,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_DEDUP_THRESHOLD,
+        num_centroids=IVF_CENTROIDS,
+    )
+    return out.select("id", "cell")
+
+
+def sql_semantic_dedup() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+),
+nrms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+pairs AS (
+  SELECT aa.id AS id_a, bb.id AS id_b,
+         sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm) AS cos
+  FROM assign aa
+  JOIN assign bb ON aa.cell = bb.cell AND aa.id < bb.id
+  JOIN embeddings ea ON ea.vec_id = aa.id
+  JOIN embeddings eb ON eb.vec_id = bb.id
+  JOIN nrms na ON na.vec_id = aa.id
+  JOIN nrms nb ON nb.vec_id = bb.id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+dropped AS (
+  SELECT DISTINCT id_b AS id FROM pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
+)
+SELECT a.id, a.cell FROM assign a
+WHERE a.id NOT IN (SELECT id FROM dropped)
+"""

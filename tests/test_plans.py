@@ -542,3 +542,17 @@ def test_bpe_encode_merge_fold_evaluates_per_distinct_word(spark, sf_dir):
     assert max(fold_nodes) < min(join_nodes), plan
     # and the build side is materialized by an exchange
     assert "Exchange" in plan, plan
+
+
+def test_semantic_dedup_no_pairwise_shuffle(spark, sf_dir):
+    """Cell-gated semantic dedup must shuffle per-document rows, never
+    pairs: no CartesianProduct/BroadcastNestedLoopJoin, the in-cell
+    pair work happens inside one FlatMapGroupsInPandas (Arrow GEMM)."""
+    from spark_ifs_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = semantic_dedup(emb, "vec_id", "embedding", 64, threshold=0.4)
+    plan = explain_str(df, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
