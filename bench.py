@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh_recall",
     "ann_topk_pq",
     "semantic_dedup",
+    "events_user_stats_tws",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

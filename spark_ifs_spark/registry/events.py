@@ -1268,3 +1268,76 @@ GROUP BY event_type
 """
 
 
+
+
+def q_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user running-stats fold driven through Spark 4's
+    ``transformWithStateInPandas`` (typed state cells + the protobuf
+    state-server channel — vendored shim where the real package is
+    absent, see ``streaming.stateful.ensure_protobuf``). Requires the
+    RocksDB state store (TWS state cells are column families); the
+    session conf is set for the duration of the stream and restored.
+    Same oracle as ``events_user_stats`` — both stateful APIs must
+    equal the batch GROUP BY."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_ifs_spark.streaming.stateful import running_user_stats_tws
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "value")
+    name = f"user_stats_tws_{uuid.uuid4().hex[:8]}"
+    mtime = os.path.getmtime(_t(sf_dir, "events"))
+    key = (sf_dir, mtime)
+    src = _USER_STATS_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        for old_key in [k for k in _USER_STATS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_USER_STATS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_stateful_"), "src")
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        _USER_STATS_STAGED[key] = src
+    d = tempfile.mkdtemp(prefix="sis_tws_ckpt_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("events_user_stats_tws stream did not finish in 600s")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+        shutil.rmtree(d, ignore_errors=True)
+    updates = spark.table(name)
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("sum_value", "n_events"), 6).alias("sum_value"),
+    )
+
+
+def sql_events_user_stats_tws() -> str:
+    return sql_events_user_stats()
