@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "ann_topk_pq",
     "semantic_dedup",
     "events_user_stats_tws",
+    "ann_topk_ivfpq",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

@@ -1031,6 +1031,7 @@ def topk_pq(
     rescore: int = 50,
     scale: int = 64,
     exclude_ids: Sequence[int] = (),
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """``(id, cos)`` — top-``k`` by exact cosine over a PQ-ADC
     shortlist: the third leg of the quantized-ANN stack (IVF gates
@@ -1053,7 +1054,8 @@ def topk_pq(
     """
     dim = len(query)
     sub = dim // m
-    books = pq_codebooks(df, id_col, vec_col, dim, m, kcode, scale)
+    if books is None:
+        books = pq_codebooks(df, id_col, vec_col, dim, m, kcode, scale)
     # per-subspace query LUT: integer dot of quantized query subvector
     # with each codeword (driver-side, m×kcode ints)
     qint = [int(math.floor(float(x) * scale)) for x in query]
@@ -1170,3 +1172,53 @@ def semantic_dedup(
 
     drops = src.groupBy("cell").applyInPandas(_cell_drops, "id long")
     return cells.join(drops, "id", "left_anti").select("id", "cell")
+
+
+def topk_ivfpq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    num_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    kcode: int = 16,
+    rescore: int = 50,
+    scale: int = 64,
+    exclude_ids: Sequence[int] = (),
+) -> DataFrame:
+    """IVF-PQ: the production 100 TB ANN composition end-to-end — the
+    IVF cell gate prunes the scan to ``n_probe`` cells (partition
+    pruning over a ``write_ivf_corpus`` layout), PQ-ADC scores only the
+    gated rows from ``m`` one-byte codes, and the ``rescore`` shortlist
+    is re-ranked at full precision. Codebooks come from the FULL corpus
+    (smallest-id donors), not the gated subset, so codes are
+    query-independent — the property that lets a real system precompute
+    the code table once. Same output schema as :func:`cosine_topk`;
+    the oracle replicates gate + assignment + ADC + shortlist exactly.
+    """
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+
+    def _cos(cvec: Sequence[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in cvec))
+        return sum(a * b for a, b in zip(cvec, query)) / (cn * qn)
+
+    probe = sorted(cents, key=lambda c: (-_cos(c[1]), c[0]))[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    books = pq_codebooks(df, id_col, vec_col, len(query), m, kcode, scale)
+    gated = df.filter(ivf_cell_expr(cents, vec_col).isin(*probe_ids))
+    return topk_pq(
+        gated,
+        id_col,
+        vec_col,
+        query,
+        k=k,
+        m=m,
+        kcode=kcode,
+        rescore=rescore,
+        scale=scale,
+        exclude_ids=exclude_ids,
+        books=books,
+    )

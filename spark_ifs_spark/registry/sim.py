@@ -749,3 +749,111 @@ dropped AS (
 SELECT a.id, a.cell FROM assign a
 WHERE a.id NOT IN (SELECT id FROM dropped)
 """
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed end-to-end: probe the IVF_PROBE nearest seed
+    cells, PQ-ADC the gated rows (full-corpus codebooks), exact-cosine
+    rescore of the shortlist. The oracle replicates cell gate,
+    integer assignment, ADC, and shortlist bit-for-bit."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    out = similarity.topk_ivfpq(
+        emb,
+        "vec_id",
+        "embedding",
+        [float(x) for x in qvec],
+        k=ANN_K,
+        num_centroids=IVF_CENTROIDS,
+        n_probe=IVF_PROBE,
+        m=PQ_M,
+        kcode=PQ_KCODE,
+        rescore=PQ_RESCORE,
+        scale=PQ_SCALE,
+        exclude_ids=[0],
+    )
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def sql_ann_topk_ivfpq() -> str:
+    sub = EMB_DIMS // PQ_M
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+cellcos AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cellcos
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM cellcos WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+donors AS (
+  SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM embeddings ORDER BY vec_id LIMIT {PQ_KCODE}
+),
+cw AS (
+  SELECT CAST(t.i // {sub} AS INT) AS j, d.cid, CAST(t.i % {sub} AS INT) AS t,
+         CAST(floor(CAST(d.embedding[t.i + 1] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS w
+  FROM donors d CROSS JOIN range({EMB_DIMS}) t(i)
+),
+vc AS (
+  SELECT e.vec_id, CAST(t.i // {sub} AS INT) AS j, CAST(t.i % {sub} AS INT) AS t,
+         CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS x
+  FROM embeddings e
+  JOIN assign a ON a.id = e.vec_id AND a.cell IN (SELECT cid FROM qprobe)
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  WHERE e.vec_id <> 0
+),
+dist AS (
+  SELECT vc.vec_id, vc.j, cw.cid, sum((vc.x - cw.w) * (vc.x - cw.w)) AS d
+  FROM vc JOIN cw ON cw.j = vc.j AND cw.t = vc.t
+  GROUP BY 1, 2, 3
+),
+pqassign AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+    FROM dist) s WHERE rn = 1
+),
+qint AS (
+  SELECT CAST(t.i // {sub} AS INT) AS j, CAST(t.i % {sub} AS INT) AS t,
+         CAST(floor(CAST(q.qe[t.i + 1] AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS qx
+  FROM q CROSS JOIN range({EMB_DIMS}) t(i)
+),
+lut AS (
+  SELECT cw.j, cw.cid, CAST(sum(qint.qx * cw.w) AS BIGINT) AS dp
+  FROM cw JOIN qint ON qint.j = cw.j AND qint.t = cw.t
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT a.vec_id AS id, CAST(sum(l.dp) AS BIGINT) AS adc
+  FROM pqassign a JOIN lut l ON l.j = a.j AND l.cid = a.cid
+  GROUP BY 1
+),
+short AS (SELECT id FROM adc ORDER BY adc DESC, id ASC LIMIT {PQ_RESCORE}),
+scored AS (
+  SELECT e.vec_id AS id,
+         sum(CAST(e.embedding[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)) /
+         (sqrt(sum(CAST(e.embedding[t.i + 1] AS DOUBLE) * CAST(e.embedding[t.i + 1] AS DOUBLE))) *
+          sqrt(sum(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)))) AS cos
+  FROM embeddings e
+  JOIN short s ON s.id = e.vec_id
+  CROSS JOIN q CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+)
+SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
