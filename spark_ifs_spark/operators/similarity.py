@@ -318,64 +318,6 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
-def hyperplane_lsh_tables(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    dim: int,
-    num_planes: int = 6,
-    num_tables: int = 32,
-    seed: int = 2024,
-) -> DataFrame:
-    """``(id, tbl, bucket)`` — L independent sign-of-projection LSH
-    tables (OR-amplification of :func:`hyperplane_lsh_buckets`).
-
-    One seeded RNG draws ``num_tables * num_planes`` hyperplanes; table
-    ``t`` owns planes ``[t*P, (t+1)*P)`` with bit ``j = p % P`` — the
-    same layout the DuckDB oracle replicates from the identical seed.
-    A pair with cosine θ collides in ≥1 table with probability
-    ``1 − (1 − (1 − θ/π)^P)^L``.
-
-    Signatures are computed in ONE Arrow-batched ``mapInPandas`` pass —
-    a (batch × dim) · (dim × L·P) BLAS GEMM plus a bit-pack, emitted
-    pre-exploded to one row per (id, table). No shuffle, no join, no
-    per-element interpreted HOF in the hot path: at 100 TB this is a
-    map-only stage whose output is L small columns per row.
-    """
-    rng = random.Random(seed)
-    planes = [
-        [rng.gauss(0, 1) for _ in range(dim)]
-        for _ in range(num_planes * num_tables)
-    ]
-
-    def _sig(batches):
-        import numpy as np
-        import pandas as pd
-
-        P = np.array(planes, dtype=np.float64)  # (L*p, dim)
-        w = 1 << np.arange(num_planes, dtype=np.int64)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["id_v"]])
-            S = (V @ P.T) >= 0  # (n, L*p)
-            codes = S.reshape(len(pdf), num_tables, num_planes) @ w  # (n, L)
-            yield pd.DataFrame(
-                {
-                    "id": np.repeat(pdf["id"].to_numpy(), num_tables),
-                    "tbl": np.tile(
-                        np.arange(num_tables, dtype=np.int32), len(pdf)
-                    ),
-                    "bucket": codes.reshape(-1),
-                }
-            )
-
-    src = df.select(
-        F.col(id_col).alias("id"), as_double_array(vec_col).alias("id_v")
-    )
-    return src.mapInPandas(_sig, "id long, tbl int, bucket long")
-
-
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
