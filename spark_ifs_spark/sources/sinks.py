@@ -265,3 +265,76 @@ def bm25_over_index(
         .select("id", "dl", "term", "tf")
     )
     return bm25_score_postings(postings, n_docs, avgdl, k=k, k1=k1, b=b)
+
+
+def zorder_expr(cols: list, bits: int = 16) -> "Column":
+    """Morton (Z-order) key: bit-interleave up to 4 rank-scaled columns.
+
+    Callers rank-scale each column into ``[0, 2^bits)`` first (e.g. with
+    ``F.percent_rank`` or a min/max affine map — see
+    :func:`write_zordered`); this expression then interleaves the bits
+    JVM-side (shift/mask, whole-stage codegen) so the sort key is ONE
+    bigint. Interleaving means a range of z-values is a hyper-rectangle
+    stack in every dimension — files sorted by z carry tight min/max on
+    ALL the interleaved columns at once, which is what multi-column
+    data skipping needs (a plain sort gives skipping on the leading
+    column only)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zorder_expr interleaves 1-4 columns")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, b * n + j)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over ``cols``:
+    min/max-affine-scale each column to ``[0, 2^bits)``, compute the
+    Morton key, range-partition + sort by it, write ``num_files``
+    files. Point/range predicates on ANY of ``cols`` then skip most
+    files via parquet row-group/file min-max stats — the multi-column
+    generalization of sort-by-one-column layout, and the same layout
+    trick Delta/Iceberg OPTIMIZE ZORDER applies. One pass + one range
+    shuffle; stats are the bounded per-column (min, max) driver list."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        if mx == mn:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            scaled.append(
+                F.least(
+                    F.lit(top).cast("long"),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(mn))
+                        * F.lit(float(top + 1))
+                        / F.lit(mx - mn)
+                    ).cast("long"),
+                )
+            )
+    (
+        df.withColumn("_z", zorder_expr(scaled, bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

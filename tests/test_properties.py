@@ -221,3 +221,41 @@ def test_temperature_mix_matches_bruteforce(spark, sizes, seed):
             if b * b * n < nmin * SPLIT_BUCKETS * SPLIT_BUCKETS:
                 want.add(rid)
     assert got == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**16),
+    threshold=st.sampled_from([0.2, 0.5, 0.8]),
+    num_planes=st.integers(min_value=2, max_value=6),
+    num_tables=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=6, deadline=None)
+def test_cosine_lsh_pairs_subset_of_exact(spark, seed, threshold, num_planes, num_tables):
+    """Property: whatever the LSH parameters, cosine_lsh_pairs must be a
+    SUBSET of the exact threshold pairs (precision 1 — verification is
+    exact), every emitted cosine must be >= threshold and correct, and
+    no pair may be emitted twice (multi-table collisions collapse)."""
+    import random as _r
+
+    import numpy as np
+
+    from spark_ifs_spark.operators import similarity
+
+    rng = _r.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_lsh_pairs(
+        df, "vec_id", "embedding", 8, threshold=threshold,
+        num_planes=num_planes, num_tables=num_tables, seed=seed,
+    ).collect()
+    V = {i: np.array(v) for i, v in rows}
+    seen = set()
+    for r in out:
+        key = (r["id_a"], r["id_b"])
+        assert key not in seen, f"duplicate pair {key}"
+        seen.add(key)
+        assert r["id_a"] < r["id_b"]
+        a, b = V[r["id_a"]], V[r["id_b"]]
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cos"] - expect) < 1e-9
+        assert r["cos"] >= threshold - 1e-12

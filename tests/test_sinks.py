@@ -123,3 +123,44 @@ def test_inverted_index_bm25_matches_scan_path_and_prunes(spark, sf_dir, tmp_pat
 
     plan = explain_str(indexed_df, "formatted")
     assert "PartitionFilters" in plan and "tb" in plan, plan
+
+
+def test_zorder_layout_skips_files_on_both_columns(spark, tmp_path):
+    """Z-order over (a, b): a point-range predicate on EITHER column
+    must skip most files via parquet min/max stats — the multi-column
+    data-skipping property a single-column sort cannot give. Asserted
+    by counting files whose (min, max) range intersects the predicate,
+    for both columns, against a files-touched budget."""
+    import glob
+
+    from spark_ifs_spark.sources.sinks import write_zordered
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 253).cast("double").alias("a"),
+        ((F.col("id") * 7919) % 241).cast("double").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    path = str(tmp_path / "zorder")
+    write_zordered(df, path, ["a", "b"], bits=8, num_files=16)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 8
+
+    import pyarrow.parquet as pq
+
+    def touched(col, lo, hi):
+        cnt = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            fmax = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                cnt += 1
+        return cnt
+
+    # a narrow range on each column must touch well under half the files
+    assert touched("a", 10.0, 20.0) <= len(files) // 2
+    assert touched("b", 10.0, 20.0) <= len(files) // 2
+    # and the data survives intact
+    assert spark.read.parquet(path).count() == n
