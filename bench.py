@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "events_user_stats_tws",
     "ann_topk_ivfpq",
+    "cluster_aware_split",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

@@ -1579,3 +1579,60 @@ GROUP BY 1, 2
 """
 
 
+
+
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: the split hash is keyed
+    on each document's CLUSTER label (the minhash connected-component
+    min-id; singletons are their own cluster), so a near-duplicate
+    group can never straddle splits — the train/test-contamination
+    failure mode a per-document split has. Returns per-split document
+    counts and ``n_straddled`` — cross-split clusters, 0 by
+    construction, computed (not assumed) so the oracle verifies the
+    guarantee rather than the implementation."""
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    clusters = q_dup_clusters(spark, sf_dir)  # (doc_id, cluster)
+    labeled = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster"),
+    )
+    assigned = split_assign(labeled, "cluster", SPLIT_WEIGHTS, seed=SPLIT_SEED)
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    straddled = (
+        assigned.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_straddled"))
+    )
+    return per_split.crossJoin(straddled).select(
+        "split", "n_docs", "n_straddled"
+    )
+
+
+def sql_cluster_aware_split() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("l.cluster", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+WITH clusters AS (SELECT * FROM ({sql_dup_clusters()}) t),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+assigned AS (
+  SELECT l.doc_id, l.cluster, {case} AS split FROM labeled l
+),
+per_split AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM assigned GROUP BY split
+),
+straddled AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_straddled FROM (
+    SELECT cluster FROM assigned GROUP BY cluster HAVING count(DISTINCT split) > 1
+  ) s
+)
+SELECT p.split, p.n_docs, st.n_straddled FROM per_split p CROSS JOIN straddled st
+"""
