@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "events_user_stats_tws",
     "ann_topk_ivfpq",
     "cluster_aware_split",
+    "doc_chunks_udtf",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

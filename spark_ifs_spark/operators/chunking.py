@@ -116,3 +116,58 @@ def pack_chunks(
     return chunks.withColumn(
         "bin_id", F.floor(cum_before / F.lit(target_tokens)).cast("long")
     )
+
+
+def chunk_documents_udtf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """:func:`chunk_documents` re-expressed as a Spark 4 **Python UDTF**
+    with a LATERAL join — the table-function surface (one input row →
+    many output rows with per-row Python control flow) that the array-
+    expression form can't offer to SQL users. Identical semantics and
+    oracle; the DataFrame form remains the hot path (JVM expressions
+    beat a Python generator), this is the API-parity variant — pick it
+    when the chunker needs real Python (a tokenizer library, sentence
+    splitting) rather than whitespace windows.
+
+    Scale shape: the UDTF runs row-at-a-time in a Python worker but
+    fully parallel per partition, no shuffle; output cardinality is the
+    chunk relation either way.
+    """
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_tokens - overlap
+    if chunk_tokens <= 0 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens > 0 and 0 <= overlap < chunk_tokens")
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
+    class _Chunk:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = [w for w in text.split(" ") if w != ""] or []
+            if not words:
+                return
+            # same window rule as chunk_documents/the oracle: starts
+            # 0, stride, 2*stride, ... while the start is in range
+            i = idx = 0
+            while i < len(words):
+                piece = words[i : i + chunk_tokens]
+                yield idx, len(piece), " ".join(piece)
+                i += stride
+                idx += 1
+
+    spark = df.sparkSession
+    name = f"sis_chunk_udtf_{chunk_tokens}_{overlap}"
+    spark.udtf.register(name, _Chunk)
+    df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).createOrReplaceTempView(
+        f"{name}_src"
+    )
+    return spark.sql(
+        f"SELECT s.id, c.chunk_idx, c.n_tokens, c.chunk "
+        f"FROM {name}_src s, LATERAL {name}(s.text) c"
+    )

@@ -1636,3 +1636,19 @@ straddled AS (
 )
 SELECT p.split, p.n_docs, st.n_straddled FROM per_split p CROSS JOIN straddled st
 """
+
+
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunker through Spark 4's Python UDTF + LATERAL join surface
+    — identical semantics to ``doc_chunks`` (same oracle), proving the
+    table-function API leg a SQL user would reach for when the chunker
+    needs real Python."""
+    from spark_ifs_spark.operators.chunking import chunk_documents_udtf
+
+    docs = _read(spark, sf_dir, "documents")
+    out = chunk_documents_udtf(docs, "doc_id", "text", CHUNK_TOKENS, CHUNK_OVERLAP)
+    return out.select("id", "chunk_idx", "n_tokens", F.md5("chunk").alias("chunk_md5"))
+
+
+def sql_doc_chunks_udtf() -> str:
+    return sql_doc_chunks()
