@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "ann_topk_ivfpq",
     "cluster_aware_split",
     "doc_chunks_udtf",
+    "ann_pq_recall_audit",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

@@ -857,3 +857,36 @@ scored AS (
 )
 SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
 """
+
+
+def q_ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ-ADC path against the brute-force exact top-k
+    — the same first-class audit ``ann_recall_audit`` runs for IVF, so
+    quantization loss is measured, not assumed, when m/kcode/rescore
+    change."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    q = [float(x) for x in qvec]
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", q, k=ANN_K, exclude_ids=[0])
+    approx = similarity.topk_pq(
+        emb, "vec_id", "embedding", q,
+        k=ANN_K, m=PQ_M, kcode=PQ_KCODE, rescore=PQ_RESCORE, scale=PQ_SCALE,
+        exclude_ids=[0],
+    )
+    return (
+        exact.select("id")
+        .join(approx.select("id"), "id", "inner")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / F.lit(ANN_K), 6).alias("recall"),
+        )
+    )
+
+
+def sql_ann_pq_recall_audit() -> str:
+    return f"""
+SELECT count(*) AS n_overlap,
+       round(count(*) * 1.0 / {ANN_K}, 6) AS recall
+FROM ({sql_ann_topk()}) e
+JOIN ({sql_ann_topk_pq()}) a USING (id)
+"""
