@@ -365,3 +365,33 @@ def test_weighted_sample_deterministic_and_order_invariant(spark):
     shuffled = df.orderBy(F.rand(1)).repartition(7)
     b = sorted(r["id"] for r in weighted_sample_n(shuffled, "id", "w", 10, seed=5).collect())
     assert a == b
+
+
+def test_cluster_aware_split_pure_python_replica(spark):
+    """Third-implementation hand-pin: replicate the cluster-keyed split
+    in PURE PYTHON (md5 bucket + cumulative cuts) on a fixture with a
+    known near-dup cluster, and assert no cluster straddles splits."""
+    from spark_ifs_spark.functions.hashing import md5_int60_py
+    from spark_ifs_spark.operators.sampling import split_assign, split_thresholds
+
+    # 3 docs in one cluster (same cluster label = min id), 3 singletons
+    labeled = [(10, 10), (11, 10), (12, 10), (20, 20), (21, 21), (22, 22)]
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+    df = spark.createDataFrame(labeled, ["doc_id", "cluster"])
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df, "cluster", weights, seed=7).collect()
+    }
+    cuts = split_thresholds(weights)
+
+    def py_split(cluster):
+        b = md5_int60_py(f"7:{cluster}") % 10_000
+        for name, ub in cuts:
+            if b < ub:
+                return name
+        raise AssertionError("bucket out of range")
+
+    want = {d: py_split(c) for d, c in labeled}
+    assert got == want
+    # the whole cluster rides one split
+    assert len({got[10], got[11], got[12]}) == 1

@@ -379,3 +379,45 @@ def test_topk_pq_integer_assignment_matches_numpy(spark):
         return num / (_m.sqrt(sum(x*x for x in a)) * _m.sqrt(sum(x*x for x in b)))
     want = sorted(((cos(V[i], q), -i) for i in short), reverse=True)[:5]
     assert [(r["id"]) for r in out] == [-w[1] for w in want]
+
+
+def test_semantic_dedup_matches_numpy_replica(spark):
+    """Hand-verifiable fixture + full numpy replica of cells, in-cell
+    pairs, and the keep-lowest-id drop rule."""
+    import random as _r
+
+    rng = _r.Random(21)
+    base = [rng.gauss(0, 1) for _ in range(8)]
+    rows = [
+        (0, base),
+        (1, [x + 0.01 for x in base]),              # near-dup of 0 -> dropped
+        (2, [x * -1.0 for x in base]),              # opposite: kept
+        (3, [rng.gauss(0, 1) for _ in range(8)]),
+        (4, [x + 0.02 for x in base]),              # near-dup of 0/1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedup(
+        df, "vec_id", "embedding", 8, threshold=0.95, num_centroids=2
+    ).collect()
+    # numpy replica
+    V = {i: np.array(v) for i, v in rows}
+    cents = [(0, V[0]), (1, V[1])]  # two smallest ids
+    def cell_of(v):
+        best = max(
+            ((float(v @ c / np.linalg.norm(c)), -cid) for cid, c in cents)
+        )
+        return -best[1]
+    cells = {i: cell_of(V[i]) for i in V}
+    dropped = set()
+    for a in sorted(V):
+        for b in sorted(V):
+            if a < b and cells[a] == cells[b]:
+                ca = V[a] / np.linalg.norm(V[a]); cb = V[b] / np.linalg.norm(V[b])
+                if float(ca @ cb) >= 0.95:
+                    dropped.add(b)
+    want = {(i, cells[i]) for i in V if i not in dropped}
+    assert {(r["id"], r["cell"]) for r in out} == want
+    # docs 0 and 1 are the two centroid donors, so they sit in separate
+    # cells and survive (per-cell blindness is the SemDeDup trade-off);
+    # doc 4 shares a cell with one of them and must be dropped
+    assert 4 in dropped and 0 not in dropped and 1 not in dropped
