@@ -107,6 +107,9 @@ def main() -> None:
         "dup_clusters",
         "pipeline_end_to_end",
         "dedup_embedding_lsh",
+        "semantic_dedup",
+        "ann_topk_ivfpq",
+        "cluster_aware_split",
         "mrmr_select_k5",
         "row_select_k5",
     ]
@@ -120,9 +123,7 @@ def main() -> None:
             # embedding LSH at this corpus's weak-similarity regime
             # verifies ~47% of all pairs (documented); at 100x that is
             # O(2e10) dot products — out of scope for a timing table
-            run_names = [n for n in names if n != "dedup_embedding_lsh"]
-            print(f"| {factor}x | — | (dedup_embedding_lsh skipped: "
-                  f"weak-pruning regime, cost is quadratic-by-design) | | | |")
+            run_names = names
         for name in run_names:
             before, _ = shuffle_totals(spark)
             t0 = time.time()
