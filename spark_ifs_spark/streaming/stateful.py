@@ -67,21 +67,17 @@ def ensure_protobuf(spark=None) -> bool:
         except ImportError:
             return False
     if spark is not None and _PROTOSHIM_DIR in sys.path:
-        import tempfile
-        import zipfile
-
-        zpath = os.path.join(tempfile.gettempdir(), "spark_ifs_protoshim.zip")
-        if not os.path.exists(zpath):
-            with zipfile.ZipFile(zpath, "w") as z:
-                for root, _dirs, files in os.walk(_PROTOSHIM_DIR):
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            z.write(full, os.path.relpath(full, _PROTOSHIM_DIR))
-        try:
-            spark.sparkContext.addPyFile(zpath)
-        except Exception:
-            pass  # already added in this context — PYTHONPATH still covers
+        # Already-running JVM: python workers take PYTHONPATH from
+        # sc.environment at python-function WRAP time, so injecting here
+        # (before the TWS plan is constructed) reaches even the TWS
+        # driver worker — which addPyFile does NOT (it crashed there:
+        # that worker skips the SparkFiles sys.path preamble).
+        env = spark.sparkContext.environment
+        parts = env.get("PYTHONPATH", "").split(os.pathsep)
+        if _PROTOSHIM_DIR not in parts:
+            env["PYTHONPATH"] = os.pathsep.join(
+                [_PROTOSHIM_DIR] + [p for p in parts if p]
+            )
     return True
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
