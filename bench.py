@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "cluster_aware_split",
     "doc_chunks_udtf",
     "ann_pq_recall_audit",
+    "hard_negatives",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

@@ -1164,3 +1164,81 @@ def topk_ivfpq(
         exclude_ids=exclude_ids,
         books=books,
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    dup_ceiling: float = 0.95,
+    num_centroids: int = 16,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data:
+    ``(id, neg_id, cos, rank)`` — per anchor, the ``k`` highest-cosine
+    neighbors in its IVF cell whose cosine is BELOW ``dup_ceiling``
+    (near-duplicates are positives/leakage, not negatives; the hardest
+    *negative* is the most similar non-duplicate).
+
+    Cell-gated by design (the SemDeDup/IVF posture): candidates come
+    only from the anchor's own centroid cell, so the compute is
+    per-cell GEMM — corpus²/num_centroids — and the shuffle is one
+    (id, cell, vector) row per document. Ranking is on
+    ``round(cos, 6)`` with neg-id-asc ties, so both engines order
+    identically even at float ulp distance.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    src = df.select(
+        F.col(id_col).alias("id"),
+        ivf_cell_expr(cents, vec_col).alias("cell"),
+        as_double_array(vec_col).alias("v"),
+    )
+    ceil_ = float(dup_ceiling)
+    kk = int(k)
+
+    def _cell_negs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "neg_id": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+                "rank": pd.Series(dtype="int32"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        C = np.round(U @ U.T, 6)
+        out_id, out_neg, out_cos, out_rank = [], [], [], []
+        for i in range(n):
+            mask = (C[i] < ceil_) & (np.arange(n) != i)
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            # sort by (-cos, neg_id); ids are ascending so stable sort
+            # on -cos alone gives the id tie-break for free
+            top = cand[np.argsort(-C[i][cand], kind="stable")][:kk]
+            out_id.extend([ids[i]] * len(top))
+            out_neg.extend(ids[top])
+            out_cos.extend(C[i][top])
+            out_rank.extend(range(1, len(top) + 1))
+        return pd.DataFrame(
+            {
+                "id": np.array(out_id, dtype=np.int64),
+                "neg_id": np.array(out_neg, dtype=np.int64),
+                "cos": np.array(out_cos, dtype=np.float64),
+                "rank": np.array(out_rank, dtype=np.int32),
+            }
+        )
+
+    return src.groupBy("cell").applyInPandas(
+        _cell_negs, "id long, neg_id long, cos double, rank int"
+    )

@@ -318,3 +318,8 @@ PQ_M = 8
 PQ_KCODE = 16
 PQ_RESCORE = 50
 PQ_SCALE = 64
+
+
+# hard-negative mining (hard_negatives)
+HARDNEG_K = 3
+HARDNEG_DUP_CEILING = 0.95

@@ -890,3 +890,70 @@ SELECT count(*) AS n_overlap,
 FROM ({sql_ann_topk()}) e
 JOIN ({sql_ann_topk_pq()}) a USING (id)
 """
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per anchor, the HARDNEG_K
+    highest-cosine non-duplicate neighbors within its IVF cell, ranked
+    on round(cos, 6) with id ties. The oracle replicates the cell gate,
+    the dup ceiling, and the ranking exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = similarity.hard_negatives(
+        emb,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        k=HARDNEG_K,
+        dup_ceiling=HARDNEG_DUP_CEILING,
+        num_centroids=IVF_CENTROIDS,
+    )
+    return out.select("id", "neg_id", "cos", "rank")
+
+
+def sql_hard_negatives() -> str:
+    dot = (
+        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+    )
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+cellcos AS (
+  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cellcos
+  ) WHERE rn = 1
+),
+nrms AS (
+  SELECT vec_id,
+         sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+pcos AS (
+  SELECT aa.id AS id, bb.id AS neg_id,
+         round(sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm), 6) AS cos
+  FROM assign aa
+  JOIN assign bb ON aa.cell = bb.cell AND aa.id <> bb.id
+  JOIN embeddings ea ON ea.vec_id = aa.id
+  JOIN embeddings eb ON eb.vec_id = bb.id
+  JOIN nrms na ON na.vec_id = aa.id
+  JOIN nrms nb ON nb.vec_id = bb.id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+ranked AS (
+  SELECT id, neg_id, cos,
+         CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, neg_id ASC) AS INT) AS rank
+  FROM pcos WHERE cos < {HARDNEG_DUP_CEILING}
+)
+SELECT id, neg_id, cos, rank FROM ranked WHERE rank <= {HARDNEG_K}
+"""
