@@ -103,3 +103,24 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
             f"value mismatch in {name}; first differing rows:\n"
             f"spark:\n{g[diff].head(5)}\noracle:\n{w[diff].head(5)}"
         )
+
+
+def test_driver_window_frozen():
+    """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
+    Round 5 rotated the never-gated queries into that window; any
+    accidental reorder (new entries must APPEND) fails here before it
+    silently changes what the driver verifies."""
+    from spark_ifs_spark.registry import ORACLES, QUERIES
+    from spark_ifs_spark.registry._order import ORDER
+
+    assert list(QUERIES) == ORDER
+    assert list(ORACLES) == ORDER
+    assert list(QUERIES)[:5] == [
+        "session_journeys", "supplier_zscore", "monthly_growth",
+        "events_daily_anomaly", "customer_rfm",
+    ]
+    assert list(QUERIES)[40:50] == [
+        "mi_pair_lineitem", "mi_relevance", "mi_matrix", "mrmr_top1",
+        "mrmr_select_k5", "mrmr_miq_k5", "row_select_k5", "dedup_exact",
+        "dedup_ngram_jaccard", "dedup_minhash",
+    ]
