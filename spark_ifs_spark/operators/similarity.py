@@ -1085,16 +1085,20 @@ def semantic_dedup(
     left-anti join against the dropped-id set. Shuffle volume is one
     (id, cell, vector) row per document — never pairs.
     """
-    cells, cents = ivf_cells(df, id_col, vec_col, num_centroids)
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
+    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    # one assignment evaluation: survivors join back to THIS relation
+    # (ivf_cells would re-evaluate the 16-centroid argmax in a second
+    # scan for no reason)
     src = df.select(
         F.col(id_col).alias("id"),
         ivf_cell_expr(cents, vec_col).alias("cell"),
         as_double_array(vec_col).alias("v"),
     )
+    cells = src.select("id", "cell")
 
     def _cell_drops(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id": pd.Series(dtype="int64")})
