@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "doc_chunks_udtf",
     "ann_pq_recall_audit",
     "hard_negatives",
+    "session_concurrency",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

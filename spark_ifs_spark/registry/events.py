@@ -1341,3 +1341,83 @@ def q_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_events_user_stats_tws() -> str:
     return sql_events_user_stats()
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session concurrency: for every 30-minute-gap session,
+    how many OTHER users' sessions overlap it in time — driven through
+    the binned interval-overlap join (`asof.interval_overlap_join`, the
+    range-join pattern Spark lacks natively: explode to time-grid bins,
+    equi-join on bin, later-start-bin attribution instead of a dedup,
+    exact predicate last). Bin width 1 h ≈ the session scale. Output is
+    one row per session with ≥1 overlap."""
+    from pyspark.sql import Window as W
+
+    from spark_ifs_spark.functions.timeutil import epoch_us
+    from spark_ifs_spark.operators.asof import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events")
+    # TIMESTAMP_NTZ-portable epoch first, then plain integer arithmetic
+    ev = ev.select("user_id", epoch_us(ev, "ts").alias("t_us"))
+    win = W.partitionBy("user_id").orderBy("t_us")
+    o = ev.select(
+        "user_id",
+        "t_us",
+        F.when(
+            F.lag("t_us").over(win).isNull()
+            | (F.col("t_us") - F.lag("t_us").over(win) > 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = o.withColumn(
+        "sid",
+        F.sum("brk").over(win.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    sessions = s.groupBy("user_id", "sid").agg(
+        F.min("t_us").alias("start_us"),
+        F.max("t_us").alias("end_us"),
+    )
+    left = sessions.select(
+        F.col("user_id").alias("u_a"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+    )
+    right = sessions.select(
+        F.col("user_id").alias("u_b"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        left, right, "a_start", "a_end", "b_start", "b_end",
+        bin_width=3_600_000_000,
+        extra_condition=F.col("u_a") != F.col("u_b"),
+    )
+    return pairs.groupBy(
+        F.col("u_a").alias("user_id"), F.col("a_start").alias("session_start_us")
+    ).agg(F.count(F.lit(1)).alias("n_concurrent"))
+
+
+def sql_session_concurrency() -> str:
+    return """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sessions AS (
+  SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT a.user_id, a.start_us AS session_start_us,
+       CAST(count(*) AS BIGINT) AS n_concurrent
+FROM sessions a JOIN sessions b
+  ON a.user_id <> b.user_id
+ AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+GROUP BY 1, 2
+"""

@@ -58,3 +58,31 @@ def test_asof_join_single_shuffle(spark):
     right = left.select("user_id", "ts", F.col("event_id").alias("ref"))
     out = asof_join(left, right, ["user_id"], "ts", ["ref"])
     assert count_exchanges(out) == 1
+
+
+def test_interval_overlap_join_exact_and_no_dup(spark):
+    """Binned range join must equal the brute-force overlap predicate
+    exactly — each qualifying pair ONCE (later-start-bin attribution,
+    no distinct), including touch-at-boundary and spans-many-bins
+    intervals."""
+    import itertools
+
+    from spark_ifs_spark.operators.asof import interval_overlap_join
+
+    A = [(1, 0, 10), (2, 5, 6), (3, 100, 250), (4, 30, 30)]
+    B = [(11, 10, 20), (12, 7, 8), (13, 0, 1000), (14, 31, 40)]
+    a = spark.createDataFrame(A, ["aid", "a_start", "a_end"])
+    b = spark.createDataFrame(B, ["bid", "b_start", "b_end"])
+    for w in (1, 7, 64, 1000):
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join(
+                a, b, "a_start", "a_end", "b_start", "b_end", bin_width=w
+            ).collect()
+        )
+        want = sorted(
+            (aid, bid)
+            for (aid, s1, e1), (bid, s2, e2) in itertools.product(A, B)
+            if s1 <= e2 and s2 <= e1
+        )
+        assert got == want, (w, got, want)
