@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ann_pq_recall_audit",
     "hard_negatives",
     "session_concurrency",
+    "negative_samples",
     "ann_topk",
     "ann_topk_ivf",
     "ann_topk_ivf_trained",

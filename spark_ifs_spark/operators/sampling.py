@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from spark_ifs_spark.functions.hashing import md5_int60, sql_md5_int60
@@ -299,3 +299,44 @@ def temperature_mix(
         )
         .drop("_n", "_nmin")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training
+    data: ``(id, slot, neg_id)`` — each anchor gets the ``k`` ids that
+    follow it on a seeded md5 ring (all ids ranked by
+    ``md5(seed:id)``; anchor at ring position r draws positions
+    r+1 … r+k mod n). Uniform-random in aggregate, engine- and
+    cluster-size-invariant (the md5 convention every sampler here
+    uses), never self-pairing, and resampling is one seed bump.
+
+    Plan: the ring is an ID-ONLY relation — rank it once (a narrow
+    global sort over ids, bytes per row), explode k slots, and
+    self-join on the shifted ring position. Vectors/documents never
+    enter the ring; consumers join payloads back by id afterwards, so
+    at 100 TB the sort is over the id column alone.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    ring = df.select(F.col(id_col).alias("id")).select(
+        "id",
+        md5_int60(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))).alias("_h"),
+    )
+    w = Window.orderBy("_h", "id")
+    ranked = ring.select("id", (F.row_number().over(w) - 1).alias("r"))
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("need at least 2 ids to sample negatives")
+    kk = min(int(k), n - 1)
+    slots = ranked.select(
+        "id",
+        "r",
+        F.explode(F.sequence(F.lit(1), F.lit(kk))).alias("slot"),
+    ).withColumn("_nr", (F.col("r") + F.col("slot")) % F.lit(n))
+    partner = ranked.select(F.col("id").alias("neg_id"), F.col("r").alias("_nr"))
+    return slots.join(partner, "_nr").select("id", "slot", "neg_id")

@@ -1652,3 +1652,39 @@ def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_doc_chunks_udtf() -> str:
     return sql_doc_chunks()
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic negatives for contrastive pairs: each
+    embedding id draws the 3 ids that follow it on the seeded md5 ring
+    (`sampling.negative_samples`) — complements `hard_negatives`
+    (uniform vs hardest). The oracle replicates ring rank and shifted
+    join exactly."""
+    from spark_ifs_spark.operators.sampling import negative_samples
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return negative_samples(emb, "vec_id", k=3, seed=SAMPLE_SEED).select(
+        "id", "slot", "neg_id"
+    )
+
+
+def sql_negative_samples() -> str:
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    h = sql_md5_int60(f"concat('{SAMPLE_SEED}:', CAST(vec_id AS VARCHAR))")
+    return f"""
+WITH ring AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY {h}, vec_id) - 1 AS r
+  FROM embeddings
+),
+n AS (SELECT count(*) AS n FROM ring),
+slots AS (
+  SELECT ring.id, ring.r, s.j AS slot
+  FROM ring CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS j) s
+)
+SELECT a.id, CAST(a.slot AS INT) AS slot, b.id AS neg_id
+FROM slots a
+JOIN n ON TRUE
+JOIN ring b ON b.r = (a.r + a.slot) % n.n
+"""

@@ -395,3 +395,21 @@ def test_cluster_aware_split_pure_python_replica(spark):
     assert got == want
     # the whole cluster rides one split
     assert len({got[10], got[11], got[12]}) == 1
+
+
+def test_negative_samples_invariants(spark):
+    """Ring invariants: exactly k negatives per anchor, never itself,
+    no duplicate (anchor, neg) pair, and every id appears as a negative
+    exactly k times (the ring is a k-regular circulant)."""
+    from collections import Counter
+
+    from spark_ifs_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(17)], ["vec_id"])
+    rows = negative_samples(df, "vec_id", k=4, seed=9).collect()
+    per_anchor = Counter(r["id"] for r in rows)
+    assert set(per_anchor.values()) == {4}
+    assert all(r["id"] != r["neg_id"] for r in rows)
+    assert len({(r["id"], r["neg_id"]) for r in rows}) == len(rows)
+    as_neg = Counter(r["neg_id"] for r in rows)
+    assert set(as_neg.values()) == {4}
