@@ -107,20 +107,22 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 5 rotated the never-gated queries into that window; any
-    accidental reorder (new entries must APPEND) fails here before it
+    Round 6 rotated the 12 never-gated round-5 queries (plus the
+    round-6 additions) into that window; any accidental reorder (new
+    entries must APPEND once the window is final) fails here before it
     silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
     from spark_ifs_spark.registry._order import ORDER
 
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
-    assert list(QUERIES)[:5] == [
-        "session_journeys", "supplier_zscore", "monthly_growth",
-        "events_daily_anomaly", "customer_rfm",
+    assert list(QUERIES)[:12] == [
+        "dedup_embedding_lsh", "dedup_embedding_lsh_recall", "ann_topk_pq",
+        "semantic_dedup", "events_user_stats_tws", "ann_topk_ivfpq",
+        "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
+        "hard_negatives", "session_concurrency", "negative_samples",
     ]
-    assert list(QUERIES)[40:50] == [
-        "mi_pair_lineitem", "mi_relevance", "mi_matrix", "mrmr_top1",
-        "mrmr_select_k5", "mrmr_miq_k5", "row_select_k5", "dedup_exact",
-        "dedup_ngram_jaccard", "dedup_minhash",
+    assert list(QUERIES)[45:50] == [
+        "scrub_pii", "doc_chunks", "packed_bins", "decontam_ids",
+        "tfidf_top3",
     ]
