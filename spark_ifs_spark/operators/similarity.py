@@ -495,6 +495,81 @@ def ivf_cell_expr(cents: Sequence[tuple[int, Sequence[float]]], vec_col: str) ->
     return -F.array_max(scored)["ncid"]
 
 
+def scaled_num_centroids(
+    n: int, target_cell_size: int = 128, floor: int = 16
+) -> int:
+    """Corpus-scaled centroid count: ``max(floor, n // target_cell_size)``.
+
+    Production SemDeDup keeps the *cell size* (not the cell count)
+    roughly constant as the corpus grows, so in-cell pair compute stays
+    ``n × target_cell_size`` — linear — instead of ``n²/k`` with a
+    fixed ``k`` (which is quadratic in n). At gate scale (≤ 2k vectors)
+    this returns the floor, so seeded-centroid oracles are unchanged;
+    at 500k vectors it returns ~3.9k cells.
+    """
+    return max(int(floor), int(n) // int(target_cell_size))
+
+
+def ivf_assign_np(
+    df: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, cell, v)`` via a broadcast-numpy argmax assigner.
+
+    Same assignment rule as :func:`ivf_cell_expr` (argmax of
+    ``dot(v, unit_centroid)``, centroid-id-asc ties) but evaluated as
+    ONE Arrow ``mapInPandas`` GEMM against a broadcast ``k × d``
+    centroid matrix. This is the large-``k`` path: past ~64 centroids
+    the flat literal expression tree hits the janino compile wall
+    (~O(k·d) code), while the numpy kernel is O(1) plan size and
+    BLAS-speed per batch. Still a pure per-row projection — no
+    shuffle, no join; the centroid matrix ships once per executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(((int(cid), list(map(float, cv))) for cid, cv in cents))
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    M = np.array([cv for _, cv in ordered], dtype=np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    src = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("v"))
+
+    def _assign(batches):
+        for pdf in batches:
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # cids ascend, so argmax's first-max rule == smallest-cid tie-break
+            cells = cids[np.argmax(V @ M.T, axis=1)] if len(pdf) else np.array([], dtype=np.int64)
+            yield pd.DataFrame({"id": pdf["id"], "cell": cells, "v": pdf["v"]})
+
+    return src.mapInPandas(_assign, "id long, cell long, v array<double>")
+
+
+# past this many centroids the literal argmax expression tree is
+# janino-compile-bound; switch to the broadcast-numpy assigner
+_EXPR_ASSIGN_LIMIT = 64
+
+
+def tagged_cells(
+    df: DataFrame,
+    cents: Sequence[tuple[int, Sequence[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, cell, v)`` choosing the assigner by centroid count:
+    the codegen'd literal expression (oracle-exact, zero Python) up to
+    ``_EXPR_ASSIGN_LIMIT`` centroids, the broadcast-numpy kernel
+    (:func:`ivf_assign_np`) beyond it."""
+    if len(cents) <= _EXPR_ASSIGN_LIMIT:
+        return df.select(
+            F.col(id_col).alias("id"),
+            ivf_cell_expr(cents, vec_col).alias("cell"),
+            as_double_array(vec_col).alias("v"),
+        )
+    return ivf_assign_np(df, cents, id_col, vec_col)
+
+
 def ivf_cells(
     df: DataFrame,
     id_col: str,
@@ -535,10 +610,7 @@ def ivf_centroids_kmeans(
     cents = ivf_centroids(df, id_col, vec_col, num_centroids)
     dims = len(cents[0][1]) if cents else 0
     for _ in range(iters):
-        tagged = df.select(
-            ivf_cell_expr(cents, vec_col).alias("cell"),
-            as_double_array(vec_col).alias("v"),
-        )
+        tagged = tagged_cells(df, cents, id_col, vec_col).select("cell", "v")
         rows = (
             tagged.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -1062,7 +1134,9 @@ def semantic_dedup(
     vec_col: str,
     dim: int,
     threshold: float = 0.4,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
+    target_cell_size: int = 128,
+    centroids: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup survivors: ``(id, cell)`` — the
     documents kept after dropping near-identical-in-embedding-space
@@ -1078,26 +1152,38 @@ def semantic_dedup(
     near-duplicates, never fewer — the safe direction for training-data
     hygiene.
 
-    Plan: cell assignment is a map-side expression over centroid
-    literals (:func:`ivf_cell_expr` — no shuffle, no fitting); within
-    each cell one ``applyInPandas`` GEMM emits ≥-threshold pairs (the
-    per-bucket kernel of :func:`cosine_lsh_pairs`); survivors are a
-    left-anti join against the dropped-id set. Shuffle volume is one
-    (id, cell, vector) row per document — never pairs.
+    Plan: cell assignment is map-side — a codegen'd expression over
+    centroid literals (:func:`ivf_cell_expr`) up to 64 centroids, a
+    broadcast-numpy GEMM (:func:`ivf_assign_np`) beyond — no shuffle,
+    no fitting; within each cell one ``applyInPandas`` GEMM emits
+    ≥-threshold pairs (the per-bucket kernel of
+    :func:`cosine_lsh_pairs`); survivors are a left-anti join against
+    the dropped-id set. Shuffle volume is one (id, cell, vector) row
+    per document — never pairs.
+
+    ``num_centroids=None`` (the default) scales the cell count with
+    the corpus (:func:`scaled_num_centroids`): cell SIZE stays ~
+    ``target_cell_size`` as the corpus grows, so the in-cell pair
+    compute is linear in n, not quadratic. Pass ``centroids=`` (e.g.
+    from :func:`ivf_centroids_kmeans`) to dedup inside trained cells.
     """
     import numpy as np
     import pandas as pd
 
     thr = float(threshold)
-    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    if centroids is not None:
+        cents = list(centroids)
+    else:
+        k = (
+            int(num_centroids)
+            if num_centroids is not None
+            else scaled_num_centroids(df.count(), target_cell_size)
+        )
+        cents = ivf_centroids(df, id_col, vec_col, k)
     # one assignment evaluation: survivors join back to THIS relation
-    # (ivf_cells would re-evaluate the 16-centroid argmax in a second
+    # (ivf_cells would re-evaluate the centroid argmax in a second
     # scan for no reason)
-    src = df.select(
-        F.col(id_col).alias("id"),
-        ivf_cell_expr(cents, vec_col).alias("cell"),
-        as_double_array(vec_col).alias("v"),
-    )
+    src = tagged_cells(df, cents, id_col, vec_col)
     cells = src.select("id", "cell")
 
     def _cell_drops(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1177,7 +1263,9 @@ def hard_negatives(
     dim: int,
     k: int = 3,
     dup_ceiling: float = 0.95,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
+    target_cell_size: int = 128,
+    centroids: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data:
     ``(id, neg_id, cos, rank)`` — per anchor, the ``k`` highest-cosine
@@ -1186,21 +1274,27 @@ def hard_negatives(
     *negative* is the most similar non-duplicate).
 
     Cell-gated by design (the SemDeDup/IVF posture): candidates come
-    only from the anchor's own centroid cell, so the compute is
-    per-cell GEMM — corpus²/num_centroids — and the shuffle is one
-    (id, cell, vector) row per document. Ranking is on
+    only from the anchor's own centroid cell, and with the default
+    corpus-scaled cell count (``num_centroids=None`` →
+    :func:`scaled_num_centroids`) cell size stays ~``target_cell_size``
+    as the corpus grows, so per-cell GEMM compute is linear in n. The
+    shuffle is one (id, cell, vector) row per document. Ranking is on
     ``round(cos, 6)`` with neg-id-asc ties, so both engines order
     identically even at float ulp distance.
     """
     import numpy as np
     import pandas as pd
 
-    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
-    src = df.select(
-        F.col(id_col).alias("id"),
-        ivf_cell_expr(cents, vec_col).alias("cell"),
-        as_double_array(vec_col).alias("v"),
-    )
+    if centroids is not None:
+        cents = list(centroids)
+    else:
+        kc = (
+            int(num_centroids)
+            if num_centroids is not None
+            else scaled_num_centroids(df.count(), target_cell_size)
+        )
+        cents = ivf_centroids(df, id_col, vec_col, kc)
+    src = tagged_cells(df, cents, id_col, vec_col)
     ceil_ = float(dup_ceiling)
     kk = int(k)
 
@@ -1221,25 +1315,22 @@ def hard_negatives(
         V = np.array(pdf["v"].tolist(), dtype=np.float64)[order]
         U = V / np.linalg.norm(V, axis=1, keepdims=True)
         C = np.round(U @ U.T, 6)
-        out_id, out_neg, out_cos, out_rank = [], [], [], []
-        for i in range(n):
-            mask = (C[i] < ceil_) & (np.arange(n) != i)
-            cand = np.nonzero(mask)[0]
-            if cand.size == 0:
-                continue
-            # sort by (-cos, neg_id); ids are ascending so stable sort
-            # on -cos alone gives the id tie-break for free
-            top = cand[np.argsort(-C[i][cand], kind="stable")][:kk]
-            out_id.extend([ids[i]] * len(top))
-            out_neg.extend(ids[top])
-            out_cos.extend(C[i][top])
-            out_rank.extend(range(1, len(top) + 1))
+        # fully vectorized per-cell top-k (a per-row Python loop here is
+        # the scale killer: it runs once per corpus row, not per cell).
+        # Masked entries sink to -inf; ids ascend, so a stable row-wise
+        # argsort on -C gives the neg-id-asc tie-break for free.
+        M = np.where((C < ceil_) & ~np.eye(n, dtype=bool), C, -np.inf)
+        take = np.minimum(np.isfinite(M).sum(axis=1), kk)
+        sel = np.argsort(-M, axis=1, kind="stable")[:, :kk]
+        valid = np.arange(kk)[None, :] < take[:, None]
+        rows, ranks = np.nonzero(valid)
+        cols = sel[rows, ranks]
         return pd.DataFrame(
             {
-                "id": np.array(out_id, dtype=np.int64),
-                "neg_id": np.array(out_neg, dtype=np.int64),
-                "cos": np.array(out_cos, dtype=np.float64),
-                "rank": np.array(out_rank, dtype=np.int32),
+                "id": ids[rows],
+                "neg_id": ids[cols],
+                "cos": M[rows, cols],
+                "rank": (ranks + 1).astype(np.int32),
             }
         )
 

@@ -692,13 +692,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection (per-cell GEMM), keep-lowest-id drop rule. The oracle
     replicates cells, in-cell pairs, and the anti-join exactly."""
     emb = _read(spark, sf_dir, "embeddings")
+    # num_centroids=None → corpus-scaled cell count (floor 16, target
+    # cell size 128); at every gate SF (≤ 2k vectors) this resolves to
+    # 16 cells, exactly what the oracle's GREATEST(16, n // 128) yields
     out = similarity.semantic_dedup(
         emb,
         "vec_id",
         "embedding",
         EMB_DIMS,
         threshold=EMB_DEDUP_THRESHOLD,
-        num_centroids=IVF_CENTROIDS,
+        num_centroids=None,
     )
     return out.select("id", "cell")
 
@@ -711,7 +714,8 @@ def sql_semantic_dedup() -> str:
     )
     return f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= GREATEST(16, (count(*) OVER ()) // 128)
 ),
 vc AS (
   SELECT e.vec_id AS id, c.cid, {dot} AS cos
@@ -898,6 +902,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     on round(cos, 6) with id ties. The oracle replicates the cell gate,
     the dup ceiling, and the ranking exactly."""
     emb = _read(spark, sf_dir, "embeddings")
+    # num_centroids=None → corpus-scaled cell count (floor 16 at every
+    # gate SF, matching the oracle's GREATEST(16, n // 128))
     out = similarity.hard_negatives(
         emb,
         "vec_id",
@@ -905,7 +911,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         EMB_DIMS,
         k=HARDNEG_K,
         dup_ceiling=HARDNEG_DUP_CEILING,
-        num_centroids=IVF_CENTROIDS,
+        num_centroids=None,
     )
     return out.select("id", "neg_id", "cos", "rank")
 
@@ -918,7 +924,8 @@ def sql_hard_negatives() -> str:
     )
     return f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= GREATEST(16, (count(*) OVER ()) // 128)
 ),
 cellcos AS (
   SELECT e.vec_id AS id, c.cid, {dot} AS cos

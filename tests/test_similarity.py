@@ -421,3 +421,71 @@ def test_semantic_dedup_matches_numpy_replica(spark):
     # cells and survive (per-cell blindness is the SemDeDup trade-off);
     # doc 4 shares a cell with one of them and must be dropped
     assert 4 in dropped and 0 not in dropped and 1 not in dropped
+
+
+def test_scaled_num_centroids():
+    assert similarity.scaled_num_centroids(500) == 16      # gate scale → floor
+    assert similarity.scaled_num_centroids(2000) == 16     # sf0.1 → floor
+    assert similarity.scaled_num_centroids(50_000) == 390
+    assert similarity.scaled_num_centroids(500_000) == 3906
+    assert similarity.scaled_num_centroids(0) == 16
+    assert similarity.scaled_num_centroids(10_000, target_cell_size=100) == 100
+
+
+def test_ivf_assign_np_matches_expr_assigner(spark, vecs):
+    """The broadcast-numpy assigner (large-k path) must agree with the
+    codegen'd literal-expression assigner cell-for-cell — same argmax,
+    same centroid-id-asc tie-break."""
+    df, rows = vecs
+    cents = similarity.ivf_centroids(df, "vec_id", "embedding", 8)
+    via_expr = {
+        r["id"]: r["cell"]
+        for r in df.select(
+            F.col("vec_id").alias("id"),
+            similarity.ivf_cell_expr(cents, "embedding").alias("cell"),
+        ).collect()
+    }
+    via_np = {
+        r["id"]: r["cell"]
+        for r in similarity.ivf_assign_np(df, cents, "vec_id", "embedding").collect()
+    }
+    assert via_np == via_expr
+
+
+def test_tagged_cells_switches_to_np_past_expr_limit(spark):
+    """Past _EXPR_ASSIGN_LIMIT centroids tagged_cells must route through
+    the numpy assigner (no janino-compile-bound literal tree) and still
+    produce a valid one-cell-per-row assignment."""
+    rng = np.random.default_rng(7)
+    n = 300
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    k = similarity._EXPR_ASSIGN_LIMIT + 6
+    cents = similarity.ivf_centroids(df, "vec_id", "embedding", k)
+    got = similarity.tagged_cells(df, cents, "vec_id", "embedding").collect()
+    assert len(got) == n
+    cent_ids = {cid for cid, _ in cents}
+    assert {r["cell"] for r in got} <= cent_ids
+    # every centroid's own vector must land in its own cell
+    own = {r["id"]: r["cell"] for r in got if r["id"] in cent_ids}
+    assert own == {cid: cid for cid in cent_ids}
+    # numpy ground-truth argmax agreement
+    M = np.array([cv for _, cv in cents])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    V = np.array([r[1] for r in rows])
+    want = np.array([cid for cid, _ in cents])[np.argmax(V @ M.T, axis=1)]
+    got_map = {r["id"]: r["cell"] for r in got}
+    assert [got_map[i] for i in range(n)] == list(want)
+
+
+def test_semantic_dedup_scaled_default_matches_explicit_floor(spark, sf_dir):
+    """num_centroids=None at gate scale (≤ 2048 vectors) must resolve to
+    the 16-cell floor — identical output to the explicit 16."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = similarity.semantic_dedup(emb, "vec_id", "embedding", 64, threshold=0.4).collect()
+    b = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", 64, threshold=0.4, num_centroids=16
+    ).collect()
+    assert sorted((r["id"], r["cell"]) for r in a) == sorted(
+        (r["id"], r["cell"]) for r in b
+    )

@@ -118,13 +118,7 @@ def main() -> None:
     for factor in factors:
         sf_dir = gen(spark, factor)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-        run_names = names
-        if factor > 10:
-            # embedding LSH at this corpus's weak-similarity regime
-            # verifies ~47% of all pairs (documented); at 100x that is
-            # O(2e10) dot products — out of scope for a timing table
-            run_names = names
-        for name in run_names:
+        for name in names:
             before, _ = shuffle_totals(spark)
             t0 = time.time()
             n_out = QUERIES[name](spark, sf_dir).count()
