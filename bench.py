@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "dedup_embedding_bucketed",
     "dedup_embedding_lsh",
     "dedup_embedding_lsh_recall",
+    "dedup_embedding_lsh_hi",
+    "dedup_embedding_lsh_hi_audit",
     "ann_topk_pq",
     "semantic_dedup",
     "events_user_stats_tws",

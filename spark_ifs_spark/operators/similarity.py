@@ -448,6 +448,69 @@ def cosine_lsh_pairs(
     return pairs.groupBy("id_a", "id_b").agg(F.first("cos").alias("cos"))
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 6,
+    num_tables: int = 32,
+    seed: int = 2024,
+) -> DataFrame:
+    """Distinct colliding ``(id_a < id_b)`` pairs from the hyperplane-LSH
+    bucket gate — the candidate set :func:`cosine_lsh_pairs` verifies,
+    WITHOUT the cosine verify. Exposed for pruning audits: at production
+    thresholds (cosine ≥ 0.9, P≈10) ``count(candidates)`` should sit
+    orders of magnitude below ``n·(n−1)/2``, and that ratio is the whole
+    100 TB argument for the LSH path. Same seeded planes, same one-pass
+    Arrow signature computation as :func:`cosine_lsh_pairs`; shuffle is
+    L rows per vector, per-bucket emission is ids only (no vectors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(num_planes * num_tables)
+    ]
+
+    def _sig(batches):
+        P = np.array(planes, dtype=np.float64)
+        w = 1 << np.arange(num_planes, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["id_v"]])
+            codes = ((V @ P.T) >= 0).reshape(len(pdf), num_tables, num_planes) @ w
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), num_tables),
+                    "tbl": np.tile(np.arange(num_tables, dtype=np.int32), len(pdf)),
+                    "bucket": codes.reshape(-1),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("id_v"))
+    sig = src.mapInPandas(_sig, "id long, tbl int, bucket long")
+
+    def _bucket_cands(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        k = len(pdf)
+        if k < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        ids = np.sort(pdf["id"].to_numpy())
+        iu, ju = np.triu_indices(k, 1)
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
+
+    return (
+        sig.groupBy("tbl", "bucket")
+        .applyInPandas(_bucket_cands, "id_a long, id_b long")
+        .distinct()
+    )
+
+
 def ivf_centroids(
     df: DataFrame, id_col: str, vec_col: str, num_centroids: int = 16
 ) -> list[tuple[int, list[float]]]:

@@ -148,16 +148,20 @@ sh AS (
 )"""
 EDIT_MAX_DIST = 12
 EDIT_LEN_BAND = 12
-def _sql_emb_lsh_cand() -> str:
-    """Shared CTE chain replicating the cosine_lsh_pairs candidate gate:
-    planes VALUES → per-(vec, plane) projection → per-(vec, table)
-    bucket → distinct colliding (id_a < id_b) pairs, named ``cand``."""
+def _sql_emb_lsh_cand_impl(
+    src: str, num_planes: int, num_tables: int, seed: int
+) -> str:
+    """CTE chain replicating the cosine_lsh_pairs candidate gate over
+    relation ``src``: planes VALUES → per-(vec, plane) projection →
+    per-(vec, table) bucket → distinct colliding (id_a < id_b) pairs
+    (``cand``) → exact-cosine ``lsh_pairs``. Plane draw order matches
+    the operator exactly (Random(seed).gauss row-major)."""
     import random as _random
 
-    rng = _random.Random(EMB_LSH_SEED)
+    rng = _random.Random(seed)
     planes = [
         [rng.gauss(0, 1) for _ in range(EMB_DIMS)]
-        for _ in range(EMB_LSH_PLANES * EMB_LSH_TABLES)
+        for _ in range(num_planes * num_tables)
     ]
     vals = ",".join(
         f"({p},{i},{w!r})"
@@ -167,13 +171,13 @@ def _sql_emb_lsh_cand() -> str:
     return f"""pl(p, i, w) AS (VALUES {vals}),
 proj AS (
   SELECT e.vec_id, pl.p, sum(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w) AS d
-  FROM embeddings e CROSS JOIN pl
+  FROM {src} e CROSS JOIN pl
   GROUP BY 1, 2
 ),
 bk AS (
-  SELECT vec_id, CAST(p // {EMB_LSH_PLANES} AS INT) AS tbl,
+  SELECT vec_id, CAST(p // {num_planes} AS INT) AS tbl,
          sum(CASE WHEN d >= 0
-             THEN (CAST(1 AS BIGINT) << CAST(p % {EMB_LSH_PLANES} AS INT))
+             THEN (CAST(1 AS BIGINT) << CAST(p % {num_planes} AS INT))
              ELSE CAST(0 AS BIGINT) END) AS bucket
   FROM proj GROUP BY 1, 2
 ),
@@ -185,7 +189,7 @@ cand AS (
 nrms AS (
   SELECT vec_id,
          sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
-  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  FROM {src} CROSS JOIN range({EMB_DIMS}) t(i)
   GROUP BY 1
 ),
 lsh_pairs AS (
@@ -193,12 +197,58 @@ lsh_pairs AS (
          sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
            / (na.nrm * nb.nrm) AS cos
   FROM cand c
-  JOIN embeddings ea ON ea.vec_id = c.id_a
-  JOIN embeddings eb ON eb.vec_id = c.id_b
+  JOIN {src} ea ON ea.vec_id = c.id_a
+  JOIN {src} eb ON eb.vec_id = c.id_b
   JOIN nrms na ON na.vec_id = c.id_a
   JOIN nrms nb ON nb.vec_id = c.id_b
   CROSS JOIN range({EMB_DIMS}) t(i)
   GROUP BY 1, 2, na.nrm, nb.nrm
+)"""
+def _sql_emb_lsh_cand() -> str:
+    """Shared CTE chain replicating the cosine_lsh_pairs candidate gate:
+    planes VALUES → per-(vec, plane) projection → per-(vec, table)
+    bucket → distinct colliding (id_a < id_b) pairs, named ``cand``."""
+    return _sql_emb_lsh_cand_impl(
+        "embeddings", EMB_LSH_PLANES, EMB_LSH_TABLES, EMB_LSH_SEED
+    )
+# production-threshold LSH demo: cosine >= 0.9, P=10 bits x L=12 tables.
+# The raw synthetic embeddings hold NO pairs at 0.9, so the fixture
+# plants deterministic near-dup replicas (every HI_MOD-th vector, offset
+# ids, a fixed rational per-dimension perturbation — exact IEEE-identical
+# arithmetic in both engines; planted pairs land at cosine ~0.9998).
+EMB_LSH_HI_THRESHOLD = 0.9
+EMB_LSH_HI_PLANES = 10
+EMB_LSH_HI_TABLES = 12
+EMB_LSH_HI_MOD = 20
+EMB_LSH_HI_ID_OFFSET = 100000
+def _aug_hi_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ planted near-dup replicas: every ``EMB_LSH_HI_MOD``-th
+    vector reappears at ``vec_id + EMB_LSH_HI_ID_OFFSET`` perturbed by
+    ``((i*37) % 13 - 6) / 200`` per dimension — integer ops + one
+    correctly-rounded double division, so DuckDB's replica is
+    bit-identical (`_sql_aug_hi`)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    pert = emb.filter(F.col("vec_id") % EMB_LSH_HI_MOD == 0).select(
+        (F.col("vec_id") + EMB_LSH_HI_ID_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " CAST(x AS DOUBLE) + ((i * 37) % 13 - 6) / 200.0D)"
+        ).alias("embedding"),
+    )
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    ).unionByName(pert)
+def _sql_aug_hi() -> str:
+    """DuckDB replica of :func:`_aug_hi_embeddings`, named ``aug``."""
+    return f"""aug AS (
+  SELECT vec_id, [CAST(embedding[t + 1] AS DOUBLE) FOR t IN range({EMB_DIMS})] AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_LSH_HI_ID_OFFSET} AS vec_id,
+         [CAST(embedding[t + 1] AS DOUBLE) + ((t * 37) % 13 - 6) / 200.0
+          FOR t IN range({EMB_DIMS})] AS embedding
+  FROM embeddings WHERE vec_id % {EMB_LSH_HI_MOD} = 0
 )"""
 def _sql_count_word(word: str) -> str:
     return f"len(regexp_extract_all(' ' || text || ' ', ' {word} '))"

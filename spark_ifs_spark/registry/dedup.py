@@ -13,8 +13,11 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _read,
     _sql_bpe_round,
     _sql_count_word,
+    _aug_hi_embeddings,
+    _sql_aug_hi,
     _sql_emb_long,
     _sql_emb_lsh_cand,
+    _sql_emb_lsh_cand_impl,
     _sql_pair_mi,
     _sql_unrolled_greedy,
     _t,
@@ -296,6 +299,128 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
        CAST((SELECT count(*) FROM f) AS BIGINT) AS n_lsh,
        CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hit,
        CAST((1000000 * (SELECT count(*) FROM h)) // (SELECT count(*) FROM e) AS BIGINT) AS recall_ppm
+"""
+
+
+def q_dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at the PRODUCTION dedup threshold
+    (cosine ≥ 0.9) with P=10 bits × L=12 tables — the s-curve regime
+    where sign-LSH prunes the candidate space by orders of magnitude
+    (audited by ``dedup_embedding_lsh_hi_audit``), unlike the
+    weak-discrimination 0.4-threshold demo. The raw synthetic corpus has
+    no ≥0.9 pairs, so the query plants deterministic near-dup replicas
+    (cosine ≈ 0.9998) via exact rational perturbation both engines
+    compute bit-identically."""
+    aug = _aug_hi_embeddings(spark, sf_dir)
+    out = similarity.cosine_lsh_pairs(
+        aug,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_LSH_HI_THRESHOLD,
+        num_planes=EMB_LSH_HI_PLANES,
+        num_tables=EMB_LSH_HI_TABLES,
+        seed=EMB_LSH_SEED,
+    )
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def sql_dedup_embedding_lsh_hi() -> str:
+    chain = _sql_emb_lsh_cand_impl(
+        "aug", EMB_LSH_HI_PLANES, EMB_LSH_HI_TABLES, EMB_LSH_SEED
+    )
+    return f"""
+WITH {_sql_aug_hi()},
+{chain}
+SELECT id_a, id_b, round(cos, 6) AS cos
+FROM lsh_pairs WHERE cos >= {EMB_LSH_HI_THRESHOLD}
+"""
+
+
+def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB argument for the LSH path, measured and hash-gated:
+    ``(n_exact, n_lsh, n_hit, recall_ppm, n_cand, n_allpairs,
+    cand_ppm)`` — recall vs the exact blocked kernel at threshold 0.9
+    AND the candidate-pruning ratio (distinct LSH bucket collisions vs
+    n·(n−1)/2). At production thresholds cand_ppm sits orders of
+    magnitude below 1e6; the 0.4-threshold demo cannot show that."""
+    aug = _aug_hi_embeddings(spark, sf_dir)
+    exact = similarity.cosine_threshold_pairs_blocked(
+        aug, "vec_id", "embedding", threshold=EMB_LSH_HI_THRESHOLD, num_blocks=4
+    ).select("id_a", "id_b")
+    found = similarity.cosine_lsh_pairs(
+        aug,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        threshold=EMB_LSH_HI_THRESHOLD,
+        num_planes=EMB_LSH_HI_PLANES,
+        num_tables=EMB_LSH_HI_TABLES,
+        seed=EMB_LSH_SEED,
+    ).select("id_a", "id_b")
+    cand = similarity.lsh_candidate_pairs(
+        aug,
+        "vec_id",
+        "embedding",
+        EMB_DIMS,
+        num_planes=EMB_LSH_HI_PLANES,
+        num_tables=EMB_LSH_HI_TABLES,
+        seed=EMB_LSH_SEED,
+    )
+    hits = exact.join(found, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(
+            aug.agg(
+                (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+                .cast("long")
+                .alias("n_allpairs")
+            )
+        )
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.expr("(1000000 * n_hit) div n_exact").alias("recall_ppm"),
+            "n_cand",
+            "n_allpairs",
+            F.expr("(1000000 * n_cand) div n_allpairs").alias("cand_ppm"),
+        )
+    )
+
+
+def sql_dedup_embedding_lsh_hi_audit() -> str:
+    chain = _sql_emb_lsh_cand_impl(
+        "aug", EMB_LSH_HI_PLANES, EMB_LSH_HI_TABLES, EMB_LSH_SEED
+    )
+    return f"""
+WITH {_sql_aug_hi()},
+{chain},
+exact_pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))
+           / (na.nrm * nb.nrm) AS cos
+  FROM aug a
+  JOIN aug b ON a.vec_id < b.vec_id
+  JOIN nrms na ON na.vec_id = a.vec_id
+  JOIN nrms nb ON nb.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2, na.nrm, nb.nrm
+),
+e AS (SELECT id_a, id_b FROM exact_pairs WHERE cos >= {EMB_LSH_HI_THRESHOLD}),
+f AS (SELECT id_a, id_b FROM lsh_pairs WHERE cos >= {EMB_LSH_HI_THRESHOLD}),
+h AS (SELECT e.id_a, e.id_b FROM e JOIN f USING (id_a, id_b)),
+np AS (SELECT CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS n_allpairs FROM aug)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM f) AS BIGINT) AS n_lsh,
+       CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hit,
+       CAST((1000000 * (SELECT count(*) FROM h)) // (SELECT count(*) FROM e) AS BIGINT) AS recall_ppm,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+       (SELECT n_allpairs FROM np) AS n_allpairs,
+       CAST((1000000 * (SELECT count(*) FROM cand)) // (SELECT n_allpairs FROM np) AS BIGINT) AS cand_ppm
 """
 
 

@@ -122,7 +122,10 @@ def test_driver_window_frozen():
         "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
         "hard_negatives", "session_concurrency", "negative_samples",
     ]
+    assert list(QUERIES)[12:14] == [
+        "dedup_embedding_lsh_hi", "dedup_embedding_lsh_hi_audit",
+    ]
     assert list(QUERIES)[45:50] == [
-        "scrub_pii", "doc_chunks", "packed_bins", "decontam_ids",
-        "tfidf_top3",
+        "split_counts", "docs_cap_per_source", "scrub_pii", "doc_chunks",
+        "packed_bins",
     ]
