@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh_recall",
     "dedup_embedding_lsh_hi",
     "dedup_embedding_lsh_hi_audit",
+    "multimodal_png_features",
     "ann_topk_pq",
     "semantic_dedup",
     "events_user_stats_tws",

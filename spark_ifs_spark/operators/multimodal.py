@@ -313,6 +313,75 @@ def attach_fake_payloads(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def attach_png_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """``(id, payload)`` with REAL PNG payloads (zlib deflate, filter-0
+    scanlines) synthesized deterministically from the id: width =
+    ``1 + id % 8``, height = ``1 + (id // 8) % 8``, 3 channels, pixel
+    ``k`` = ``(id*7 + k*13) % 256`` row-major. The generator parameters
+    are the contract an engine-independent oracle can recompute (the
+    pixels are a pure function of the id), while the payload itself
+    round-trips the real encoder — so a downstream ``decode_png`` is
+    exercised end-to-end, not faked. ``mapInPandas``; payloads are
+    born in-partition and never shuffle."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = 1 + i % 8, 1 + (i // 8) % 8
+                n = w * h * 3
+                px = ((i * 7 + 13 * np.arange(n, dtype=np.int64)) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(codecs.encode_png(w, h, px.tobytes()))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        _gen, "id long, payload binary"
+    )
+
+
+def extract_png_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """``(id, width, height, channels, pixel_sum)`` via the REAL PNG
+    decoder (``codecs.decode_png``: stdlib-zlib inflate + full filter
+    reversal incl. Paeth) — ``pixel_sum`` is the exact integer sum of
+    every decoded channel byte, so a content-level (not just
+    header-level) decode error breaks the hash gate. ``mapInPandas``,
+    Arrow batches; the only per-row Python is the per-payload codec
+    call itself."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, out_c, out_s = [], [], [], []
+            for p in pdf[payload_col].tolist():
+                w, h, c, px = codecs.decode_png(bytes(p))
+                out_w.append(w)
+                out_h.append(h)
+                out_c.append(c)
+                out_s.append(int(np.frombuffer(px, dtype=np.uint8).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "width": np.array(out_w, dtype=np.int32),
+                    "height": np.array(out_h, dtype=np.int32),
+                    "channels": np.array(out_c, dtype=np.int32),
+                    "pixel_sum": np.array(out_s, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _proc, "id long, width int, height int, channels int, pixel_sum long"
+    )
+
+
 def repartition_for_payloads(
     df: DataFrame, approx_total_mb: float, target_partition_mb: int = 128
 ) -> DataFrame:

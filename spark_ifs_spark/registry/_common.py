@@ -22,7 +22,9 @@ from spark_ifs_spark.operators.select_columns import select_columns
 from spark_ifs_spark.operators.select_rows import select_rows
 from spark_ifs_spark.operators.multimodal import (
     attach_fake_payloads,
+    attach_png_payloads,
     extract_image_features,
+    extract_png_features,
     fake_image_decoder,
 )
 from spark_ifs_spark.streaming.events import sessionize, windowed_event_counts

@@ -188,6 +188,37 @@ FROM documents
 """
 
 
+def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal gate: deterministic PNG payloads are
+    encoded (zlib deflate) per document id, then decoded by the real
+    ``codecs.decode_png`` (inflate + filter reversal) and reduced to
+    content-level features — ``pixel_sum`` is the exact sum of every
+    decoded byte. The oracle recomputes width/height/pixel ramp from
+    the id alone, so a decoder that returned wrong CONTENT (not just
+    wrong headers) hash-mismatches. Unlike ``multimodal_features``
+    (fake-decoder plumbing demo), this drives the real codec
+    end-to-end."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_png_payloads(docs, "doc_id")
+    return extract_png_features(payloads, "id", "payload")
+
+
+def sql_multimodal_png_features() -> str:
+    # pixels are (doc_id*7 + k*13) % 256 for k in [0, w*h*3) — the
+    # oracle recomputes the ramp; Spark sums the actually-decoded bytes
+    return """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 8 AS w, 1 + (doc_id // 8) % 8 AS h FROM documents
+)
+SELECT doc_id AS id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(list_sum([(doc_id * 7 + k * 13) % 256 FOR k IN range(w * h * 3)]) AS BIGINT) AS pixel_sum
+FROM dims
+"""
+
+
 def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent-token collocations by integer-micro PMI
     (``textstats.pmi_top_pairs`` — phrase mining)."""
