@@ -1282,6 +1282,7 @@ def topk_ivfpq(
     rescore: int = 50,
     scale: int = 64,
     exclude_ids: Sequence[int] = (),
+    centroids: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production 100 TB ANN composition end-to-end — the
     IVF cell gate prunes the scan to ``n_probe`` cells (partition
@@ -1292,8 +1293,16 @@ def topk_ivfpq(
     query-independent — the property that lets a real system precompute
     the code table once. Same output schema as :func:`cosine_topk`;
     the oracle replicates gate + assignment + ADC + shortlist exactly.
+
+    ``centroids=`` overrides the seeded IVF cells with pre-trained ones
+    (e.g. :func:`ivf_centroids_kmeans`) — gate/probe plan shape is
+    identical; only the cell literals change.
     """
-    cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+    cents = (
+        list(centroids)
+        if centroids is not None
+        else ivf_centroids(df, id_col, vec_col, num_centroids)
+    )
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
 
     def _cos(cvec: Sequence[float]) -> float:

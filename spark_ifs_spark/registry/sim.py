@@ -779,19 +779,21 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.round("cos", 6).alias("cos"))
 
 
-def sql_ann_topk_ivfpq() -> str:
-    sub = EMB_DIMS // PQ_M
-    dot = (
-        "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
-        "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
-        "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
-    )
-    return f"""
-WITH cents AS (
+_IVFPQ_DOT = (
+    "sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE)) / "
+    "(sqrt(sum(CAST(e.embedding[i + 1] AS DOUBLE) * CAST(e.embedding[i + 1] AS DOUBLE))) * "
+    "sqrt(sum(CAST(c.ce[i + 1] AS DOUBLE) * CAST(c.ce[i + 1] AS DOUBLE))))"
+)
+
+
+def _sql_ivfpq_seed_prefix() -> str:
+    """CTEs ``cents → cellcos → assign / qprobe / q`` over SEED IVF
+    centroids — the gate the PQ body (:func:`_sql_ivfpq_body`) scans."""
+    return f"""cents AS (
   SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
 ),
 cellcos AS (
-  SELECT e.vec_id AS id, c.cid, {dot} AS cos
+  SELECT e.vec_id AS id, c.cid, {_IVFPQ_DOT} AS cos
   FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
   GROUP BY e.vec_id, c.cid
 ),
@@ -804,8 +806,71 @@ assign AS (
 qprobe AS (
   SELECT cid FROM cellcos WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
 ),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-donors AS (
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"""
+
+
+def _sql_ivfpq_trained_prefix() -> str:
+    """Same ``assign / qprobe / q`` contract but over LLOYD-TRAINED
+    centroids (one k-means iteration from the seeds, means rounded to
+    6dp, empty cells keep their seed — the ``ann_topk_ivf_trained``
+    training loop verbatim)."""
+    return f"""cents AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+),
+vc0 AS (
+  SELECT e.vec_id AS id, c.cid, {_IVFPQ_DOT} AS cos
+  FROM embeddings e CROSS JOIN cents c CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign0 AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc0
+  ) WHERE rn = 1
+),
+means AS (
+  SELECT a.cell AS cid, CAST(t.i AS INT) AS dim,
+         round(avg(CAST(e.embedding[t.i + 1] AS DOUBLE)), 6) AS m
+  FROM embeddings e
+  JOIN assign0 a ON a.id = e.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+),
+seedd AS (
+  SELECT cid, CAST(t.i AS INT) AS dim, round(CAST(ce[t.i + 1] AS DOUBLE), 6) AS m
+  FROM cents CROSS JOIN range({EMB_DIMS}) t(i)
+),
+trained AS (
+  SELECT s.cid, s.dim, coalesce(mn.m, s.m) AS m
+  FROM seedd s LEFT JOIN means mn ON mn.cid = s.cid AND mn.dim = s.dim
+),
+cellcos AS (
+  SELECT e.vec_id AS id, tr.cid,
+         sum(CAST(e.embedding[tr.dim + 1] AS DOUBLE) * tr.m) /
+         (sqrt(sum(CAST(e.embedding[tr.dim + 1] AS DOUBLE) * CAST(e.embedding[tr.dim + 1] AS DOUBLE))) *
+          sqrt(sum(tr.m * tr.m))) AS cos
+  FROM embeddings e CROSS JOIN trained tr
+  GROUP BY e.vec_id, tr.cid
+),
+assign AS (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM cellcos
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT cid FROM cellcos WHERE id = 0 ORDER BY cos DESC, cid ASC LIMIT {IVF_PROBE}
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"""
+
+
+def _sql_ivfpq_body() -> str:
+    """The PQ stage of IVF-PQ (codebooks → codes → ADC → shortlist →
+    exact rescore), expecting ``assign``/``qprobe``/``q`` CTEs from a
+    prefix builder. Shared verbatim between the seed and trained
+    variants so the only difference under audit is the cell gate."""
+    sub = EMB_DIMS // PQ_M
+    return f"""donors AS (
   SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
   FROM embeddings ORDER BY vec_id LIMIT {PQ_KCODE}
 ),
@@ -860,6 +925,79 @@ scored AS (
   GROUP BY 1
 )
 SELECT id, round(cos, 6) AS cos FROM scored ORDER BY cos DESC, id ASC LIMIT {ANN_K}
+"""
+
+
+def sql_ann_topk_ivfpq() -> str:
+    return f"""
+WITH {_sql_ivfpq_seed_prefix()},
+{_sql_ivfpq_body()}
+"""
+
+
+def q_ann_ivfpq_trained_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed vs Lloyd-trained IVF cells through the FULL IVF-PQ stack at
+    equal probe budget: ``(n_seed, recall_seed, n_trained,
+    recall_trained)`` against the brute-force exact top-k. Trained
+    centroids come from ``ivf_centroids_kmeans`` (1 iteration, means
+    rounded to 6dp — the ``ann_topk_ivf_trained`` convention), threaded
+    via ``topk_ivfpq(centroids=...)``; the PQ codebooks/ADC/rescore are
+    identical, so the audit isolates exactly the cell-gate quality."""
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    q = [float(x) for x in qvec]
+    exact = similarity.cosine_topk(
+        emb, "vec_id", "embedding", q, k=ANN_K, exclude_ids=[0]
+    ).select("id")
+    kw = dict(
+        k=ANN_K,
+        n_probe=IVF_PROBE,
+        m=PQ_M,
+        kcode=PQ_KCODE,
+        rescore=PQ_RESCORE,
+        scale=PQ_SCALE,
+        exclude_ids=[0],
+    )
+    seed = similarity.topk_ivfpq(
+        emb, "vec_id", "embedding", q, num_centroids=IVF_CENTROIDS, **kw
+    ).select("id")
+    cents = similarity.ivf_centroids_kmeans(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, iters=1
+    )
+    cents = [(cid, [round(x, 6) for x in v]) for cid, v in cents]
+    trained = similarity.topk_ivfpq(
+        emb, "vec_id", "embedding", q, centroids=cents, **kw
+    ).select("id")
+    return (
+        exact.join(seed, "id", "inner")
+        .agg(
+            F.count(F.lit(1)).alias("n_seed"),
+            F.round(F.count(F.lit(1)) / F.lit(ANN_K), 6).alias("recall_seed"),
+        )
+        .crossJoin(
+            exact.join(trained, "id", "inner").agg(
+                F.count(F.lit(1)).alias("n_trained"),
+                F.round(F.count(F.lit(1)) / F.lit(ANN_K), 6).alias("recall_trained"),
+            )
+        )
+    )
+
+
+def sql_ann_ivfpq_trained_audit() -> str:
+    trained_sql = f"""
+WITH {_sql_ivfpq_trained_prefix()},
+{_sql_ivfpq_body()}
+"""
+    return f"""
+SELECT s.n_seed, s.recall_seed, t.n_trained, t.recall_trained
+FROM (
+  SELECT count(*) AS n_seed, round(count(*) * 1.0 / {ANN_K}, 6) AS recall_seed
+  FROM ({sql_ann_topk()}) e JOIN ({sql_ann_topk_ivfpq()}) a USING (id)
+) s
+CROSS JOIN (
+  SELECT count(*) AS n_trained, round(count(*) * 1.0 / {ANN_K}, 6) AS recall_trained
+  FROM ({sql_ann_topk()}) e JOIN ({trained_sql}) a USING (id)
+) t
 """
 
 

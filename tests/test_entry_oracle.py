@@ -122,11 +122,11 @@ def test_driver_window_frozen():
         "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
         "hard_negatives", "session_concurrency", "negative_samples",
     ]
-    assert list(QUERIES)[12:15] == [
+    assert list(QUERIES)[12:16] == [
         "dedup_embedding_lsh_hi", "dedup_embedding_lsh_hi_audit",
-        "multimodal_png_features",
+        "multimodal_png_features", "ann_ivfpq_trained_audit",
     ]
     assert list(QUERIES)[45:50] == [
-        "supplier_diversity", "split_counts", "docs_cap_per_source",
-        "scrub_pii", "doc_chunks",
+        "events_rolling_7d", "supplier_diversity", "split_counts",
+        "docs_cap_per_source", "scrub_pii",
     ]
