@@ -39,6 +39,8 @@ errors lazily at winner-fetch, ``IFS:176``).
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Sequence
 
 import numpy as np
@@ -49,6 +51,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec, mi_vec_sparse
+
+
+def _snapshot_state(state: DataFrame, path: str) -> DataFrame:
+    """Parquet round-trip lineage truncation for the selection loop (the
+    ``graph.py`` connected-components pattern): without it, round ``r``'s
+    recovery lineage spans all ``r`` prior rounds' UDF stages, so on a
+    real cluster one lost executor late in a k=100 run recomputes the
+    whole chain. After the swap the state's lineage is one parquet scan.
+    The caller unpersists the old state; the snapshot files live until
+    the loop's ``finally`` removes the work dir (selections are plain
+    Python by then — nothing lazy escapes)."""
+    state.write.mode("overwrite").parquet(path)
+    fresh = state.sparkSession.read.parquet(path).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    state.unpersist()
+    return fresh
 
 
 def _argbest(scored: DataFrame, higher: bool):
@@ -88,6 +107,8 @@ def select_rows(
     features_col: str = "features",
     score: RowScore | None = None,
     incore_cell_budget: int = 5_000_000,
+    snapshot_every: int | None = None,
+    work_dir: str | None = None,
 ) -> list[tuple[float, float]]:
     """Greedily select ``min(num, df.count())`` feature rows.
 
@@ -99,6 +120,13 @@ def select_rows(
     matrix is ``≤ incore_cell_budget`` cells (tens of MB — small-side
     regime) it is collected once and the same greedy recurrence runs on
     numpy; past the budget the per-round distributed plan below runs.
+
+    ``snapshot_every=N`` bounds recovery cost for deep (large-k) runs:
+    every N rounds the loop state takes a parquet round-trip
+    (:func:`_snapshot_state`), so a lost executor replays at most N
+    rounds of lineage instead of all of them. Rounds between snapshots
+    stay one job each (plan-tested). Snapshots land in ``work_dir`` (a
+    temp dir by default, removed when the loop returns).
     """
     if num <= 0:
         raise ValueError("num must be > 0")
@@ -135,6 +163,7 @@ def select_rows(
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
 
     selected: list[tuple[float, float]] = []
+    snap_base = None
     try:
         for rnd in range(num):
             k = len(selected)
@@ -159,9 +188,15 @@ def select_rows(
             new_state.count()  # materialize before dropping the parent
             state.unpersist()
             state = new_state
+            if snapshot_every and (rnd + 1) % snapshot_every == 0:
+                if snap_base is None:
+                    snap_base = work_dir or tempfile.mkdtemp(prefix="spark_ifs_sel_")
+                state = _snapshot_state(state, f"{snap_base}/r{rnd + 1}")
         return selected
     finally:
         state.unpersist()
+        if snap_base is not None and work_dir is None:
+            shutil.rmtree(snap_base, ignore_errors=True)
 
 
 def _mi_sparse_against_udf(n: int, other_idx: np.ndarray, other_val: np.ndarray):
@@ -193,6 +228,8 @@ def select_rows_sparse(
     indices_col: str = "indices",
     values_col: str = "values",
     incore_cell_budget: int = 5_000_000,
+    snapshot_every: int | None = None,
+    work_dir: str | None = None,
 ) -> list[tuple[float, float]]:
     """:func:`select_rows` for SPARSE feature rows — identical selections
     (same :func:`mi_vec_sparse` ≡ :func:`mi_vec` math, same lowest-id
@@ -284,6 +321,7 @@ def select_rows_sparse(
     state = state.persist(StorageLevel.MEMORY_AND_DISK)
 
     selected = []
+    snap_base = None
     try:
         for rnd in range(num):
             k = len(selected)
@@ -322,9 +360,15 @@ def select_rows_sparse(
             new_state.count()  # materialize before dropping the parent
             state.unpersist()
             state = new_state
+            if snapshot_every and (rnd + 1) % snapshot_every == 0:
+                if snap_base is None:
+                    snap_base = work_dir or tempfile.mkdtemp(prefix="spark_ifs_sel_")
+                state = _snapshot_state(state, f"{snap_base}/r{rnd + 1}")
         return selected
     finally:
         state.unpersist()
+        if snap_base is not None and work_dir is None:
+            shutil.rmtree(snap_base, ignore_errors=True)
 
 
 def _select_rows_incore(

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from spark_ifs_spark.operators.melt import transpose_to_alternate
 from spark_ifs_spark.operators.scores import MrmrRowScore, RowScore, mi_vec
@@ -129,3 +130,49 @@ def test_cross_encoding_agreement_miq(spark):
     assert [int(i) for i, _ in alt_sel] == [int(i) for i, _ in alt_dist]
     for (_, a), (_, b) in zip(conv_sel, alt_sel):
         assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_snapshot_every_identical_selections_and_cleanup(spark, tmp_path):
+    """snapshot_every's parquet lineage truncation must not change ONE
+    selection or score, and default (tempdir) snapshots must be removed
+    when the loop returns."""
+    import glob
+
+    mat = random_matrix(rows=120, cols=9, seed=33)
+    df, labels = _alternate_df(spark, mat)
+    plain = select_rows(df, num=5, labels_row=labels, incore_cell_budget=0)
+    snap = select_rows(
+        df, num=5, labels_row=labels, incore_cell_budget=0, snapshot_every=2
+    )
+    assert snap == plain
+    assert glob.glob("/tmp/spark_ifs_sel_*") == []
+    # explicit work_dir: snapshots are the caller's to keep
+    kept = select_rows(
+        df, num=5, labels_row=labels, incore_cell_budget=0,
+        snapshot_every=2, work_dir=str(tmp_path / "snaps"),
+    )
+    assert kept == plain
+    assert (tmp_path / "snaps").exists()
+
+
+def test_snapshot_truncates_lineage(spark):
+    """After a snapshot the loop state's physical plan must be a parquet
+    scan (+ the persisted InMemoryRelation), not the r-round UDF chain —
+    the bounded-recovery property the knob exists for."""
+    from spark_ifs_spark.operators.select_rows import _snapshot_state
+    import tempfile, shutil
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)], ["id", "features"]
+    )
+    deep = df
+    for _ in range(3):
+        deep = deep.withColumn("features", F.transform("features", lambda x: x + 1))
+    base = tempfile.mkdtemp(prefix="spark_ifs_sel_test_")
+    try:
+        snapped = _snapshot_state(deep.persist(), f"{base}/r1")
+        plan = snapped._jdf.queryExecution().optimizedPlan().toString()
+        assert "transform" not in plan
+        snapped.unpersist()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
