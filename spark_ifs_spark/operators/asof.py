@@ -102,6 +102,18 @@ def interval_overlap_join(
     bins (the knob every production range join exposes). Equi-keys can
     ride in ``extra_condition`` post-join; columns from both sides are
     kept (a's then b's — alias before calling on name clashes).
+
+    Skew posture: tasks partition by TIME BIN, not by any key column,
+    so a hot key (one user holding half the corpus's sessions) does NOT
+    concentrate into one task as long as its intervals are spread over
+    time — each bin's join input stays ≈ rows-per-bin (pinned by
+    ``test_asof.py::test_interval_join_hot_user_skew``). The residual
+    case — k intervals genuinely overlapping the SAME instant — is
+    output-bound, not a plan pathology: those k² pairs ARE the answer.
+    If a corpus has degenerate co-temporal floods whose pairs the
+    caller doesn't want, cap them upstream (filter/sample per key per
+    bin — the ``max_bucket`` policy of the dedup operators); this join
+    never silently drops a qualifying pair.
     """
     w = int(bin_width)
     if w <= 0:

@@ -86,3 +86,49 @@ def test_interval_overlap_join_exact_and_no_dup(spark):
             if s1 <= e2 and s2 <= e1
         )
         assert got == want, (w, got, want)
+
+
+def test_interval_join_hot_user_skew(spark):
+    """Adversarial key skew: ONE user holds 50% of all sessions. The
+    binned grid join partitions by TIME BIN, not by user, so the hot
+    user's sessions spread across bins like anyone else's: max rows in
+    any single bin stays ~rows-per-bin (bounded task input), and the
+    result is still exactly the brute-force pair set."""
+    from spark_ifs_spark.operators.asof import interval_overlap_join
+
+    W = 100
+    rows = []
+    # hot user 0: 500 sessions marching through time, each overlapping
+    # its neighbor (the realistic hot-key shape: busy, not 500-way
+    # simultaneous)
+    for i in range(500):
+        rows.append((0, i, i * 60, i * 60 + 90))
+    # 500 normal users, one session each, same time span
+    for u in range(1, 501):
+        rows.append((u, 1000 + u, u * 60, u * 60 + 90))
+    a = spark.createDataFrame(rows, "user long, sid long, s long, e long")
+    b = (
+        a.select(
+            F.col("user").alias("user_b"),
+            F.col("sid").alias("sid_b"),
+            F.col("s").alias("s_b"),
+            F.col("e").alias("e_b"),
+        )
+    )
+    out = interval_overlap_join(
+        a, b, "s", "e", "s_b", "e_b", bin_width=W,
+        extra_condition=F.col("sid") < F.col("sid_b"),
+    )
+    got = {(r["sid"], r["sid_b"]) for r in out.collect()}
+    # brute-force ground truth
+    pr = [(x, y) for x in rows for y in rows
+          if x[1] < y[1] and x[2] <= y[3] and y[2] <= x[3]]
+    assert got == {(x[1], y[1]) for x, y in pr}
+    # bounded task input: the hot USER does not make a hot BIN — max
+    # bin occupancy is within a small factor of the mean
+    binned = a.withColumn(
+        "_bin",
+        F.explode(F.sequence((F.col("s") / W).cast("long"), (F.col("e") / W).cast("long"))),
+    )
+    counts = [r["c"] for r in binned.groupBy("_bin").agg(F.count("*").alias("c")).collect()]
+    assert max(counts) <= 8, counts  # ~1000 rows over ~300 bins, x2 explosion
