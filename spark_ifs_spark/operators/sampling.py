@@ -315,20 +315,39 @@ def negative_samples(
     cluster-size-invariant (the md5 convention every sampler here
     uses), never self-pairing, and resampling is one seed bump.
 
-    Plan: the ring is an ID-ONLY relation — rank it once (a narrow
-    global sort over ids, bytes per row), explode k slots, and
-    self-join on the shifted ring position. Vectors/documents never
+    Plan: the ring is an ID-ONLY relation, and its global rank is a
+    BUCKETED distributed rank, not a single-task window: the top 12
+    bits of the md5 value pre-bucket the ring into 4096 ordered,
+    hash-balanced buckets; each bucket row_numbers independently
+    (4096-way parallel sort of n/4096 ids each) and adds its bucket's
+    cumulative offset (a broadcast of the 4096-row count relation —
+    the only driver-bounded piece, bounded by construction, not by
+    data). The rank is a pure function of the data — identical across
+    evaluations and engines — and the ranked relation is persisted
+    because both self-join sides read it. Vectors/documents never
     enter the ring; consumers join payloads back by id afterwards, so
-    at 100 TB the sort is over the id column alone.
+    at 100 TB the sort is over the id column alone AND no task sorts
+    more than n/4096 of it.
     """
     if k <= 0:
         raise ValueError("k must be > 0")
-    ring = df.select(F.col(id_col).alias("id")).select(
+    shift = 48  # 60-bit md5 value >> 48 = 4096 rank buckets
+    bucketed = df.select(F.col(id_col).alias("id")).select(
         "id",
         md5_int60(F.concat(F.lit(f"{seed}:"), F.col("id").cast("string"))).alias("_h"),
+    ).withColumn("_b", F.shiftrightunsigned("_h", shift))
+    counts = bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    # cumulative offset per bucket: a window over <= 4096 rows
+    woff = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off")
     )
-    w = Window.orderBy("_h", "id")
-    ranked = ring.select("id", (F.row_number().over(w) - 1).alias("r"))
+    wl = Window.partitionBy("_b").orderBy("_h", "id")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .select("id", (F.row_number().over(wl) - 1 + F.col("_off")).alias("r"))
+        .persist()
+    )
     n = ranked.count()
     if n < 2:
         raise ValueError("need at least 2 ids to sample negatives")

@@ -204,6 +204,13 @@ def _blocked_pairs_kernel(
             xa, xb = ia[ii.ravel()], ib[jj.ravel()]
             id_a, id_b = np.minimum(xa, xb), np.maximum(xa, xb)
             cs = S.ravel()
+            # sort by (id_a, id_b) so the stable top-k argsort below
+            # breaks exact-cosine ties by lowest pair ids — matching the
+            # diagonal branch (whose ids arrive pre-sorted) and the
+            # (cos desc, id_a, id_b) oracle order; without this the k
+            # cut at a tie is partition-order-dependent
+            order = np.lexsort((id_b, id_a))
+            id_a, id_b, cs = id_a[order], id_b[order], cs[order]
         if threshold is not None:
             keep = cs >= threshold
         else:

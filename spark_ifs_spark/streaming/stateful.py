@@ -48,9 +48,12 @@ def ensure_protobuf(spark=None) -> bool:
     imports protobuf inside the PYTHON WORKER, not just the driver:
     driver ``sys.path`` (this process), ``PYTHONPATH`` env (workers of
     any JVM launched after this call — conftest calls this before the
-    test SparkSession exists), and ``sc.addPyFile`` of a shim zip when
-    a live session is passed (workers of an already-running JVM).
-    Returns True when ``google.protobuf`` imports.
+    test SparkSession exists), and — when a live session is passed —
+    injecting the shim dir into ``sc.environment["PYTHONPATH"]`` so
+    workers of the already-running JVM pick it up at python-function
+    wrap time (``sc.addPyFile`` does NOT reach the TWS driver worker;
+    see the inline comment). Returns True when ``google.protobuf``
+    imports.
     """
     try:
         import google.protobuf  # noqa: F401
