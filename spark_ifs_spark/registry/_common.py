@@ -188,23 +188,20 @@ cand AS (
   FROM bk a JOIN bk b
     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
-nrms AS (
+unit AS (
   SELECT vec_id,
-         sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
-  FROM {src} CROSS JOIN range({EMB_DIMS}) t(i)
-  GROUP BY 1
+         [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE) FOR y IN embedding]))
+          FOR x IN embedding] AS u
+  FROM {src}
 ),
 lsh_pairs AS (
-  SELECT c.id_a, c.id_b,
-         sum(CAST(ea.embedding[i + 1] AS DOUBLE) * CAST(eb.embedding[i + 1] AS DOUBLE))
-           / (na.nrm * nb.nrm) AS cos
+  -- list_dot_product over pre-unit vectors: one row per candidate pair
+  -- instead of the 64x range-join explosion, which at sf0.1 spilled
+  -- DuckDB past the disk budget
+  SELECT c.id_a, c.id_b, list_dot_product(ua.u, ub.u) AS cos
   FROM cand c
-  JOIN {src} ea ON ea.vec_id = c.id_a
-  JOIN {src} eb ON eb.vec_id = c.id_b
-  JOIN nrms na ON na.vec_id = c.id_a
-  JOIN nrms nb ON nb.vec_id = c.id_b
-  CROSS JOIN range({EMB_DIMS}) t(i)
-  GROUP BY 1, 2, na.nrm, nb.nrm
+  JOIN unit ua ON ua.vec_id = c.id_a
+  JOIN unit ub ON ub.vec_id = c.id_b
 )"""
 def _sql_emb_lsh_cand() -> str:
     """Shared CTE chain replicating the cosine_lsh_pairs candidate gate:

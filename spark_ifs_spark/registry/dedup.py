@@ -282,15 +282,8 @@ def sql_dedup_embedding_lsh_recall() -> str:
     return f"""
 WITH {_sql_emb_lsh_cand()},
 exact_pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         sum(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))
-           / (na.nrm * nb.nrm) AS cos
-  FROM embeddings a
-  JOIN embeddings b ON a.vec_id < b.vec_id
-  JOIN nrms na ON na.vec_id = a.vec_id
-  JOIN nrms nb ON nb.vec_id = b.vec_id
-  CROSS JOIN range({EMB_DIMS}) t(i)
-  GROUP BY 1, 2, na.nrm, nb.nrm
+  SELECT ua.vec_id AS id_a, ub.vec_id AS id_b, list_dot_product(ua.u, ub.u) AS cos
+  FROM unit ua JOIN unit ub ON ua.vec_id < ub.vec_id
 ),
 e AS (SELECT id_a, id_b FROM exact_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
 f AS (SELECT id_a, id_b FROM lsh_pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
@@ -400,15 +393,8 @@ def sql_dedup_embedding_lsh_hi_audit() -> str:
 WITH {_sql_aug_hi()},
 {chain},
 exact_pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         sum(CAST(a.embedding[i + 1] AS DOUBLE) * CAST(b.embedding[i + 1] AS DOUBLE))
-           / (na.nrm * nb.nrm) AS cos
-  FROM aug a
-  JOIN aug b ON a.vec_id < b.vec_id
-  JOIN nrms na ON na.vec_id = a.vec_id
-  JOIN nrms nb ON nb.vec_id = b.vec_id
-  CROSS JOIN range({EMB_DIMS}) t(i)
-  GROUP BY 1, 2, na.nrm, nb.nrm
+  SELECT ua.vec_id AS id_a, ub.vec_id AS id_b, list_dot_product(ua.u, ub.u) AS cos
+  FROM unit ua JOIN unit ub ON ua.vec_id < ub.vec_id
 ),
 e AS (SELECT id_a, id_b FROM exact_pairs WHERE cos >= {EMB_LSH_HI_THRESHOLD}),
 f AS (SELECT id_a, id_b FROM lsh_pairs WHERE cos >= {EMB_LSH_HI_THRESHOLD}),

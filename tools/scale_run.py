@@ -107,9 +107,12 @@ def main() -> None:
         "dup_clusters",
         "pipeline_end_to_end",
         "dedup_embedding_lsh",
+        "dedup_embedding_lsh_hi",
         "semantic_dedup",
+        "hard_negatives",
         "ann_topk_ivfpq",
         "cluster_aware_split",
+        "negative_samples",
         "mrmr_select_k5",
         "row_select_k5",
     ]
