@@ -239,6 +239,32 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def collapse_repeated_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_before, n_after, clean_text)`` — consecutive repeated
+    whitespace tokens collapsed to a single occurrence (``"batch batch
+    batch stream" → "batch stream"``), with before/after token counts
+    as the audit trail. The de-stuttering pass real cleaning pipelines
+    run before token counting: repeated-run boilerplate (pagination
+    artifacts, scraped menus, OCR stutter) inflates n-gram and length
+    statistics and leaks into training batches.
+
+    Pure map-side expression — ``filter`` over the token array with a
+    positional lambda comparing each token to its predecessor, fused
+    into the scan: no explode, no shuffle, no window. At 100 TB this
+    is a projection, exactly like :func:`scrub_pii`.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # F.get is 0-based and NULL out of bounds, so position 0's missing
+    # predecessor compares not-equal via eqNullSafe and is always kept
+    kept = F.filter(toks, lambda x, i: ~x.eqNullSafe(F.get(toks, i - 1)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_before"),
+        F.size(kept).alias("n_after"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -240,6 +240,35 @@ WHERE rank <= {CAP_PER_SOURCE}
 """
 
 
+def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style de-stuttering: consecutive repeated tokens collapsed to
+    one occurrence, with before/after token counts — the repeated-run
+    boilerplate scrub (pagination artifacts, OCR stutter). Map-side
+    array expression fused into the scan; the oracle replicates the
+    positional filter with a DuckDB list comprehension."""
+    from spark_ifs_spark.operators.textstats import collapse_repeated_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    out = collapse_repeated_tokens(docs, "doc_id", "text")
+    return out.select("id", "n_before", "n_after", F.md5("clean_text").alias("clean_md5"))
+
+
+def sql_collapse_repeats() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+kept AS (
+  SELECT doc_id, t,
+         [t[i] FOR i IN range(1, len(t) + 1) IF i = 1 OR t[i] <> t[i - 1]] AS k
+  FROM toks
+)
+SELECT doc_id AS id,
+       CAST(len(t) AS INT) AS n_before,
+       CAST(len(k) AS INT) AS n_after,
+       md5(array_to_string(k, ' ')) AS clean_md5
+FROM kept
+"""
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over documents with deterministic synthetic PII appended
     (the corpus generator emits none), so the redaction path is actually
