@@ -11,10 +11,13 @@ end-to-end in a container with no image/audio libraries:
 - encoders for each, so tests can synthesize genuine files and
   round-trip them.
 
-Formats that genuinely need an entropy decoder (JPEG/PNG/MP3/...) stay
-behind the ``NotImplementedError`` injection points in
-``operators.multimodal`` — these codecs make the common
-uncompressed-interchange cases real, not a substitute for Pillow.
+PNG (stdlib-zlib inflate + filter reversal) lives here too; baseline
+JPEG (DCT + Huffman entropy coding) lives in the sibling
+``functions.jpeg`` module. Formats that need licensed/psychoacoustic
+codecs (MP3/...) stay behind the ``NotImplementedError`` injection
+points in ``operators.multimodal`` — these codecs make real
+interchange formats decodable end-to-end, not a substitute for
+Pillow/ffmpeg.
 
 Everything here is per-payload Python and is only ever called inside the
 Arrow-batched ``mapInPandas`` operators — the engine's plan shape

@@ -3,13 +3,14 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; transforms run as Arrow-batched ``mapInPandas`` passes.
 The Spark-side plumbing (schema, batch iteration, partition sizing) is
-real and tested, and so are the uncompressed-interchange codecs: PPM/BMP
-image decode, nearest-neighbor PPM resize, and WAV (PCM/IEEE-float)
-audio probing run on REAL bytes via the dependency-free
-``functions.codecs``. Formats that need an entropy decoder (JPEG/PNG/
-MP3/MP4 demux) stay behind the ``decode_fn``/``resize_fn``/``split_fn``
-injection points — the default raises ``NotImplementedError`` naming
-the library to inject; deterministic fakes remain for oracle tests.
+real and tested, and so are the codecs: PPM/BMP/PNG/baseline-JPEG image
+decode, nearest-neighbor PPM/PNG resize, and WAV (PCM/IEEE-float) audio
+probing run on REAL bytes via the dependency-free ``functions.codecs``
+and ``functions.jpeg``. Formats that need licensed/psychoacoustic
+decoders (MP3/MP4 demux) stay behind the ``decode_fn``/``resize_fn``/
+``split_fn`` injection points — the default raises
+``NotImplementedError`` naming the library to inject; deterministic
+fakes remain for oracle tests.
 
 Scale notes: binary payloads dominate row size, so operators here
 (a) never shuffle payloads (all transforms are map-side ``mapInPandas``),
@@ -47,13 +48,12 @@ IMAGE_FEATURES_SCHEMA = StructType(
 def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
     """Decode a real image payload → (width, height, channels).
 
-    PPM (P6), uncompressed BMP, and PNG (stdlib-zlib inflate + filter
-    reversal) decode for real via the dependency-free
-    ``functions.codecs``; formats that need a full entropy decoder
-    (JPEG/...) still raise ``NotImplementedError`` naming the library
-    to inject.
+    PPM (P6), uncompressed BMP, PNG (stdlib-zlib inflate + filter
+    reversal), and baseline grayscale JPEG (``functions.jpeg`` — DHT
+    Huffman decode) decode for real via dependency-free codecs; other
+    formats raise ``NotImplementedError`` naming the library to inject.
     """
-    from spark_ifs_spark.functions import codecs
+    from spark_ifs_spark.functions import codecs, jpeg
 
     if payload[:2] == b"P6":
         w, h, c, _ = codecs.decode_ppm(payload)
@@ -62,9 +62,11 @@ def default_image_decoder(payload: bytes) -> tuple[int, int, int]:
         return codecs.decode_bmp_dims(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return codecs.decode_png_dims(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg.decode_jpeg_dims(payload)
     raise NotImplementedError(
-        "only PPM/BMP/PNG decode without an image library; inject "
-        "decode_fn= with a real decoder (e.g. Pillow) for JPEG etc."
+        "only PPM/BMP/PNG/baseline-JPEG decode without an image library; "
+        "inject decode_fn= with a real decoder (e.g. Pillow) otherwise."
     )
 
 
@@ -343,6 +345,76 @@ def attach_png_payloads(df: DataFrame, id_col: str) -> DataFrame:
 
     return df.select(F.col(id_col).alias("id")).mapInPandas(
         _gen, "id long, payload binary"
+    )
+
+
+def attach_jpeg_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """``(id, payload)`` with REAL baseline-JPEG payloads (entropy-coded:
+    DCT + quantize + Huffman) synthesized deterministically from the id:
+    width = ``8*(1 + id % 4)``, height = ``8*(1 + (id//4) % 4)``,
+    grayscale, and each 8x8 block ``b`` (row-major) is flat at gray value
+    ``2*((id*11 + b*17) % 128)``. Even flat-block values quantize EXACTLY
+    under the codec's uniform step 16 (DC = 8*(v-128) is a multiple of
+    16), so the lossy pipeline round-trips bit-exact and an
+    engine-independent oracle recomputes the decoded pixels from the id
+    alone — while the payload still exercises real Huffman/DCT coding.
+    ``mapInPandas``; payloads are born in-partition and never shuffle."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                nbx, nby = 1 + i % 4, 1 + (i // 4) % 4
+                b = np.arange(nby * nbx, dtype=np.int64).reshape(nby, nbx)
+                vals = 2 * ((i * 11 + b * 17) % 128)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(
+                    np.uint8
+                )
+                payloads.append(jpeg.encode_jpeg(8 * nbx, 8 * nby, img.tobytes()))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        _gen, "id long, payload binary"
+    )
+
+
+def extract_jpeg_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """``(id, width, height, channels, pixel_sum)`` via the REAL baseline
+    JPEG decoder (``functions.jpeg.decode_jpeg``: marker parse, DHT-driven
+    Huffman entropy decode, dequantize, batch IDCT) — ``pixel_sum`` is the
+    exact integer sum of every decoded pixel, so a content-level decode
+    error (wrong coefficients, wrong IDCT, wrong DPCM chain) breaks the
+    hash gate, not just a header slip. ``mapInPandas``, Arrow batches."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import jpeg
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w, out_h, out_c, out_s = [], [], [], []
+            for p in pdf[payload_col].tolist():
+                w, h, c, px = jpeg.decode_jpeg(bytes(p))
+                out_w.append(w)
+                out_h.append(h)
+                out_c.append(c)
+                out_s.append(int(np.frombuffer(px, dtype=np.uint8).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "width": np.array(out_w, dtype=np.int32),
+                    "height": np.array(out_h, dtype=np.int32),
+                    "channels": np.array(out_c, dtype=np.int32),
+                    "pixel_sum": np.array(out_s, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _proc, "id long, width int, height int, channels int, pixel_sum long"
     )
 
 

@@ -219,6 +219,44 @@ FROM dims
 """
 
 
+def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-entropy-codec multimodal gate: deterministic baseline-JPEG
+    payloads (DCT + quantize + Huffman, ``functions.jpeg``) are encoded
+    per document id, then decoded by the real ``decode_jpeg`` (DHT-driven
+    Huffman decode, DPCM DC chain, dequantize, batch IDCT) and reduced to
+    content-level features. The images are flat 8x8 blocks with even gray
+    values, which quantize exactly under step 16 — so the LOSSY pipeline
+    round-trips bit-exact and the oracle recomputes the decoded pixel sum
+    from the id alone. Completes the codec ladder: PNG proved the
+    predictive-filter + DEFLATE path; this proves the transform-coding +
+    entropy-coding path end-to-end."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_jpeg_payloads(docs, "doc_id")
+    return extract_jpeg_features(payloads, "id", "payload")
+
+
+def sql_multimodal_jpeg_features() -> str:
+    # block b of doc is flat at 2*((doc_id*11 + b*17) % 128); every block
+    # is 64 px — the oracle recomputes the mosaic; Spark sums the
+    # actually-decoded pixels
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         8 * (1 + doc_id % 4) AS w,
+         8 * (1 + (doc_id // 4) % 4) AS h
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       1 AS channels,
+       CAST(64 * list_sum([2 * ((doc_id * 11 + b * 17) % 128)
+                           FOR b IN range((w // 8) * (h // 8))]) AS BIGINT)
+         AS pixel_sum
+FROM dims
+"""
+
+
 def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent-token collocations by integer-micro PMI
     (``textstats.pmi_top_pairs`` — phrase mining)."""

@@ -2,9 +2,10 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pytest
 
-from spark_ifs_spark.functions import codecs
+from spark_ifs_spark.functions import codecs, jpeg
 from spark_ifs_spark.operators import multimodal
 
 
@@ -109,7 +110,7 @@ def _checker_rgb(w: int, h: int) -> bytes:
 
 def test_codec_roundtrips():
     """Pure-codec layer: encode → decode recovers dims and pixels."""
-    from spark_ifs_spark.functions import codecs
+    from spark_ifs_spark.functions import codecs, jpeg
 
     px = _checker_rgb(6, 4)
     w, h, c, back = codecs.decode_ppm(codecs.encode_ppm(6, 4, px))
@@ -131,7 +132,7 @@ def test_image_features_real_bytes_end_to_end(spark):
     """Real PPM and BMP payloads decode through the default (no
     injection) mapInPandas path — the component VERDICT r3 called
     partial is now exercised on genuine image bytes."""
-    from spark_ifs_spark.functions import codecs
+    from spark_ifs_spark.functions import codecs, jpeg
 
     rows = [
         (0, codecs.encode_ppm(6, 4, _checker_rgb(6, 4))),
@@ -149,7 +150,7 @@ def test_image_features_real_bytes_end_to_end(spark):
 def test_resize_real_ppm_end_to_end(spark):
     """Default resize path resamples genuine PPM payloads; the output
     payloads re-decode at the target dimensions."""
-    from spark_ifs_spark.functions import codecs
+    from spark_ifs_spark.functions import codecs, jpeg
 
     rows = [(i, codecs.encode_ppm(10, 6, _checker_rgb(10, 6))) for i in range(4)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -163,7 +164,7 @@ def test_resize_real_ppm_end_to_end(spark):
 def test_audio_features_real_wav_end_to_end(spark):
     """Default audio path probes genuine RIFF/WAVE payloads (16-bit PCM
     mono at two rates) and derives duration from the real header."""
-    from spark_ifs_spark.functions import codecs
+    from spark_ifs_spark.functions import codecs, jpeg
 
     rows = [
         (0, codecs.encode_wav(b"\x00\x01" * 16000, 16000)),   # 1.000 s
@@ -321,3 +322,88 @@ def test_resize_real_png_end_to_end(spark):
     assert len(out) == 1
     w, h, c, _px = codecs.decode_png(bytes(out[0]["payload"]))
     assert (w, h, c) == (3, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions.jpeg): baseline sequential, grayscale
+
+
+def test_jpeg_flat_block_roundtrip_exact():
+    """The oracle contract: flat 8x8 blocks with EVEN gray values survive
+    the lossy pipeline bit-exact (DC = 8*(v-128) is a multiple of the
+    uniform quant step 16; all AC are zero)."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        nby, nbx = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        vals = 2 * rng.integers(0, 128, size=(nby, nbx))
+        img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        enc = jpeg.encode_jpeg(8 * nbx, 8 * nby, img.tobytes())
+        w, h, c, px = jpeg.decode_jpeg(enc)
+        assert (w, h, c) == (8 * nbx, 8 * nby, 1)
+        assert np.array_equal(np.frombuffer(px, dtype=np.uint8).reshape(h, w), img)
+
+
+def test_jpeg_general_roundtrip_q1_tolerance():
+    """Arbitrary images at quant step 1: only DCT/IDCT rounding remains,
+    so every pixel is within +/-1 — pins both transforms and the whole
+    Huffman/DPCM/run-length chain on dense AC coefficients."""
+    rng = np.random.default_rng(12)
+    for _ in range(8):
+        w, h = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        enc = jpeg.encode_jpeg(w, h, img.tobytes(), q=1)
+        gw, gh, _, px = jpeg.decode_jpeg(enc)
+        assert (gw, gh) == (w, h)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_non_multiple_of_8_dims_crop():
+    img = np.arange(17 * 23, dtype=np.int64).astype(np.uint8).reshape(17, 23)
+    enc = jpeg.encode_jpeg(23, 17, img.tobytes(), q=1)
+    w, h, c, px = jpeg.decode_jpeg(enc)
+    assert (w, h, c) == (23, 17, 1)
+    assert len(px) == 23 * 17
+
+
+def test_jpeg_dims_only_scan():
+    enc = jpeg.encode_jpeg(24, 16, bytes(24 * 16))
+    assert jpeg.decode_jpeg_dims(enc) == (24, 16, 1)
+
+
+def test_jpeg_rejects_out_of_scope_streams():
+    import pytest as _pytest
+
+    enc = bytearray(jpeg.encode_jpeg(8, 8, bytes(64)))
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x00" + bytes(enc))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(enc).find(b"\xff\xc0")
+    prog = bytes(enc[:i]) + b"\xff\xc2" + bytes(enc[i + 2 :])
+    with _pytest.raises(ValueError, match="baseline"):
+        jpeg.decode_jpeg(prog)
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must honor the DHT/DQT actually present, not assume
+    the encoder's: re-encode with a different quant step and check the
+    decode tracks the stream's table."""
+    img = (np.full((8, 8), 130, dtype=np.uint8)).tobytes()  # even value
+    for q in (2, 4, 16):
+        w, h, c, px = jpeg.decode_jpeg(jpeg.encode_jpeg(8, 8, img, q=q))
+        assert np.frombuffer(px, dtype=np.uint8).reshape(8, 8)[0, 0] == 130
+
+
+def test_jpeg_features_end_to_end(spark):
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    payloads = multimodal.attach_jpeg_payloads(ids, "doc_id")
+    rows = multimodal.extract_jpeg_features(payloads, "id", "payload").collect()
+    assert len(rows) == 12
+    for r in rows:
+        i = r["id"]
+        nbx, nby = 1 + i % 4, 1 + (i // 4) % 4
+        assert (r["width"], r["height"], r["channels"]) == (8 * nbx, 8 * nby, 1)
+        expect = 64 * sum(
+            2 * ((i * 11 + b * 17) % 128) for b in range(nbx * nby)
+        )
+        assert r["pixel_sum"] == expect
