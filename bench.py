@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh_hi_audit",
     "multimodal_png_features",
     "multimodal_jpeg_features",
+    "audio_mulaw_features",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

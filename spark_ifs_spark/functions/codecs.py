@@ -165,7 +165,7 @@ def decode_wav(payload: bytes) -> tuple[int, int]:
         if cid == b"fmt ":
             audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", payload, pos + 8)
             block_align = struct.unpack_from("<H", payload, pos + 20)[0]
-            if audio_fmt not in (1, 3):  # PCM / IEEE float
+            if audio_fmt not in (1, 3, 7):  # PCM / IEEE float / G.711 mu-law
                 raise ValueError(f"compressed WAV (format {audio_fmt}) not supported")
         elif cid == b"data":
             data_size = min(size, n - pos - 8)
@@ -173,6 +173,89 @@ def decode_wav(payload: bytes) -> tuple[int, int]:
     if block_align is None or data_size is None:
         raise ValueError("WAV missing fmt or data chunk")
     return data_size // max(block_align, 1), int(sample_rate)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (8-bit companded telephony audio, ITU-T G.711).
+# A REAL lossy audio codec: logarithmic companding of 16-bit PCM to one
+# byte per sample. encode(decode(b)) == b for every byte except the two
+# encodings of zero (0x7F/0xFF), so byte streams drawn from the decode
+# codomain round-trip bit-exact — the same oracle-exactness trick the
+# JPEG gate uses with flat blocks.
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """One mu-law byte -> signed 16-bit PCM value (G.711 expand)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + _MULAW_BIAS) << ((u & 0x70) >> 4)
+    return (_MULAW_BIAS - t) if (u & 0x80) else (t - _MULAW_BIAS)
+
+
+def mulaw_encode_value(v: int) -> int:
+    """Signed 16-bit PCM value -> mu-law byte (G.711 compress)."""
+    sign = 0x80 if v < 0 else 0
+    if v < 0:
+        v = -v
+    if v > _MULAW_CLIP:
+        v = _MULAW_CLIP
+    v += _MULAW_BIAS
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (v & mask):
+        exp -= 1
+        mask >>= 1
+    mant = (v >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def encode_wav_mulaw(mulaw_bytes: bytes, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE with format tag 7 (mu-law), one byte per sample, plus
+    the `fact` chunk WAV requires for compressed formats."""
+    fmt = struct.pack(
+        "<4sIHHIIHHH", b"fmt ", 18, 7, 1, sample_rate, sample_rate, 1, 8, 0
+    )
+    fact = struct.pack("<4sII", b"fact", 4, len(mulaw_bytes))
+    data = struct.pack("<4sI", b"data", len(mulaw_bytes)) + mulaw_bytes
+    if len(mulaw_bytes) & 1:
+        data += b"\x00"  # RIFF chunks pad to even length
+    body = b"WAVE" + fmt + fact + data
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """RIFF/WAVE -> (sample_rate, PCM16 sample values). Handles format 1
+    (16-bit PCM little-endian) and format 7 (G.711 mu-law, expanded);
+    other formats raise. Content-level counterpart to the metadata-only
+    ``decode_wav``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(payload)
+    audio_fmt = sample_rate = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos + 8
+            )
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+            if channels != 1:
+                raise ValueError("decode_wav_samples supports mono only")
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if audio_fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if audio_fmt == 1 and bits == 16:
+        vals = list(struct.unpack("<%dh" % (len(data) // 2), data[: len(data) // 2 * 2]))
+    elif audio_fmt == 7 and bits == 8:
+        vals = [mulaw_decode_byte(b) for b in data]
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}-bit")
+    return int(sample_rate), vals
 
 
 # ---------------------------------------------------------------------------

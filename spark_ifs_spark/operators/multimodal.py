@@ -454,6 +454,69 @@ def extract_png_features(df: DataFrame, id_col: str, payload_col: str) -> DataFr
     )
 
 
+def attach_mulaw_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """``(id, payload)`` with REAL G.711 mu-law WAV payloads (format
+    tag 7, fact chunk) synthesized deterministically from the id:
+    ``64 + id % 64`` samples at 8 kHz, mu-law byte ``k`` =
+    ``(id*31 + k*7) % 256``. The decoded PCM values are a pure integer
+    function of the id (G.711 expansion is closed-form arithmetic), so
+    an engine-independent oracle recomputes them — while the payload
+    exercises the real compressed-WAV container + companding decode.
+    ``mapInPandas``; payloads never shuffle."""
+    from spark_ifs_spark.functions import codecs
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 64 + i % 64
+                mu = bytes((i * 31 + k * 7) % 256 for k in range(n))
+                payloads.append(codecs.encode_wav_mulaw(mu, 8000))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        _gen, "id long, payload binary"
+    )
+
+
+def extract_mulaw_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """``(id, n_samples, sample_rate, duration_ms, sample_sum)`` via the
+    REAL compressed-WAV decode path (``codecs.decode_wav_samples``: RIFF
+    chunk walk + G.711 mu-law expansion) — ``sample_sum`` is the exact
+    integer sum of the decoded PCM16 values, so a companding-table or
+    sign error breaks the hash gate, not just a header slip.
+    ``mapInPandas``, Arrow batches."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_n, out_sr, out_ms, out_sum = [], [], [], []
+            for p in pdf[payload_col].tolist():
+                sr, pcm = codecs.decode_wav_samples(bytes(p))
+                out_n.append(len(pcm))
+                out_sr.append(sr)
+                out_ms.append(len(pcm) * 1000 // sr)
+                out_sum.append(int(sum(pcm)))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "n_samples": np.array(out_n, dtype=np.int32),
+                    "sample_rate": np.array(out_sr, dtype=np.int32),
+                    "duration_ms": np.array(out_ms, dtype=np.int32),
+                    "sample_sum": np.array(out_sum, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _proc,
+        "id long, n_samples int, sample_rate int, duration_ms int, sample_sum long",
+    )
+
+
 def repartition_for_payloads(
     df: DataFrame, approx_total_mb: float, target_partition_mb: int = 128
 ) -> DataFrame:

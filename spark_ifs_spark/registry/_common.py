@@ -23,9 +23,11 @@ from spark_ifs_spark.operators.select_rows import select_rows
 from spark_ifs_spark.operators.multimodal import (
     attach_fake_payloads,
     attach_jpeg_payloads,
+    attach_mulaw_payloads,
     attach_png_payloads,
     extract_image_features,
     extract_jpeg_features,
+    extract_mulaw_features,
     extract_png_features,
     fake_image_decoder,
 )

@@ -257,6 +257,45 @@ FROM dims
 """
 
 
+def q_audio_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-audio-codec gate: deterministic G.711 mu-law WAV payloads
+    (format-7 RIFF container) are synthesized per document id, decoded
+    by the real ``codecs.decode_wav_samples`` (chunk walk + companding
+    expansion), and reduced to content-level features — ``sample_sum``
+    is the exact sum of the decoded PCM16 values. G.711 expansion is
+    closed-form integer arithmetic, so the oracle recomputes the decoded
+    samples from the id alone. Completes the audio half of the codec
+    ladder (WAV-PCM was already real; this adds a genuinely compressed
+    audio format)."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_mulaw_payloads(docs, "doc_id")
+    return extract_mulaw_features(payloads, "id", "payload")
+
+
+def sql_audio_mulaw_features() -> str:
+    # mu-law byte k of doc = (doc_id*31 + k*7) % 256; G.711 expand is
+    # pure arithmetic: u = 255-b; t = ((u%16)*8+132) << ((u//16)%8);
+    # value = 132-t if u>=128 else t-132
+    return """
+WITH n AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n_samples FROM documents
+)
+SELECT doc_id AS id,
+       CAST(n_samples AS INT) AS n_samples,
+       8000 AS sample_rate,
+       CAST(n_samples * 1000 // 8000 AS INT) AS duration_ms,
+       CAST(list_sum([
+         CASE WHEN (255 - (doc_id * 31 + k * 7) % 256) >= 128
+              THEN 132 - (((255 - (doc_id * 31 + k * 7) % 256) % 16) * 8 + 132)
+                       * (1 << (((255 - (doc_id * 31 + k * 7) % 256) // 16) % 8))
+              ELSE (((255 - (doc_id * 31 + k * 7) % 256) % 16) * 8 + 132)
+                       * (1 << (((255 - (doc_id * 31 + k * 7) % 256) // 16) % 8)) - 132
+         END
+         FOR k IN range(n_samples)]) AS BIGINT) AS sample_sum
+FROM n
+"""
+
+
 def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent-token collocations by integer-micro PMI
     (``textstats.pmi_top_pairs`` — phrase mining)."""

@@ -407,3 +407,61 @@ def test_jpeg_features_end_to_end(spark):
             2 * ((i * 11 + b * 17) % 128) for b in range(nbx * nby)
         )
         assert r["pixel_sum"] == expect
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law (codecs): companding + compressed-WAV container
+
+
+def test_mulaw_g711_invariants():
+    """encode(decode(b)) == b for every byte except the second encoding
+    of zero (0x7F and 0xFF both decode to 0; encode canonicalizes to
+    0xFF), and the decode range matches G.711 (+/-32124)."""
+    vals = [codecs.mulaw_decode_byte(b) for b in range(256)]
+    assert (min(vals), max(vals)) == (-32124, 32124)
+    for b in range(256):
+        enc = codecs.mulaw_encode_value(vals[b])
+        assert enc == b or (b == 0x7F and enc == 0xFF and vals[b] == 0)
+
+
+def test_mulaw_encode_monotone_and_clip():
+    assert codecs.mulaw_encode_value(40000) == codecs.mulaw_encode_value(32635)
+    # companding is monotone non-increasing in byte space on positives
+    prev = None
+    for v in (0, 1, 10, 100, 1000, 10000, 32124):
+        b = codecs.mulaw_encode_value(v)
+        if prev is not None:
+            assert b <= prev
+        prev = b
+
+
+def test_wav_mulaw_container_roundtrip():
+    mu = bytes((i * 31 + 7) % 256 for i in range(101))
+    wav = codecs.encode_wav_mulaw(mu, 8000)
+    assert codecs.decode_wav(wav) == (101, 8000)  # metadata path, fmt 7
+    sr, pcm = codecs.decode_wav_samples(wav)
+    assert sr == 8000
+    assert pcm == [codecs.mulaw_decode_byte(b) for b in mu]
+
+
+def test_decode_wav_samples_pcm16_path():
+    import struct as _struct
+
+    vals = list(range(-50, 51))
+    wav = codecs.encode_wav(_struct.pack("<%dh" % len(vals), *vals), 16000)
+    assert codecs.decode_wav_samples(wav) == (16000, vals)
+
+
+def test_mulaw_features_end_to_end(spark):
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    payloads = multimodal.attach_mulaw_payloads(ids, "doc_id")
+    rows = multimodal.extract_mulaw_features(payloads, "id", "payload").collect()
+    assert len(rows) == 10
+    for r in rows:
+        i = r["id"]
+        n = 64 + i % 64
+        assert (r["n_samples"], r["sample_rate"]) == (n, 8000)
+        expect = sum(
+            codecs.mulaw_decode_byte((i * 31 + k * 7) % 256) for k in range(n)
+        )
+        assert r["sample_sum"] == expect
