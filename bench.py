@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "multimodal_png_features",
     "multimodal_jpeg_features",
     "audio_mulaw_features",
+    "dedup_substring_runs",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -637,6 +637,77 @@ def span_dedup(
     )
 
 
+def duplicate_substring_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_run_tokens: int = 16,
+) -> DataFrame:
+    """``(id, start_tok, run_tokens)`` — every MAXIMAL run of consecutive
+    token positions whose overlapping ``k``-token shingle occurs at least
+    twice corpus-wide, kept when the covered span is at least
+    ``min_run_tokens`` tokens. This is the substring-level duplicate
+    *detector* of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", ExactSubstr) re-expressed relationally:
+    where their suffix array finds duplicated substrings >= L chars, we
+    find duplicated token runs >= ``min_run_tokens`` as islands of
+    duplicated overlapping shingles — the shingle gives 1-token
+    resolution (unlike ``span_dedup``'s non-overlapping spans, which
+    miss duplicates that straddle span boundaries). Any second
+    occurrence counts (another document OR another position in the same
+    document), matching ExactSubstr.
+
+    Plan — shingle text never rides a shuffle:
+
+    1. map-side: overlapping per-position 60-bit digests → ``(h, id,
+       pos)`` triples;
+    2. one digest-keyed count picks duplicated digests (partial
+       aggregation map-side), a shuffle join on ``h`` flags duplicated
+       positions — both sides are hash-partitioned on ``h``, no
+       broadcast assumption about the duplicate-set size;
+    3. gaps-and-islands per document (``pos - row_number()`` over the
+       per-id window; skew is bounded by document length, the same
+       bound every per-doc window in this package carries);
+    4. only ``(id, pos)`` int pairs of *duplicated* positions reach the
+       window — typically a small fraction of the corpus.
+
+    A 60-bit digest collision would flag a unique shingle as duplicated;
+    same birthday bound as ``span_dedup`` (widen past ~2^30 distinct
+    shingles)."""
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    words = F.split(F.col(text_col), " ")
+    npos = F.size(words) - F.lit(k - 1)
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.when(
+                npos > 0,
+                F.transform(
+                    F.sequence(F.lit(0), npos - 1),
+                    lambda p: md5_int60(F.array_join(F.slice(words, p + 1, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "h"),
+    )
+    dup = shingles.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    flagged = shingles.join(dup, "h", "left_semi")
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy("id").orderBy("pos")
+    )
+    return (
+        flagged.select("id", "pos", grp.alias("g"))
+        .groupBy("id", "g")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).alias("run_tokens"),
+        )
+        .where(F.col("run_tokens") >= min_run_tokens)
+        .select(F.col("id").alias(id_col), "start_tok", "run_tokens")
+    )
+
+
 def contaminated_ids(
     corpus: DataFrame,
     eval_set: DataFrame,

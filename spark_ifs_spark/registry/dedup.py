@@ -568,6 +568,43 @@ FROM toks t JOIN kp ON t.doc_id = kp.doc_id
 """
 
 
+SUBSTR_K = 8          # overlapping shingle width (tokens)
+SUBSTR_MIN_RUN = 16   # keep maximal duplicated runs covering >= this many tokens
+
+
+def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token runs (ExactSubstr-style, Lee et al.
+    2022): islands of consecutive positions whose overlapping 8-token
+    shingle occurs >= 2 times corpus-wide, kept at >= 16 covered tokens
+    — see :func:`~spark_ifs_spark.operators.dedup.duplicate_substring_runs`."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.duplicate_substring_runs(
+        docs, "doc_id", "text", k=SUBSTR_K, min_run_tokens=SUBSTR_MIN_RUN
+    )
+
+
+def sql_dedup_substring_runs() -> str:
+    k = SUBSTR_K
+    shingle_of = f"array_to_string(t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+{k})], ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, {sql_md5_int60(shingle_of)} AS h
+  FROM toks, unnest(generate_series(0, len(t) - {k})) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM sh JOIN dup USING (h)
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+       CAST(max(pos) - min(pos) + {k} AS INT) AS run_tokens
+FROM isl GROUP BY doc_id, g
+HAVING max(pos) - min(pos) + {k} >= {SUBSTR_MIN_RUN}
+"""
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between the documents table and a derived "next
     version" (drop ``id % 7 == 0``, rewrite ``id % 11 == 0``, append

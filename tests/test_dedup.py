@@ -287,3 +287,62 @@ def test_minhash_giant_template_cluster_capped(spark):
     assert (10_000, 10_001) in pairs
     # and the candidate space stayed bounded (nothing k^2-shaped ran)
     assert len(pairs) < 100
+
+
+def test_substring_runs_finds_cross_doc_duplicate(spark):
+    """A 20-token passage shared by two docs (at different offsets, so
+    non-overlapping span_dedup units would NOT align) is reported as one
+    maximal run in each doc with 1-token-resolution boundaries."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    a = "a0 a1 a2 " + shared + " a3 a4"
+    b = "b0 " + shared + " b1 b2 b3 b4 b5"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["start_tok"], r["run_tokens"])
+        for r in dedup.duplicate_substring_runs(
+            df, "doc_id", "text", k=8, min_run_tokens=16
+        ).collect()
+    }
+    # doc 1: shared starts at token 3; doc 2: at token 1 — exactly the
+    # 20 shared tokens are covered in both
+    assert out == {1: (3, 20), 2: (1, 20)}
+
+
+def test_substring_runs_same_doc_repetition_counts(spark):
+    """ExactSubstr counts ANY second occurrence — a doc that repeats its
+    own 16-token block twice is flagged even with no other doc."""
+    block = " ".join(f"w{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, block + " mid " + block), (2, "x0 x1 x2 x3 x4 x5 x6 x7 x8")],
+        ["doc_id", "text"],
+    )
+    out = dedup.duplicate_substring_runs(
+        df, "doc_id", "text", k=8, min_run_tokens=16
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert all(r["run_tokens"] >= 16 for r in out)
+
+
+def test_substring_runs_short_docs_and_no_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "a b c d e f g h i j")],
+        ["doc_id", "text"],
+    )
+    assert (
+        dedup.duplicate_substring_runs(df, "doc_id", "text", k=8).count() == 0
+    )
+
+
+def test_substring_runs_min_run_filters_isolated_shingles(spark):
+    """Two docs sharing only an 8-token shingle (8 covered tokens) fall
+    below min_run_tokens=16 and are not reported."""
+    sh = " ".join(f"c{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, "p q r " + sh), (2, sh + " u v w x y z")], ["doc_id", "text"]
+    )
+    assert (
+        dedup.duplicate_substring_runs(
+            df, "doc_id", "text", k=8, min_run_tokens=16
+        ).count()
+        == 0
+    )
