@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "multimodal_jpeg_features",
     "audio_mulaw_features",
     "dedup_substring_runs",
+    "jmi_select_k5",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -138,10 +138,18 @@ class ColumnScore(ABC):
     #: Direction of the argmax (reference: ``Ordering[Double]``).
     higher_is_better: bool = True
 
+    #: Which per-round statistic the engine supplies as ``redundancies``:
+    #: ``"pair_mi"`` = MI(cand, s) — the mRMR family's pairwise term;
+    #: ``"joint_label_mi"`` = I((cand, s); label) — the JMI family's
+    #: triple term (a different sufficient statistic: the engine counts
+    #: (cand_val, sel_val, label_val) triples instead of pairs).
+    redundancy_stat: str = "pair_mi"
+
     @abstractmethod
     def score(self, relevance: float, redundancies: list[float]) -> float:
-        """``relevance`` = MI(cand, label); ``redundancies`` = MI(cand, s)
-        for each already-selected feature s (empty on round 1)."""
+        """``relevance`` = MI(cand, label); ``redundancies`` = one term
+        per already-selected feature s (empty on round 1) — MI(cand, s)
+        or I((cand, s); label) per :attr:`redundancy_stat`."""
 
     def sql_expr(self) -> str | None:
         """Optional Spark-SQL expression over columns ``relevance`` (double)
@@ -185,6 +193,35 @@ class MiqColumnScore(ColumnScore):
             "CASE WHEN redundancy IS NULL THEN relevance "
             "ELSE relevance / greatest(redundancy, 1e-12d) END"
         )
+
+
+class JmiColumnScore(ColumnScore):
+    """JMI (Joint Mutual Information, Yang & Moody 1999; Brown et al.
+    2012 survey form): ``J(X_j) = Σ_{s∈S} I((X_j, X_s); Y)`` — round 1
+    falls back to the relevance MI(X_j; Y) (the standard JMI
+    initialization). Unlike the mRMR family this cannot be computed from
+    pairwise MI: each term needs the TRIPLE joint distribution
+    (candidate, selected, label), which the engine supplies when
+    ``redundancy_stat = "joint_label_mi"``."""
+
+    higher_is_better = True
+    redundancy_stat = "joint_label_mi"
+
+    def score(self, relevance: float, redundancies: list[float]) -> float:
+        if not redundancies:
+            return relevance
+        return sum(redundancies)
+
+
+def mi_pair_vs(a: np.ndarray, b: np.ndarray, y: np.ndarray) -> float:
+    """``I((a, b); y)`` — MI between the PAIR variable (a, b) and y,
+    computed by combining the two factorized code vectors into one pair
+    code and reusing :func:`mi_codes` (same joint table and cell-order
+    semantics as every other MI in this package)."""
+    ai, _ = factorize(a)
+    bi, kb = factorize(b)
+    yi, ky = factorize(y)
+    return mi_codes(ai * kb + bi, yi, ky, a.shape[0])
 
 
 class RowScore(ABC):
@@ -237,3 +274,23 @@ class MiqRowScore(RowScore):
             return relevance
         red = sum(mi_vec(feature, s) for s in selected) / len(selected)
         return relevance / max(red, 1e-12)
+
+
+class JmiRowScore(RowScore):
+    """Row-wise JMI — must select identically to :class:`JmiColumnScore`
+    on the transposed encoding (the cross-encoding differential
+    invariant, extended to the triple-statistic plug-in): each selected
+    row contributes ``I((feature, s); label_row)`` via
+    :func:`mi_pair_vs`."""
+
+    higher_is_better = True
+
+    def score(
+        self,
+        feature: np.ndarray,
+        label_row: np.ndarray,
+        selected: list[np.ndarray],
+    ) -> float:
+        if not selected:
+            return mi_vec(feature, label_row)
+        return sum(mi_pair_vs(feature, s, label_row) for s in selected)

@@ -130,6 +130,60 @@ def mi_vs_column(
     )
 
 
+def joint_label_mi_vs_column(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    candidates: Sequence[int],
+    other_col: str,
+    marginals: DataFrame,
+    n_rows: int,
+) -> DataFrame:
+    """``(cand, mi)`` — ``I((cand, other); label)`` for every candidate
+    against ONE other column, in a single pass (the JMI family's triple
+    statistic). Same plan shape as :func:`mi_vs_column` — one primitive
+    posexplode + one hash aggregate — but the aggregate counts
+    (cand_val, other_val, label_val) TRIPLES; its key space is bounded by
+    card(cand) × card(other) × card(label) (all under the 10k guard), not
+    by row count. The pair marginal is derived FROM the triple counts
+    (one more bounded aggregate — it is pair-specific, so the global
+    marginals shortcut does not apply); the label marginal broadcasts
+    from the precomputed global marginals."""
+    cand_vals = F.array(*[F.col(feature_cols[c]).cast("double") for c in candidates])
+    tuples = df.select(
+        F.posexplode(cand_vals).alias("pos", "cand_val"),
+        F.col(other_col).cast("double").alias("other_val"),
+        F.col(label_col).cast("double").alias("lab_val"),
+    )
+    cand_ids = F.array(*[F.lit(int(c)) for c in candidates])
+    joint = tuples.groupBy("pos", "cand_val", "other_val", "lab_val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # pair marginal re-aggregates the (bounded) joint relation; the big
+    # explode's Exchange is shared between the two branches (Spark
+    # ReusedExchange — the raw tuples are NOT scanned twice)
+    pair_m = joint.groupBy("pos", "cand_val", "other_val").agg(
+        F.sum("cnt").alias("cab")
+    )
+    lab_m = F.broadcast(
+        marginals.filter(F.col("col") == LABEL_COL_ID).select(
+            F.col("value").alias("lab_val"), F.col("cnt").alias("cy")
+        )
+    )
+    n = float(n_rows)
+    c = F.col("cnt").cast("double")
+    term = (c / F.lit(n)) * F.log(
+        c * F.lit(n) / (F.col("cab").cast("double") * F.col("cy").cast("double"))
+    )
+    return (
+        joint.join(pair_m, ["pos", "cand_val", "other_val"])
+        .join(lab_m, ["lab_val"])
+        .groupBy("pos")
+        .agg(F.sum(term).alias("mi"))
+        .select(F.element_at(cand_ids, F.col("pos") + 1).alias("cand"), "mi")
+    )
+
+
 def round_mi(
     df: DataFrame,
     label_col: str,
@@ -278,16 +332,25 @@ def _greedy_incore(
         c: mi_codes(codes[c][0], lab_codes[0], lab_codes[1], n)
         for c in all_idx
     }
-    return _greedy_recurrence(
-        all_idx,
-        num,
-        score,
-        relevance,
-        lambda remaining, newest: {
+    if score.redundancy_stat == "joint_label_mi":
+        # JMI family: the round term is I((cand, newest); label) — pair
+        # codes combine the two factorized columns, then the same
+        # mi_codes tail runs against the label
+        mi_newest = lambda remaining, newest: {  # noqa: E731
+            c: mi_codes(
+                codes[c][0] * codes[newest][1] + codes[newest][0],
+                lab_codes[0],
+                lab_codes[1],
+                n,
+            )
+            for c in remaining
+        }
+    else:
+        mi_newest = lambda remaining, newest: {  # noqa: E731
             c: mi_codes(codes[c][0], codes[newest][0], codes[newest][1], n)
             for c in remaining
-        },
-    )
+        }
+    return _greedy_recurrence(all_idx, num, score, relevance, mi_newest)
 
 
 def _better(a: tuple[int, float], b: tuple[int, float], higher: bool) -> bool:
@@ -417,14 +480,26 @@ def select_columns(
                     out[int(r["cand"])] = float(r["mi"])
             return out
 
+        def _tri_mi_all(cands: list[int], other_col: str) -> dict[int, float]:
+            out: dict[int, float] = {}
+            for start in range(0, len(cands), batch_size):
+                batch = cands[start : start + batch_size]
+                for r in joint_label_mi_vs_column(
+                    wide, label_col, feature_cols, batch, other_col, marginals, n_rows
+                ).collect():
+                    out[int(r["cand"])] = float(r["mi"])
+            return out
+
         relevance = _mi_all(all_idx, LABEL_COL_ID, label_col)
-        return _greedy_recurrence(
-            all_idx,
-            num,
-            score,
-            relevance,
-            lambda remaining, newest: _mi_all(remaining, newest, feature_cols[newest]),
-        )
+        if score.redundancy_stat == "joint_label_mi":
+            mi_newest = lambda remaining, newest: _tri_mi_all(  # noqa: E731
+                remaining, feature_cols[newest]
+            )
+        else:
+            mi_newest = lambda remaining, newest: _mi_all(  # noqa: E731
+                remaining, newest, feature_cols[newest]
+            )
+        return _greedy_recurrence(all_idx, num, score, relevance, mi_newest)
     finally:
         if marginals is not None:
             marginals.unpersist()

@@ -112,10 +112,18 @@ mi AS (
   JOIN mb ON mb.ca = p.ca AND mb.cb = p.cb AND mb.vb = p.vb
   GROUP BY 1, 2
 )"""
-def _sql_unrolled_greedy(score_sql: str) -> str:
+def _sql_unrolled_greedy(
+    score_sql: str,
+    red_rel: str = "mi",
+    red_agg: str = "avg",
+    extra_cte: str = "",
+) -> str:
     """Unrolled k-round greedy selection over the pairwise-MI matrix.
     ``score_sql`` combines ``r.score`` (relevance) with ``{red}`` (the
-    mean-redundancy scalar subquery) into the round score."""
+    redundancy scalar subquery: ``red_agg`` over relation ``red_rel``,
+    default the mean of pairwise MI) into the round score.
+    ``extra_cte`` appends additional CTEs (e.g. the triple-MI relation
+    the JMI score aggregates instead of pairwise MI)."""
     rounds = []
     prevs = []
     for k in range(1, MRMR_K + 1):
@@ -124,7 +132,7 @@ def _sql_unrolled_greedy(score_sql: str) -> str:
         else:
             prev_union = " UNION ALL ".join(f"SELECT ca FROM w{j}" for j in range(1, k))
             red = (
-                f"(SELECT avg(m.mi) FROM mi m WHERE m.ca = r.ca "
+                f"(SELECT {red_agg}(m.mi) FROM {red_rel} m WHERE m.ca = r.ca "
                 f"AND m.cb IN ({prev_union}))"
             )
             rounds.append(
@@ -137,7 +145,36 @@ def _sql_unrolled_greedy(score_sql: str) -> str:
         prevs.append(f"SELECT {k} AS rank, ca AS feature, round(score, 6) AS score FROM w{k}")
     body = ",\n".join(rounds)
     final = "\nUNION ALL\n".join(prevs)
-    return f"WITH {_sql_pair_mi(MRMR_DIMS)},\n{body}\n{final}"
+    return f"WITH {_sql_pair_mi(MRMR_DIMS)}{extra_cte},\n{body}\n{final}"
+
+
+def _sql_tri_mi(dims: int) -> str:
+    """CTE text (leading comma form, for ``extra_cte``) computing
+    ``mi3(ca, cb, mi)`` = I((X_ca, X_cb); Y) for every ordered feature
+    pair — the JMI family's triple statistic, built on the same ``long``
+    relation as the pairwise matrix (label rides as col −1)."""
+    return """,
+trip AS (
+  SELECT a.col AS ca, b.col AS cb, a.val AS va, b.val AS vb, y.val AS vy,
+         count(*) AS c
+  FROM long a
+  JOIN long b ON b.vec_id = a.vec_id AND a.col >= 0 AND b.col >= 0
+             AND a.col <> b.col
+  JOIN long y ON y.vec_id = a.vec_id AND y.col = -1
+  GROUP BY 1, 2, 3, 4, 5
+),
+t3 AS (SELECT ca, cb, sum(c) AS n FROM trip GROUP BY 1, 2),
+mab AS (SELECT ca, cb, va, vb, sum(c) AS cab FROM trip GROUP BY 1, 2, 3, 4),
+my3 AS (SELECT ca, cb, vy, sum(c) AS cy FROM trip GROUP BY 1, 2, 3),
+mi3 AS (
+  SELECT t.ca, t.cb,
+         sum((t.c * 1.0 / t3.n) * ln((t.c * 1.0 * t3.n) / (mab.cab * 1.0 * my3.cy))) AS mi
+  FROM trip t
+  JOIN t3 ON t3.ca = t.ca AND t3.cb = t.cb
+  JOIN mab ON mab.ca = t.ca AND mab.cb = t.cb AND mab.va = t.va AND mab.vb = t.vb
+  JOIN my3 ON my3.ca = t.ca AND my3.cb = t.cb AND my3.vy = t.vy
+  GROUP BY 1, 2
+)"""
 _SQL_WORDS = """
 words AS (
   SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,

@@ -16,6 +16,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _sql_emb_long,
     _sql_emb_lsh_cand,
     _sql_pair_mi,
+    _sql_tri_mi,
     _sql_unrolled_greedy,
     _t,
 )
@@ -136,6 +137,28 @@ def q_mrmr_miq_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_mrmr_miq_k5() -> str:
     return _sql_unrolled_greedy("r.score / greatest({red}, 1e-12)")
+
+
+def q_jmi_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under the JMI score (Yang & Moody 1999) —
+    exercises the triple-statistic plug-in path: each round aggregates
+    I((cand, selected); label) TRIPLE joint counts, a sufficient
+    statistic the mRMR family never touches (captures feature synergy
+    pairwise MI cannot)."""
+    from spark_ifs_spark.operators.scores import JmiColumnScore
+
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    sel = select_columns(wide, "label", cols, num=MRMR_K, score=JmiColumnScore())
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_jmi_select_k5() -> str:
+    """Unrolled greedy JMI: round 1 = relevance; rounds 2+ = SUM over
+    selected of the triple MI (the ``mi3`` CTE)."""
+    return _sql_unrolled_greedy(
+        "{red}", red_rel="mi3", red_agg="sum", extra_cte=_sql_tri_mi(MRMR_DIMS)
+    )
 
 
 def q_row_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:

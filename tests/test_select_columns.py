@@ -106,3 +106,31 @@ def test_incore_cardinality_guard(spark):
         select_columns(df, "label", ["f0", "f1"], num=1, max_categories=100)
     got = select_columns(df, "label", ["f1"], num=1, max_categories=100)
     assert len(got) == 1
+
+
+def test_jmi_captures_synergy_mrmr_misses(spark):
+    """The defining JMI property: with label = (f0 + f3) mod 3, neither
+    f0 nor f3 is individually informative beyond noise, but their PAIR
+    determines the label — after round 1 picks one of them, JMI's
+    triple term I((cand, sel); y) makes the partner the runaway round-2
+    winner. Also pins that the score equals the numpy triple-MI oracle."""
+    import numpy as np
+
+    from spark_ifs_spark.operators.scores import (
+        JmiColumnScore,
+        mi_pair_vs,
+    )
+
+    rng = np.random.default_rng(5)
+    n, C = 400, 10
+    X = rng.integers(0, 4, size=(n, C)).astype(float)
+    y = ((X[:, 0] + X[:, 3]) % 3).astype(float)
+    names = [f"f{j}" for j in range(C)]
+    rows = [tuple([float(y[i])] + X[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, ["label", *names])
+
+    sel = select_columns(df, "label", names, num=2, score=JmiColumnScore())
+    first, second = sel[0][0], sel[1][0]
+    assert {first, second} == {0, 3}
+    expect2 = mi_pair_vs(X[:, second], X[:, first], y)
+    assert abs(sel[1][1] - expect2) < 1e-9

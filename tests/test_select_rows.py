@@ -176,3 +176,27 @@ def test_snapshot_truncates_lineage(spark):
         snapped.unpersist()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_cross_encoding_agreement_jmi(spark):
+    """Cross-encoding differential invariant holds for the JMI plug-in —
+    the triple statistic I((cand, s); label) must agree between the
+    conventional encoding (in-core AND distributed triple-count plans)
+    and the alternate encoding's pandas-UDF pair-code path."""
+    from spark_ifs_spark.operators.scores import JmiColumnScore, JmiRowScore
+
+    mat = random_matrix(rows=120, cols=8, seed=9)
+    names = [f"f{j}" for j in range(7)]
+    conv = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    alt, labels = _alternate_df(spark, mat)
+    conv_sel = select_columns(conv, "label", names, num=3, score=JmiColumnScore())
+    conv_dist = select_columns(
+        conv, "label", names, num=3, score=JmiColumnScore(), incore_cell_budget=0
+    )
+    alt_sel = select_rows(alt, num=3, labels_row=labels, score=JmiRowScore())
+    assert [i for i, _ in conv_sel] == [i for i, _ in conv_dist]
+    assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
+    for (_, a), (_, b) in zip(conv_sel, conv_dist):
+        assert a == pytest.approx(b, rel=1e-9)
+    for (_, a), (_, b) in zip(conv_sel, alt_sel):
+        assert a == pytest.approx(b, rel=1e-9)
