@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "audio_mulaw_features",
     "dedup_substring_runs",
     "jmi_select_k5",
+    "cmim_select_k5",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -142,7 +142,11 @@ class ColumnScore(ABC):
     #: ``"pair_mi"`` = MI(cand, s) — the mRMR family's pairwise term;
     #: ``"joint_label_mi"`` = I((cand, s); label) — the JMI family's
     #: triple term (a different sufficient statistic: the engine counts
-    #: (cand_val, sel_val, label_val) triples instead of pairs).
+    #: (cand_val, sel_val, label_val) triples instead of pairs);
+    #: ``"conditional_label_mi"`` = I(cand; label | s) — the CMIM
+    #: family's conditional term, derived by the engine as
+    #: I((cand, s); label) − I(s; label) from the same triple counts
+    #: (the chain rule; relevance of s is already driver-held).
     redundancy_stat: str = "pair_mi"
 
     @abstractmethod
@@ -211,6 +215,24 @@ class JmiColumnScore(ColumnScore):
         if not redundancies:
             return relevance
         return sum(redundancies)
+
+
+class CmimColumnScore(ColumnScore):
+    """CMIM (Conditional Mutual Information Maximization, Fleuret 2004):
+    ``J(X_j) = min_{s∈S} I(X_j; Y | X_s)`` — keep the candidate whose
+    label information survives conditioning on its WORST already-selected
+    feature (a pessimistic dual to JMI's optimistic sum). Round 1 is the
+    relevance. The engine derives each conditional term from the same
+    triple counts as JMI via the chain rule
+    ``I(X_j; Y | X_s) = I((X_j, X_s); Y) − I(X_s; Y)``."""
+
+    higher_is_better = True
+    redundancy_stat = "conditional_label_mi"
+
+    def score(self, relevance: float, redundancies: list[float]) -> float:
+        if not redundancies:
+            return relevance
+        return min(redundancies)
 
 
 def mi_pair_vs(a: np.ndarray, b: np.ndarray, y: np.ndarray) -> float:
@@ -294,3 +316,24 @@ class JmiRowScore(RowScore):
         if not selected:
             return mi_vec(feature, label_row)
         return sum(mi_pair_vs(feature, s, label_row) for s in selected)
+
+
+class CmimRowScore(RowScore):
+    """Row-wise CMIM — must select identically to :class:`CmimColumnScore`
+    on the transposed encoding: each selected row contributes
+    ``I((feature, s); label) − I(s; label)`` and the minimum wins."""
+
+    higher_is_better = True
+
+    def score(
+        self,
+        feature: np.ndarray,
+        label_row: np.ndarray,
+        selected: list[np.ndarray],
+    ) -> float:
+        if not selected:
+            return mi_vec(feature, label_row)
+        return min(
+            mi_pair_vs(feature, s, label_row) - mi_vec(s, label_row)
+            for s in selected
+        )

@@ -332,10 +332,13 @@ def _greedy_incore(
         c: mi_codes(codes[c][0], lab_codes[0], lab_codes[1], n)
         for c in all_idx
     }
-    if score.redundancy_stat == "joint_label_mi":
-        # JMI family: the round term is I((cand, newest); label) — pair
-        # codes combine the two factorized columns, then the same
-        # mi_codes tail runs against the label
+    if score.redundancy_stat in ("joint_label_mi", "conditional_label_mi"):
+        # JMI/CMIM families: the round term is I((cand, newest); label) —
+        # pair codes combine the two factorized columns, then the same
+        # mi_codes tail runs against the label; the conditional variant
+        # subtracts I(newest; label) per the chain rule (relevance is
+        # already computed for every column)
+        sub_rel = score.redundancy_stat == "conditional_label_mi"
         mi_newest = lambda remaining, newest: {  # noqa: E731
             c: mi_codes(
                 codes[c][0] * codes[newest][1] + codes[newest][0],
@@ -343,6 +346,7 @@ def _greedy_incore(
                 lab_codes[1],
                 n,
             )
+            - (relevance[newest] if sub_rel else 0.0)
             for c in remaining
         }
     else:
@@ -491,10 +495,14 @@ def select_columns(
             return out
 
         relevance = _mi_all(all_idx, LABEL_COL_ID, label_col)
-        if score.redundancy_stat == "joint_label_mi":
-            mi_newest = lambda remaining, newest: _tri_mi_all(  # noqa: E731
-                remaining, feature_cols[newest]
-            )
+        if score.redundancy_stat in ("joint_label_mi", "conditional_label_mi"):
+            sub_rel = score.redundancy_stat == "conditional_label_mi"
+
+            def mi_newest(remaining: list[int], newest: int) -> dict[int, float]:
+                tri = _tri_mi_all(remaining, feature_cols[newest])
+                if sub_rel:  # chain rule: I(c; Y | s) = I((c,s); Y) − I(s; Y)
+                    return {c: v - relevance[newest] for c, v in tri.items()}
+                return tri
         else:
             mi_newest = lambda remaining, newest: _mi_all(  # noqa: E731
                 remaining, newest, feature_cols[newest]

@@ -161,6 +161,33 @@ def sql_jmi_select_k5() -> str:
     )
 
 
+def q_cmim_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy selection under the CMIM score (Fleuret 2004) — the
+    conditional-MI criterion ``min_s I(cand; label | s)``, derived from
+    the same triple counts as JMI via the chain rule."""
+    from spark_ifs_spark.operators.scores import CmimColumnScore
+
+    wide, cols = _quantized_wide(spark, sf_dir, MRMR_DIMS)
+    sel = select_columns(wide, "label", cols, num=MRMR_K, score=CmimColumnScore())
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_cmim_select_k5() -> str:
+    """Unrolled greedy CMIM: rounds 2+ take the MIN over selected of the
+    conditional MI — the ``cmi`` CTE is the triple MI minus the selected
+    feature's relevance (chain rule)."""
+    cmi = """,
+cmi AS (
+  SELECT m.ca, m.cb, m.mi - r2.mi AS mi
+  FROM mi3 m JOIN mi r2 ON r2.ca = m.cb AND r2.cb = -1
+)"""
+    return _sql_unrolled_greedy(
+        "{red}", red_rel="cmi", red_agg="min",
+        extra_cte=_sql_tri_mi(MRMR_DIMS) + cmi,
+    )
+
+
 def q_row_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same selection through the ALTERNATE encoding: quantized dims
     transposed to feature-rows, labels broadcast — must agree with

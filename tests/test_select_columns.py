@@ -134,3 +134,31 @@ def test_jmi_captures_synergy_mrmr_misses(spark):
     assert {first, second} == {0, 3}
     expect2 = mi_pair_vs(X[:, second], X[:, first], y)
     assert abs(sel[1][1] - expect2) < 1e-9
+
+
+def test_cmim_penalizes_redundant_copy(spark):
+    """The defining CMIM property: a near-copy of an informative feature
+    has I(copy; y | original) ~ 0, so the min-over-selected conditional
+    term drives its round-2 score to ~0 and an independently informative
+    feature wins instead — while plain relevance ranking would pick the
+    copy second."""
+    import numpy as np
+
+    from spark_ifs_spark.operators.scores import CmimColumnScore
+
+    rng = np.random.default_rng(17)
+    n = 600
+    f0 = rng.integers(0, 3, size=n).astype(float)     # strong feature
+    f1 = f0.copy()                                     # exact copy
+    f2 = rng.integers(0, 3, size=n).astype(float)      # independent signal
+    noise = rng.integers(0, 3, size=n).astype(float)
+    y = (f0 + 3.0 * f2)                                # y determined by f0 AND f2
+    rows = [
+        (float(y[i]), float(f0[i]), float(f1[i]), float(f2[i]), float(noise[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["label", "f0", "f1", "f2", "fn"])
+    sel = select_columns(df, "label", ["f0", "f1", "f2", "fn"], num=2,
+                         score=CmimColumnScore())
+    picked = [f for f, _ in sel]
+    assert set(picked) == {0, 2} or set(picked) == {1, 2}  # never the copy pair

@@ -200,3 +200,26 @@ def test_cross_encoding_agreement_jmi(spark):
         assert a == pytest.approx(b, rel=1e-9)
     for (_, a), (_, b) in zip(conv_sel, alt_sel):
         assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_cross_encoding_agreement_cmim(spark):
+    """Cross-encoding differential invariant holds for the CMIM plug-in:
+    the conditional statistic I(cand; label | s) must agree between the
+    conventional encoding (both strategies) and the alternate encoding."""
+    from spark_ifs_spark.operators.scores import CmimColumnScore, CmimRowScore
+
+    mat = random_matrix(rows=120, cols=8, seed=13)
+    names = [f"f{j}" for j in range(7)]
+    conv = spark.createDataFrame([tuple(map(float, r)) for r in mat], ["label", *names])
+    alt, labels = _alternate_df(spark, mat)
+    conv_sel = select_columns(conv, "label", names, num=3, score=CmimColumnScore())
+    conv_dist = select_columns(
+        conv, "label", names, num=3, score=CmimColumnScore(), incore_cell_budget=0
+    )
+    alt_sel = select_rows(alt, num=3, labels_row=labels, score=CmimRowScore())
+    assert [i for i, _ in conv_sel] == [i for i, _ in conv_dist]
+    assert [i for i, _ in conv_sel] == [int(i) for i, _ in alt_sel]
+    for (_, a), (_, b) in zip(conv_sel, conv_dist):
+        assert a == pytest.approx(b, rel=1e-9)
+    for (_, a), (_, b) in zip(conv_sel, alt_sel):
+        assert a == pytest.approx(b, rel=1e-9)
