@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_substring_runs",
     "jmi_select_k5",
     "cmim_select_k5",
+    "word_triangles",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -294,3 +294,83 @@ def pagerank(
             )
         )
     return ranks.select("id", F.col("pr").alias("pr_micro"))
+
+
+def triangle_count(
+    edges: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """``(id, n_triangles)`` — per-vertex triangle participation counts
+    over an undirected simple graph given as canonical distinct pairs
+    (``a < b``, no self-loops); only vertices in at least one triangle
+    appear.
+
+    Degree-ordered node-iterator (the MapReduce triangle pattern of
+    Suri & Vassilvitskii, WWW'11; Cohen, CiSE'09): orient every edge
+    from its smaller endpoint to its larger under the total order
+    ``(degree, id)``. Every triangle then has exactly one *apex* with
+    out-edges to both other vertices, so triangles = oriented wedges
+    ``(apex → x, apex → y)`` whose closing edge ``x → y`` exists in the
+    oriented relation. The orientation is the whole trick at scale: a
+    vertex's out-degree is bounded by ~sqrt(2E) regardless of its raw
+    degree, so wedge volume — the only super-linear intermediate — is
+    O(E^1.5) worst-case instead of the O(Σ deg²) a hub vertex would
+    force on the naive wedge join (a 10M-degree hub contributes ZERO
+    wedges if its neighbors all out-rank it).
+
+    Plan: one degree aggregate, two vertex-keyed joins to attach
+    endpoint degrees, one self-join on the apex, one pair-keyed
+    semi-equi-join for closure, one explode-by-3 + count. Every shuffle
+    key is a vertex or vertex pair — no payloads.
+
+    The reference engine has no graph stage; pipeline-extension surface
+    (triangle counts feed clustering-coefficient quality signals on
+    near-dup / co-occurrence graphs)."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    withdeg = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    # order the wedge's two endpoints by the SAME (deg, id) total order,
+    # so the closing edge (if present) is oriented exactly lo -> hi
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .where(
+            (F.col("x.dst_deg") < F.col("y.dst_deg"))
+            | (
+                (F.col("x.dst_deg") == F.col("y.dst_deg"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        )
+        .select(
+            F.col("x.src").alias("apex"),
+            F.col("x.dst").alias("lo"),
+            F.col("y.dst").alias("hi"),
+        )
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("lo"), F.col("dst").alias("hi")),
+        ["lo", "hi"],
+        "left_semi",
+    )
+    return (
+        closed.select(
+            F.explode(F.array(F.col("apex"), F.col("lo"), F.col("hi"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -1717,3 +1717,61 @@ FROM slots a
 JOIN n ON TRUE
 JOIN ring b ON b.r = (a.r + a.slot) % n.n
 """
+
+
+WTRI_MIN_COUNT = 3  # adjacency-pair support floor for the triangle graph
+
+
+def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-word triangle counts over the word-adjacency graph (edges =
+    unordered adjacent-token pairs with support >= 3): the
+    clustering-structure census via
+    :func:`~spark_ifs_spark.operators.graph.triangle_count` — the
+    degree-ordered node-iterator whose wedge volume stays O(E^1.5) even
+    with stopword hub vertices."""
+    from spark_ifs_spark.operators import graph
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, m - 1),
+        F.slice(toks, 2, m - 1),
+        lambda a, b: F.struct(
+            F.least(a, b).alias("wa"), F.greatest(a, b).alias("wb")
+        ),
+    )
+    edges = (
+        docs.repartition(32)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.wa", "p.wb")
+        .filter(F.col("wa") != F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= WTRI_MIN_COUNT)
+        .select(F.col("wa").alias("id_a"), F.col("wb").alias("id_b"))
+    )
+    out = graph.triangle_count(edges)
+    return out.select(F.col("id").alias("word"), "n_triangles")
+
+
+def sql_word_triangles() -> str:
+    return f"""
+WITH {_SQL_WORDS},
+adj AS (
+  SELECT least(a.w, b.w) AS wa, greatest(a.w, b.w) AS wb, count(*) AS c
+  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.w <> b.w
+  GROUP BY 1, 2
+),
+edges AS (SELECT wa, wb FROM adj WHERE c >= {WTRI_MIN_COUNT}),
+tri AS (
+  SELECT e1.wa AS v1, e1.wb AS v2, e2.wb AS v3
+  FROM edges e1
+  JOIN edges e2 ON e2.wa = e1.wb
+  JOIN edges e3 ON e3.wa = e1.wa AND e3.wb = e2.wb
+)
+SELECT u.word, CAST(count(*) AS BIGINT) AS n_triangles
+FROM tri, LATERAL (SELECT unnest([v1, v2, v3]) AS word) u
+GROUP BY u.word
+"""

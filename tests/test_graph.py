@@ -128,3 +128,45 @@ def test_pagerank_empty_edges_all_teleport(spark):
     n = spark.createDataFrame([(1,), (2,)], ["id"])
     out = {r["id"]: r["pr_micro"] for r in pagerank(e, n, iters=2).collect()}
     assert out == {1: 150000, 2: 150000}
+
+
+def test_triangle_count_known_graphs(spark):
+    from spark_ifs_spark.operators.graph import triangle_count
+
+    # K4: every vertex is in C(3,2) = 3 triangles, 4 triangles total
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4, ["id_a", "id_b"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # path graph: zero triangles -> empty result
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["id_a", "id_b"])
+    assert triangle_count(path).count() == 0
+
+    # one triangle + a pendant edge
+    g = spark.createDataFrame([(0, 1), (0, 2), (1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(g).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_hub_star_plus_rim(spark):
+    """A hub of degree 40 with a single rim edge: exactly one triangle,
+    and the degree orientation keeps the hub's out-degree at ~0 (the
+    wedge explosion a naive pairs-of-neighbors join would suffer)."""
+    from spark_ifs_spark.operators.graph import triangle_count
+
+    hub = [(0, i) for i in range(1, 41)]
+    rim = [(1, 2)]
+    df = spark.createDataFrame(hub + rim, ["id_a", "id_b"])
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_count_string_vertices(spark):
+    from spark_ifs_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d")], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
