@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "jmi_select_k5",
     "cmim_select_k5",
     "word_triangles",
+    "dedup_jaccard_prefix",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

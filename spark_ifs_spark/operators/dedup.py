@@ -637,6 +637,93 @@ def span_dedup(
     )
 
 
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with word-``n``-gram-SET Jaccard ≥ threshold:
+    ``(id_a, id_b, jaccard)``, ``id_a < id_b`` — EXACT and LOSSLESS via
+    prefix filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07;
+    Xiao et al. WWW'08), the deterministic complement to
+    :func:`minhash_lsh_pairs` (probabilistic recall) and
+    :func:`ngram_jaccard_pairs` (whose DF cap can drop
+    all-stop-shingle overlaps).
+
+    Why it is lossless: order every shingle digest by the global total
+    order (document frequency asc, digest asc) and keep only each set's
+    first ``|x| − ceil(t·|x|) + 1`` digests as its *prefix*. For any
+    pair with J ≥ t the intersection has ``i ≥ t·max(|x|,|y|)``
+    (from ``i ≥ t(|x|+|y|−i)`` and ``i ≤ min``), so fewer than the
+    suffix-length commons can hide outside either prefix — the
+    globally-smallest common digest lies in BOTH prefixes, and the
+    prefix inverted-index join finds every qualifying pair. Candidates
+    are then verified with the exact intersection.
+
+    Scale posture: only 60-bit digests shuffle (shingle text never
+    leaves the scan stage); the candidate join touches ~(1−t) of each
+    posting list instead of all of it, and the size filter
+    ``min ≥ ceil(t·max)`` prunes length-incompatible pairs before
+    verification. At t = 0.9 the prefix is a tenth of each set — the
+    high-threshold regime where this beats both the full inverted index
+    (t-independent) and minhash (recall < 1)."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = word_shingles(df, id_col, text_col, n).select(
+        "id", md5_int60(F.col("sh")).alias("h")
+    )
+    dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
+    t = float(threshold)
+    ranked = (
+        sh.join(dfq, "h")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df_"), F.col("h")))
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("nsh"),
+        )
+    )
+    plen = (F.col("nsh") - F.ceil(F.col("nsh") * t) + 1).cast("int")
+    prefix = ranked.select(
+        "id",
+        "nsh",
+        F.explode(F.slice(F.col("arr"), F.lit(1), plen)).alias("e"),
+    ).select("id", "nsh", F.col("e.h").alias("h"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .where(
+            F.least(F.col("a.nsh"), F.col("b.nsh"))
+            >= F.ceil(F.greatest(F.col("a.nsh"), F.col("b.nsh")) * t)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.nsh").alias("na"),
+            F.col("b.nsh").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("id").alias("id_a"), "h")
+    tb = sh.select(F.col("id").alias("id_b"), "h")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "h"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def duplicate_substring_runs(
     df: DataFrame,
     id_col: str,

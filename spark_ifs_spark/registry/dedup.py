@@ -71,6 +71,47 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
 """
 
 
+PREFIX_N = 2            # bigram shingles for the prefix-filter join
+PREFIX_THRESHOLD = 0.5  # exact Jaccard floor
+
+
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin, Bayardo et al. WWW'07) — the lossless counterpart to
+    ``dedup_minhash`` on bigram shingle sets; see
+    :func:`~spark_ifs_spark.operators.dedup.jaccard_prefix_pairs`."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_dedup_jaccard_prefix() -> str:
+    # brute-force exact Jaccard over the SAME bigram digests — the
+    # prefix filter is lossless, so the oracle needs no filter at all
+    n = PREFIX_N
+    shingle_of = f"array_to_string(t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+{n})], ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS id, {sql_md5_int60(shingle_of)} AS h
+  FROM toks, unnest(generate_series(0, len(t) - {n})) AS u(i)
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS i
+  FROM sh x JOIN sh y ON y.h = x.h AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {PREFIX_THRESHOLD}
+"""
+
+
 def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs under length-band blocking — the fuzzy
     dedup complement to token-set Jaccard (catches single-char edits

@@ -346,3 +346,50 @@ def test_substring_runs_min_run_filters_isolated_shingles(spark):
         ).count()
         == 0
     )
+
+
+def test_jaccard_prefix_matches_full_inverted_index(spark):
+    """Losslessness differential: the prefix-filtered join must return
+    EXACTLY the pairs of the full (uncapped) inverted-index join at the
+    same n/threshold — the prefix filter may prune candidates, never
+    results."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base + " tail"),                      # near-dup of 1
+        (3, "completely different content words entirely here now"),
+        (4, base.replace("quick", "rapid")),       # near-dup of 1
+        (5, "completely different content words entirely here today"),  # near-dup of 3
+        (6, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.jaccard_prefix_pairs(df, "doc_id", "text", n=2, threshold=0.3).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.3, max_df=None
+        ).collect()
+    }
+    assert got == want and len(got) >= 2
+
+
+def test_jaccard_prefix_high_threshold_exactness(spark):
+    """t = 0.9: only the truly-near-identical pair survives, and it is
+    found despite the tiny prefix (|x| - ceil(0.9|x|) + 1 shingles)."""
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["zz"])      # differs in last token only
+    c = " ".join(words[:20] + [f"x{i}" for i in range(20)])
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = dedup.jaccard_prefix_pairs(df, "doc_id", "text", n=2, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
+    assert out[0]["jaccard"] >= 0.9
+
+
+def test_jaccard_prefix_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.0)

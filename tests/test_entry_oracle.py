@@ -122,14 +122,14 @@ def test_driver_window_frozen():
         "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
         "hard_negatives", "session_concurrency", "negative_samples",
     ]
-    assert list(QUERIES)[12:23] == [
+    assert list(QUERIES)[12:24] == [
         "dedup_embedding_lsh_hi", "dedup_embedding_lsh_hi_audit",
         "multimodal_png_features", "ann_ivfpq_trained_audit",
         "collapse_repeats", "multimodal_jpeg_features",
         "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
-        "cmim_select_k5", "word_triangles",
+        "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
     ]
     assert list(QUERIES)[45:50] == [
-        "multimodal_features", "lineitem_pricing", "nation_revenue",
-        "priority_orders", "events_topk_per_type",
+        "doc_fingerprint", "multimodal_features", "lineitem_pricing",
+        "nation_revenue", "priority_orders",
     ]
