@@ -671,9 +671,12 @@ def jaccard_prefix_pairs(
     (t-independent) and minhash (recall < 1)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    # four consumers (df counts, per-doc ranking, both verify sides) —
+    # persist the digest relation once, same pattern as
+    # ngram_jaccard_pairs' flagged relation
     sh = word_shingles(df, id_col, text_col, n).select(
         "id", md5_int60(F.col("sh")).alias("h")
-    )
+    ).persist()
     dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
     t = float(threshold)
     ranked = (

@@ -71,8 +71,12 @@ WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
 """
 
 
-PREFIX_N = 2            # bigram shingles for the prefix-filter join
-PREFIX_THRESHOLD = 0.5  # exact Jaccard floor
+PREFIX_N = 3             # trigram shingles: 27k-term vocabulary at sf0.1, so the
+#                          (df, digest) prefix order actually discriminates (bigrams
+#                          collapse to ~900 stop-terms and the filter cannot prune)
+PREFIX_THRESHOLD = 0.75  # exact Jaccard floor — dyadic, so ceil(t*n) is float-exact
+#                          at every set size (0.8 rounds UP at n=50 and would
+#                          over-shorten the lossless prefix bound)
 
 
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
