@@ -501,19 +501,21 @@ def lsh_candidate_pairs(
     src = df.select(F.col(id_col).alias("id"), as_double_array(vec_col).alias("id_v"))
     sig = src.mapInPandas(_sig, "id long, tbl int, bucket long")
 
-    def _bucket_cands(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        k = len(pdf)
-        if k < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-            )
-        ids = np.sort(pdf["id"].to_numpy())
-        iu, ju = np.triu_indices(k, 1)
-        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
-
+    # pair emission is a JVM-side self-join on the bucket key, NOT an
+    # applyInPandas: at production plane counts buckets are tiny (mean
+    # occupancy ~2), so the census is ~10k groups and per-group pandas
+    # overhead dominated (measured 16 s for a 33k-pair census at sf0.1;
+    # the join form is 1.5 s). The quadratic in-bucket emission is
+    # intrinsic either way — the join just keeps it in codegen.
+    a, b = sig.alias("a"), sig.alias("b")
     return (
-        sig.groupBy("tbl", "bucket")
-        .applyInPandas(_bucket_cands, "id_a long, id_b long")
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 

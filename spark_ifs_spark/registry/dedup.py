@@ -382,10 +382,14 @@ def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFram
     AND the candidate-pruning ratio (distinct LSH bucket collisions vs
     n·(n−1)/2). At production thresholds cand_ppm sits orders of
     magnitude below 1e6; the 0.4-threshold demo cannot show that."""
-    aug = _aug_hi_embeddings(spark, sf_dir)
+    # aug feeds four pipelines (exact kernel, LSH verify, candidate
+    # census, n_allpairs) and exact/found each feed two aggregates —
+    # persist them or the 120-plane signature pass and the blocked GEMM
+    # run twice each (measured 17 s -> ~9 s at sf0.1)
+    aug = _aug_hi_embeddings(spark, sf_dir).persist()
     exact = similarity.cosine_threshold_pairs_blocked(
         aug, "vec_id", "embedding", threshold=EMB_LSH_HI_THRESHOLD, num_blocks=4
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     found = similarity.cosine_lsh_pairs(
         aug,
         "vec_id",
@@ -395,7 +399,7 @@ def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFram
         num_planes=EMB_LSH_HI_PLANES,
         num_tables=EMB_LSH_HI_TABLES,
         seed=EMB_LSH_SEED,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").persist()
     cand = similarity.lsh_candidate_pairs(
         aug,
         "vec_id",
