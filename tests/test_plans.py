@@ -556,3 +556,51 @@ def test_semantic_dedup_no_pairwise_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_substring_runs_shuffle_shape(spark, sf_dir):
+    """duplicate_substring_runs' contract: shingle text never rides a
+    shuffle — the overlapping-shingle relation is a scan-fused digest
+    projection, and the exchanges carry only (h, id, pos) / (id, pos)
+    ints. 4 logical exchanges: digest count, the flag join's two sides
+    share one key, the per-doc window, the island aggregate."""
+    from spark_ifs_spark.operators.dedup import duplicate_substring_runs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicate_substring_runs(docs, "doc_id", "text", k=8)
+    plan = explain_str(out)
+    assert "text" not in [
+        c.split("#")[0]
+        for seg in plan.split("Exchange")[1:]
+        for c in seg[seg.find("[") + 1 : seg.find("]")].split(", ")
+    ], plan
+    assert count_exchanges(out) <= 5, plan
+
+
+def test_jaccard_prefix_shuffle_shape(spark, sf_dir):
+    """jaccard_prefix_pairs' contract: only 60-bit digests shuffle —
+    shingle strings are digested inside the scan-stage projection."""
+    from spark_ifs_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.75)
+    plan = explain_str(out)
+    assert "text" not in [
+        c.split("#")[0]
+        for seg in plan.split("Exchange")[1:]
+        for c in seg[seg.find("[") + 1 : seg.find("]")].split(", ")
+    ], plan
+
+
+def test_triangle_count_no_payload_shuffle(spark):
+    """triangle_count's shuffles are keyed on vertices / vertex pairs
+    and its one super-linear intermediate (the wedge join) is bounded by
+    the degree orientation — plan-wise: no broadcast of the (unbounded)
+    edge relation, hash exchanges only."""
+    from spark_ifs_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(i, j) for i in range(20) for j in range(i + 1, 20)], ["id_a", "id_b"]
+    )
+    plan = explain_str(triangle_count(df))
+    assert "hashpartitioning" in plan

@@ -113,7 +113,11 @@ def main() -> None:
         "ann_topk_ivfpq",
         "cluster_aware_split",
         "negative_samples",
+        "dedup_substring_runs",
+        "dedup_jaccard_prefix",
+        "word_triangles",
         "mrmr_select_k5",
+        "jmi_select_k5",
         "row_select_k5",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
