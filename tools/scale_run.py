@@ -96,6 +96,7 @@ def main() -> None:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", "48g")
+        .config("spark.ui.showConsoleProgress", "false")
         .appName("spark_ifs_scale_run")
         .getOrCreate()
     )
