@@ -393,3 +393,56 @@ def test_jaccard_prefix_threshold_validation(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.jaccard_prefix_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planners (pure math — no Spark)
+
+
+def test_plan_minhash_lsh_meets_both_constraints():
+    from spark_ifs_spark.functions.hashing import minhash_recall, plan_minhash_lsh
+
+    for t, rec, mh in ((0.5, 0.95, 4096), (0.8, 0.95, 512), (0.9, 0.99, 512)):
+        hashes, rows = plan_minhash_lsh(t, rec, max_hashes=mh)
+        bands = hashes // rows
+        assert hashes == bands * rows <= mh
+        assert minhash_recall(t, bands, rows) >= rec
+        assert minhash_recall(t / 2, bands, rows) <= 0.05
+
+
+def test_plan_minhash_lsh_infeasible_raises():
+    import pytest as _pytest
+
+    from spark_ifs_spark.functions.hashing import plan_minhash_lsh
+
+    # a steep curve at t=0.5 with fp<=5% at 0.25 needs ~1.1k hashes
+    with _pytest.raises(ValueError, match="no .* plan"):
+        plan_minhash_lsh(0.5, 0.95, max_hashes=512)
+
+
+def test_plan_hyperplane_reproduces_production_demo_params():
+    """The planner, given the hi-threshold demo's operating point
+    (cosine 0.9, recall 0.95), lands on the same plane count the
+    registered dedup_embedding_lsh_hi query uses (P=10) with a
+    comparable table count — the registered parameters are the planned
+    ones, not folklore."""
+    from spark_ifs_spark.functions.hashing import (
+        hyperplane_recall,
+        plan_hyperplane_lsh,
+    )
+
+    planes, tables = plan_hyperplane_lsh(0.9, 0.95)
+    assert planes == 10
+    assert 10 <= tables <= 16
+    assert hyperplane_recall(0.9, tables, planes) >= 0.95
+    assert hyperplane_recall(0.2, tables, planes) <= 0.05
+
+
+def test_plan_hyperplane_infeasible_raises():
+    import pytest as _pytest
+
+    from spark_ifs_spark.functions.hashing import plan_hyperplane_lsh
+
+    # sign-LSH cannot discriminate 0.8 from 0.2 within 512 bits at 95%
+    with _pytest.raises(ValueError, match="no .* plan"):
+        plan_hyperplane_lsh(0.8, 0.95, max_bits=512)
