@@ -389,6 +389,9 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard:
     ``(id_a, id_b, jaccard)``, ``id_a < id_b``, Jaccard ≥ threshold.
+    Pick ``num_hashes``/``rows_per_band`` for a target recall and
+    candidate budget with
+    :func:`~spark_ifs_spark.functions.hashing.plan_minhash_lsh`.
 
     LSH prunes candidate generation: only documents whose signatures
     collide in ≥1 band are compared. With b bands of r rows the detect

@@ -375,6 +375,10 @@ def cosine_lsh_pairs(
     Dropped buckets lose those candidates (recall, not correctness,
     degrades; other tables may still catch the pair), mirroring the
     ``max_df`` stop-shingle policy of ``ngram_jaccard_pairs``.
+    
+    Pick ``num_planes``/``num_tables`` for a target recall and candidate
+    budget with
+    :func:`~spark_ifs_spark.functions.hashing.plan_hyperplane_lsh`.
     """
     import numpy as np
     import pandas as pd
