@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "cmim_select_k5",
     "word_triangles",
     "dedup_jaccard_prefix",
+    "dsir_select",
+    "dedup_containment",
+    "shard_manifest",
+    "maxsim_topk",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -189,6 +189,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+    min_sub_shingles: int = 5,
+) -> DataFrame:
+    """Asymmetric near-containment pairs ``(id_sub, id_sup, containment)``
+    with ``containment = |S(sub) ∩ S(sup)| / |S(sub)| ≥ threshold`` and
+    ``id_sub ≠ id_sup`` — the quote/subset detector: a short document
+    mostly contained in a longer one scores high here while its Jaccard
+    (which divides by the union) stays low, so
+    :func:`ngram_jaccard_pairs` never surfaces it.
+
+    Same scale skeleton as the Jaccard join: candidates come from the
+    shingle inverted index gated by the ``max_df`` stop-shingle cap
+    (only shingle digests ever shuffle, never document bodies), the
+    intersection is counted ONCE per unordered candidate pair, and both
+    containment directions are scored off that single count — the
+    asymmetry lives in the final division, not in a second join.
+    ``min_sub_shingles`` drops trivially-small contained sides (a
+    2-shingle fragment is "contained" everywhere; production span-level
+    containment wants substance on the contained side).
+
+    Pairs whose entire overlap is stop-shingles (DF > ``max_df``) are
+    missed, exactly as in :func:`ngram_jaccard_pairs` — at containment
+    ≥ 0.8 that means boilerplate-only fragments; raise ``max_df`` if
+    those matter.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is None:
+        flagged = sh.persist()
+        rare: DataFrame = flagged
+        high: DataFrame | None = None
+    else:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        flagged = sh.join(dfreq, "sh").persist()
+        rare = flagged.filter(F.col("df_") <= max_df).select("id", "sh")
+        high = flagged.filter(F.col("df_") > max_df).select("id", "sh")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if high is not None:
+        ha = high.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        hb = high.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
+        corr = (
+            inter.select("id_a", "id_b")
+            .join(ha, "id_a")
+            .join(hb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("i_high"))
+        )
+        inter = (
+            inter.join(corr, ["id_a", "id_b"], "left")
+            .withColumn("i", F.col("i") + F.coalesce(F.col("i_high"), F.lit(0)))
+            .select("id_a", "id_b", "i")
+        )
+    sizes = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    fwd = scored.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_sup"),
+        (F.col("i") / F.col("na")).alias("containment"),
+        F.col("na").alias("n_sub"),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_sup"),
+        (F.col("i") / F.col("nb")).alias("containment"),
+        F.col("nb").alias("n_sub"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(
+            (F.col("containment") >= threshold)
+            & (F.col("n_sub") >= min_sub_shingles)
+        )
+        .select("id_sub", "id_sup", "containment")
+    )
+
+
 #: signature bins for the edit-distance L1 prefilter: 13 letter pairs +
 #: space; the catch-all bin (len − Σ matches) absorbs every other char,
 #: so the binning is total and the 1-edit→≤2-L1 bound holds for any text

@@ -1,0 +1,99 @@
+"""Late-interaction (ColBERT-style MaxSim) retrieval over chunked
+documents.
+
+ColBERT (Khattab & Zaharia, 2020, SIGIR) scores a document against a
+query as the sum over query tokens of the MAX similarity to any
+document token — "late interaction": token-level similarities are
+computed first and reduced afterwards, which is what lets the document
+side be precomputed and indexed. Here the unit of late interaction is
+the *chunk* (the package's overlapping token windows) and the encoder
+is a deterministic hashed bag-of-words (md5-bucket term frequencies,
+L2-normalized) — the engine-portable stand-in for a learned token
+encoder: swap :func:`chunk_bow_vectors` for a Pandas-UDF model encoder
+and every plan shape below survives unchanged.
+
+    score(query, doc) = Σ_{t ∈ query}  max_{chunk ∈ doc}  cos(enc(t), enc(chunk))
+
+With one-hot query-term encodings the cosine against a normalized
+chunk vector collapses to ``tf[bucket(t)] / ‖chunk‖`` — an
+inverted-index lookup, NOT a dense GEMM, which is exactly the sparse
+formulation production late-interaction engines (PLAID et al.) exploit.
+
+Scale shape: the chunk side is a (doc, chunk, bucket, tf) relation —
+corpus-linear, built by one map-side explode + one aggregate; the query
+side is a broadcast literal; their join is bucket-keyed (inverted
+index), so only postings for buckets a query actually probes are ever
+read; the two reductions (max over chunks, sum over terms) are hash
+aggregates with map-side combine; final top-k per query goes through
+the skew-safe salted two-stage top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.functions.hashing import md5_int60
+from spark_ifs_spark.operators.chunking import chunk_documents
+from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+
+def chunk_bow_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """``(id, chunk_idx, b, tf, nrm)`` — L2-normalizable hashed-BoW chunk
+    vectors in sparse long form: ``tf`` occurrences of md5 bucket ``b``
+    in the chunk, ``nrm = ‖chunk‖₂ = sqrt(Σ_b tf²)`` repeated on every
+    posting so consumers never re-join the norm."""
+    chunks = chunk_documents(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    toks = (
+        chunks.select(
+            "id", "chunk_idx", F.explode(F.split(F.col("chunk"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .select("id", "chunk_idx", (md5_int60(F.col("w")) % num_buckets).alias("b"))
+    )
+    tf = toks.groupBy("id", "chunk_idx", "b").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("id", "chunk_idx")
+    return tf.withColumn("nrm", F.sqrt(F.sum(F.col("tf") * F.col("tf")).over(w)))
+
+
+def maxsim_topk(
+    spark: SparkSession,
+    chunk_vecs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """``(query, rank, id, score)`` — top-``k`` documents per query under
+    the MaxSim late-interaction score over ``chunk_vecs`` (the output of
+    :func:`chunk_bow_vectors`, or anything with the same sparse schema).
+
+    ``queries`` maps query name → term list; terms are one-hot in the
+    same md5-bucket space, so per-(term, chunk) cosine =
+    ``tf[bucket(term)] / nrm``. Ranking is ON ``round(score, 6)`` with
+    the doc id as tie-break (the engine-portable float-ranking
+    convention)."""
+    qrows = [(q, t) for q, terms in queries.items() for t in terms]
+    qdf = spark.createDataFrame(qrows, "query string, term string").select(
+        "query", "term", (md5_int60(F.col("term")) % num_buckets).alias("b")
+    )
+    sims = (
+        chunk_vecs.join(F.broadcast(qdf), "b")
+        .groupBy("query", "term", "id")
+        .agg(F.max(F.col("tf") / F.col("nrm")).alias("ms"))
+    )
+    scores = (
+        sims.groupBy("query", "id")
+        .agg(F.round(F.sum("ms"), 6).alias("score"))
+    )
+    return salted_topk_per_key(
+        scores, ["query"], "score", k, tiebreak_cols=["id"]
+    ).select("query", "rank", "id", "score")

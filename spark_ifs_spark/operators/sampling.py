@@ -359,3 +359,61 @@ def negative_samples(
     ).withColumn("_nr", (F.col("r") + F.col("slot")) % F.lit(n))
     partner = ranked.select(F.col("id").alias("neg_id"), F.col("r").alias("_nr"))
     return slots.join(partner, "_nr").select("id", "slot", "neg_id")
+
+
+def rendezvous_shard(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Input plus a deterministic ``shard`` column assigned by rendezvous
+    (highest-random-weight) hashing: ``shard(id) = argmax_s
+    md5_int60(salt:id:s)``.
+
+    Why rendezvous instead of ``mod``: growing the fleet from ``S`` to
+    ``S+1`` shards moves ONLY the docs whose new shard's draw beats all
+    ``S`` existing draws — an expected ``n/(S+1)`` of the corpus —
+    whereas ``id % S`` reshuffles nearly everything. That minimal-
+    movement property is what makes an incremental re-shard of a 100 TB
+    corpus an append, not a rewrite.
+
+    Plan shape: the argmax is a single map-side array expression
+    (``S`` md5 draws per row folded through ``array_max`` on
+    ``struct(h, s)``) — no shuffle, no join, no window; the assignment
+    survives any repartitioning because it is a pure function of the
+    id. Ties (md5 draw collisions) resolve to the smallest shard via
+    the negated-shard struct field.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be > 0")
+    draws = F.array(
+        *[
+            F.struct(
+                md5_int60(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(f":{s}"),
+                    )
+                ).alias("h"),
+                F.lit(-s).alias("ns"),
+            )
+            for s in range(num_shards)
+        ]
+    )
+    return df.withColumn("shard", -F.array_max(draws)["ns"])
+
+
+def sql_rendezvous_shard(id_expr: str, num_shards: int, salt: str = "shard") -> str:
+    """DuckDB scalar expression twin of :func:`rendezvous_shard` —
+    greatest-of over the same md5 draws with the same smallest-shard
+    tie rule (struct comparison on (h, -s))."""
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    draws = ", ".join(
+        "{'h': %s, 'ns': %d}"
+        % (sql_md5_int60(f"concat('{salt}:', CAST({id_expr} AS VARCHAR), ':{s}')"), -s)
+        for s in range(num_shards)
+    )
+    return f"(-(list_max([{draws}])).ns)"

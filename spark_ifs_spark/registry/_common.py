@@ -413,3 +413,28 @@ PQ_SCALE = 64
 # hard-negative mining (hard_negatives)
 HARDNEG_K = 3
 HARDNEG_DUP_CEILING = 0.95
+
+
+# ColBERT-style MaxSim retrieval (maxsim_topk)
+MAXSIM_QUERIES = {
+    "q_exec": ["spark", "shuffle", "join"],
+    "q_stream": ["window", "batch", "stream"],
+}
+MAXSIM_K = 10
+MAXSIM_BUCKETS = 64
+
+
+# rendezvous-hash shard manifest (shard_manifest)
+MANIFEST_SHARDS = 8
+
+
+# asymmetric containment dedup (dedup_containment)
+CONTAIN_THRESHOLD = 0.8
+CONTAIN_MIN_SUB_SH = 5
+
+
+# DSIR importance resampling (dsir_select)
+DSIR_BUCKETS = 512
+DSIR_ALPHA = 1.0
+DSIR_K = 100
+DSIR_TARGET_LANG = "en"

@@ -913,3 +913,39 @@ GROUP BY j.cluster
 """
 
 
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment (quote/subset) pairs: documents whose
+    shingle set is >= CONTAIN_THRESHOLD contained in another doc's."""
+    out = dedup.containment_pairs(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=NGRAM_N,
+        threshold=CONTAIN_THRESHOLD,
+        max_df=NGRAM_MAX_DF,
+        min_sub_shingles=CONTAIN_MIN_SUB_SH,
+    )
+    return out.select(
+        "id_sub", "id_sup", F.round("containment", 6).alias("containment")
+    )
+
+
+def sql_dedup_containment() -> str:
+    # Brute-force exact replica: at the gate SFs no shingle's DF exceeds
+    # NGRAM_MAX_DF (measured max 9), so the operator's capped candidate
+    # gate is lossless and the uncapped SQL is the same relation.
+    return f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_sub, ib AS id_sup, round(i * 1.0 / s.n_sh, 6) AS containment
+FROM inter
+JOIN sizes s ON s.id = ia
+WHERE i * 1.0 / s.n_sh >= {CONTAIN_THRESHOLD} AND s.n_sh >= {CONTAIN_MIN_SUB_SH}
+"""

@@ -1775,3 +1775,137 @@ SELECT u.word, CAST(count(*) AS BIGINT) AS n_triangles
 FROM tri, LATERAL (SELECT unnest([v1, v2, v3]) AS word) u
 GROUP BY u.word
 """
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the DSIR_K
+    raw documents whose hashed-unigram log-likelihood ratio says they
+    look most like the target subcorpus (here: the English docs)."""
+    from spark_ifs_spark.operators.selection import dsir_scores, dsir_top_k
+
+    docs = _read(spark, sf_dir, "documents")
+    scores = dsir_scores(
+        docs,
+        "doc_id",
+        "text",
+        is_target=F.col("lang") == DSIR_TARGET_LANG,
+        num_buckets=DSIR_BUCKETS,
+        alpha=DSIR_ALPHA,
+    )
+    return dsir_top_k(scores, DSIR_K).withColumnRenamed("id", "doc_id")
+
+
+def sql_dsir_select() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END AS tgt,
+         {sql_md5_int60('w')} % {b} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+counts AS (SELECT b, count(*) AS cr, sum(tgt) AS ct FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+wt AS (
+  SELECT b, ln((ct + {DSIR_ALPHA}) / (nt + {DSIR_ALPHA * b})) -
+            ln((cr + {DSIR_ALPHA}) / (nr + {DSIR_ALPHA * b})) AS w
+  FROM counts CROSS JOIN tot
+),
+sc AS (SELECT doc_id, sum(w) AS score FROM toks JOIN wt USING (b) GROUP BY 1),
+rk AS (
+  SELECT row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM sc
+)
+SELECT rank, doc_id, score FROM rk WHERE rank <= {DSIR_K}
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard manifest: per-shard doc count and byte
+    budget, plus how many of the shard's docs would move if one more
+    shard joined (rendezvous's minimal-movement property: expected
+    n/(S+1) total, vs ~all for mod-hashing)."""
+    from spark_ifs_spark.operators.sampling import rendezvous_shard
+
+    docs = _read(spark, sf_dir, "documents")
+    cur = rendezvous_shard(docs, "doc_id", MANIFEST_SHARDS).withColumnRenamed(
+        "shard", "s"
+    )
+    both = rendezvous_shard(cur, "doc_id", MANIFEST_SHARDS + 1)
+    return both.groupBy(F.col("s").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum((F.col("shard") != F.col("s")).cast("long")).alias("n_moving"),
+    )
+
+
+def sql_shard_manifest() -> str:
+    from spark_ifs_spark.operators.sampling import sql_rendezvous_shard
+
+    s1 = sql_rendezvous_shard("doc_id", MANIFEST_SHARDS)
+    s2 = sql_rendezvous_shard("doc_id", MANIFEST_SHARDS + 1)
+    return f"""
+SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN shard2 <> shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moving
+FROM (SELECT {s1} AS shard, {s2} AS shard2, n_chars FROM documents)
+GROUP BY 1
+"""
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: top-MAXSIM_K docs per
+    query by sum-of-max chunk similarity (hashed-BoW encoder)."""
+    from spark_ifs_spark.operators.retrieval import chunk_bow_vectors, maxsim_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    vecs = chunk_bow_vectors(
+        docs,
+        "doc_id",
+        "text",
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+        num_buckets=MAXSIM_BUCKETS,
+    )
+    out = maxsim_topk(spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def sql_maxsim_topk() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, terms in MAXSIM_QUERIES.items() for t in terms
+    )
+    return f"""
+WITH {_SQL_WORDS},
+sizes AS (SELECT doc_id, count(*) AS m FROM words GROUP BY 1),
+chunks AS (
+  SELECT doc_id, unnest(range((m - 1) // {stride} + 1)) AS c FROM sizes
+),
+tok AS (
+  SELECT w.doc_id, ch.c, {sql_md5_int60('w.w')} % {MAXSIM_BUCKETS} AS b
+  FROM words w
+  JOIN chunks ch ON ch.doc_id = w.doc_id
+   AND (w.pos - 1) >= ch.c * {stride}
+   AND (w.pos - 1) < ch.c * {stride} + {CHUNK_TOKENS}
+  WHERE w.w <> ''
+),
+tf AS (SELECT doc_id, c, b, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+nrm AS (SELECT doc_id, c, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY 1, 2),
+q(query, term) AS (VALUES {qvals}),
+qb AS (SELECT query, term, {sql_md5_int60('term')} % {MAXSIM_BUCKETS} AS b FROM q),
+sims AS (
+  SELECT qb.query, qb.term, tf.doc_id, max(tf.tf / n.nrm) AS ms
+  FROM qb JOIN tf USING (b)
+  JOIN nrm n ON n.doc_id = tf.doc_id AND n.c = tf.c
+  GROUP BY 1, 2, 3
+),
+sc AS (SELECT query, doc_id, round(sum(ms), 6) AS score FROM sims GROUP BY 1, 2),
+rk AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+)
+SELECT query, rank, doc_id, score FROM rk WHERE rank <= {MAXSIM_K}
+"""

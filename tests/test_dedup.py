@@ -446,3 +446,43 @@ def test_plan_hyperplane_infeasible_raises():
     # sign-LSH cannot discriminate 0.8 from 0.2 within 512 bits at 95%
     with _pytest.raises(ValueError, match="no .* plan"):
         plan_hyperplane_lsh(0.8, 0.95, max_bits=512)
+
+
+def test_containment_pairs_basic(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),            # 8 shingles
+        (2, "a b c d e f g h i j k l m n o"),  # superset of 1
+        (3, "z y x w v u t s r q"),            # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_sub"], r["id_sup"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8, min_sub_shingles=5
+        ).collect()
+    }
+    # doc 1's 8 shingles all appear in doc 2 → containment 1.0 forward only
+    assert out == {(1, 2): 1.0}
+
+
+def test_containment_is_asymmetric_vs_jaccard(spark):
+    rows = [
+        (1, "a b c d e f g"),                       # 5 shingles
+        (2, "a b c d e f g " + " ".join(f"w{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9, min_sub_shingles=5
+    ).collect()
+    jac = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert [(r["id_sub"], r["id_sup"]) for r in cont] == [(1, 2)]
+    assert jac == []  # Jaccard misses the quote/subset relation
+
+
+def test_containment_min_sub_shingles_gate(spark):
+    rows = [(1, "a b c"), (2, "a b c d e f g h")]  # doc 1: 1 shingle
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, min_sub_shingles=5
+    ).collect()
+    assert out == []

@@ -129,7 +129,10 @@ def test_driver_window_frozen():
         "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
         "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
     ]
+    assert list(QUERIES)[24:28] == [
+        "dsir_select", "dedup_containment", "shard_manifest", "maxsim_topk",
+    ]
     assert list(QUERIES)[45:50] == [
-        "doc_fingerprint", "multimodal_features", "lineitem_pricing",
-        "nation_revenue", "priority_orders",
+        "text_repetition", "corpus_clean", "vocab_top50",
+        "lang_id", "doc_fingerprint",
     ]

@@ -1,0 +1,57 @@
+"""MaxSim late-interaction retrieval (operators/retrieval.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators.retrieval import chunk_bow_vectors, maxsim_topk
+
+
+def _vecs(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return chunk_bow_vectors(df, "doc_id", "text", **kw)
+
+
+def test_chunk_bow_norm_and_tf(spark):
+    vecs = _vecs(
+        spark, [(1, "a a b")], chunk_tokens=8, overlap=0, num_buckets=64
+    ).collect()
+    # one chunk, two buckets: tf 2 (a) and 1 (b); norm = sqrt(5) on both rows
+    assert len(vecs) == 2
+    assert sorted(r["tf"] for r in vecs) == [1, 2]
+    assert all(abs(r["nrm"] - 5 ** 0.5) < 1e-12 for r in vecs)
+
+
+def test_maxsim_is_max_over_chunks_sum_over_terms(spark):
+    # doc 1: chunk0 = "a a a a", chunk1 = "b c d e" (chunk_tokens=4, overlap=0)
+    # query [a, b]: maxsim(a) = 1.0 (pure-a chunk), maxsim(b) = 0.5 (tf 1 / norm 2)
+    vecs = _vecs(
+        spark, [(1, "a a a a b c d e")], chunk_tokens=4, overlap=0, num_buckets=4096
+    )
+    out = maxsim_topk(spark, vecs, {"q": ["a", "b"]}, k=5, num_buckets=4096).collect()
+    assert len(out) == 1
+    assert out[0]["rank"] == 1
+    assert abs(out[0]["score"] - 1.5) < 1e-6
+
+
+def test_maxsim_ranks_better_doc_first(spark):
+    vecs = _vecs(
+        spark,
+        [(1, "x y z w"), (2, "a b x y"), (3, "p q r s")],
+        chunk_tokens=4,
+        overlap=0,
+        num_buckets=4096,
+    )
+    out = maxsim_topk(spark, vecs, {"q": ["x", "y"]}, k=2, num_buckets=4096).collect()
+    assert [(r["rank"], r["id"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 1), (2, 2),
+    ]
+
+
+def test_maxsim_query_join_is_broadcast(spark):
+    vecs = _vecs(spark, [(1, "a b c")], chunk_tokens=4, overlap=0)
+    plan = (
+        maxsim_topk(spark, vecs, {"q": ["a"]}, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
