@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "dedup_containment",
     "shard_manifest",
     "maxsim_topk",
+    "hybrid_rrf",
+    "ppl_buckets",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

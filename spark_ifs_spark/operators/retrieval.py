@@ -30,6 +30,9 @@ the skew-safe salted two-stage top-k.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -97,3 +100,53 @@ def maxsim_topk(
     return salted_topk_per_key(
         scores, ["query"], "score", k, tiebreak_cols=["id"]
     ).select("query", "rank", "id", "score")
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    key_cols: Sequence[str],
+    id_col: str = "id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """``(key..., rank, id, rrf_micro)`` — reciprocal-rank fusion
+    (Cormack, Clarke & Büttcher, 2009, SIGIR) of several ranked lists:
+    ``rrf(d) = Σ_lists 1/(rrf_k + rank_list(d))``, the standard way a
+    hybrid retrieval stack combines its lexical (BM25) and
+    late-interaction/dense legs without score calibration — only ranks
+    cross the fusion boundary, so wildly different score scales fuse
+    cleanly.
+
+    Each input must carry ``key_cols``, ``id_col`` and a 1-based
+    ``rank`` column; a document absent from a list simply contributes
+    nothing for it (the conventional skip, not a penalty term).
+    Contributions are quantized to integer micro-units
+    (``floor(1e6/(rrf_k+rank))`` as BIGINT) before the sum — the
+    package's exact-integer convention, so fused totals are invariant
+    to partitioning and addition order on every engine.
+
+    Scale shape: the inputs are already top-k lists (≤ k rows per key
+    each), so everything here — the union, the (key, id) hash
+    aggregate, the salted top-k — runs over ≤ |lists|·k rows per key
+    regardless of corpus size. Fusion is never the bottleneck; the legs
+    are.
+    """
+    keys = list(key_cols)
+    contribs = [
+        r.select(
+            *keys,
+            F.col(id_col).alias("id"),
+            F.floor(F.lit(1000000.0) / (F.lit(rrf_k) + F.col("rank")))
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in ranked
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy(*keys, "id")
+        .agg(F.sum("_c").alias("rrf_micro"))
+    )
+    return salted_topk_per_key(
+        fused, keys, "rrf_micro", k, tiebreak_cols=["id"]
+    ).select(*keys, "rank", "id", "rrf_micro")

@@ -516,6 +516,133 @@ def bm25_topk(
     return bm25_score_postings(tf, n_docs, avgdl, k=k, k1=k1, b=b)
 
 
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """``(bucket, n_docs, sum_bigrams, min_ppl_micro, max_ppl_micro)``
+    — CCNet-style perplexity partitioning (Wenzek et al., 2020, LREC):
+    score every document under the corpus-trained bigram LM
+    (:func:`bigram_logprob`), then split the corpus into ``head`` /
+    ``middle`` / ``tail`` at the global perplexity tertiles — CCNet's
+    signature move for keeping the fluent third of a web crawl and
+    routing the rest to lighter sampling.
+
+    ``ppl_micro = floor(-ll_micronats / n_bigrams)`` is the integer
+    average negative log-likelihood per bigram in micronats — a
+    monotone proxy for perplexity (``exp`` of it) that stays in the
+    package's exact-integer convention. Documents with zero bigrams
+    (single-token docs) carry no LM evidence and are excluded, as in
+    :func:`bigram_logprob`.
+
+    Scale shape: the LM costs the two corpus scans documented on
+    :func:`bigram_logprob`; everything after runs on the per-document
+    score relation — ~3 orders smaller than the token stream — where
+    one exact ``percentile`` aggregate (two scalars broadcast back) and
+    one map-side bucket comparison finish the job. At web scale swap
+    the exact percentile for ``approx_percentile`` (the thresholds are
+    cut points, not audited values); the plan shape is unchanged.
+    Thresholds are rounded to 6 decimals before the comparison — the
+    cross-engine interpolation-ulp guard.
+    """
+    scored = bigram_logprob(df, id_col, text_col).select(
+        "id",
+        "n_bigrams",
+        F.floor(
+            (-F.col("ll_micronats")).cast("double")
+            / F.col("n_bigrams").cast("double")
+        )
+        .cast("long")
+        .alias("ppl_micro"),
+    )
+    qs = scored.agg(
+        F.round(F.expr(f"percentile(ppl_micro, {cuts[0]!r})"), 6).alias("_q0"),
+        F.round(F.expr(f"percentile(ppl_micro, {cuts[1]!r})"), 6).alias("_q1"),
+    )
+    bucket = (
+        F.when(F.col("ppl_micro") <= F.col("_q0"), F.lit("head"))
+        .when(F.col("ppl_micro") <= F.col("_q1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.min("ppl_micro").alias("min_ppl_micro"),
+            F.max("ppl_micro").alias("max_ppl_micro"),
+        )
+    )
+
+
+def bm25_multi_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``(query, rank, id, score_micro)`` — :func:`bm25_topk` for a
+    BATCH of named queries in ONE corpus scan: the token explode joins a
+    broadcast ``(query, term)`` literal relation instead of an
+    ``isin``, so Q queries cost one scan + one (query, id, term)
+    aggregate, not Q scans — the shape that matters when the corpus is
+    100 TB and the query set is a workload, not a singleton.
+
+    Scores are bit-identical to running :func:`bm25_topk` per query
+    (same integer-micro quantization, df computed per (query, term));
+    the per-query top-k goes through the skew-safe salted two-stage
+    top-k rather than Q separate TakeOrdereds.
+    """
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(q, t) for q, terms in queries.items() for t in terms],
+        "query string, term string",
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("id", "_toks", F.size("_toks").alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_len")
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["total_len"]) / float(n_docs)
+    tf = (
+        base.select("id", "dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query", "id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("query", "term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    per_term = F.floor(idf * (tfd * F.lit(k1 + 1.0) / denom) * F.lit(1000000.0))
+    scored = (
+        tf.join(F.broadcast(dfreq), ["query", "term"])
+        .select("query", "id", per_term.cast("long").alias("s_micro"))
+        .groupBy("query", "id")
+        .agg(F.sum("s_micro").alias("score_micro"))
+    )
+    return salted_topk_per_key(
+        scored, ["query"], "score_micro", k, tiebreak_cols=["id"]
+    ).select("query", "rank", "id", "score_micro")
+
+
 def bm25_score_postings(
     tf: DataFrame,
     n_docs: int,

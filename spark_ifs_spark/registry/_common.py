@@ -428,6 +428,11 @@ MAXSIM_BUCKETS = 64
 MANIFEST_SHARDS = 8
 
 
+# hybrid retrieval: reciprocal-rank fusion of BM25 + MaxSim (hybrid_rrf)
+RRF_K = 60
+HYBRID_K = 10
+
+
 # asymmetric containment dedup (dedup_containment)
 CONTAIN_THRESHOLD = 0.8
 CONTAIN_MIN_SUB_SH = 5

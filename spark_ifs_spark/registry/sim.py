@@ -460,6 +460,59 @@ GROUP BY per_doc.doc_id
 """
 
 
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity partitioning at the
+    global tertiles of the bigram-LM score — see
+    :func:`~spark_ifs_spark.operators.textstats.ppl_buckets`."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.ppl_buckets(docs, "doc_id", "text")
+
+
+def sql_ppl_buckets() -> str:
+    c0, c1 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""
+WITH occ AS (
+  SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS pair
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) s
+  WHERE len(t) >= 2
+), per_doc AS (
+  SELECT doc_id, pair, count(*) AS k FROM occ GROUP BY 1, 2
+), pair_counts AS (
+  SELECT pair, CAST(sum(k) AS BIGINT) AS c_pair FROM per_doc GROUP BY pair
+), left_counts AS (
+  SELECT split_part(pair, ' ', 1) AS l, CAST(sum(c_pair) AS BIGINT) AS c_left
+  FROM pair_counts GROUP BY 1
+), model AS (
+  SELECT pair, CAST(floor(ln(c_pair * 1.0 / c_left) * 1e6) AS BIGINT) AS t
+  FROM pair_counts JOIN left_counts ON split_part(pair, ' ', 1) = l
+), ll AS (
+  SELECT per_doc.doc_id,
+         CAST(sum(k) AS BIGINT) AS n_bigrams,
+         CAST(sum(k * t) AS BIGINT) AS ll_micronats
+  FROM per_doc JOIN model USING (pair)
+  GROUP BY per_doc.doc_id
+), scored AS (
+  SELECT doc_id, n_bigrams,
+         CAST(floor((-ll_micronats) * 1.0 / n_bigrams) AS BIGINT) AS ppl_micro
+  FROM ll
+), qs AS (
+  SELECT round(quantile_cont(ppl_micro, {c0}), 6) AS q0,
+         round(quantile_cont(ppl_micro, {c1}), 6) AS q1
+  FROM scored
+)
+SELECT CASE WHEN ppl_micro <= q0 THEN 'head'
+            WHEN ppl_micro <= q1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+       min(ppl_micro) AS min_ppl_micro,
+       max(ppl_micro) AS max_ppl_micro
+FROM scored CROSS JOIN qs
+GROUP BY 1
+"""
+
+
 def q_embedding_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Rademacher random projection of the embeddings down to
     ``PROJ_DIMS`` components — see :func:`~spark_ifs_spark.operators.

@@ -1909,3 +1909,119 @@ rk AS (
 )
 SELECT query, rank, doc_id, score FROM rk WHERE rank <= {MAXSIM_K}
 """
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical leg
+    (per-query Okapi BM25) and the late-interaction leg (MaxSim over
+    hashed-BoW chunks) — the calibration-free way production stacks
+    combine sparse and dense rankers (only ranks cross the fusion
+    boundary; see ``retrieval.rrf_fuse``)."""
+    from spark_ifs_spark.operators.retrieval import (
+        chunk_bow_vectors,
+        maxsim_topk,
+        rrf_fuse,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    vecs = chunk_bow_vectors(
+        docs,
+        "doc_id",
+        "text",
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+        num_buckets=MAXSIM_BUCKETS,
+    )
+    dense = maxsim_topk(
+        spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS
+    ).select("query", "rank", "id")
+    lex = textstats.bm25_multi_topk(
+        docs, "doc_id", "text", MAXSIM_QUERIES, k=MAXSIM_K
+    ).select("query", "rank", "id")
+    out = rrf_fuse([lex, dense], ["query"], "id", k=HYBRID_K, rrf_k=RRF_K)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def sql_hybrid_rrf() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, terms in MAXSIM_QUERIES.items() for t in terms
+    )
+    return f"""
+WITH {_SQL_WORDS},
+q(query, term) AS (VALUES {qvals}),
+-- dense leg: MaxSim over hashed-BoW chunks
+sizes AS (SELECT doc_id, count(*) AS m FROM words GROUP BY 1),
+chunks AS (
+  SELECT doc_id, unnest(range((m - 1) // {stride} + 1)) AS c FROM sizes
+),
+tok AS (
+  SELECT w.doc_id, ch.c, {sql_md5_int60('w.w')} % {MAXSIM_BUCKETS} AS b
+  FROM words w
+  JOIN chunks ch ON ch.doc_id = w.doc_id
+   AND (w.pos - 1) >= ch.c * {stride}
+   AND (w.pos - 1) < ch.c * {stride} + {CHUNK_TOKENS}
+  WHERE w.w <> ''
+),
+ctf AS (SELECT doc_id, c, b, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+nrm AS (SELECT doc_id, c, sqrt(sum(tf * tf)) AS nrm FROM ctf GROUP BY 1, 2),
+qb AS (SELECT query, term, {sql_md5_int60('term')} % {MAXSIM_BUCKETS} AS b FROM q),
+sims AS (
+  SELECT qb.query, qb.term, ctf.doc_id, max(ctf.tf / n.nrm) AS ms
+  FROM qb JOIN ctf USING (b)
+  JOIN nrm n ON n.doc_id = ctf.doc_id AND n.c = ctf.c
+  GROUP BY 1, 2, 3
+),
+dsc AS (SELECT query, doc_id, round(sum(ms), 6) AS score FROM sims GROUP BY 1, 2),
+drk AS (
+  SELECT query, doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rank
+  FROM dsc
+),
+-- lexical leg: per-query Okapi BM25 (integer-micro convention)
+base AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n, sum(len(t)) AS total FROM base),
+btf AS (
+  SELECT q.query, id, len(t) AS dl, w.term, count(*) AS tf
+  FROM base, LATERAL (SELECT unnest(t) AS term) w
+  JOIN q ON q.term = w.term
+  GROUP BY 1, 2, 3, 4
+),
+bdf AS (SELECT query, term, count(*) AS df FROM btf GROUP BY 1, 2),
+bsc AS (
+  SELECT btf.query, btf.id,
+         CAST(sum(CAST(floor(
+           ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+           * ((CAST(btf.tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(btf.tf AS DOUBLE)
+                 + 1.2 * (0.25 + (0.75 * CAST(btf.dl AS DOUBLE))
+                                  / (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+           * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM btf CROSS JOIN stats s
+  JOIN bdf d ON d.query = btf.query AND d.term = btf.term
+  GROUP BY 1, 2
+),
+lrk AS (
+  SELECT query, id AS doc_id,
+         row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, id ASC) AS rank
+  FROM bsc
+),
+-- fusion: integer-micro reciprocal-rank contributions
+contrib AS (
+  SELECT query, doc_id, CAST(floor(1000000.0 / ({RRF_K} + rank)) AS BIGINT) AS c
+  FROM lrk WHERE rank <= {MAXSIM_K}
+  UNION ALL
+  SELECT query, doc_id, CAST(floor(1000000.0 / ({RRF_K} + rank)) AS BIGINT) AS c
+  FROM drk WHERE rank <= {MAXSIM_K}
+),
+fused AS (
+  SELECT query, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+  FROM contrib GROUP BY 1, 2
+),
+frk AS (
+  SELECT query, doc_id, rrf_micro,
+         row_number() OVER (PARTITION BY query ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query, rank, doc_id, rrf_micro FROM frk WHERE rank <= {HYBRID_K}
+"""

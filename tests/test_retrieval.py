@@ -48,6 +48,41 @@ def test_maxsim_ranks_better_doc_first(spark):
     ]
 
 
+def test_rrf_fuse_hand_computed(spark):
+    from spark_ifs_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 1, 10), ("q", 2, 20), ("q", 3, 30)], "query string, rank int, id long"
+    )
+    dense = spark.createDataFrame(
+        [("q", 1, 20), ("q", 2, 10)], "query string, rank int, id long"
+    )
+    out = {r["id"]: (r["rank"], r["rrf_micro"]) for r in
+           rrf_fuse([lex, dense], ["query"], "id", k=3, rrf_k=60).collect()}
+    # doc 10: 1e6//61 + 1e6//62 = 16393 + 16129 = 32522
+    # doc 20: 1e6//62 + 1e6//61 = 32522 (tie with 10 -> id asc: 10 first)
+    # doc 30: 1e6//63 = 15873 (absent from dense leg: no penalty, just 0)
+    assert out[10] == (1, 32522)
+    assert out[20] == (2, 32522)
+    assert out[30] == (3, 15873)
+
+
+def test_rrf_fuse_respects_k(spark):
+    from spark_ifs_spark.operators.retrieval import rrf_fuse
+
+    lists = [
+        spark.createDataFrame(
+            [("a", r, 100 + r) for r in range(1, 6)], "query string, rank int, id long"
+        ),
+        spark.createDataFrame(
+            [("b", r, 200 + r) for r in range(1, 6)], "query string, rank int, id long"
+        ),
+    ]
+    out = rrf_fuse(lists, ["query"], "id", k=2, rrf_k=60)
+    got = sorted((r["query"], r["rank"], r["id"]) for r in out.collect())
+    assert got == [("a", 1, 101), ("a", 2, 102), ("b", 1, 201), ("b", 2, 202)]
+
+
 def test_maxsim_query_join_is_broadcast(spark):
     vecs = _vecs(spark, [(1, "a b c")], chunk_tokens=4, overlap=0)
     plan = (

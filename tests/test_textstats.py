@@ -192,6 +192,52 @@ def test_bm25_prefers_rare_term_and_caps_k(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_ppl_buckets_partition_and_order(spark):
+    """Buckets partition the scored docs; head holds strictly lower
+    (better) ppl than tail; single-token docs carry no LM evidence."""
+    # all docs share left context 'a' (c_a = 8): p(x|a)=1/2 -> ppl
+    # ln2, p(y|a)=1/4 -> ln4, p(z|a)=p(w|a)=1/8 -> ln8 (graded)
+    rows = (
+        [(i, "a x") for i in range(4)]
+        + [(10, "a y"), (11, "a y"), (20, "a z"), (21, "a w")]
+        + [(99, "singleton")]  # zero bigrams -> excluded
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bucket"]: r for r in textstats.ppl_buckets(df, "doc_id", "text").collect()}
+    assert {b: r["n_docs"] for b, r in out.items()} == {
+        "head": 4, "middle": 2, "tail": 2,
+    }  # singleton excluded, tertiles split at the graded values
+    assert (
+        out["head"]["max_ppl_micro"]
+        <= out["middle"]["min_ppl_micro"]
+        <= out["middle"]["max_ppl_micro"]
+        <= out["tail"]["min_ppl_micro"]
+    )
+
+
+def test_bm25_multi_matches_per_query_runs(spark):
+    """bm25_multi_topk (one scan, Q queries) is bit-identical to Q
+    independent bm25_topk runs — same integer-micro scores, same order."""
+    rows = [
+        (0, "spark spark spark runs fast"),
+        (1, "spark runs on a cluster"),
+        (2, "the cat sat on the mat"),
+        (3, "cluster of stars in the sky"),
+        (4, "a mat on a mat near the cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = {"qa": ["spark", "cluster"], "qb": ["cat", "mat"]}
+    multi = textstats.bm25_multi_topk(df, "doc_id", "text", queries, k=3).collect()
+    for qname, terms in queries.items():
+        single = textstats.bm25_topk(df, "doc_id", "text", terms, k=3).collect()
+        got = sorted(
+            (r["rank"], r["id"], r["score_micro"])
+            for r in multi if r["query"] == qname
+        )
+        want = [(i + 1, r["id"], r["score_micro"]) for i, r in enumerate(single)]
+        assert got == sorted(want), qname
+
+
 def test_bm25_length_normalization(spark):
     # same tf, longer doc scores lower under b > 0
     rows = [
