@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "maxsim_topk",
     "hybrid_rrf",
     "ppl_buckets",
+    "token_budget_alloc",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

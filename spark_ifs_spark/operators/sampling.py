@@ -361,6 +361,90 @@ def negative_samples(
     return slots.join(partner, "_nr").select("id", "slot", "neg_id")
 
 
+def token_budget_allocation(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: Column | str,
+    budget_frac: float = 0.5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """``(source, n_tok, alloc_tok, rate_ppm)`` — allocate a global
+    token budget ``B = floor(budget_frac · Σ tokens)`` across sources by
+    temperature-weighted water-filling: each source gets
+    ``a_i = min(n_i, λ·p_i)`` with weight ``p_i = n_i^alpha`` and the
+    water level ``λ`` chosen so ``Σ a_i = B``. This is the capped
+    mixture-allocation step every pretraining data recipe runs —
+    ``alpha < 1`` up-weights small sources (temperature flattening, as
+    in multilingual sampling), and the ``min(n_i, ·)`` cap routes the
+    surplus a small source can't absorb back to the big ones instead of
+    silently oversampling it past 1 epoch.
+
+    Closed form, no iteration: sort sources by saturation level
+    ``r_i = n_i/p_i``; saturated sources form a prefix of that order,
+    and a source is saturated iff ``r_i ≤ λ_{i-1}`` where ``λ_{i-1}``
+    is the water level computed as if everything before it is
+    saturated — running window sums give every ``λ_{i-1}`` in one pass,
+    and the final ``λ`` is read off the last saturated row (conditional
+    running-max, order-safe because the running sums are monotone).
+
+    Determinism contract: ``alpha = 0.5`` maps to ``sqrt`` (IEEE-exact
+    on every engine); other alphas use ``pow``, whose last-ulp behavior
+    is libm-specific — keep 0.5 for cross-engine gates. The window
+    order is total (``r`` then source), so running double sums are
+    sequential in the same order on both engines.
+
+    Scale shape: one corpus scan aggregates per-source token counts;
+    everything after runs on the S-row source relation (single-task
+    windows over dozens of rows — bounded by the source vocabulary, not
+    the corpus). ``rate_ppm = floor(a_i·1e6/n_i)`` is the per-source
+    sampling rate to feed :func:`weighted_mix`/:func:`split_assign`.
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens).alias("n_tok")
+    )
+    nd = F.col("n_tok").cast("double")
+    p = F.sqrt(nd) if alpha == 0.5 else F.pow(nd, F.lit(alpha))
+    base = per_src.select("source", "n_tok", p.alias("p"), (nd / p).alias("r"))
+    w = Window.orderBy("r", "source")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = base.select(
+        "*",
+        F.sum("n_tok").over(w).alias("cumn"),
+        F.sum("p").over(w).alias("cump"),
+    )
+    run = run.select(
+        "*",
+        (F.floor(F.lit(budget_frac) * F.max("cumn").over(full))).alias("B"),
+        F.max("cump").over(full).alias("totp"),
+    )
+    lam_before = (F.col("B") - (F.col("cumn") - F.col("n_tok"))) / (
+        F.col("totp") - (F.col("cump") - F.col("p"))
+    )
+    run = run.select("*", (F.col("r") <= lam_before).alias("sat"))
+    cumn_sat = F.coalesce(
+        F.max(F.when(F.col("sat"), F.col("cumn"))).over(full), F.lit(0.0)
+    )
+    cump_sat = F.coalesce(
+        F.max(F.when(F.col("sat"), F.col("cump"))).over(full), F.lit(0.0)
+    )
+    n_unsat = F.sum(F.when(~F.col("sat"), F.lit(1)).otherwise(F.lit(0))).over(full)
+    lam = F.when(
+        n_unsat > 0, (F.col("B") - cumn_sat) / (F.col("totp") - cump_sat)
+    ).otherwise(F.lit(0.0))
+    alloc = F.when(F.col("sat"), F.col("n_tok")).otherwise(
+        F.least(F.col("n_tok"), F.floor(lam * F.col("p")).cast("long"))
+    )
+    return run.select(
+        "source",
+        "n_tok",
+        alloc.alias("alloc_tok"),
+        F.floor(alloc.cast("double") * F.lit(1000000.0) / F.col("n_tok").cast("double"))
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+
+
 def rendezvous_shard(
     df: DataFrame,
     id_col: str,

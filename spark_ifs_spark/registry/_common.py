@@ -433,6 +433,10 @@ RRF_K = 60
 HYBRID_K = 10
 
 
+# temperature water-filling token budget (token_budget_alloc)
+TOKBUDGET_FRAC = 0.5
+
+
 # asymmetric containment dedup (dedup_containment)
 CONTAIN_THRESHOLD = 0.8
 CONTAIN_MIN_SUB_SH = 5

@@ -1911,6 +1911,63 @@ SELECT query, rank, doc_id, score FROM rk WHERE rank <= {MAXSIM_K}
 """
 
 
+def q_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted water-filling of a global token budget
+    across sources (alpha = 0.5, budget = half the corpus) — see
+    :func:`~spark_ifs_spark.operators.sampling.token_budget_allocation`
+    for the closed-form saturation-prefix construction."""
+    from spark_ifs_spark.operators.sampling import token_budget_allocation
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_budget_allocation(
+        docs,
+        "source",
+        F.size(F.split(F.col("text"), " ")),
+        budget_frac=TOKBUDGET_FRAC,
+        alpha=0.5,
+    )
+
+
+def sql_token_budget_alloc() -> str:
+    return f"""
+WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY 1
+), base AS (
+  SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS p,
+         CAST(n_tok AS DOUBLE) / sqrt(CAST(n_tok AS DOUBLE)) AS r
+  FROM per
+), run AS (
+  SELECT *, sum(n_tok) OVER (ORDER BY r, source) AS cumn,
+            sum(p) OVER (ORDER BY r, source) AS cump
+  FROM base
+), gl AS (
+  SELECT *, floor({TOKBUDGET_FRAC} * max(cumn) OVER ()) AS b,
+            max(cump) OVER () AS totp
+  FROM run
+), st AS (
+  SELECT *, (r <= (b - (cumn - n_tok)) / (totp - (cump - p))) AS sat FROM gl
+), fin AS (
+  SELECT *,
+         coalesce(max(CASE WHEN sat THEN cumn END) OVER (), 0.0) AS cumn_sat,
+         coalesce(max(CASE WHEN sat THEN cump END) OVER (), 0.0) AS cump_sat,
+         sum(CASE WHEN sat THEN 0 ELSE 1 END) OVER () AS n_unsat
+  FROM st
+)
+SELECT source, n_tok,
+       CASE WHEN sat THEN n_tok
+            ELSE least(n_tok, CAST(floor(
+              ((b - cumn_sat) / (totp - cump_sat)) * p) AS BIGINT))
+       END AS alloc_tok,
+       CAST(floor(
+         CAST(CASE WHEN sat THEN n_tok
+              ELSE least(n_tok, CAST(floor(
+                ((b - cumn_sat) / (totp - cump_sat)) * p) AS BIGINT))
+         END AS DOUBLE) * 1000000.0 / CAST(n_tok AS DOUBLE)) AS BIGINT) AS rate_ppm
+FROM fin
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the lexical leg
     (per-query Okapi BM25) and the late-interaction leg (MaxSim over

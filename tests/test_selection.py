@@ -95,6 +95,69 @@ def test_dsir_weight_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_token_budget_waterfill_matches_bisection(spark):
+    """Differential oracle: the closed-form saturation-prefix
+    allocation equals a bisection solve of sum(min(n, lam*p)) = B."""
+    import random
+
+    from spark_ifs_spark.operators.sampling import token_budget_allocation
+
+    def brute(ns, frac, alpha=0.5):
+        tot = sum(ns.values())
+        budget = math.floor(frac * tot)
+        p = {s: n ** alpha for s, n in ns.items()}
+        lo, hi = 0.0, 1e18
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if sum(min(n, mid * p[s]) for s, n in ns.items()) < budget:
+                lo = mid
+            else:
+                hi = mid
+        lam = (lo + hi) / 2
+        return {s: min(n, lam * p[s]) for s, n in ns.items()}, budget
+
+    rng = random.Random(7)
+    for frac in (0.1, 0.5, 1.0):
+        ns = {f"s{i}": rng.randint(10, 10 ** rng.randint(2, 7)) for i in range(7)}
+        df = spark.createDataFrame(list(ns.items()), "source string, n long")
+        got = {
+            r["source"]: r
+            for r in token_budget_allocation(df, "source", "n", frac).collect()
+        }
+        want, budget = brute(ns, frac)
+        for s, n in ns.items():
+            assert got[s]["alloc_tok"] <= n
+            assert abs(got[s]["alloc_tok"] - want[s]) <= 2, (frac, s)
+        total = sum(r["alloc_tok"] for r in got.values())
+        assert budget - len(ns) <= total <= budget + len(ns)
+
+
+def test_token_budget_full_budget_saturates_all(spark):
+    from spark_ifs_spark.operators.sampling import token_budget_allocation
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 10000), ("c", 7)], "source string, n long"
+    )
+    out = {r["source"]: r for r in
+           token_budget_allocation(df, "source", "n", 1.0).collect()}
+    assert all(out[s]["alloc_tok"] == n for s, n in [("a", 100), ("b", 10000), ("c", 7)])
+    assert all(r["rate_ppm"] == 1000000 for r in out.values())
+
+
+def test_token_budget_temperature_favors_small_sources(spark):
+    """alpha = 0.5 gives small sources a higher sampling RATE than big
+    ones (temperature flattening), while the cap keeps every rate <= 1."""
+    from spark_ifs_spark.operators.sampling import token_budget_allocation
+
+    df = spark.createDataFrame(
+        [("small", 1000), ("big", 1000000)], "source string, n long"
+    )
+    out = {r["source"]: r for r in
+           token_budget_allocation(df, "source", "n", 0.3).collect()}
+    assert out["small"]["rate_ppm"] > out["big"]["rate_ppm"]
+    assert all(r["rate_ppm"] <= 1000000 for r in out.values())
+
+
 def test_rendezvous_shard_minimal_movement(spark):
     """Adding a shard moves only docs stolen BY the new shard —
     rendezvous's defining property (mod-hashing moves ~ (S-1)/S)."""
