@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "ppl_buckets",
     "token_budget_alloc",
+    "doc_novelty",
+    "zipf_fit",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

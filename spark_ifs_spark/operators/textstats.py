@@ -516,6 +516,131 @@ def bm25_topk(
     return bm25_score_postings(tf, n_docs, avgdl, k=k, k1=k1, b=b)
 
 
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """``(id, n_shingles, n_novel, novelty_ppm)`` — per-document
+    novelty: the fraction of the document's distinct word ``n``-gram
+    shingles that occur in NO other document (corpus DF = 1). High
+    novelty marks genuinely fresh content; near-zero novelty marks
+    boilerplate/template documents whose every phrase recurs elsewhere —
+    the cheap corpus-diversity signal that complements near-dup removal
+    (a doc can be 0.4-Jaccard from everything yet still 95%
+    boilerplate).
+
+    Scale shape: two aggregations over the map-side shingle build
+    (:func:`~spark_ifs_spark.operators.dedup.word_shingles`) — the
+    per-doc size count shuffles nothing but (id, partial-count) pairs,
+    and the DF count shuffles only 64-bit md5 digests. The join-back a
+    naive formulation needs disappears: a digest with DF = 1 has
+    exactly ONE owning document, so ``min(id)`` on the DF aggregate
+    already credits the right doc and the final join is doc-keyed over
+    two ≤ n_docs-row relations. Digest collisions are ~n²/2⁶⁰ and hit
+    the Spark plan and the SQL oracle identically (both count digests,
+    not strings). Docs with fewer than ``n`` tokens have no shingles
+    and are excluded, as in the dedup family.
+    """
+    from spark_ifs_spark.functions.hashing import md5_int60
+    from spark_ifs_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel = (
+        sh.select("id", md5_int60(F.col("sh")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("df_"), F.min("id").alias("id"))
+        .filter(F.col("df_") == 1)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+    )
+    return sizes.join(novel, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce(F.col("_nn"), F.lit(0)).cast("long").alias("n_novel"),
+        F.floor(
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("double")
+            * F.lit(1000000.0)
+            / F.col("n_shingles").cast("double")
+        )
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 500,
+) -> DataFrame:
+    """One row ``(n_terms, vocab_size, top_freq, slope, intercept, r2)``
+    — least-squares fit of the corpus's word-frequency power law:
+    ``ln(freq) ≈ intercept + slope·ln(rank)`` over the ``top_n`` head
+    of the frequency table. A healthy natural-language corpus sits near
+    the Zipf slope of −1; a slope collapsing toward 0 (flat head) or
+    diving past −2 flags template spam or degenerate generation — the
+    classic one-number corpus-health diagnostic.
+
+    Determinism: ``ln(rank)`` and ``ln(freq)`` are quantized to integer
+    micronats BEFORE the regression sums, so all five sufficient
+    statistics are exact integer aggregates (order-invariant on both
+    engines); slope/intercept/r² are then closed-form doubles of those
+    integers, rounded to 6.
+
+    Scale shape: one corpus scan → one map-side-combined vocabulary
+    aggregate (shuffle is vocabulary-sized, not token-sized);
+    ``orderBy().limit(top_n)`` is Spark's distributed TakeOrdered, so
+    no global sort; the rank window and regression run on the
+    ``top_n``-row head only.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"), F.max("c").alias("top_freq")
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(top_n)
+    win = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    pts = top.select(
+        F.floor(F.log(F.row_number().over(win).cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return sums.crossJoin(F.broadcast(totals)).select(
+        F.col("n").alias("n_terms"),
+        "vocab_size",
+        "top_freq",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n / F.lit(1e6), 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
 def ppl_buckets(
     df: DataFrame,
     id_col: str,

@@ -437,6 +437,10 @@ HYBRID_K = 10
 TOKBUDGET_FRAC = 0.5
 
 
+# Zipf power-law fit over the vocabulary head (zipf_fit)
+ZIPF_TOP_N = 500
+
+
 # asymmetric containment dedup (dedup_containment)
 CONTAIN_THRESHOLD = 0.8
 CONTAIN_MIN_SUB_SH = 5

@@ -1911,6 +1911,78 @@ SELECT query, rank, doc_id, score FROM rk WHERE rank <= {MAXSIM_K}
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the vocabulary head — the one-number
+    corpus-health diagnostic (slope ≈ −1 for natural language); see
+    :func:`~spark_ifs_spark.operators.textstats.zipf_fit` for the
+    integer-micronat determinism contract."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.zipf_fit(docs, "doc_id", "text", top_n=ZIPF_TOP_N)
+
+
+def sql_zipf_fit() -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), counts AS (
+  SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1
+), totals AS (
+  SELECT count(*) AS vocab_size, max(c) AS top_freq FROM counts
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk
+  FROM counts ORDER BY c DESC, w ASC LIMIT {ZIPF_TOP_N}
+), pts AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM top
+), sums AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts
+)
+SELECT n AS n_terms, vocab_size, top_freq,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+             / CAST(n AS DOUBLE) / 1e6, 6) AS intercept,
+       round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+FROM sums CROSS JOIN totals
+"""
+
+
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: fraction of the doc's distinct 3-shingles
+    with corpus DF = 1 — see
+    :func:`~spark_ifs_spark.operators.textstats.novelty_scores`."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.novelty_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def sql_doc_novelty() -> str:
+    return f"""
+WITH {_SQL_SHINGLES},
+d AS (SELECT id, {sql_md5_int60('sh')} AS d FROM sh),
+dfreq AS (SELECT d, count(*) AS df FROM d GROUP BY 1)
+SELECT id AS doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS novelty_ppm
+FROM d JOIN dfreq USING (d)
+GROUP BY 1
+"""
+
+
 def q_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted water-filling of a global token budget
     across sources (alpha = 0.5, budget = half the corpus) — see

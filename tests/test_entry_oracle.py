@@ -129,11 +129,12 @@ def test_driver_window_frozen():
         "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
         "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
     ]
-    assert list(QUERIES)[24:31] == [
+    assert list(QUERIES)[24:33] == [
         "dsir_select", "dedup_containment", "shard_manifest", "maxsim_topk",
-        "hybrid_rrf", "ppl_buckets", "token_budget_alloc",
+        "hybrid_rrf", "ppl_buckets", "token_budget_alloc", "doc_novelty",
+        "zipf_fit",
     ]
     assert list(QUERIES)[45:50] == [
-        "embedding_top_pairs", "text_token_counts", "text_quality",
-        "text_repetition", "corpus_clean",
+        "dup_clusters", "kmeans_step", "embedding_top_pairs",
+        "text_token_counts", "text_quality",
     ]

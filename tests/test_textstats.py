@@ -192,6 +192,36 @@ def test_bm25_prefers_rare_term_and_caps_k(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_novelty_scores_unique_vs_shared(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),      # shares all shingles with doc 2
+        (2, "alpha beta gamma delta"),
+        (3, "unique phrase only here now"), # every shingle df=1
+        (4, "xy"),                          # < 3 tokens -> no shingles
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in textstats.novelty_scores(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty_ppm"] == 0 and out[2]["novelty_ppm"] == 0
+    assert out[3]["novelty_ppm"] == 1000000
+    assert out[3]["n_shingles"] == 3 and out[3]["n_novel"] == 3
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A synthetic corpus with freq(rank) = round(1000 * rank^-1) must
+    fit slope ~ -1 with high r2."""
+    words = []
+    for rank in range(1, 51):
+        words += [f"w{rank:03d}"] * max(1, round(1000 / rank))
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = textstats.zipf_fit(df, "doc_id", "text", top_n=50).collect()[0]
+    assert row["n_terms"] == 50
+    assert row["vocab_size"] == 50
+    assert row["top_freq"] == 1000
+    assert abs(row["slope"] + 1.0) < 0.05
+    assert row["r2"] > 0.99
+
+
 def test_ppl_buckets_partition_and_order(spark):
     """Buckets partition the scored docs; head holds strictly lower
     (better) ppl than tail; single-token docs carry no LM evidence."""

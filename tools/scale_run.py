@@ -120,6 +120,12 @@ def main() -> None:
         "mrmr_select_k5",
         "jmi_select_k5",
         "row_select_k5",
+        "dsir_select",
+        "dedup_containment",
+        "maxsim_topk",
+        "hybrid_rrf",
+        "ppl_buckets",
+        "token_budget_alloc",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
