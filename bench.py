@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "token_budget_alloc",
     "doc_novelty",
     "zipf_fit",
+    "embedding_effective_dim",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -814,6 +814,81 @@ def gram_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
     return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
+def effective_dim(
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    quant_inv: int = 64,
+) -> DataFrame:
+    """One row ``(n, trace_q, pr, pr_frac)`` — the participation ratio
+    ``PR = tr(C)² / tr(C²)`` of the embedding covariance ``C``: the
+    "effective dimensionality" of the corpus in embedding space
+    (``PR = d`` for isotropic embeddings, ``PR → 1`` under anisotropic
+    collapse — the standard one-number health check before trusting
+    cosine similarity / ANN over a learned embedding column).
+
+    No eigendecomposition: ``tr(C) = Σ λ_i`` and ``tr(C²) = Σ λ_i² =
+    ‖C‖_F²`` come straight from the Gram matrix and the per-dimension
+    sums. With ``C = M / n²`` for ``M = n·G − s·sᵀ``, the ``n`` powers
+    cancel in the ratio, so PR is computed entirely from ``M``.
+
+    Determinism contract: for inputs on a dyadic grid (the registry
+    quantizes to 1/8), every ``M`` entry is an exact multiple of
+    ``1/quant_inv``; ``M·quant_inv`` is therefore an exact integer, and
+    both reductions (trace; Frobenius with off-diagonals doubled) run
+    in integer/decimal arithmetic — order-invariant on both engines.
+    ``trace_q = tr(M)·quant_inv`` is emitted as the exact-integer
+    witness; ``pr`` is the closed-form double of the two exact sums.
+
+    Scale shape: one Arrow-BLAS Gram pass
+    (:func:`gram_matrix` — shuffle is ``partitions × d²``, corpus-size
+    independent) + one ``d``-cell sums aggregate + the d²-row closed
+    form. Nothing here grows with the corpus but the two scans.
+    """
+    g = gram_matrix(df, vec_col, dims)
+    exploded = df.select(F.posexplode(as_double_array(vec_col)).alias("d", "x"))
+    s = exploded.groupBy("d").agg(F.sum("x").alias("s"))
+    counts = df.agg(F.count(F.lit(1)).alias("n"))
+    si = s.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
+    sj = s.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
+    m = (
+        g.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.round(
+                (F.col("n") * F.col("g") - F.col("s_i") * F.col("s_j"))
+                * F.lit(float(quant_inv))
+            )
+            .cast("decimal(18,0)")
+            .alias("mi"),
+        )
+    )
+    sq = (F.col("mi") * F.col("mi")).cast("decimal(37,0)")
+    zero = F.lit(0).cast("decimal(37,0)")
+    agg = m.groupBy("n").agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("mi"))).alias("tr"),
+        # Frobenius over the upper triangle: diagonal once, off-diagonal
+        # twice — split into two decimal sums so no product ever needs
+        # precision past 37 digits
+        (F.sum(sq) + F.sum(F.when(F.col("i") != F.col("j"), sq).otherwise(zero))).alias(
+            "q2"
+        ),
+    )
+    tr_d = F.col("tr").cast("double")
+    q2_d = F.col("q2").cast("double")
+    pr = tr_d * tr_d / q2_d
+    return agg.select(
+        "n",
+        F.col("tr").cast("long").alias("trace_q"),
+        F.round(pr, 6).alias("pr"),
+        F.round(pr / F.lit(float(dims)), 6).alias("pr_frac"),
+    )
+
+
 def power_iteration_step(
     df: DataFrame, vec_col: str, dims: int, v0: Sequence[float]
 ) -> DataFrame:

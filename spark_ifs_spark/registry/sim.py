@@ -355,6 +355,48 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_effective_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Participation ratio tr(C)²/tr(C²) of the (quantized) embedding
+    covariance — the effective-dimensionality / anisotropic-collapse
+    health check; see :func:`~spark_ifs_spark.operators.similarity.
+    effective_dim` for the exact-integer reduction."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    return similarity.effective_dim(q, "qe", EMB_DIMS)
+
+
+def sql_embedding_effective_dim() -> str:
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x -> floor(x * 8) / 8) AS qe FROM embeddings
+), nrows AS (SELECT count(*) AS n FROM q),
+s AS (
+  SELECT i.i AS d, sum(qe[i.i + 1]) AS s FROM q, range({EMB_DIMS}) i(i) GROUP BY 1
+), g AS (
+  SELECT i.i AS i, j.j AS j, sum(qe[i.i + 1] * qe[j.j + 1]) AS g
+  FROM q, range({EMB_DIMS}) i(i), range({EMB_DIMS}) j(j)
+  WHERE i.i <= j.j GROUP BY 1, 2
+), m AS (
+  SELECT g.i, g.j, n,
+         CAST(round((n * g.g - si.s * sj.s) * 64) AS BIGINT) AS mi
+  FROM g JOIN s si ON si.d = g.i JOIN s sj ON sj.d = g.j CROSS JOIN nrows
+), agg AS (
+  SELECT n,
+         CAST(sum(CASE WHEN i = j THEN mi END) AS BIGINT) AS tr,
+         sum(CAST(mi AS HUGEINT) * mi)
+           + sum(CASE WHEN i <> j THEN CAST(mi AS HUGEINT) * mi ELSE 0 END) AS q2
+  FROM m GROUP BY 1
+)
+SELECT n, tr AS trace_q,
+       round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / CAST(q2 AS DOUBLE), 6) AS pr,
+       round(CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE) / CAST(q2 AS DOUBLE)
+             / {float(EMB_DIMS)}, 6) AS pr_frac
+FROM agg
+"""
+
+
 def q_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One PCA power-iteration step y = X^T(Xv) over quantized
     embeddings with v = (1/8, …, 1/8) — dyadic inputs keep every product

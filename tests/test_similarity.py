@@ -502,3 +502,27 @@ def test_lsh_hi_threshold_prunes_and_recalls(spark, sf_dir):
     assert row["n_exact"] > 0
     assert row["recall_ppm"] >= 900_000
     assert row["cand_ppm"] <= 100_000  # candidates <= 10% of n*(n-1)/2
+
+
+def test_effective_dim_isotropic_equals_d(spark):
+    """± one-hot basis vectors: zero mean, C = I/4 -> PR = d exactly."""
+    rows = []
+    for d in range(4):
+        for sgn in (1.0, -1.0):
+            v = [0.0] * 4
+            v[d] = sgn
+            rows.append((v,))
+    df = spark.createDataFrame(rows, "qe array<double>")
+    out = similarity.effective_dim(df, "qe", 4).collect()[0]
+    assert out["n"] == 8
+    assert out["pr"] == 4.0
+    assert out["pr_frac"] == 1.0
+
+
+def test_effective_dim_rank1_collapse_equals_one(spark):
+    """±v for a single dyadic direction: C = vv^T (rank 1) -> PR = 1."""
+    v = [0.5, 0.5, 0.25, 0.125]
+    rows = [(v,), ([-x for x in v],)] * 3
+    df = spark.createDataFrame(rows, "qe array<double>")
+    out = similarity.effective_dim(df, "qe", 4).collect()[0]
+    assert out["pr"] == 1.0
