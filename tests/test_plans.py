@@ -604,3 +604,78 @@ def test_triangle_count_no_payload_shuffle(spark):
     )
     plan = explain_str(triangle_count(df))
     assert "hashpartitioning" in plan
+
+
+def test_dsir_scores_shuffle_shape(spark, sf_dir):
+    """DSIR = two corpus passes: the B-bucket count table aggregate and
+    the doc-keyed scoring aggregate. The weight table must come back as
+    a broadcast (never an extra corpus-keyed exchange), so Exchange
+    count stays at the two aggregation boundaries plus the tiny
+    totals/weights chain."""
+    from spark_ifs_spark.operators.selection import dsir_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_scores(docs, "doc_id", "text", F.col("lang") == "en", num_buckets=64)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # bucket-count agg + totals agg + weight-relation boundary + final
+    # doc-keyed scoring agg; a 5th would mean the token stream shuffled
+    assert count_exchanges(out) <= 4, plan
+
+
+def test_token_budget_corpus_never_shuffles_rows(spark, sf_dir):
+    """Water-filling runs on the S-row source relation: the only
+    corpus-scale exchange is the per-source aggregation boundary; every
+    window after operates on the aggregated relation."""
+    from spark_ifs_spark.operators.sampling import token_budget_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_allocation(
+        docs, "source", F.size(F.split(F.col("text"), " "))
+    )
+    # per-source agg (1 partial+final boundary) + single-partition
+    # window exchange over the S-row relation
+    assert count_exchanges(out) <= 3, explain_str(out)
+
+
+def test_novelty_no_full_relation_join_back(spark, sf_dir):
+    """doc_novelty joins two <= n_docs-row aggregates on the doc id; the
+    shingle relation itself must never be a join input (the naive
+    formulation probes all shingle rows through the DF join)."""
+    from spark_ifs_spark.operators.textstats import novelty_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = novelty_scores(docs, "doc_id", "text")
+    plan = explain_str(out)
+    # the only join is the doc-keyed LeftOuter of the two aggregates —
+    # small enough to broadcast; the DF=1 min(id) trick means no join
+    # ever probes the shingle relation itself
+    assert "BroadcastHashJoin LeftOuter" in plan, plan
+    assert count_exchanges(out) <= 4, plan
+
+
+def test_zipf_head_is_take_ordered(spark, sf_dir):
+    """The vocabulary head must come from distributed TakeOrdered, not a
+    global sort exchange of the full vocabulary."""
+    from spark_ifs_spark.operators.textstats import zipf_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = zipf_fit(docs, "doc_id", "text", top_n=100)
+    plan = explain_str(out)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_effective_dim_shuffle_is_corpus_size_independent(spark, sf_dir):
+    """Both reductions (Gram partials, per-dim sums) aggregate before
+    any exchange: the shuffled volume is partitions x d^2 + d cells,
+    never rows x d."""
+    from spark_ifs_spark.operators.similarity import effective_dim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    out = effective_dim(emb, "qe", 64)
+    plan = explain_str(out)
+    assert "BroadcastHashJoin" in plan, plan  # d-cell sums join broadcast
+    # gram partial agg + sums agg + count agg + final d^2 reduction
+    assert count_exchanges(out) <= 5, plan
