@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "doc_novelty",
     "zipf_fit",
     "embedding_effective_dim",
+    "retrieval_eval_rrf",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -102,6 +102,84 @@ def maxsim_topk(
     ).select("query", "rank", "id", "score")
 
 
+def dcg_weights_micro(k: int) -> list[int]:
+    """``[floor(1e6 / log2(i+1)) for i = 1..k]`` — the DCG position
+    weights as exact integers, computed ONCE driver-side and injected
+    into both the Spark plan and the SQL oracle as literals, so no
+    engine's ``log2`` libm behavior ever enters the comparison."""
+    import math
+
+    return [int(1000000.0 // math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_eval(
+    system: DataFrame,
+    truth: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str = "id",
+    k: int = 10,
+) -> DataFrame:
+    """``(key..., n_truth, n_hits, recall_ppm, mrr_micro, ndcg_micro)``
+    — rank-quality metrics of a retrieval ``system`` against a binary
+    ground-truth set, per query key: recall@k, MRR@k and nDCG@k (binary
+    relevance).
+
+    ``system`` carries ``(key..., rank, id)`` (1-based ranks, ≤ k rows
+    per key); ``truth`` carries ``(key..., id)`` — the relevant set.
+    Exactness: every metric is an integer quotient — recall in ppm, MRR
+    as ``floor(1e6 / best_rank)``, and nDCG as
+    ``floor(1e6 · DCG / IDCG)`` where DCG/IDCG are integer sums of the
+    :func:`dcg_weights_micro` literals (IDCG is the prefix sum at
+    ``min(n_truth, k)``) — so results are bit-identical on any engine.
+
+    Scale shape: one broadcast-friendly join of two ≤ k·|queries|-row
+    relations (system side) against the truth set keyed by (key, id),
+    then a single hash aggregate per key; a left join back to the truth
+    counts catches queries the system missed entirely (all-zero row,
+    not absent). Queries-without-truth simply don't appear — there is
+    nothing to evaluate against.
+    """
+    keys = list(key_cols)
+    w = dcg_weights_micro(k)
+    wcol = F.array(*[F.lit(x) for x in w])
+    prefix = [0]
+    for x in w:
+        prefix.append(prefix[-1] + x)
+    pcol = F.array(*[F.lit(x) for x in prefix])  # prefix[j] = sum of first j
+    t = truth.select(*keys, F.col(id_col).alias("id"), F.lit(1).alias("_rel"))
+    tcounts = t.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_truth"))
+    joined = (
+        system.filter(F.col("rank") <= k)
+        .select(*keys, "rank", F.col(id_col).alias("id"))
+        .join(t, [*keys, "id"], "inner")
+    )
+    hits = joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("_best"),
+        F.sum(F.element_at(wcol, F.col("rank"))).alias("_dcg"),
+    )
+    out = tcounts.join(hits, keys, "left")
+    idcg = F.element_at(
+        pcol, (F.least(F.col("n_truth"), F.lit(k)) + 1).cast("int")
+    )
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    dcg = F.coalesce(F.col("_dcg"), F.lit(0))
+    return out.select(
+        *keys,
+        F.col("n_truth"),
+        n_hits.cast("long").alias("n_hits"),
+        F.floor(n_hits * F.lit(1000000) / F.col("n_truth")).cast("long").alias(
+            "recall_ppm"
+        ),
+        F.coalesce(
+            F.floor(F.lit(1000000) / F.col("_best")), F.lit(0)
+        )
+        .cast("long")
+        .alias("mrr_micro"),
+        F.floor(dcg * F.lit(1000000) / idcg).cast("long").alias("ndcg_micro"),
+    )
+
+
 def rrf_fuse(
     ranked: Sequence[DataFrame],
     key_cols: Sequence[str],

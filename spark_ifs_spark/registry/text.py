@@ -1983,6 +1983,82 @@ GROUP BY 1
 """
 
 
+def q_retrieval_eval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-quality metrics (recall@k / MRR / nDCG, integer-exact) of
+    the hybrid RRF ranking against the pure late-interaction ranking as
+    ground truth — "what does lexical fusion change" as a query; see
+    :func:`~spark_ifs_spark.operators.retrieval.retrieval_eval`."""
+    from spark_ifs_spark.operators.retrieval import (
+        chunk_bow_vectors,
+        maxsim_topk,
+        retrieval_eval,
+        rrf_fuse,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    vecs = chunk_bow_vectors(
+        docs,
+        "doc_id",
+        "text",
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+        num_buckets=MAXSIM_BUCKETS,
+    )
+    dense = maxsim_topk(
+        spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS
+    )
+    lex = textstats.bm25_multi_topk(
+        docs, "doc_id", "text", MAXSIM_QUERIES, k=MAXSIM_K
+    ).select("query", "rank", "id")
+    fused = rrf_fuse(
+        [lex, dense.select("query", "rank", "id")],
+        ["query"],
+        "id",
+        k=HYBRID_K,
+        rrf_k=RRF_K,
+    )
+    return retrieval_eval(
+        fused, dense.select("query", "id"), ["query"], "id", k=HYBRID_K
+    )
+
+
+def sql_retrieval_eval_rrf() -> str:
+    from spark_ifs_spark.operators.retrieval import dcg_weights_micro
+
+    w = dcg_weights_micro(HYBRID_K)
+    prefix = [0]
+    for x in w:
+        prefix.append(prefix[-1] + x)
+    wvals = ", ".join(f"({i + 1}, {x})" for i, x in enumerate(w))
+    pvals = ", ".join(f"({j}, {p})" for j, p in enumerate(prefix))
+    return (
+        _sql_hybrid_ctes()
+        + f""",
+truth AS (SELECT query, doc_id FROM drk WHERE rank <= {MAXSIM_K}),
+tcounts AS (SELECT query, count(*) AS n_truth FROM truth GROUP BY 1),
+sysv AS (SELECT query, doc_id, rank FROM frk WHERE rank <= {HYBRID_K}),
+wt(rank, w) AS (VALUES {wvals}),
+pf(j, p) AS (VALUES {pvals}),
+hits AS (
+  SELECT s.query, count(*) AS n_hits, min(s.rank) AS best,
+         CAST(sum(wt.w) AS BIGINT) AS dcg
+  FROM sysv s
+  JOIN truth t ON t.query = s.query AND t.doc_id = s.doc_id
+  JOIN wt ON wt.rank = s.rank
+  GROUP BY 1
+)
+SELECT tc.query, tc.n_truth,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(floor(coalesce(h.n_hits, 0) * 1000000 / tc.n_truth) AS BIGINT) AS recall_ppm,
+       CAST(coalesce(floor(1000000 / h.best), 0) AS BIGINT) AS mrr_micro,
+       CAST(floor(coalesce(h.dcg, 0) * 1000000 / pf.p) AS BIGINT) AS ndcg_micro
+FROM tcounts tc
+LEFT JOIN hits h ON h.query = tc.query
+JOIN pf ON pf.j = least(tc.n_truth, {HYBRID_K})
+"""
+    )
+
+
 def q_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted water-filling of a global token budget
     across sources (alpha = 0.5, budget = half the corpus) — see
@@ -2071,7 +2147,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
-def sql_hybrid_rrf() -> str:
+def _sql_hybrid_ctes() -> str:
+    """The WITH-block shared by ``sql_hybrid_rrf`` and
+    ``sql_retrieval_eval_rrf``: both retrieval legs, their per-query
+    ranks (``lrk``/``drk``) and the fused ranking (``frk``)."""
     stride = CHUNK_TOKENS - CHUNK_OVERLAP
     qvals = ", ".join(
         f"('{q}', '{t}')" for q, terms in MAXSIM_QUERIES.items() for t in terms
@@ -2151,6 +2230,13 @@ frk AS (
   SELECT query, doc_id, rrf_micro,
          row_number() OVER (PARTITION BY query ORDER BY rrf_micro DESC, doc_id ASC) AS rank
   FROM fused
-)
+)"""
+
+
+def sql_hybrid_rrf() -> str:
+    return (
+        _sql_hybrid_ctes()
+        + f"""
 SELECT query, rank, doc_id, rrf_micro FROM frk WHERE rank <= {HYBRID_K}
 """
+    )

@@ -83,6 +83,54 @@ def test_rrf_fuse_respects_k(spark):
     assert got == [("a", 1, 101), ("a", 2, 102), ("b", 1, 201), ("b", 2, 202)]
 
 
+def test_retrieval_eval_hand_computed(spark):
+    """k=3, truth {1,2,3}; system ranks [2, 9, 1] -> hits at ranks 1 and
+    3: recall 2/3, MRR 1/1, nDCG (w1+w3)/(w1+w2+w3)."""
+    from spark_ifs_spark.operators.retrieval import dcg_weights_micro, retrieval_eval
+
+    w = dcg_weights_micro(3)
+    system = spark.createDataFrame(
+        [("q", 1, 2), ("q", 2, 9), ("q", 3, 1)], "query string, rank int, id long"
+    )
+    truth = spark.createDataFrame(
+        [("q", 1), ("q", 2), ("q", 3)], "query string, id long"
+    )
+    row = retrieval_eval(system, truth, ["query"], "id", k=3).collect()[0]
+    assert row["n_truth"] == 3 and row["n_hits"] == 2
+    assert row["recall_ppm"] == 666666
+    assert row["mrr_micro"] == 1000000
+    assert row["ndcg_micro"] == (w[0] + w[2]) * 1000000 // sum(w)
+
+
+def test_retrieval_eval_missed_query_is_zero_row(spark):
+    """A query whose system list has NO hits still appears, all-zero."""
+    from spark_ifs_spark.operators.retrieval import retrieval_eval
+
+    system = spark.createDataFrame(
+        [("q", 1, 99)], "query string, rank int, id long"
+    )
+    truth = spark.createDataFrame([("q", 1), ("q", 2)], "query string, id long")
+    row = retrieval_eval(system, truth, ["query"], "id", k=3).collect()[0]
+    assert (row["n_hits"], row["recall_ppm"], row["mrr_micro"], row["ndcg_micro"]) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_retrieval_eval_perfect_ranking(spark):
+    from spark_ifs_spark.operators.retrieval import retrieval_eval
+
+    system = spark.createDataFrame(
+        [("q", r, 100 + r) for r in range(1, 4)], "query string, rank int, id long"
+    )
+    truth = spark.createDataFrame(
+        [("q", 100 + r) for r in range(1, 4)], "query string, id long"
+    )
+    row = retrieval_eval(system, truth, ["query"], "id", k=3).collect()[0]
+    assert row["recall_ppm"] == 1000000
+    assert row["mrr_micro"] == 1000000
+    assert row["ndcg_micro"] == 1000000
+
+
 def test_maxsim_query_join_is_broadcast(spark):
     vecs = _vecs(spark, [(1, "a b c")], chunk_tokens=4, overlap=0)
     plan = (
