@@ -126,6 +126,10 @@ def main() -> None:
         "hybrid_rrf",
         "ppl_buckets",
         "token_budget_alloc",
+        "doc_novelty",
+        "zipf_fit",
+        "embedding_effective_dim",
+        "retrieval_eval_rrf",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
