@@ -486,3 +486,54 @@ def test_containment_min_sub_shingles_gate(spark):
         docs, "doc_id", "text", n=3, threshold=0.8, min_sub_shingles=5
     ).collect()
     assert out == []
+
+
+def test_containment_high_df_correction_exact(spark):
+    """Stop shingles (DF > max_df) must still COUNT toward the
+    intersection of pairs that became candidates via rare shingles —
+    differential-checked against a brute-force python computation."""
+    import itertools
+
+    # a shared boilerplate phrase in every doc (its shingles exceed
+    # max_df=3) + per-pair rare overlap only between docs 1 and 2
+    boiler = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler}"),
+        (2, f"alpha beta gamma delta epsilon {boiler}"),
+        (3, f"zeta eta theta iota {boiler}"),
+        (4, f"kappa lam mu nu {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.permutations(sh, 2):
+        c = len(sh[a] & sh[b]) / len(sh[a])
+        if c >= 0.5 and len(sh[a]) >= 3:
+            want[(a, b)] = round(c, 9)
+    got = {
+        (r["id_sub"], r["id_sup"]): round(r["containment"], 9)
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5,
+            max_df=3, min_sub_shingles=3,
+        ).collect()
+    }
+    # the brute-force reference sees pairs whose overlap is ONLY
+    # boilerplate; the operator documents missing those (candidates
+    # come from rare shingles) — so got must equal want restricted to
+    # pairs with at least one rare shared shingle
+    from collections import Counter
+
+    df_count = Counter(s for v in sh.values() for s in v)
+    rare_pairs = {
+        (a, b)
+        for a, b in want
+        if any(df_count[s] <= 3 for s in sh[a] & sh[b])
+    }
+    assert got == {k: v for k, v in want.items() if k in rare_pairs}
+    # and the correction really fired: doc1→doc2 includes boiler shingles
+    assert got[(1, 2)] == want[(1, 2)] and want[(1, 2)] > 0.5
