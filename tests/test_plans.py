@@ -679,3 +679,29 @@ def test_effective_dim_shuffle_is_corpus_size_independent(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan  # d-cell sums join broadcast
     # gram partial agg + sums agg + count agg + final d^2 reduction
     assert count_exchanges(out) <= 5, plan
+
+
+def test_bm25_multi_is_single_corpus_scan(spark, sf_dir):
+    """Q queries must cost ONE token explode (broadcast (query, term)
+    join), not Q isin-filtered scans."""
+    from spark_ifs_spark.operators.textstats import bm25_multi_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    two = explain_str(
+        bm25_multi_topk(
+            docs, "doc_id", "text", {"qa": ["spark", "join"], "qb": ["window"]}, k=5
+        )
+    )
+    four = explain_str(
+        bm25_multi_topk(
+            docs,
+            "doc_id",
+            "text",
+            {f"q{i}": ["spark", "join", "window", "batch"] for i in range(4)},
+            k=5,
+        )
+    )
+    # the corpus explode appears once per branch (tf probe + df count),
+    # INDEPENDENT of Q — the per-query isin formulation scans Q times
+    assert two.count("Generate") == four.count("Generate"), (two, four)
+    assert "BroadcastHashJoin" in two, two
