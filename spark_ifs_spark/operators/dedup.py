@@ -119,28 +119,25 @@ def ngram_candidates(sh: DataFrame, max_df: int | None) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
+def _exact_intersections(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_df: int | None = 1000,
+    n: int,
+    max_df: int | None,
 ) -> DataFrame:
-    """All document pairs with word-``n``-gram Jaccard ≥ threshold:
-    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """Exact pairwise shingle-set statistics ``(id_a, id_b, i, na, nb)``
+    for every unordered candidate pair (``id_a < id_b``) sharing ≥1
+    shingle with ``DF ≤ max_df`` — the machinery shared by
+    :func:`ngram_jaccard_pairs` and :func:`containment_pairs`; only the
+    final division differs between the two set-similarity measures.
 
-    Candidate pairs come from the shingle inverted index gated by a
-    document-frequency cap: only pairs sharing ≥1 shingle with
-    ``DF ≤ max_df`` are scored. Scoring itself is EXACT over the full
-    shingle sets — the intersection is ``i_rare`` (counted directly off
-    the capped self-join, the same one-shuffle shape as the uncapped
-    form) plus a correction counted over ONLY the high-DF postings of
-    candidate pairs, which is empty whenever no shingle exceeds the cap.
-    The only pairs ever missed are those whose entire overlap is
-    stop-shingles (at ``threshold ≥ 0.5`` that means near-duplicate
-    boilerplate; raise ``max_df`` or use :func:`minhash_lsh_pairs` if
-    those matter).
+    ``i`` is EXACT over the full shingle sets: the rare-shingle
+    intersection comes directly off the capped inverted-index self-join,
+    and a correction counted over ONLY the high-DF postings of candidate
+    pairs adds the stop-shingle overlap back (empty whenever no shingle
+    exceeds the cap). Pairs whose ENTIRE overlap is stop-shingles never
+    become candidates — the one documented miss class of the cap.
     """
     # the DF-flagged shingle relation feeds several consumers (both
     # self-join sides, the correction sides, sizes) — persist THAT, not
@@ -180,9 +177,31 @@ def ngram_jaccard_pairs(
     sizes = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ threshold:
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    Candidate pairs come from the shingle inverted index gated by a
+    document-frequency cap (:func:`_exact_intersections`): only pairs
+    sharing ≥1 shingle with ``DF ≤ max_df`` are scored, but scoring is
+    EXACT over the full shingle sets (the high-DF correction puts the
+    stop-shingle overlap back). The only pairs ever missed are those
+    whose entire overlap is stop-shingles (at ``threshold ≥ 0.5`` that
+    means near-duplicate boilerplate; raise ``max_df`` or use
+    :func:`minhash_lsh_pairs` if those matter).
+    """
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _exact_intersections(df, id_col, text_col, n, max_df)
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -220,42 +239,7 @@ def containment_pairs(
     ≥ 0.8 that means boilerplate-only fragments; raise ``max_df`` if
     those matter.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    if max_df is None:
-        flagged = sh.persist()
-        rare: DataFrame = flagged
-        high: DataFrame | None = None
-    else:
-        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        flagged = sh.join(dfreq, "sh").persist()
-        rare = flagged.filter(F.col("df_") <= max_df).select("id", "sh")
-        high = flagged.filter(F.col("df_") > max_df).select("id", "sh")
-    a = rare.alias("a")
-    b = rare.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    if high is not None:
-        ha = high.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-        hb = high.select(F.col("id").alias("_idb"), F.col("sh").alias("sh_b"))
-        corr = (
-            inter.select("id_a", "id_b")
-            .join(ha, "id_a")
-            .join(hb, (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("i_high"))
-        )
-        inter = (
-            inter.join(corr, ["id_a", "id_b"], "left")
-            .withColumn("i", F.col("i") + F.coalesce(F.col("i_high"), F.lit(0)))
-            .select("id_a", "id_b", "i")
-        )
-    sizes = flagged.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    scored = _exact_intersections(df, id_col, text_col, n, max_df)
     fwd = scored.select(
         F.col("id_a").alias("id_sub"),
         F.col("id_b").alias("id_sup"),

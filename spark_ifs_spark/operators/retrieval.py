@@ -156,7 +156,7 @@ def retrieval_eval(
     hits = joined.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("rank").alias("_best"),
-        F.sum(F.element_at(wcol, F.col("rank"))).alias("_dcg"),
+        F.sum(F.element_at(wcol, F.col("rank").cast("int"))).alias("_dcg"),
     )
     out = tcounts.join(hits, keys, "left")
     idcg = F.element_at(

@@ -847,14 +847,16 @@ def effective_dim(
     """
     g = gram_matrix(df, vec_col, dims)
     exploded = df.select(F.posexplode(as_double_array(vec_col)).alias("d", "x"))
-    s = exploded.groupBy("d").agg(F.sum("x").alias("s"))
-    counts = df.agg(F.count(F.lit(1)).alias("n"))
-    si = s.select(F.col("d").alias("i"), F.col("s").alias("s_i"))
+    # every vector emits one row per dimension, so any dimension's row
+    # count IS the corpus count — no third scan for n
+    s = exploded.groupBy("d").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    si = s.select(F.col("d").alias("i"), F.col("s").alias("s_i"), "n")
     sj = s.select(F.col("d").alias("j"), F.col("s").alias("s_j"))
     m = (
         g.join(F.broadcast(si), "i")
         .join(F.broadcast(sj), "j")
-        .crossJoin(F.broadcast(counts))
         .select(
             "i",
             "j",

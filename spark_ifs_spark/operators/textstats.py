@@ -5,6 +5,8 @@ document fingerprinting. All pure ``pyspark.sql.functions`` expressions
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -628,8 +630,10 @@ def zipf_fit(
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
     cov = n * sxy - sx * sy
-    varx = n * sxx - sx * sx
-    vary = n * syy - sy * sy
+    # a single-point head (one distinct word, or top_n=1) has no slope:
+    # nullif-style guard emits NULLs instead of 0/0 NaNs
+    varx = F.when(n * sxx - sx * sx != 0, n * sxx - sx * sx)
+    vary = F.when(n * syy - sy * sy != 0, n * syy - sy * sy)
     slope = cov / varx
     return sums.crossJoin(F.broadcast(totals)).select(
         F.col("n").alias("n_terms"),
@@ -719,16 +723,18 @@ def bm25_multi_topk(
     aggregate, not Q scans — the shape that matters when the corpus is
     100 TB and the query set is a workload, not a singleton.
 
-    Scores are bit-identical to running :func:`bm25_topk` per query
-    (same integer-micro quantization, df computed per (query, term));
+    Scores are bit-identical to running :func:`bm25_topk` per query —
+    both paths score through the single shared
+    :func:`bm25_score_postings` formula (df computed per (query, term));
     the per-query top-k goes through the skew-safe salted two-stage
     top-k rather than Q separate TakeOrdereds.
     """
-    from spark_ifs_spark.operators.topk import salted_topk_per_key
-
     spark = df.sparkSession
+    # dedupe each term list: bm25_topk's isin() treats the list as a
+    # SET, and a duplicated (query, term) row here would double-join
+    # every matching token and inflate tf
     qdf = spark.createDataFrame(
-        [(q, t) for q, terms in queries.items() for t in terms],
+        [(q, t) for q, terms in queries.items() for t in dict.fromkeys(terms)],
         "query string, term string",
     )
     base = df.select(
@@ -746,26 +752,9 @@ def bm25_multi_topk(
         .groupBy("query", "id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("query", "term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+    return bm25_score_postings(
+        tf, n_docs, avgdl, k=k, k1=k1, b=b, group_cols=["query"]
     )
-    tfd = F.col("tf").cast("double")
-    denom = tfd + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
-    )
-    per_term = F.floor(idf * (tfd * F.lit(k1 + 1.0) / denom) * F.lit(1000000.0))
-    scored = (
-        tf.join(F.broadcast(dfreq), ["query", "term"])
-        .select("query", "id", per_term.cast("long").alias("s_micro"))
-        .groupBy("query", "id")
-        .agg(F.sum("s_micro").alias("score_micro"))
-    )
-    return salted_topk_per_key(
-        scored, ["query"], "score_micro", k, tiebreak_cols=["id"]
-    ).select("query", "rank", "id", "score_micro")
 
 
 def bm25_score_postings(
@@ -775,12 +764,22 @@ def bm25_score_postings(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """BM25 top-``k`` from an ``(id, dl, term, tf)`` postings relation +
-    corpus scalars — shared by the scan path (:func:`bm25_topk`) and the
-    pruned inverted-index path (``sources/sinks.bm25_over_index``), so
-    both produce bit-identical integer-micro scores."""
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    """BM25 top-``k`` from an ``([group...,] id, dl, term, tf)`` postings
+    relation + corpus scalars — THE one copy of the scoring formula,
+    shared by the scan path (:func:`bm25_topk`), the pruned
+    inverted-index path (``sources/sinks.bm25_over_index``) and the
+    batched multi-query path (:func:`bm25_multi_topk`), so all produce
+    bit-identical integer-micro scores.
+
+    With ``group_cols`` (e.g. ``["query"]``) document frequency and the
+    per-document sum key on the group as well, and the result is the
+    skew-safe salted top-k per group with a ``rank`` column; without,
+    the result is the classic ``(id, score_micro)`` TakeOrdered top-k.
+    """
+    groups = list(group_cols)
+    dfreq = tf.groupBy(*groups, "term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -792,11 +791,17 @@ def bm25_score_postings(
     )
     per_term = F.floor(idf * (tfd * F.lit(k1 + 1.0) / denom) * F.lit(1000000.0))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .select("id", per_term.cast("long").alias("s_micro"))
-        .groupBy("id")
+        tf.join(F.broadcast(dfreq), [*groups, "term"])
+        .select(*groups, "id", per_term.cast("long").alias("s_micro"))
+        .groupBy(*groups, "id")
         .agg(F.sum("s_micro").alias("score_micro"))
     )
+    if groups:
+        from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+        return salted_topk_per_key(
+            scored, groups, "score_micro", k, tiebreak_cols=["id"]
+        ).select(*groups, "rank", "id", "score_micro")
     return scored.orderBy(F.col("score_micro").desc(), F.col("id").asc()).limit(k)
 
 

@@ -1945,15 +1945,15 @@ WITH toks AS (
 )
 SELECT n AS n_terms, vocab_size, top_freq,
        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+             / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0), 6) AS slope,
        round((CAST(sy AS DOUBLE)
               - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+                 / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)) * sx)
              / CAST(n AS DOUBLE) / 1e6, 6) AS intercept,
        round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
               * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
-             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+             / (nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0)
+                * nullif(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy, 0)), 6) AS r2
 FROM sums CROSS JOIN totals
 """
 

@@ -1,41 +1,25 @@
 """Ad-hoc local replica of the driver's correctness gate for a subset
 of queries: ``python tools/gate_local.py <query> [<query> ...]``
 runs each named query and its DuckDB oracle at sf0.001 AND sf0.01 and
-prints MATCH/MISMATCH (same canonicalization as
-``tests/test_entry_oracle.py``). Use while iterating on a new query;
-the pytest parametrization remains the authoritative gate."""
+prints MATCH/MISMATCH. The canonicalization and table list are IMPORTED
+from ``tests/test_entry_oracle.py`` (the authoritative gate replica), so
+this tool can never drift from what the pytest gate accepts. Use while
+iterating on a new query; the pytest parametrization remains the
+authoritative gate.
+"""
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def canon(df):
-    df = df[sorted(df.columns)].copy()
-
-    def cc(v):
-        if v is None or (isinstance(v, float) and math.isnan(v)):
-            return "NULL"
-        if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return f"{v:.9g}"
-        return str(v)
-
-    for c in df.columns:
-        df[c] = df[c].map(cc)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+from test_entry_oracle import TABLES, _canon  # noqa: E402
 
 
 def gate(spark, m, name: str, sf_dir: str) -> bool:
@@ -50,7 +34,7 @@ def gate(spark, m, name: str, sf_dir: str) -> bool:
     if len(got) != len(want):
         print(f"{name} {sf_dir} ROWS {len(got)} vs {len(want)}")
         return False
-    g, w = canon(got), canon(want)
+    g, w = _canon(got), _canon(want)
     ok = bool(g.equals(w))
     print(f"{name} {sf_dir} rows={len(got)} {'MATCH' if ok else 'MISMATCH'}")
     if not ok:
