@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "embedding_effective_dim",
     "retrieval_eval_rrf",
+    "corpus_report",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

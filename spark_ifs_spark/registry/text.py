@@ -1983,6 +1983,92 @@ GROUP BY 1
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report — the summary a curation dashboard
+    shows before anyone trains on the data: sizes, vocabulary, the
+    exact-duplicate rate, and the language-mix entropy. Every figure is
+    an exact integer (ppm / micronats with the package's floored-log
+    convention), and every input is a 1-row or language-cardinality
+    aggregate stitched with broadcast cross joins (the
+    ``pipeline_audit`` pattern) — no driver-side arithmetic, one job at
+    any corpus size."""
+    docs = _read(spark, sf_dir, "documents")
+    sizes = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("vocab_size"))
+    )
+    dups = (
+        docs.select(F.md5(F.col("text")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("_nd"))
+    )
+    lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    # quantized entropy: every log floored to integer micronats BEFORE
+    # the weighted sum, so the result is an exact integer on any engine
+    ent = (
+        lang.crossJoin(F.broadcast(sizes.select("n_docs")))
+        .select(
+            (
+                F.col("c")
+                * (
+                    F.floor(F.log(F.col("n_docs").cast("double")) * 1e6).cast("long")
+                    - F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+                )
+            ).alias("s")
+        )
+        .agg(F.sum("s").alias("_s"))
+    )
+    return (
+        sizes.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "vocab_size",
+            F.floor(F.col("_nd").cast("double") * 1e6 / F.col("n_docs").cast("double"))
+            .cast("long")
+            .alias("dup_doc_ppm"),
+            F.floor(F.col("_s").cast("double") / F.col("n_docs").cast("double"))
+            .cast("long")
+            .alias("lang_entropy_micronats"),
+        )
+    )
+
+
+def sql_corpus_report() -> str:
+    return """
+WITH sizes AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents
+), vocab AS (
+  SELECT count(DISTINCT w) AS vocab_size
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+), dups AS (
+  SELECT CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS nd
+  FROM (SELECT md5(text) AS d, count(*) AS c FROM documents GROUP BY 1)
+), ent AS (
+  SELECT CAST(sum(c * (
+           CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT))) AS BIGINT) AS s
+  FROM (SELECT lang, count(*) AS c FROM documents GROUP BY 1)
+  CROSS JOIN sizes
+)
+SELECT n_docs, n_tokens, vocab_size,
+       CAST(floor(CAST(nd AS DOUBLE) * 1e6 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS dup_doc_ppm,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT) AS lang_entropy_micronats
+FROM sizes CROSS JOIN vocab CROSS JOIN dups CROSS JOIN ent
+"""
+
+
 def q_retrieval_eval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-quality metrics (recall@k / MRR / nDCG, integer-exact) of
     the hybrid RRF ranking against the pure late-interaction ranking as
