@@ -130,6 +130,7 @@ def main() -> None:
         "zipf_fit",
         "embedding_effective_dim",
         "retrieval_eval_rrf",
+        "corpus_report",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
