@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "embedding_effective_dim",
     "retrieval_eval_rrf",
     "corpus_report",
+    "ccnet_mix",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

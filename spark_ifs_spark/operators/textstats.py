@@ -676,6 +676,24 @@ def ppl_buckets(
     Thresholds are rounded to 6 decimals before the comparison — the
     cross-engine interpolation-ulp guard.
     """
+    return ppl_doc_buckets(df, id_col, text_col, cuts).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.min("ppl_micro").alias("min_ppl_micro"),
+        F.max("ppl_micro").alias("max_ppl_micro"),
+    )
+
+
+def ppl_doc_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """Per-document CCNet assignment ``(id, n_bigrams, ppl_micro,
+    bucket)`` — the relation :func:`ppl_buckets` aggregates, exposed so
+    pipelines can FILTER on the bucket (keep head/middle, resample
+    tail) rather than only report on it."""
     scored = bigram_logprob(df, id_col, text_col).select(
         "id",
         "n_bigrams",
@@ -695,15 +713,8 @@ def ppl_buckets(
         .when(F.col("ppl_micro") <= F.col("_q1"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    return (
-        scored.crossJoin(F.broadcast(qs))
-        .groupBy(bucket.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_bigrams").alias("sum_bigrams"),
-            F.min("ppl_micro").alias("min_ppl_micro"),
-            F.max("ppl_micro").alias("max_ppl_micro"),
-        )
+    return scored.crossJoin(F.broadcast(qs)).select(
+        "id", "n_bigrams", "ppl_micro", bucket.alias("bucket")
     )
 
 

@@ -510,10 +510,12 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ppl_buckets(docs, "doc_id", "text")
 
 
-def sql_ppl_buckets() -> str:
+def _sql_ppl_cte() -> str:
+    """CTE chain (no ``WITH``) ending in ``scored(doc_id, n_bigrams,
+    ppl_micro)`` + ``qs(q0, q1)`` — the per-doc CCNet scoring shared by
+    ``sql_ppl_buckets`` and the pipeline composites (``ccnet_mix``)."""
     c0, c1 = repr(1.0 / 3.0), repr(2.0 / 3.0)
-    return f"""
-WITH occ AS (
+    return f"""occ AS (
   SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS pair
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) s
@@ -542,7 +544,12 @@ WITH occ AS (
   SELECT round(quantile_cont(ppl_micro, {c0}), 6) AS q0,
          round(quantile_cont(ppl_micro, {c1}), 6) AS q1
   FROM scored
-)
+)"""
+
+
+def sql_ppl_buckets() -> str:
+    return f"""
+WITH {_sql_ppl_cte()}
 SELECT CASE WHEN ppl_micro <= q0 THEN 'head'
             WHEN ppl_micro <= q1 THEN 'middle'
             ELSE 'tail' END AS bucket,

@@ -1983,6 +1983,52 @@ GROUP BY 1
 """
 
 
+def q_ccnet_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet recipe end-to-end as one query: score every doc under
+    the corpus bigram LM, KEEP the head+middle perplexity buckets
+    (drop the disfluent tail), then water-fill the token budget across
+    sources over the survivors — per-source ``(n_tok, alloc_tok,
+    rate_ppm)`` ready to drive ``weighted_mix``. Composes
+    :func:`~spark_ifs_spark.operators.textstats.ppl_doc_buckets` and
+    :func:`~spark_ifs_spark.operators.sampling.token_budget_allocation`
+    — the filter is a broadcast-friendly doc-keyed semi-join; nothing
+    here adds a corpus-scale shuffle beyond the two component plans."""
+    from spark_ifs_spark.operators.sampling import token_budget_allocation
+    from spark_ifs_spark.operators.textstats import ppl_doc_buckets
+
+    docs = _read(spark, sf_dir, "documents")
+    kept_ids = (
+        ppl_doc_buckets(docs, "doc_id", "text")
+        .filter(F.col("bucket") != "tail")
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    return token_budget_allocation(
+        kept,
+        "source",
+        F.size(F.split(F.col("text"), " ")),
+        budget_frac=TOKBUDGET_FRAC,
+        alpha=0.5,
+    )
+
+
+def sql_ccnet_mix() -> str:
+    from spark_ifs_spark.registry.sim import _sql_ppl_cte
+
+    return (
+        f"""
+WITH {_sql_ppl_cte()},
+kept AS (
+  SELECT scored.doc_id FROM scored CROSS JOIN qs WHERE ppl_micro <= q1
+), per AS (
+  SELECT d.source, CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tok
+  FROM documents d JOIN kept USING (doc_id)
+  GROUP BY 1
+)"""
+        + _sql_waterfill(TOKBUDGET_FRAC)
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus health report — the summary a curation dashboard
     shows before anyone trains on the data: sizes, vocabulary, the
@@ -2162,12 +2208,11 @@ def q_token_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_token_budget_alloc() -> str:
-    return f"""
-WITH per AS (
-  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
-  FROM documents GROUP BY 1
-), base AS (
+def _sql_waterfill(budget_frac: float) -> str:
+    """Water-filling CTE tail + final SELECT over a preceding
+    ``per(source, n_tok)`` relation — shared by
+    ``sql_token_budget_alloc`` and ``sql_ccnet_mix``."""
+    return f""", base AS (
   SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS p,
          CAST(n_tok AS DOUBLE) / sqrt(CAST(n_tok AS DOUBLE)) AS r
   FROM per
@@ -2176,7 +2221,7 @@ WITH per AS (
             sum(p) OVER (ORDER BY r, source) AS cump
   FROM base
 ), gl AS (
-  SELECT *, floor({TOKBUDGET_FRAC} * max(cumn) OVER ()) AS b,
+  SELECT *, floor({budget_frac} * max(cumn) OVER ()) AS b,
             max(cump) OVER () AS totp
   FROM run
 ), st AS (
@@ -2200,6 +2245,17 @@ SELECT source, n_tok,
          END AS DOUBLE) * 1000000.0 / CAST(n_tok AS DOUBLE)) AS BIGINT) AS rate_ppm
 FROM fin
 """
+
+
+def sql_token_budget_alloc() -> str:
+    return (
+        """
+WITH per AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY 1
+)"""
+        + _sql_waterfill(TOKBUDGET_FRAC)
+    )
 
 
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
