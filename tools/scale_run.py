@@ -131,6 +131,7 @@ def main() -> None:
         "embedding_effective_dim",
         "retrieval_eval_rrf",
         "corpus_report",
+        "ccnet_mix",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
