@@ -468,6 +468,12 @@ def rendezvous_shard(
     survives any repartitioning because it is a pure function of the
     id. Ties (md5 draw collisions) resolve to the smallest shard via
     the negated-shard struct field.
+
+    Cost note: the expression is O(S) md5 calls per row, which is the
+    classic HRW trade — fine for the dozens-to-hundreds of shards this
+    targets. Past ~1k shards switch to hierarchical rendezvous (HRW
+    over √S groups, then HRW within the winning group): same minimal-
+    movement property, O(2√S) per row.
     """
     if num_shards <= 0:
         raise ValueError("num_shards must be > 0")
