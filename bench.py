@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "retrieval_eval_rrf",
     "corpus_report",
     "ccnet_mix",
+    "knn_label_accuracy",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

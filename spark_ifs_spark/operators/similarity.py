@@ -299,6 +299,69 @@ def cosine_threshold_pairs(
     )
 
 
+def knn_label_accuracy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    broadcast_limit_rows: int = 200_000,
+) -> DataFrame:
+    """``(label, n_vecs, n_correct, acc_ppm)`` — leave-one-out k-NN
+    classification accuracy of the embedding space against a label
+    column, per true label: each vector is classified by the majority
+    label of its ``k`` exact nearest neighbors (cosine, self excluded).
+    The standard probe for "does this embedding actually separate my
+    classes" — run it before trusting the space for semantic dedup,
+    hard-negative mining or retrieval.
+
+    Determinism: neighbors rank on ``round(cos, 6)`` with the neighbor
+    id as tie-break; vote ties resolve to the smallest label — the
+    engine-portable float-ranking convention throughout this package.
+
+    Scale: this is the EXACT evaluation (all-pairs through the
+    broadcast/blocked GEMM kernels, like the recall audits) — an audit
+    tool you run on a sample, not the per-query serving path; at corpus
+    scale swap the neighbor stage for the IVF/PQ ANN operators and keep
+    the voting tail unchanged.
+    """
+    from spark_ifs_spark.operators.topk import salted_topk_per_key, topk_per_key
+
+    pairs = _gemm_pairs_kernel(
+        df, id_col, vec_col, broadcast_limit_rows, threshold=-1.01
+    )
+    fwd = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cos")
+    rev = pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "cos")
+    sym = fwd.unionByName(rev).withColumn("cos_r", F.round("cos", 6))
+    knn = salted_topk_per_key(sym, ["id"], "cos_r", k, tiebreak_cols=["nb"])
+    labels = df.select(F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl"))
+    votes = (
+        knn.join(labels, knn["nb"] == labels["_lid"])
+        .groupBy("id", F.col("_lbl").alias("_nb_label"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    pred = topk_per_key(votes, ["id"], "_c", 1, tiebreak_cols=["_nb_label"]).select(
+        "id", F.col("_nb_label").alias("_pred")
+    )
+    own = df.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
+    return (
+        own.join(pred, "id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum((F.col("_pred") == F.col("label")).cast("long")).alias("n_correct"),
+        )
+        .withColumn(
+            "acc_ppm",
+            F.floor(
+                F.col("n_correct").cast("double")
+                * F.lit(1000000.0)
+                / F.col("n_vecs").cast("double")
+            ).cast("long"),
+        )
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str,

@@ -44,6 +44,8 @@ MINHASH_ROWS_PER_BAND = 2
 SIMHASH_BITS = 60
 ANN_K = 10
 TOP_PAIRS_K = 20
+#: leave-one-out kNN embedding-quality probe (knn_label_accuracy)
+KNN_K = 5
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 EMB_DEDUP_THRESHOLD = 0.4

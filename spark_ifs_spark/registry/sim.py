@@ -292,6 +292,59 @@ ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT {TOP_PAIRS_K}
 """
 
 
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification accuracy of the embedding
+    space against its label column, per label — see
+    :func:`~spark_ifs_spark.operators.similarity.knn_label_accuracy`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.knn_label_accuracy(emb, "vec_id", "embedding", "label", k=KNN_K)
+
+
+def sql_knn_label_accuracy() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, sqrt(sum(CAST(embedding[i + 1] AS DOUBLE) * CAST(embedding[i + 1] AS DOUBLE))) AS nrm
+  FROM embeddings CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1
+),
+scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS nb,
+         round(sum((CAST(a.embedding[i + 1] AS DOUBLE) / na.nrm)
+                   * (CAST(b.embedding[i + 1] AS DOUBLE) / nb2.nrm)), 6) AS cos_r
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb2 ON nb2.vec_id = b.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT id, nb,
+         row_number() OVER (PARTITION BY id ORDER BY cos_r DESC, nb ASC) AS r
+  FROM scored
+),
+votes AS (
+  SELECT rk.id, l.label AS nb_label, count(*) AS c
+  FROM rk JOIN embeddings l ON l.vec_id = rk.nb
+  WHERE rk.r <= {KNN_K}
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT id, nb_label
+  FROM (SELECT id, nb_label,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, nb_label ASC) AS rr
+        FROM votes)
+  WHERE rr = 1
+)
+SELECT e.label, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN p.nb_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(floor(sum(CASE WHEN p.nb_label = e.label THEN 1 ELSE 0 END) * 1000000.0
+                  / count(*)) AS BIGINT) AS acc_ppm
+FROM embeddings e JOIN pred p ON p.id = e.vec_id
+GROUP BY 1
+"""
+
+
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration over the embeddings (cosine assignment to the
     IVF seed centroids): per-(cell, dim) population and updated mean."""

@@ -129,13 +129,13 @@ def test_driver_window_frozen():
         "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
         "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
     ]
-    assert list(QUERIES)[24:37] == [
+    assert list(QUERIES)[24:38] == [
         "dsir_select", "dedup_containment", "shard_manifest", "maxsim_topk",
         "hybrid_rrf", "ppl_buckets", "token_budget_alloc", "doc_novelty",
         "zipf_fit", "embedding_effective_dim", "retrieval_eval_rrf",
-        "corpus_report", "ccnet_mix",
+        "corpus_report", "ccnet_mix", "knn_label_accuracy",
     ]
     assert list(QUERIES)[45:50] == [
-        "events_daily", "events_sessionize", "events_user_stats",
-        "pipeline_end_to_end", "dup_clusters",
+        "ann_topk_lsh", "events_daily", "events_sessionize",
+        "events_user_stats", "pipeline_end_to_end",
     ]

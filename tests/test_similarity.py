@@ -526,3 +526,27 @@ def test_effective_dim_rank1_collapse_equals_one(spark):
     df = spark.createDataFrame(rows, "qe array<double>")
     out = similarity.effective_dim(df, "qe", 4).collect()[0]
     assert out["pr"] == 1.0
+
+
+def test_knn_label_accuracy_separable_and_mixed(spark):
+    """Two well-separated clusters classify perfectly; a vector planted
+    inside the wrong cluster is misclassified (leave-one-out)."""
+    rows = []
+    # cluster A near +x, cluster B near +y (4 vectors each)
+    for i in range(4):
+        rows.append((i, [8.0, float(i % 2), 0.0, 0.0], 0))
+        rows.append((10 + i, [float(i % 2), 8.0, 0.0, 0.0], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in
+           similarity.knn_label_accuracy(df, "vec_id", "embedding", "label", k=3).collect()}
+    assert out[0]["acc_ppm"] == 1000000 and out[1]["acc_ppm"] == 1000000
+    # plant a label-1 vector in the middle of cluster A -> its 3 NN are
+    # all label 0, so it misclassifies; cluster A itself stays clean
+    df2 = spark.createDataFrame(
+        rows + [(99, [8.0, 0.5, 0.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out2 = {r["label"]: r for r in
+            similarity.knn_label_accuracy(df2, "vec_id", "embedding", "label", k=3).collect()}
+    assert out2[0]["acc_ppm"] == 1000000
+    assert out2[1]["n_correct"] == 4 and out2[1]["n_vecs"] == 5
