@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON report line {"metric", "value", "unit", "queries", "sf"} followed
+by a compact summary line (total/n/errors/config) that survives the
+driver's 2000-char tail truncation; the full report is also written to
+bench_full.json so per-query history persists in git.
 
 Mirrors BASELINE.md's protocol: B1 round-1 relevance, B2/B3 full greedy
 mRMR in both encodings (+ the reference CLI's cross-encoding identity
@@ -307,6 +310,29 @@ def main() -> int:
     if errors:
         report["errors"] = errors
     print(json.dumps(report))
+    # The driver keeps only the LAST ~2000 chars of bench output, so a
+    # single big JSON line loses its head (metric/value/total) to
+    # truncation — BENCH_r02..r06 have no recoverable total. Emit a
+    # SECOND compact summary line LAST (always < 2000 chars, so it
+    # always survives the tail), and persist the full per-query report
+    # to bench_full.json so the complete timing history lives in git.
+    summary = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "n": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "config": report["config"],
+    }
+    if errors:
+        summary["error_names"] = sorted(errors)[:20]
+    print(json.dumps(summary))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+            json.dump(report, f, indent=1)
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     spark.stop()
     return 1 if errors else 0
 
