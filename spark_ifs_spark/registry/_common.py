@@ -86,7 +86,7 @@ def _quantized_wide(spark: SparkSession, sf_dir: str, dims: int) -> tuple[DataFr
     return wide, cols
 def _sql_emb_long(dims: int) -> str:
     return f"""
-long AS (
+long AS MATERIALIZED (
   SELECT vec_id, i AS col, floor(CAST(embedding[i + 1] AS DOUBLE) * {QUANT_SCALE}) AS val
   FROM embeddings, range({dims}) t(i)
   UNION ALL
@@ -94,18 +94,40 @@ long AS (
 )"""
 def _sql_pair_mi(dims: int) -> str:
     """CTE text computing mi(ca, cb) for ca in feature dims, cb in dims ∪ {-1}."""
+    return _sql_pair_mi_over(_sql_emb_long(dims))
+
+
+def _sql_syn_long(rows: int, dims: int, num_levels: int = 10) -> str:
+    """``long`` CTE over the md5-seeded synthetic matrix
+    (:func:`~spark_ifs_spark.sources.generator.random_conventional_md5_df`):
+    cell(i, j) = md5_int60(f"{i}_{j}") % num_levels; column j=0 is the
+    label and rides as col −1, features j>=1 ride as col j−1."""
+    cell = sql_md5_int60(
+        "concat(CAST(r.i AS VARCHAR), '_', CAST(c.j AS VARCHAR))"
+    )
     return f"""
-{_sql_emb_long(dims)},
-pairs AS (
+long AS MATERIALIZED (
+  SELECT r.i AS vec_id, CAST(c.j AS INT) - 1 AS col,
+         CAST({cell} % {num_levels} AS DOUBLE) AS val
+  FROM range({rows}) r(i) CROSS JOIN range({dims + 1}) c(j)
+)"""
+
+
+def _sql_pair_mi_over(long_cte: str) -> str:
+    """Pairwise-MI CTE chain over an arbitrary ``long`` relation
+    (vec_id, col, val) with the label at col −1."""
+    return f"""
+{long_cte},
+pairs AS MATERIALIZED (
   SELECT a.col AS ca, b.col AS cb, a.val AS va, b.val AS vb, count(*) AS c
   FROM long a JOIN long b ON a.vec_id = b.vec_id
   WHERE a.col >= 0 AND a.col <> b.col
   GROUP BY 1, 2, 3, 4
 ),
-tot AS (SELECT ca, cb, sum(c) AS n FROM pairs GROUP BY 1, 2),
-ma AS (SELECT ca, cb, va, sum(c) AS cna FROM pairs GROUP BY 1, 2, 3),
-mb AS (SELECT ca, cb, vb, sum(c) AS cnb FROM pairs GROUP BY 1, 2, 3),
-mi AS (
+tot AS MATERIALIZED (SELECT ca, cb, sum(c) AS n FROM pairs GROUP BY 1, 2),
+ma AS MATERIALIZED (SELECT ca, cb, va, sum(c) AS cna FROM pairs GROUP BY 1, 2, 3),
+mb AS MATERIALIZED (SELECT ca, cb, vb, sum(c) AS cnb FROM pairs GROUP BY 1, 2, 3),
+mi AS MATERIALIZED (
   SELECT p.ca, p.cb,
          sum((p.c * 1.0 / t.n) * ln((p.c * 1.0 * t.n) / (ma.cna * 1.0 * mb.cnb))) AS mi
   FROM pairs p
@@ -119,18 +141,24 @@ def _sql_unrolled_greedy(
     red_rel: str = "mi",
     red_agg: str = "avg",
     extra_cte: str = "",
+    num: int = MRMR_K,
+    pair_mi: str | None = None,
 ) -> str:
-    """Unrolled k-round greedy selection over the pairwise-MI matrix.
-    ``score_sql`` combines ``r.score`` (relevance) with ``{red}`` (the
-    redundancy scalar subquery: ``red_agg`` over relation ``red_rel``,
-    default the mean of pairwise MI) into the round score.
+    """Unrolled ``num``-round greedy selection over the pairwise-MI
+    matrix. ``score_sql`` combines ``r.score`` (relevance) with
+    ``{red}`` (the redundancy scalar subquery: ``red_agg`` over relation
+    ``red_rel``, default the mean of pairwise MI) into the round score.
     ``extra_cte`` appends additional CTEs (e.g. the triple-MI relation
-    the JMI score aggregates instead of pairwise MI)."""
+    the JMI score aggregates instead of pairwise MI); ``pair_mi``
+    overrides the pair-MI CTE chain (default: the quantized embeddings
+    matrix over MRMR_DIMS)."""
+    if pair_mi is None:
+        pair_mi = _sql_pair_mi(MRMR_DIMS)
     rounds = []
     prevs = []
-    for k in range(1, MRMR_K + 1):
+    for k in range(1, num + 1):
         if k == 1:
-            rounds.append("r1 AS (SELECT ca, mi AS score FROM mi WHERE cb = -1)")
+            rounds.append("r1 AS MATERIALIZED (SELECT ca, mi AS score FROM mi WHERE cb = -1)")
         else:
             prev_union = " UNION ALL ".join(f"SELECT ca FROM w{j}" for j in range(1, k))
             red = (
@@ -138,16 +166,16 @@ def _sql_unrolled_greedy(
                 f"AND m.cb IN ({prev_union}))"
             )
             rounds.append(
-                f"""r{k} AS (
+                f"""r{k} AS MATERIALIZED (
   SELECT r.ca, {score_sql.format(red=red)} AS score
   FROM r1 r WHERE r.ca NOT IN ({prev_union})
 )"""
             )
-        rounds.append(f"w{k} AS (SELECT ca, score FROM r{k} ORDER BY score DESC, ca ASC LIMIT 1)")
+        rounds.append(f"w{k} AS MATERIALIZED (SELECT ca, score FROM r{k} ORDER BY score DESC, ca ASC LIMIT 1)")
         prevs.append(f"SELECT {k} AS rank, ca AS feature, round(score, 6) AS score FROM w{k}")
     body = ",\n".join(rounds)
     final = "\nUNION ALL\n".join(prevs)
-    return f"WITH {_sql_pair_mi(MRMR_DIMS)}{extra_cte},\n{body}\n{final}"
+    return f"WITH {pair_mi}{extra_cte},\n{body}\n{final}"
 
 
 def _sql_tri_mi(dims: int) -> str:
@@ -156,7 +184,7 @@ def _sql_tri_mi(dims: int) -> str:
     pair — the JMI family's triple statistic, built on the same ``long``
     relation as the pairwise matrix (label rides as col −1)."""
     return """,
-trip AS (
+trip AS MATERIALIZED (
   SELECT a.col AS ca, b.col AS cb, a.val AS va, b.val AS vb, y.val AS vy,
          count(*) AS c
   FROM long a
@@ -165,10 +193,10 @@ trip AS (
   JOIN long y ON y.vec_id = a.vec_id AND y.col = -1
   GROUP BY 1, 2, 3, 4, 5
 ),
-t3 AS (SELECT ca, cb, sum(c) AS n FROM trip GROUP BY 1, 2),
-mab AS (SELECT ca, cb, va, vb, sum(c) AS cab FROM trip GROUP BY 1, 2, 3, 4),
-my3 AS (SELECT ca, cb, vy, sum(c) AS cy FROM trip GROUP BY 1, 2, 3),
-mi3 AS (
+t3 AS MATERIALIZED (SELECT ca, cb, sum(c) AS n FROM trip GROUP BY 1, 2),
+mab AS MATERIALIZED (SELECT ca, cb, va, vb, sum(c) AS cab FROM trip GROUP BY 1, 2, 3, 4),
+my3 AS MATERIALIZED (SELECT ca, cb, vy, sum(c) AS cy FROM trip GROUP BY 1, 2, 3),
+mi3 AS MATERIALIZED (
   SELECT t.ca, t.cb,
          sum((t.c * 1.0 / t3.n) * ln((t.c * 1.0 * t3.n) / (mab.cab * 1.0 * my3.cy))) AS mi
   FROM trip t
@@ -237,7 +265,7 @@ unit AS (
           FOR x IN embedding] AS u
   FROM {src}
 ),
-lsh_pairs AS (
+lsh_pairs AS MATERIALIZED (
   -- list_dot_product over pre-unit vectors: one row per candidate pair
   -- instead of the 64x range-join explosion, which at sf0.1 spilled
   -- DuckDB past the disk budget
@@ -446,6 +474,34 @@ ZIPF_TOP_N = 500
 # asymmetric containment dedup (dedup_containment)
 CONTAIN_THRESHOLD = 0.8
 CONTAIN_MIN_SUB_SH = 5
+
+
+# URL/host-level dedup composite (url_dedup). The documents table has
+# no url column, so the fixture plants deterministic URLs: canonical
+# identity = doc_id % 60 (which also determines source = src(doc_id %
+# 20), so host/path agree within a group) with retrieval noise —
+# scheme / www. / case / trailing slash / query / fragment — keyed on
+# moduli coprime to 60, so raw URLs inside one canonical group DIFFER
+# and the canonicalizer is actually exercised.
+URL_HOST_CAP = 2
+URL_BLOCKED_HOSTS = ["src3.example.com", "src7.example.com"]
+URL_CANON_MOD = 60
+def _url_fixture_expr(cast_t: str) -> str:
+    """Engine-shared planted-URL expression (``cast_t``: STRING for
+    Spark, VARCHAR for DuckDB; everything else is dialect-common)."""
+    return f"""concat(
+  CASE WHEN doc_id % 7 < 4 THEN 'https://' ELSE 'http://' END,
+  CASE WHEN doc_id % 11 < 5 THEN 'www.' ELSE '' END,
+  CASE WHEN doc_id % 19 = 0 THEN upper(concat(source, '.example.com'))
+       ELSE concat(source, '.example.com') END,
+  '/articles/', CAST(doc_id % {URL_CANON_MOD} AS {cast_t}),
+  CASE WHEN doc_id % 23 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 13 = 0
+       THEN concat('?utm_source=feed&ref=', CAST(doc_id AS {cast_t}))
+       ELSE '' END,
+  CASE WHEN doc_id % 17 = 0
+       THEN concat('#sec-', CAST(doc_id % 9 AS {cast_t}))
+       ELSE '' END)"""
 
 
 # DSIR importance resampling (dsir_select)

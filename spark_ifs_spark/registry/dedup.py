@@ -21,6 +21,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _sql_pair_mi,
     _sql_unrolled_greedy,
     _t,
+    _url_fixture_expr,
 )
 
 
@@ -948,4 +949,48 @@ SELECT ia AS id_sub, ib AS id_sup, round(i * 1.0 / s.n_sh, 6) AS containment
 FROM inter
 JOIN sizes s ON s.id = ia
 WHERE i * 1.0 / s.n_sh >= {CONTAIN_THRESHOLD} AND s.n_sh >= {CONTAIN_MIN_SUB_SH}
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/host-level dedup composite (the RefinedWeb/FineWeb pre-stage):
+    canonicalize planted URLs, drop blocklisted hosts, collapse exact
+    canonical-URL duplicates (winner = min doc_id), cap each host at
+    URL_HOST_CAP documents."""
+    from spark_ifs_spark.operators import urls
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "url", F.expr(_url_fixture_expr("STRING"))
+    )
+    return urls.url_dedup(
+        docs,
+        "doc_id",
+        "url",
+        host_cap=URL_HOST_CAP,
+        blocked_hosts=URL_BLOCKED_HOSTS,
+    )
+
+
+def sql_url_dedup() -> str:
+    from spark_ifs_spark.operators.urls import sql_canonical_url
+
+    blocked = ", ".join(f"'{h}'" for h in URL_BLOCKED_HOSTS)
+    return f"""
+WITH raw AS (SELECT doc_id, {_url_fixture_expr('VARCHAR')} AS url FROM documents),
+canon AS (SELECT doc_id, {sql_canonical_url('url')} AS curl FROM raw),
+hosted AS (
+  SELECT doc_id, curl, regexp_extract(curl, '^([^/]*)', 1) AS host FROM canon
+),
+keep AS (
+  SELECT curl AS url, min(host) AS host,
+         CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
+  FROM hosted
+  WHERE host NOT IN ({blocked})
+  GROUP BY 1
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id ASC) AS rank
+  FROM keep
+)
+SELECT doc_id, url, host, n_dups, rank FROM rk WHERE rank <= {URL_HOST_CAP}
 """

@@ -16,10 +16,21 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _sql_emb_long,
     _sql_emb_lsh_cand,
     _sql_pair_mi,
+    _sql_pair_mi_over,
+    _sql_syn_long,
     _sql_tri_mi,
     _sql_unrolled_greedy,
     _t,
 )
+
+
+#: mrmr_k10_synthetic — the S4 distributed-generator path, driver-gated:
+#: a 2000x(1+20) md5-seeded categorical matrix, full greedy mRMR k=10.
+#: (bench.py's B5 uses the F.rand generator at 10k x 50 for throughput;
+#: rand is not engine-portable, so the GATED variant hashes cells.)
+SYN_ROWS = 2000
+SYN_DIMS = 20
+SYN_K = 10
 
 
 def q_mi_pair_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,3 +394,25 @@ LIMIT {PMI_K}
 """
 
 
+
+
+def q_mrmr_k10_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full greedy mRMR (k=SYN_K) over the md5-seeded synthetic matrix —
+    gates the distributed generator (sources/generator.py,
+    ``random_conventional_md5_df``) plus the selector end-to-end with a
+    DuckDB oracle replaying the exact same cell arithmetic.
+    sf-independent by construction (reads no tables)."""
+    from spark_ifs_spark.sources.generator import random_conventional_md5_df
+
+    wide, cols = random_conventional_md5_df(spark, rows=SYN_ROWS, cols=SYN_DIMS + 1)
+    sel = select_columns(wide, "label", cols, num=SYN_K)
+    rows = [(r + 1, int(f), round(s, 6)) for r, (f, s) in enumerate(sel)]
+    return spark.createDataFrame(rows, "rank int, feature int, score double")
+
+
+def sql_mrmr_k10_synthetic() -> str:
+    return _sql_unrolled_greedy(
+        "r.score - {red}",
+        num=SYN_K,
+        pair_mi=_sql_pair_mi_over(_sql_syn_long(SYN_ROWS, SYN_DIMS)),
+    )

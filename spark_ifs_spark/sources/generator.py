@@ -84,6 +84,40 @@ def random_conventional_df(
     return projected, names[1:]
 
 
+def random_conventional_md5_df(
+    spark: SparkSession, rows: int, cols: int, num_levels: int = 10
+) -> tuple[DataFrame, list[str]]:
+    """Engine-portable deterministic matrix: ``cell(i, j) =
+    md5_int60(f"{i}_{j}") % num_levels`` (column 0 = label).
+
+    The ``F.rand``-based :func:`random_conventional_df` is seed-stable
+    only within Spark, so it cannot be oracle-checked; this variant is
+    bit-replicable in ANY engine with RFC-1321 md5 (the DuckDB twin
+    inlines the same arithmetic), at the cost of one md5 per cell.
+    Distributed exactly like the rand variant: ``spark.range``
+    parallelizes the row space, the per-cell hash is a scan-fused
+    column expression.
+    """
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    base = spark.range(rows)
+    names = ["label"] + [f"f{j}" for j in range(cols - 1)]
+    projected = base.select(
+        *[
+            (
+                md5_int60(
+                    F.concat(F.col("id").cast("string"), F.lit(f"_{j}"))
+                )
+                % num_levels
+            )
+            .cast("int")
+            .alias(name)
+            for j, name in enumerate(names)
+        ]
+    )
+    return projected, names[1:]
+
+
 def engineered_fixture(
     spark: SparkSession, rows: int = 400, n_noise: int = 17, seed: int = 42
 ) -> tuple[DataFrame, list[str]]:

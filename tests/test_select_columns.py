@@ -162,3 +162,21 @@ def test_cmim_penalizes_redundant_copy(spark):
                          score=CmimColumnScore())
     picked = [f for f, _ in sel]
     assert set(picked) == {0, 2} or set(picked) == {1, 2}  # never the copy pair
+
+
+def test_md5_generator_deterministic_and_distributed(spark):
+    """random_conventional_md5_df: engine-portable cells, stable across
+    runs and partitionings, uniform-ish levels."""
+    from spark_ifs_spark.functions.hashing import md5_int60_py
+    from spark_ifs_spark.sources.generator import random_conventional_md5_df
+
+    df, names = random_conventional_md5_df(spark, rows=50, cols=4)
+    assert names == ["f0", "f1", "f2"]
+    rows = {r["label"]: (r["f0"], r["f1"], r["f2"]) for r in df.collect()}
+    assert len(rows) <= 10  # labels are 0..9
+    # spot-check the cell formula against the python twin
+    got = df.orderBy("label", "f0", "f1", "f2").collect()
+    want = sorted(
+        tuple(md5_int60_py(f"{i}_{j}") % 10 for j in range(4)) for i in range(50)
+    )
+    assert [tuple(r) for r in got] == want
