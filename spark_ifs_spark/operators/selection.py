@@ -118,3 +118,85 @@ def dsir_top_k(scores: DataFrame, k: int) -> DataFrame:
     return top.select(
         F.row_number().over(w).alias("rank"), "id", "score"
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    text_col: str,
+    eta: float = 8.0,
+    smoothing: float = 0.2,
+) -> DataFrame:
+    """DoReMi-style domain-weight update (Xie et al., 2023,
+    arXiv:2305.10429): re-weight corpus domains by their *excess loss*
+    under a cheap proxy model, via one multiplicative-weights step.
+
+    The paper trains a small proxy LM with Group-DRO and uses the
+    per-domain gap between proxy and reference loss; the relational
+    proxy here is the corpus-trained bigram LM
+    (:func:`~spark_ifs_spark.operators.textstats.bigram_logprob` —
+    the same CCNet-style signal ``ppl_buckets`` partitions on), with
+    the best-scoring domain as the reference, so
+
+        excess(s)   = loss(s) − min_t loss(t)          (integer micronats)
+        alpha(s)    ∝ exp(eta · excess(s) / 1e6)        (softmax over S)
+        weight(s)   = (1 − smoothing)·alpha(s) + smoothing / S
+
+    exactly the DoReMi update shape: hard domains (high excess) gain
+    mass, the uniform-smoothing term keeps every domain sampled.
+    Returns one row per domain:
+    ``(domain, n_bigrams, loss_micro, excess_micro, rate_ppm)`` with
+    ``rate_ppm = floor(weight · 1e6)`` — the integer sampling rate
+    :func:`~spark_ifs_spark.operators.sampling.weighted_mix` consumes.
+
+    Determinism: per-domain losses are exact integer micronat sums
+    (the ``bigram_logprob`` contract), so the only floating step is
+    the S-row softmax; its inputs are integers, and the result is
+    rounded to 9 decimals before the ppm floor (the cross-engine
+    last-ulp guard the package uses everywhere it must ``floor`` a
+    computed double).
+
+    Scale shape: everything corpus-sized is inside ``bigram_logprob``
+    (two scans, vocabulary-sized shuffles); the update itself runs on
+    the S-row domain relation, where the empty-frame windows below are
+    a deliberate single-task reduction over S ≤ thousands of rows —
+    never corpus data.
+    """
+    from spark_ifs_spark.operators.textstats import bigram_logprob
+
+    dom = df.select(F.col(id_col).alias("id"), F.col(domain_col).alias("domain"))
+    scored = bigram_logprob(df, id_col, text_col)
+    per = (
+        scored.join(dom, "id")
+        .groupBy("domain")
+        .agg(
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("ll_micronats").alias("ll"),
+        )
+        .select(
+            "domain",
+            "n_bigrams",
+            F.floor(
+                (-F.col("ll")).cast("double") / F.col("n_bigrams").cast("double")
+            )
+            .cast("long")
+            .alias("loss_micro"),
+        )
+    )
+    w = Window.partitionBy()  # S-row relation: single-task on purpose
+    excess = F.col("loss_micro") - F.min("loss_micro").over(w)
+    expw = F.exp(F.lit(eta) * excess.cast("double") / F.lit(1e6))
+    alpha = expw / F.sum(expw).over(w)
+    n_dom = F.count(F.lit(1)).over(w)
+    weight = (
+        F.lit(1.0 - smoothing) * alpha
+        + F.lit(smoothing) / n_dom.cast("double")
+    )
+    return per.select(
+        "domain",
+        "n_bigrams",
+        "loss_micro",
+        excess.alias("excess_micro"),
+        F.floor(F.round(weight, 9) * 1e6).cast("long").alias("rate_ppm"),
+    )

@@ -509,3 +509,8 @@ DSIR_BUCKETS = 512
 DSIR_ALPHA = 1.0
 DSIR_K = 100
 DSIR_TARGET_LANG = "en"
+
+
+# DoReMi-style domain-weight update (doremi_weights)
+DOREMI_ETA = 8.0
+DOREMI_SMOOTHING = 0.2

@@ -563,12 +563,12 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.ppl_buckets(docs, "doc_id", "text")
 
 
-def _sql_ppl_cte() -> str:
-    """CTE chain (no ``WITH``) ending in ``scored(doc_id, n_bigrams,
-    ppl_micro)`` + ``qs(q0, q1)`` — the per-doc CCNet scoring shared by
-    ``sql_ppl_buckets`` and the pipeline composites (``ccnet_mix``)."""
-    c0, c1 = repr(1.0 / 3.0), repr(2.0 / 3.0)
-    return f"""occ AS (
+def _sql_bigram_ll_cte() -> str:
+    """CTE chain (no ``WITH``) ending in ``ll(doc_id, n_bigrams,
+    ll_micronats)`` — the corpus-trained bigram-LM scoring relation
+    shared by ``lm_bigram_logprob``, ``ppl_buckets``/``ccnet_mix``, and
+    ``doremi_weights``."""
+    return """occ AS (
   SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS pair
   FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) s
@@ -589,7 +589,15 @@ def _sql_ppl_cte() -> str:
          CAST(sum(k * t) AS BIGINT) AS ll_micronats
   FROM per_doc JOIN model USING (pair)
   GROUP BY per_doc.doc_id
-), scored AS (
+)"""
+
+
+def _sql_ppl_cte() -> str:
+    """CTE chain (no ``WITH``) ending in ``scored(doc_id, n_bigrams,
+    ppl_micro)`` + ``qs(q0, q1)`` — the per-doc CCNet scoring shared by
+    ``sql_ppl_buckets`` and the pipeline composites (``ccnet_mix``)."""
+    c0, c1 = repr(1.0 / 3.0), repr(2.0 / 3.0)
+    return f"""{_sql_bigram_ll_cte()}, scored AS (
   SELECT doc_id, n_bigrams,
          CAST(floor((-ll_micronats) * 1.0 / n_bigrams) AS BIGINT) AS ppl_micro
   FROM ll
@@ -1256,4 +1264,45 @@ ranked AS (
   FROM pcos WHERE cos < {HARDNEG_DUP_CEILING}
 )
 SELECT id, neg_id, cos, rank FROM ranked WHERE rank <= {HARDNEG_K}
+"""
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-weight update: one multiplicative-weights
+    step over per-source excess loss under the corpus bigram LM — see
+    :func:`~spark_ifs_spark.operators.selection.doremi_weights`."""
+    from spark_ifs_spark.operators.selection import doremi_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return doremi_weights(
+        docs, "source", "doc_id", "text",
+        eta=DOREMI_ETA, smoothing=DOREMI_SMOOTHING,
+    )
+
+
+def sql_doremi_weights() -> str:
+    from spark_ifs_spark.registry._common import DOREMI_ETA, DOREMI_SMOOTHING
+
+    return f"""
+WITH {_sql_bigram_ll_cte()},
+per AS (
+  SELECT d.source AS domain,
+         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         CAST(floor((-sum(ll_micronats)) * 1.0 / sum(n_bigrams)) AS BIGINT)
+           AS loss_micro
+  FROM ll JOIN documents d USING (doc_id)
+  GROUP BY 1
+),
+ex AS (
+  SELECT domain, n_bigrams, loss_micro,
+         loss_micro - min(loss_micro) OVER () AS excess_micro,
+         count(*) OVER () AS s
+  FROM per
+),
+sm AS (SELECT *, exp({DOREMI_ETA} * excess_micro / 1e6) AS ew FROM ex)
+SELECT domain, n_bigrams, loss_micro, excess_micro,
+       CAST(floor(round((1.0 - {DOREMI_SMOOTHING}) * ew / sum(ew) OVER ()
+                        + {DOREMI_SMOOTHING} / s, 9) * 1e6) AS BIGINT)
+         AS rate_ppm
+FROM sm
 """

@@ -200,3 +200,58 @@ def test_rendezvous_shard_sql_twin_matches(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_doremi_weights_match_numpy_update(spark):
+    """Differential test: the DataFrame multiplicative-weights update
+    reproduces a numpy reference computed from the SAME per-domain
+    bigram losses."""
+    import math
+
+    from spark_ifs_spark.operators.selection import doremi_weights
+    from spark_ifs_spark.operators.textstats import bigram_logprob
+
+    rows = [
+        (1, "easy", "a b a b a b a b"),
+        (2, "easy", "a b a b a b"),
+        (3, "hard", "x y z q r s t u"),
+        (4, "hard", "y x q z s r u t"),
+        (5, "mid", "a b x y a b x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    eta, c = 5.0, 0.25
+
+    # numpy/python reference from the operator's own per-doc LM relation
+    per_doc = {
+        r["id"]: (r["n_bigrams"], r["ll_micronats"])
+        for r in bigram_logprob(df, "doc_id", "text").collect()
+    }
+    dom_of = {i: s for i, s, _ in rows}
+    agg: dict[str, list[int]] = {}
+    for i, (n, ll) in per_doc.items():
+        a = agg.setdefault(dom_of[i], [0, 0])
+        a[0] += n
+        a[1] += ll
+    loss = {s: math.floor(-ll / n) for s, (n, ll) in agg.items()}
+    base = min(loss.values())
+    ew = {s: math.exp(eta * (l - base) / 1e6) for s, l in loss.items()}
+    tot = sum(ew.values())
+    want = {
+        s: math.floor(round((1 - c) * v / tot + c / len(ew), 9) * 1e6)
+        for s, v in ew.items()
+    }
+
+    got = {
+        r["domain"]: (r["loss_micro"], r["excess_micro"], r["rate_ppm"])
+        for r in doremi_weights(
+            df, "source", "doc_id", "text", eta=eta, smoothing=c
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == loss[s]
+        assert got[s][1] == loss[s] - base
+        assert got[s][2] == want[s]
+    # hard domain gains mass over easy; smoothing keeps everything > c/S/2
+    assert got["hard"][2] > got["easy"][2]
+    assert all(v[2] > 1e6 * c / len(want) / 2 for v in got.values())
