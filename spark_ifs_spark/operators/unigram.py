@@ -1,0 +1,287 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training — the EM-based
+alternative to BPE that real pretraining pipelines choose between
+(Kudo 2018, arXiv:1804.10959; SentencePiece's ``--model_type=unigram``).
+
+Algorithm (hard-EM / Viterbi variant — the deterministic, relationally
+replayable form):
+
+1. **Candidates**: every substring of length ≤ ``max_piece`` of every
+   corpus word, weighted by word frequency; substrings below
+   ``min_count`` total weight are dropped, single characters are always
+   kept (they guarantee every word stays segmentable and are never
+   pruned — exactly SentencePiece's invariant).
+2. **Init scores**: ``score(p) = floor(ln(cnt_p / Σcnt) · 1e6)`` —
+   integer MICRONATS (the package's exact-integer log convention,
+   see ``textstats.bigram_logprob``), so every downstream comparison
+   and sum is integer-exact on any engine.
+3. **E-step**: per distinct word, the Viterbi segmentation under the
+   current scores (DP over end position ``j``; candidate pieces are
+   the last ≤ ``max_piece`` characters; ties break to the higher
+   accumulated score, then to the LONGER last piece — a total,
+   engine-portable order). Usage counts are weighted by word
+   frequency.
+4. **M-step + prune**: pieces with zero usage die (multi-char), single
+   chars are floored at count 1 (they must keep a finite log-prob);
+   non-single pieces are pruned to the top ``prune_top`` by
+   ``(count DESC, piece ASC)``; scores are recomputed as in (2).
+5. Repeat (3)-(4) ``em_rounds`` times; emit the final top
+   ``vocab_keep`` pieces with rank, usage count, and score.
+
+Everything corpus-scale happens in :func:`~spark_ifs_spark.operators.
+bpe.word_frequencies` (ONE scan + one vocabulary-keyed shuffle; the
+Zipf head collapses in the map-side combiner). All EM rounds run on
+the *word-frequency relation* — bounded by vocabulary, not corpus —
+the same fold surface as ``bpe_train``:
+
+- **in-core path** (vocabulary fits ``incore_vocab_budget``): the
+  exact EM recurrence on plain Python ints/floats — identical math,
+  zero scheduling overhead (the broadcast-small-side rule; curated
+  corpora and every test SF land here).
+- **distributed path**: candidates explode map-side from the word
+  relation (one aggregate), scores stay a DataFrame; each E-step is
+  ONE Arrow ``mapInPandas`` over the word relation with the
+  vocabulary-sized score table broadcast as a Python dict (a nested
+  whole-stage-codegen DP expression would be janino-compile-bound —
+  the PQ-kernel lesson), and each M-step is one piece-keyed aggregate.
+  Per-round cost: one scan of the word relation + one vocab-sized
+  shuffle; rounds are a short driver loop exactly like BPE's merge
+  rounds. The score broadcast is budget-gated: a real 1M-piece vocab
+  is ~30 MB of dict — comfortably broadcastable; past the budget we
+  raise with the partitioned-Viterbi escape hatch documented rather
+  than silently degrade.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.operators.bpe import word_frequencies
+
+#: schema of the trained-vocabulary relation
+VOCAB_SCHEMA = "rank int, piece string, n_tokens long, score_micro long"
+
+#: words longer than this are excluded from EM (and from the oracle) —
+#: keeps the relational DP unroll bounded; real corpora route such
+#: tokens (URLs, DNA, base64) to byte-fallback anyway.
+MAX_WORD_LEN = 12
+
+
+def _score_micro(cnt: int, total: int) -> int:
+    """floor(ln(cnt/total)·1e6) — integer micronats."""
+    return math.floor(math.log(cnt / total) * 1e6)
+
+
+def _viterbi(word: str, scores: dict[str, int], max_piece: int) -> list[str]:
+    """Best segmentation of ``word`` under integer ``scores``.
+
+    dp[j] = best accumulated score for the prefix of length j; ties
+    prefer the LONGER last piece (total order: (acc, piece_len) max).
+    Single characters are always scored, so dp is always feasible — the
+    guard below only protects against corpora whose E-step sees a
+    character the candidate pass never produced (impossible by
+    construction, kept as a hard error rather than silent skip).
+    """
+    n = len(word)
+    acc: list[int | None] = [0] + [None] * n
+    back: list[int] = [0] * (n + 1)
+    for j in range(1, n + 1):
+        best: tuple[int, int] | None = None
+        for piece_len in range(1, min(max_piece, j) + 1):
+            i = j - piece_len
+            if acc[i] is None:
+                continue
+            s = scores.get(word[i:j])
+            if s is None:
+                continue
+            cand = (acc[i] + s, piece_len)
+            if best is None or cand > best:
+                best = cand
+        if best is None:
+            raise ValueError(f"unsegmentable word {word!r}")
+        acc[j], back[j] = best[0], best[1]
+    pieces = []
+    pos = n
+    while pos > 0:
+        pieces.append(word[pos - back[pos] : pos])
+        pos -= back[pos]
+    return pieces
+
+
+def _em_incore(
+    wf: list[tuple[str, int]],
+    max_piece: int,
+    min_count: int,
+    em_rounds: int,
+    prune_top: int,
+    vocab_keep: int,
+) -> list[tuple[int, str, int, int]]:
+    """The exact EM recurrence on the collected word-frequency relation."""
+    words = [(w, c) for w, c in wf if len(w) <= MAX_WORD_LEN]
+    singles = sorted({ch for w, _ in words for ch in w})
+
+    cand: dict[str, int] = {}
+    for w, c in words:
+        for i in range(len(w)):
+            for piece_len in range(1, min(max_piece, len(w) - i) + 1):
+                p = w[i : i + piece_len]
+                cand[p] = cand.get(p, 0) + c
+    vocab = {p: n for p, n in cand.items() if n >= min_count or len(p) == 1}
+
+    for _ in range(em_rounds):
+        total = sum(vocab.values())
+        scores = {p: _score_micro(n, total) for p, n in vocab.items()}
+        usage: dict[str, int] = {}
+        for w, c in words:
+            for p in _viterbi(w, scores, max_piece):
+                usage[p] = usage.get(p, 0) + c
+        vocab = {p: max(usage.get(p, 0), 1) for p in singles}
+        multi = sorted(
+            ((p, n) for p, n in usage.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:prune_top]
+        vocab.update(dict(multi))
+
+    total = sum(vocab.values())
+    ranked = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))[:vocab_keep]
+    return [
+        (r + 1, p, n, _score_micro(n, total)) for r, (p, n) in enumerate(ranked)
+    ]
+
+
+#: driver-side budget for collecting the word-frequency relation on the
+#: in-core path — same rationale (and default) as ``bpe_train``.
+def unigram_train(
+    df: DataFrame,
+    text_col: str,
+    max_piece: int = 4,
+    min_count: int = 5,
+    em_rounds: int = 2,
+    prune_top: int = 64,
+    vocab_keep: int = 48,
+    incore_vocab_budget: int = 1_000_000,
+) -> DataFrame:
+    """``(rank, piece, n_tokens, score_micro)`` — the trained unigram-LM
+    vocabulary head (top ``vocab_keep`` pieces by final usage).
+
+    Cost-based like :func:`~spark_ifs_spark.operators.bpe.bpe_train`:
+    collected-EM when the vocabulary fits the budget, distributed EM
+    (mapInPandas Viterbi + DataFrame M-steps) past it. Both paths run
+    the identical integer recurrence (asserted by tests).
+    """
+    spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    if incore_vocab_budget > 0:
+        head = wf.limit(incore_vocab_budget + 1).collect()
+        if len(head) <= incore_vocab_budget:
+            out = _em_incore(
+                [(r["w"], r["c"]) for r in head],
+                max_piece, min_count, em_rounds, prune_top, vocab_keep,
+            )
+            return spark.createDataFrame(out, VOCAB_SCHEMA)
+    return _unigram_distributed(
+        wf, max_piece, min_count, em_rounds, prune_top, vocab_keep
+    )
+
+
+#: ceiling for the per-round score-table broadcast on the distributed
+#: path: 5M pieces ≈ 150 MB of Python dict — the same order as
+#: Spark's own broadcast-join threshold headroom on a 4 GB executor.
+SCORE_BROADCAST_BUDGET = 5_000_000
+
+
+def _unigram_distributed(
+    wf: DataFrame,
+    max_piece: int,
+    min_count: int,
+    em_rounds: int,
+    prune_top: int,
+    vocab_keep: int,
+) -> DataFrame:
+    """Distributed EM: the word relation never leaves the cluster; each
+    round broadcasts the vocabulary-sized score dict and aggregates
+    usage counts back.  See module docstring for the plan shape."""
+    import pandas as pd
+
+    spark = wf.sparkSession
+    words = wf.where(F.length("w") <= MAX_WORD_LEN).persist()
+
+    # candidates: map-side substring explosion, one piece-keyed aggregate
+    subs = F.expr(
+        f"""flatten(transform(sequence(0, length(w) - 1), i ->
+              transform(sequence(1, least({max_piece}, length(w) - i)), l ->
+                substring(w, i + 1, l))))"""
+    )
+    cand = (
+        words.select(F.explode(subs).alias("piece"), F.col("c"))
+        .groupBy("piece")
+        .agg(F.sum("c").alias("cnt"))
+        .where((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+    )
+    singles = [
+        r["piece"] for r in cand.where(F.length("piece") == 1).collect()
+    ]
+    vocab = cand  # (piece, cnt)
+
+    for _ in range(em_rounds):
+        total = vocab.agg(F.sum("cnt")).first()[0]
+        score_rows = vocab.select(
+            "piece",
+            F.floor(F.log(F.col("cnt").cast("double") / F.lit(float(total))) * 1e6)
+            .cast("long")
+            .alias("s"),
+        ).collect()
+        if len(score_rows) > SCORE_BROADCAST_BUDGET:
+            raise ValueError(
+                f"unigram vocab {len(score_rows)} exceeds the score-broadcast "
+                f"budget {SCORE_BROADCAST_BUDGET}; shard the Viterbi by word "
+                "prefix (scores partition cleanly by piece prefix) before raising it"
+            )
+        scores_b = spark.sparkContext.broadcast(
+            {r["piece"]: r["s"] for r in score_rows}
+        )
+
+        def e_step(batches, _scores=scores_b, _mp=max_piece):
+            for pdf in batches:
+                out: dict[str, int] = {}
+                sc = _scores.value
+                for w, c in zip(pdf["w"], pdf["c"]):
+                    for p in _viterbi(w, sc, _mp):
+                        out[p] = out.get(p, 0) + int(c)
+                yield pd.DataFrame(
+                    {"piece": list(out), "cnt": list(out.values())}
+                )
+
+        usage = (
+            words.mapInPandas(e_step, "piece string, cnt long")
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        single_df = spark.createDataFrame([(p,) for p in singles], "piece string")
+        smoothed = single_df.join(usage, "piece", "left").select(
+            "piece", F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1)).alias("cnt")
+        )
+        multi = (
+            usage.where(F.length("piece") > 1)
+            .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            .limit(prune_top)
+        )
+        vocab = smoothed.unionByName(multi).persist()
+
+    total = vocab.agg(F.sum("cnt")).first()[0]
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    return (
+        vocab.select(
+            F.row_number().over(rk).alias("rank"),
+            "piece",
+            F.col("cnt").alias("n_tokens"),
+            F.floor(F.log(F.col("cnt").cast("double") / F.lit(float(total))) * 1e6)
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .where(F.col("rank") <= vocab_keep)
+    )

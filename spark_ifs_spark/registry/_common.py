@@ -514,3 +514,11 @@ DSIR_TARGET_LANG = "en"
 # DoReMi-style domain-weight update (doremi_weights)
 DOREMI_ETA = 8.0
 DOREMI_SMOOTHING = 0.2
+
+
+# Unigram-LM (SentencePiece-style) tokenizer training (unigram_lm_vocab)
+UNI_MAX_PIECE = 4
+UNI_MIN_COUNT = 5
+UNI_EM_ROUNDS = 2
+UNI_PRUNE_TOP = 64
+UNI_VOCAB_KEEP = 48

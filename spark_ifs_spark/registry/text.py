@@ -2382,3 +2382,114 @@ def sql_hybrid_rrf() -> str:
 SELECT query, rank, doc_id, rrf_micro FROM frk WHERE rank <= {HYBRID_K}
 """
     )
+
+
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece ``unigram``,
+    hard-EM variant): candidate substrings -> integer-micronat scores ->
+    Viterbi E-step / renormalizing M-step / prune, EM_ROUNDS times —
+    see :mod:`spark_ifs_spark.operators.unigram`."""
+    from spark_ifs_spark.operators.unigram import unigram_train
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_train(
+        docs, "text",
+        max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
+        em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+        vocab_keep=UNI_VOCAB_KEEP,
+    )
+
+
+def sql_unigram_lm_vocab() -> str:
+    """Fully unrolled EM: per round, MAX_WORD_LEN Viterbi-DP CTEs (one
+    per end position, argbest via QUALIFY) + MAX_WORD_LEN backtrace
+    CTEs, then usage/prune/rescore — the ``bpe_train_merges`` unrolling
+    pattern. All CTEs MATERIALIZED (they are referenced by later
+    rounds; inlining would recompute exponentially)."""
+    from spark_ifs_spark.operators.unigram import MAX_WORD_LEN
+
+    P, MINC, R = UNI_MAX_PIECE, UNI_MIN_COUNT, UNI_EM_ROUNDS
+    PRUNE, KEEP, MAXW = UNI_PRUNE_TOP, UNI_VOCAB_KEEP, MAX_WORD_LEN
+    cte = [f"""wf AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND len(w) <= {MAXW}
+  GROUP BY 1
+)""", """singles AS MATERIALIZED (
+  SELECT DISTINCT substr(w, CAST(i.i AS INT) + 1, 1) AS piece
+  FROM wf, LATERAL (SELECT unnest(generate_series(0, len(w) - 1)) AS i) i
+)""", f"""cand0 AS MATERIALIZED (
+  SELECT substr(w, CAST(i.i AS INT) + 1, CAST(l.l AS INT)) AS piece,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM wf,
+       LATERAL (SELECT unnest(generate_series(0, len(w) - 1)) AS i) i,
+       LATERAL (SELECT unnest(generate_series(1,
+                  least({P}, len(w) - CAST(i.i AS INT)))) AS l) l
+  GROUP BY 1
+)""", f"""v0 AS MATERIALIZED (
+  SELECT piece, cnt FROM cand0 WHERE cnt >= {MINC} OR length(piece) = 1
+)""", """t0 AS MATERIALIZED (SELECT sum(cnt) AS tot FROM v0)""", """sc0 AS MATERIALIZED (
+  SELECT piece, CAST(floor(ln(cnt * 1.0 / tot) * 1e6) AS BIGINT) AS s
+  FROM v0, t0
+)"""]
+    for r in range(1, R + 1):
+        sc = f"sc{r - 1}"
+        cte.append(
+            f"dp{r}_0 AS (SELECT w, c, 0 AS j, CAST(0 AS BIGINT) AS acc, 0 AS bl FROM wf)"
+        )
+        for j in range(1, MAXW + 1):
+            branches = []
+            for piece_len in range(1, min(P, j) + 1):
+                i = j - piece_len
+                branches.append(f"""  SELECT d.w, d.c, {j} AS j, d.acc + sc.s AS acc, {piece_len} AS bl
+  FROM dp{r}_{i} d JOIN {sc} sc ON sc.piece = substr(d.w, {i + 1}, {piece_len})
+  WHERE len(d.w) >= {j}""")
+            u = "\n  UNION ALL\n".join(branches)
+            cte.append(f"""dp{r}_{j} AS MATERIALIZED (
+  SELECT w, c, j, acc, bl FROM (
+{u}
+  ) u QUALIFY row_number() OVER (PARTITION BY w ORDER BY acc DESC, bl DESC) = 1
+)""")
+        dpa = " UNION ALL ".join(
+            f"SELECT * FROM dp{r}_{j}" for j in range(1, MAXW + 1)
+        )
+        cte.append(f"dpa{r} AS MATERIALIZED ({dpa})")
+        cte.append(f"bt{r}_0 AS (SELECT w, c, len(w) AS pos FROM wf)")
+        for k in range(1, MAXW + 1):
+            cte.append(f"""bt{r}_{k} AS MATERIALIZED (
+  SELECT b.w, b.c, substr(b.w, CAST(d.j - d.bl + 1 AS INT), d.bl) AS piece,
+         CAST(d.j - d.bl AS BIGINT) AS pos
+  FROM bt{r}_{k - 1} b JOIN dpa{r} d ON d.w = b.w AND d.j = b.pos
+  WHERE b.pos > 0
+)""")
+        allp = " UNION ALL ".join(
+            f"SELECT piece, c FROM bt{r}_{k}" for k in range(1, MAXW + 1)
+        )
+        cte.append(f"""usage{r} AS MATERIALIZED (
+  SELECT piece, CAST(sum(c) AS BIGINT) AS cnt FROM ({allp}) GROUP BY 1
+)""")
+        cte.append(f"""vocab{r} AS MATERIALIZED (
+  SELECT s.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+  FROM singles s LEFT JOIN usage{r} u USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM usage{r} WHERE length(piece) > 1
+    QUALIFY row_number() OVER (ORDER BY cnt DESC, piece ASC) <= {PRUNE}
+  )
+)""")
+        cte.append(f"t{r} AS MATERIALIZED (SELECT sum(cnt) AS tot FROM vocab{r})")
+        if r < R:
+            cte.append(f"""sc{r} AS MATERIALIZED (
+  SELECT piece, CAST(floor(ln(cnt * 1.0 / tot) * 1e6) AS BIGINT) AS s
+  FROM vocab{r}, t{r}
+)""")
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+SELECT CAST(rank AS INT) AS rank, piece, n_tokens, score_micro FROM (
+  SELECT row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rank,
+         piece, cnt AS n_tokens,
+         CAST(floor(ln(cnt * 1.0 / tot) * 1e6) AS BIGINT) AS score_micro
+  FROM vocab{R}, t{R}
+) WHERE rank <= {KEEP}
+"""
