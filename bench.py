@@ -31,6 +31,10 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
+    "unigram_lm_vocab",
+    "doremi_weights",
+    "url_dedup",
+    "mrmr_k10_synthetic",
     "mi_pair_lineitem",
     "mrmr_top1",
     "mi_relevance",          # B1

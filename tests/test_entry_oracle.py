@@ -107,35 +107,34 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 6 rotated the 12 never-gated round-5 queries (plus the
-    round-6 additions) into that window; any accidental reorder (new
-    entries must APPEND once the window is final) fails here before it
-    silently changes what the driver verifies."""
+    Round 7 rotated the window to: the 4 round-7 additions, the 24
+    r3-era keys round-6 insertions pushed past position 50, then 22
+    r4-era keys. Any accidental reorder (new entries must APPEND once
+    the window is final) fails here before it silently changes what
+    the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
     from spark_ifs_spark.registry._order import ORDER
 
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
-    assert list(QUERIES)[:12] == [
-        "dedup_embedding_lsh", "dedup_embedding_lsh_recall", "ann_topk_pq",
-        "semantic_dedup", "events_user_stats_tws", "ann_topk_ivfpq",
-        "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
-        "hard_negatives", "session_concurrency", "negative_samples",
-    ]
-    assert list(QUERIES)[12:24] == [
-        "dedup_embedding_lsh_hi", "dedup_embedding_lsh_hi_audit",
-        "multimodal_png_features", "ann_ivfpq_trained_audit",
-        "collapse_repeats", "multimodal_jpeg_features",
-        "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
-        "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
-    ]
-    assert list(QUERIES)[24:38] == [
-        "dsir_select", "dedup_containment", "shard_manifest", "maxsim_topk",
-        "hybrid_rrf", "ppl_buckets", "token_budget_alloc", "doc_novelty",
-        "zipf_fit", "embedding_effective_dim", "retrieval_eval_rrf",
-        "corpus_report", "ccnet_mix", "knn_label_accuracy",
-    ]
-    assert list(QUERIES)[45:50] == [
-        "ann_topk_lsh", "events_daily", "events_sessionize",
-        "events_user_stats", "pipeline_end_to_end",
+    assert list(QUERIES)[:50] == [
+        "unigram_lm_vocab", "doremi_weights", "url_dedup",
+        "mrmr_k10_synthetic",
+        # r3-era backfill (least-recently gated)
+        "events_user_stats", "pipeline_end_to_end", "dup_clusters",
+        "kmeans_step", "embedding_top_pairs", "text_token_counts",
+        "text_quality", "text_repetition", "corpus_clean", "vocab_top50",
+        "lang_id", "doc_fingerprint", "multimodal_features",
+        "lineitem_pricing", "nation_revenue", "priority_orders",
+        "events_topk_per_type", "events_asof_signup", "events_attribution",
+        "events_rolling_7d", "supplier_diversity", "split_counts",
+        "docs_cap_per_source", "scrub_pii",
+        # r4-era
+        "doc_chunks", "packed_bins", "decontam_ids", "tfidf_top3",
+        "doc_length_quantiles", "mix_by_source", "textrank_keywords",
+        "event_transitions", "docs_weighted_sample", "events_funnel",
+        "events_cohorts", "events_scd2", "cms_term_counts",
+        "pmi_top_pairs", "quality_lr_score", "market_share", "custdist",
+        "big_volume_customers", "widget_part_suppliers",
+        "decontam_overlap", "bm25_topk", "tfidf_cosine_pairs",
     ]
