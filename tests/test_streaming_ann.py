@@ -1,0 +1,123 @@
+"""Streaming IVF index maintenance (streaming/ann.py): batch ≡ stream
+parity, replay absorption, refresh compaction, probe pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.streaming.ann import (
+    probe_ivf_index,
+    read_centroids,
+    refresh_ivf_index,
+    streaming_ivf_index,
+)
+
+
+def _vec(i: int, dims: int = 8) -> list[float]:
+    # deterministic, spread-out unit-ish vectors
+    return [float((i * (j + 3) + j * j) % 17 - 8) / 8.0 for j in range(dims)]
+
+
+def _mk_batch(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+def _run(spark, src, store, ckpt, schema, refresh_every):
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = streaming_ivf_index(
+        stream, "vec_id", "embedding", str(store), str(ckpt),
+        num_centroids=4, refresh_every=refresh_every,
+    )
+    q.awaitTermination(120)
+
+
+def test_streamed_index_matches_batch_build_after_refresh(spark, tmp_path):
+    """After the final refresh, the streamed index equals a one-shot
+    write_ivf_corpus of the same vectors: same rows, same cells, same
+    centroids."""
+    from spark_ifs_spark.sources.sinks import write_ivf_corpus
+
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1, b2 = _mk_batch(spark, range(0, 40)), _mk_batch(spark, range(40, 90))
+    b1.write.parquet(str(src / "f1.parquet"))
+    schema = b1.schema
+    _run(spark, src, store, tmp_path / "ck", schema, refresh_every=1)
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run(spark, src, store, tmp_path / "ck", schema, refresh_every=1)
+
+    batch_path = tmp_path / "batch_idx"
+    all_vecs = b1.unionByName(b2)
+    cents_batch = write_ivf_corpus(
+        all_vecs, "vec_id", "embedding", str(batch_path), num_centroids=4
+    )
+    assert read_centroids(str(store)) == [
+        (c, [float(x) for x in v]) for c, v in cents_batch
+    ]
+    streamed = {
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(str(store / "corpus")).collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(str(batch_path)).collect()
+    }
+    assert streamed == oneshot and len(streamed) == 90
+
+
+def test_replay_is_absorbed(spark, tmp_path):
+    """Re-running the whole feed with a fresh checkpoint (at-least-once
+    replay) must not duplicate rows — the batch-id watermark absorbs it."""
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1 = _mk_batch(spark, range(0, 30))
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+    n1 = spark.read.parquet(str(store / "corpus")).count()
+    _run(spark, src, store, tmp_path / "ck_replay", b1.schema, refresh_every=0)
+    n2 = spark.read.parquet(str(store / "corpus")).count()
+    assert n1 == n2 == 30
+
+
+def test_probe_prunes_partitions_and_ranks(spark, tmp_path):
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1 = _mk_batch(spark, range(0, 60))
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+
+    out = probe_ivf_index(spark, str(store), _vec(7), k=5, probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
+    rows = out.collect()
+    assert len(rows) == 5
+    # the query vector itself is in the corpus -> must rank first
+    assert rows[0]["id"] == 7 and abs(rows[0]["cos"] - 1.0) < 1e-9
+    # scores descend
+    assert all(rows[i]["cos"] >= rows[i + 1]["cos"] for i in range(4))
+
+
+def test_refresh_is_idempotent_and_crash_safe_layout(spark, tmp_path):
+    """Refreshing twice in a row changes nothing (same corpus, same
+    deterministic centroids); no .tmp/.old residue remains."""
+    import os
+
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1 = _mk_batch(spark, range(0, 25))
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+    refresh_ivf_index(spark, str(store), num_centroids=4)
+    c1 = read_centroids(str(store))
+    rows1 = sorted(
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(str(store / "corpus")).collect()
+    )
+    refresh_ivf_index(spark, str(store), num_centroids=4)
+    c2 = read_centroids(str(store))
+    rows2 = sorted(
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(str(store / "corpus")).collect()
+    )
+    assert c1 == c2 and rows1 == rows2
+    assert not os.path.exists(str(store / "corpus") + ".tmp")
+    assert not os.path.exists(str(store / "corpus") + ".old")
