@@ -705,3 +705,56 @@ def test_bm25_multi_is_single_corpus_scan(spark, sf_dir):
     # INDEPENDENT of Q — the per-query isin formulation scans Q times
     assert two.count("Generate") == four.count("Generate"), (two, four)
     assert "BroadcastHashJoin" in two, two
+
+
+def test_url_dedup_shuffle_shape(spark, sf_dir):
+    """Canonicalization fuses into the scan (no pre-shuffle projection
+    stage); the composite's only exchanges are the canonical-URL group
+    and the salted host-cap window — the blocklist join is broadcast."""
+    from spark_ifs_spark.registry import QUERIES
+
+    df = QUERIES["url_dedup"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 1 and "LeftAnti" in plan
+    # group-by-canon + two-stage salted cap (partial + final) = few,
+    # bounded exchanges; anything beyond 4 means a new unplanned shuffle
+    assert count_exchanges(df) <= 4, explain_str(df, "formatted")
+
+
+def test_doremi_update_is_domain_bounded(spark, sf_dir):
+    """The multiplicative-weights update must run on the S-row domain
+    relation: after the per-domain aggregate, only single-partition
+    window exchanges remain (S rows), and document text is never in
+    the post-aggregate schema."""
+    from spark_ifs_spark.registry import QUERIES
+
+    df = QUERIES["doremi_weights"](spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    # the corpus scans stay inside bigram_logprob; the update itself
+    # adds one SinglePartition exchange for the S-row window
+    assert "SinglePartition" in plan
+
+
+def test_unigram_candidates_single_shuffle(spark, sf_dir):
+    """Distributed unigram candidates: substring explosion is map-side
+    (flatten/transform in the scan stage), one piece-keyed aggregate
+    on top of the word-frequency relation."""
+    from spark_ifs_spark.operators.bpe import word_frequencies
+    from spark_ifs_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(docs, "text")
+    subs = F.expr(
+        """flatten(transform(sequence(0, length(w) - 1), i ->
+             transform(sequence(1, least(4, length(w) - i)), l ->
+               substring(w, i + 1, l))))"""
+    )
+    cand = (
+        wf.select(F.explode(subs).alias("piece"), F.col("c"))
+        .groupBy("piece")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    # wf itself costs one exchange (word counts); candidates add exactly
+    # one more (piece counts) — substrings never shuffle unexploded text
+    assert count_exchanges(cand) == count_exchanges(wf) + 1
