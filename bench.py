@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
     "unigram_lm_vocab",
+    "unigram_token_counts",
     "doremi_weights",
+    "doremi_mix",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

@@ -119,9 +119,43 @@ def _em_incore(
     vocab_keep: int,
 ) -> list[tuple[int, str, int, int]]:
     """The exact EM recurrence on the collected word-frequency relation."""
+    words, singles = _prep_words(wf)
+    vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+    total = sum(vocab.values())
+    ranked = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))[:vocab_keep]
+    return [
+        (r + 1, p, n, _score_micro(n, total)) for r, (p, n) in enumerate(ranked)
+    ]
+
+
+def _prep_words(wf):
     words = [(w, c) for w, c in wf if len(w) <= MAX_WORD_LEN]
     singles = sorted({ch for w, _ in words for ch in w})
+    return words, singles
 
+
+def _usage_pass(
+    words: list[tuple[str, int]], vocab: dict[str, int], max_piece: int
+) -> dict[str, int]:
+    """One Viterbi E-step under ``vocab``'s scores: weighted piece usage."""
+    total = sum(vocab.values())
+    scores = {p: _score_micro(n, total) for p, n in vocab.items()}
+    usage: dict[str, int] = {}
+    for w, c in words:
+        for p in _viterbi(w, scores, max_piece):
+            usage[p] = usage.get(p, 0) + c
+    return usage
+
+
+def _em_vocab(
+    words: list[tuple[str, int]],
+    singles: list[str],
+    max_piece: int,
+    min_count: int,
+    em_rounds: int,
+    prune_top: int,
+) -> dict[str, int]:
+    """EM loop; returns the final (piece -> count) vocabulary."""
     cand: dict[str, int] = {}
     for w, c in words:
         for i in range(len(w)):
@@ -131,24 +165,14 @@ def _em_incore(
     vocab = {p: n for p, n in cand.items() if n >= min_count or len(p) == 1}
 
     for _ in range(em_rounds):
-        total = sum(vocab.values())
-        scores = {p: _score_micro(n, total) for p, n in vocab.items()}
-        usage: dict[str, int] = {}
-        for w, c in words:
-            for p in _viterbi(w, scores, max_piece):
-                usage[p] = usage.get(p, 0) + c
+        usage = _usage_pass(words, vocab, max_piece)
         vocab = {p: max(usage.get(p, 0), 1) for p in singles}
         multi = sorted(
             ((p, n) for p, n in usage.items() if len(p) > 1),
             key=lambda t: (-t[1], t[0]),
         )[:prune_top]
         vocab.update(dict(multi))
-
-    total = sum(vocab.values())
-    ranked = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))[:vocab_keep]
-    return [
-        (r + 1, p, n, _score_micro(n, total)) for r, (p, n) in enumerate(ranked)
-    ]
+    return vocab
 
 
 #: driver-side budget for collecting the word-frequency relation on the
@@ -186,6 +210,48 @@ def unigram_train(
     )
 
 
+def unigram_token_counts(
+    df: DataFrame,
+    text_col: str,
+    max_piece: int = 4,
+    min_count: int = 5,
+    em_rounds: int = 2,
+    prune_top: int = 64,
+    incore_vocab_budget: int = 1_000_000,
+) -> DataFrame:
+    """``(rank, piece, n_tokens)`` — token counts of ENCODING the corpus
+    with the trained vocabulary: one more Viterbi pass under the final
+    scores, i.e. exactly what the deployed tokenizer emits. The
+    unigram-family complement of ``bpe_token_counts``.
+
+    By linearity the encode pass runs on the word-frequency relation
+    (count(word) x pieces(word)), never re-tokenizing each document —
+    the same reason training scales; a per-document token stream is one
+    ``encode_words`` join away when a pipeline needs it.
+    """
+    spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    if incore_vocab_budget > 0:
+        head = wf.limit(incore_vocab_budget + 1).collect()
+        if len(head) <= incore_vocab_budget:
+            words, singles = _prep_words(
+                [(r["w"], r["c"]) for r in head]
+            )
+            vocab = _em_vocab(
+                words, singles, max_piece, min_count, em_rounds, prune_top
+            )
+            usage = _usage_pass(words, vocab, max_piece)
+            ranked = sorted(usage.items(), key=lambda t: (-t[1], t[0]))
+            return spark.createDataFrame(
+                [(r + 1, p, n) for r, (p, n) in enumerate(ranked)],
+                "rank int, piece string, n_tokens long",
+            )
+    return _unigram_distributed(
+        wf, max_piece, min_count, em_rounds, prune_top,
+        vocab_keep=0, encode=True,
+    )
+
+
 #: ceiling for the per-round score-table broadcast on the distributed
 #: path: 5M pieces ≈ 150 MB of Python dict — the same order as
 #: Spark's own broadcast-join threshold headroom on a 4 GB executor.
@@ -199,6 +265,7 @@ def _unigram_distributed(
     em_rounds: int,
     prune_top: int,
     vocab_keep: int,
+    encode: bool = False,
 ) -> DataFrame:
     """Distributed EM: the word relation never leaves the cluster; each
     round broadcasts the vocabulary-sized score dict and aggregates
@@ -225,9 +292,10 @@ def _unigram_distributed(
     ]
     vocab = cand  # (piece, cnt)
 
-    for _ in range(em_rounds):
-        total = vocab.agg(F.sum("cnt")).first()[0]
-        score_rows = vocab.select(
+    def _usage_df(voc: DataFrame) -> DataFrame:
+        """One distributed E-step: broadcast voc's scores, Viterbi-count."""
+        total = voc.agg(F.sum("cnt")).first()[0]
+        score_rows = voc.select(
             "piece",
             F.floor(F.log(F.col("cnt").cast("double") / F.lit(float(total))) * 1e6)
             .cast("long")
@@ -254,11 +322,14 @@ def _unigram_distributed(
                     {"piece": list(out), "cnt": list(out.values())}
                 )
 
-        usage = (
+        return (
             words.mapInPandas(e_step, "piece string, cnt long")
             .groupBy("piece")
             .agg(F.sum("cnt").alias("cnt"))
         )
+
+    for _ in range(em_rounds):
+        usage = _usage_df(vocab)
         single_df = spark.createDataFrame([(p,) for p in singles], "piece string")
         smoothed = single_df.join(usage, "piece", "left").select(
             "piece", F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1)).alias("cnt")
@@ -270,10 +341,18 @@ def _unigram_distributed(
         )
         vocab = smoothed.unionByName(multi).persist()
 
-    total = vocab.agg(F.sum("cnt")).first()[0]
     from pyspark.sql import Window
 
     rk = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    if encode:
+        # deploy-time encode: one more E-step under the FINAL scores,
+        # ranked usage (all used pieces — already vocabulary-bounded)
+        return _usage_df(vocab).select(
+            F.row_number().over(rk).alias("rank"),
+            "piece",
+            F.col("cnt").alias("n_tokens"),
+        )
+    total = vocab.agg(F.sum("cnt")).first()[0]
     return (
         vocab.select(
             F.row_number().over(rk).alias("rank"),

@@ -522,3 +522,7 @@ UNI_MIN_COUNT = 5
 UNI_EM_ROUNDS = 2
 UNI_PRUNE_TOP = 64
 UNI_VOCAB_KEEP = 48
+
+
+# DoReMi weights applied to the corpus mix (doremi_mix)
+DOREMI_MIX_CHARS = 400_000

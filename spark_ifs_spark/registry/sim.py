@@ -1306,3 +1306,74 @@ SELECT domain, n_bigrams, loss_micro, excess_micro,
          AS rate_ppm
 FROM sm
 """
+
+
+def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi weights applied: the rate_ppm relation converts to
+    per-source char budgets (rate x DOREMI_MIX_CHARS) and feeds
+    ``weighted_mix`` — the full feedback loop (loss -> weights -> new
+    corpus mix) end-to-end. Collecting the S-row rate relation to build
+    the budget dict is the broadcast-small-side rule (domains, not
+    documents)."""
+    from spark_ifs_spark.operators.sampling import weighted_mix
+    from spark_ifs_spark.operators.selection import doremi_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = doremi_weights(
+        docs, "source", "doc_id", "text",
+        eta=DOREMI_ETA, smoothing=DOREMI_SMOOTHING,
+    )
+    targets = {
+        r["domain"]: r["rate_ppm"] * DOREMI_MIX_CHARS // 1_000_000
+        for r in rates.select("domain", "rate_ppm").collect()
+    }
+    kept = weighted_mix(
+        docs, "doc_id", "source", "n_chars", targets, seed=MIX_SEED
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+def sql_doremi_mix() -> str:
+    from spark_ifs_spark.operators.sampling import SPLIT_BUCKETS, sql_split_bucket
+    from spark_ifs_spark.registry._common import (
+        DOREMI_ETA,
+        DOREMI_MIX_CHARS,
+        DOREMI_SMOOTHING,
+    )
+
+    b = sql_split_bucket("d.doc_id", MIX_SEED)
+    return f"""
+WITH {_sql_bigram_ll_cte()},
+per AS (
+  SELECT d.source AS domain,
+         CAST(floor((-sum(ll_micronats)) * 1.0 / sum(n_bigrams)) AS BIGINT)
+           AS loss_micro
+  FROM ll JOIN documents d USING (doc_id)
+  GROUP BY 1
+),
+ex AS (
+  SELECT domain, loss_micro - min(loss_micro) OVER () AS excess_micro,
+         count(*) OVER () AS s
+  FROM per
+),
+sm AS (SELECT *, exp({DOREMI_ETA} * excess_micro / 1e6) AS ew FROM ex),
+tgt AS (
+  SELECT domain AS source,
+         CAST(floor(round((1.0 - {DOREMI_SMOOTHING}) * ew / sum(ew) OVER ()
+                          + {DOREMI_SMOOTHING} / s, 9) * 1e6) AS BIGINT)
+           * {DOREMI_MIX_CHARS} // 1000000 AS target
+  FROM sm
+),
+tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total FROM documents GROUP BY 1),
+kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN tot USING (source) JOIN tgt USING (source)
+  WHERE tot.total <= tgt.target
+     OR {b} * tot.total < tgt.target * {SPLIT_BUCKETS}
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM kept GROUP BY 1
+"""

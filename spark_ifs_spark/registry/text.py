@@ -2401,14 +2401,26 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_unigram_lm_vocab() -> str:
+    return _sql_unigram(encode=False)
+
+
+def sql_unigram_token_counts() -> str:
+    return _sql_unigram(encode=True)
+
+
+def _sql_unigram(encode: bool) -> str:
     """Fully unrolled EM: per round, MAX_WORD_LEN Viterbi-DP CTEs (one
     per end position, argbest via QUALIFY) + MAX_WORD_LEN backtrace
     CTEs, then usage/prune/rescore — the ``bpe_train_merges`` unrolling
     pattern. All CTEs MATERIALIZED (they are referenced by later
-    rounds; inlining would recompute exponentially)."""
+    rounds; inlining would recompute exponentially). ``encode=True``
+    appends one extra E-step round under the FINAL scores and returns
+    its ranked usage — the deploy-time encode (unigram_token_counts)."""
     from spark_ifs_spark.operators.unigram import MAX_WORD_LEN
 
     P, MINC, R = UNI_MAX_PIECE, UNI_MIN_COUNT, UNI_EM_ROUNDS
+    if encode:
+        R = R + 1  # round R+1 is the encode pass; it prunes nothing
     PRUNE, KEEP, MAXW = UNI_PRUNE_TOP, UNI_VOCAB_KEEP, MAX_WORD_LEN
     cte = [f"""wf AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -2484,6 +2496,13 @@ def sql_unigram_lm_vocab() -> str:
   FROM vocab{r}, t{r}
 )""")
     body = ",\n".join(cte)
+    if encode:
+        return f"""
+WITH {body}
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS INT) AS rank,
+       piece, cnt AS n_tokens
+FROM usage{R}
+"""
     return f"""
 WITH {body}
 SELECT CAST(rank AS INT) AS rank, piece, n_tokens, score_micro FROM (
@@ -2493,3 +2512,17 @@ SELECT CAST(rank AS INT) AS rank, piece, n_tokens, score_micro FROM (
   FROM vocab{R}, t{R}
 ) WHERE rank <= {KEEP}
 """
+
+
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deploy-time unigram encode: token counts of the corpus under the
+    TRAINED vocabulary (one extra Viterbi pass over the word-frequency
+    relation) — the unigram complement of ``bpe_token_counts``."""
+    from spark_ifs_spark.operators.unigram import unigram_token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_token_counts(
+        docs, "text",
+        max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
+        em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+    )
