@@ -132,6 +132,12 @@ def main() -> None:
         "retrieval_eval_rrf",
         "corpus_report",
         "ccnet_mix",
+        # round 7
+        "url_dedup",
+        "doremi_weights",
+        "doremi_mix",
+        "unigram_lm_vocab",
+        "unigram_token_counts",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
