@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "unigram_token_counts",
     "doremi_weights",
     "doremi_mix",
+    "tokenizer_fertility",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

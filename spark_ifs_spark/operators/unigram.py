@@ -258,6 +258,10 @@ def unigram_token_counts(
 SCORE_BROADCAST_BUDGET = 5_000_000
 
 
+def _words_df(wf: DataFrame) -> DataFrame:
+    return wf.where(F.length("w") <= MAX_WORD_LEN).persist()
+
+
 def _unigram_distributed(
     wf: DataFrame,
     max_piece: int,
@@ -266,6 +270,7 @@ def _unigram_distributed(
     prune_top: int,
     vocab_keep: int,
     encode: bool = False,
+    fertility: bool = False,
 ) -> DataFrame:
     """Distributed EM: the word relation never leaves the cluster; each
     round broadcasts the vocabulary-sized score dict and aggregates
@@ -273,7 +278,7 @@ def _unigram_distributed(
     import pandas as pd
 
     spark = wf.sparkSession
-    words = wf.where(F.length("w") <= MAX_WORD_LEN).persist()
+    words = _words_df(wf)
 
     # candidates: map-side substring explosion, one piece-keyed aggregate
     subs = F.expr(
@@ -344,6 +349,31 @@ def _unigram_distributed(
     from pyspark.sql import Window
 
     rk = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    if fertility:
+        # per-word piece counts under the FINAL scores: same E-step
+        # machinery, emitting (w, k) instead of piece usage
+        total = vocab.agg(F.sum("cnt")).first()[0]
+        score_rows = vocab.select(
+            "piece",
+            F.floor(F.log(F.col("cnt").cast("double") / F.lit(float(total))) * 1e6)
+            .cast("long")
+            .alias("s"),
+        ).collect()
+        scores_b = spark.sparkContext.broadcast(
+            {r["piece"]: r["s"] for r in score_rows}
+        )
+
+        def k_step(batches, _scores=scores_b, _mp=max_piece):
+            for pdf in batches:
+                sc = _scores.value
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "k": [len(_viterbi(w, sc, _mp)) for w in pdf["w"]],
+                    }
+                )
+
+        return words.mapInPandas(k_step, "w string, k long")
     if encode:
         # deploy-time encode: one more E-step under the FINAL scores,
         # ranked usage (all used pieces — already vocabulary-bounded)
@@ -363,4 +393,70 @@ def _unigram_distributed(
             .alias("score_micro"),
         )
         .where(F.col("rank") <= vocab_keep)
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    max_piece: int = 4,
+    min_count: int = 5,
+    em_rounds: int = 2,
+    prune_top: int = 64,
+    incore_vocab_budget: int = 1_000_000,
+) -> DataFrame:
+    """``(source, n_words, n_tokens, n_chars, tokens_per_word_ppm,
+    chars_per_token_ppm)`` — tokenizer FERTILITY by corpus domain: how
+    many pieces the trained unigram vocab spends per word, and how many
+    characters each token carries, per source. The comparison metric
+    tokenizer teams actually use to pick vocabularies (high fertility
+    on a domain = the vocab under-serves it).
+
+    Shape: one corpus scan for (source, word) counts; the trained
+    pieces-per-word mapping is vocabulary-bounded and joins back
+    broadcast; all ratios are integer ppm (floor), so the relation is
+    engine-exact. Words over ``MAX_WORD_LEN`` are excluded on both
+    sides, consistent with training.
+    """
+    spark = df.sparkSession
+    wsrc = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where((F.col("w") != "") & (F.length("w") <= MAX_WORD_LEN))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wf = word_frequencies(df, text_col)
+    head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
+    if incore_vocab_budget and len(head) <= incore_vocab_budget:
+        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+        vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+        total = sum(vocab.values())
+        scores = {p: _score_micro(n, total) for p, n in vocab.items()}
+        np_rows = [(w, len(_viterbi(w, scores, max_piece))) for w, _ in words]
+        np_df = spark.createDataFrame(np_rows, "w string, k long")
+    else:
+        np_df = _unigram_distributed(
+            wf, max_piece, min_count, em_rounds, prune_top,
+            vocab_keep=0, fertility=True,
+        )
+    per = wsrc.join(F.broadcast(np_df), "w").groupBy("source").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.col("k")).alias("n_tokens"),
+        F.sum(F.col("c") * F.length("w")).alias("n_chars"),
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.floor(F.col("n_tokens") * 1_000_000 / F.col("n_words"))
+        .cast("long")
+        .alias("tokens_per_word_ppm"),
+        F.floor(F.col("n_chars") * 1_000_000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("chars_per_token_ppm"),
     )

@@ -2401,25 +2401,31 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_unigram_lm_vocab() -> str:
-    return _sql_unigram(encode=False)
+    return _sql_unigram("vocab")
 
 
 def sql_unigram_token_counts() -> str:
-    return _sql_unigram(encode=True)
+    return _sql_unigram("encode")
 
 
-def _sql_unigram(encode: bool) -> str:
+def sql_tokenizer_fertility() -> str:
+    return _sql_unigram("fertility")
+
+
+def _sql_unigram(mode: str) -> str:
     """Fully unrolled EM: per round, MAX_WORD_LEN Viterbi-DP CTEs (one
     per end position, argbest via QUALIFY) + MAX_WORD_LEN backtrace
     CTEs, then usage/prune/rescore — the ``bpe_train_merges`` unrolling
     pattern. All CTEs MATERIALIZED (they are referenced by later
     rounds; inlining would recompute exponentially). ``encode=True``
     appends one extra E-step round under the FINAL scores and returns
-    its ranked usage — the deploy-time encode (unigram_token_counts)."""
+    its ranked usage (``encode`` — unigram_token_counts) or its
+    per-word piece counts joined to per-source word counts
+    (``fertility`` — tokenizer_fertility)."""
     from spark_ifs_spark.operators.unigram import MAX_WORD_LEN
 
     P, MINC, R = UNI_MAX_PIECE, UNI_MIN_COUNT, UNI_EM_ROUNDS
-    if encode:
+    if mode != "vocab":
         R = R + 1  # round R+1 is the encode pass; it prunes nothing
     PRUNE, KEEP, MAXW = UNI_PRUNE_TOP, UNI_VOCAB_KEEP, MAX_WORD_LEN
     cte = [f"""wf AS MATERIALIZED (
@@ -2496,7 +2502,31 @@ def _sql_unigram(encode: bool) -> str:
   FROM vocab{r}, t{r}
 )""")
     body = ",\n".join(cte)
-    if encode:
+    if mode == "fertility":
+        allbt = " UNION ALL ".join(
+            f"SELECT w FROM bt{R}_{k}" for k in range(1, MAXW + 1)
+        )
+        return f"""
+WITH {body},
+np AS (SELECT w, CAST(count(*) AS BIGINT) AS k FROM ({allbt}) GROUP BY 1),
+wsrc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND len(w) <= {MAXW}
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * k) AS BIGINT) AS n_tokens,
+         CAST(sum(c * len(w)) AS BIGINT) AS n_chars
+  FROM wsrc JOIN np USING (w) GROUP BY 1
+)
+SELECT source, n_words, n_tokens, n_chars,
+       CAST(floor(n_tokens * 1000000.0 / n_words) AS BIGINT) AS tokens_per_word_ppm,
+       CAST(floor(n_chars * 1000000.0 / n_tokens) AS BIGINT) AS chars_per_token_ppm
+FROM agg
+"""
+    if mode == "encode":
         return f"""
 WITH {body}
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS INT) AS rank,
@@ -2523,6 +2553,19 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return unigram_token_counts(
         docs, "text",
+        max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
+        em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+    )
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source under the trained unigram vocab —
+    see :func:`~spark_ifs_spark.operators.unigram.tokenizer_fertility`."""
+    from spark_ifs_spark.operators.unigram import tokenizer_fertility
+
+    docs = _read(spark, sf_dir, "documents")
+    return tokenizer_fertility(
+        docs, "source", "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
     )

@@ -91,3 +91,18 @@ def test_long_words_are_excluded(spark):
     out = unigram_train(df, "text", min_count=1, vocab_keep=100).collect()
     assert all(len(r["piece"]) <= 4 for r in out)
     assert not any("aaaaa" in r["piece"] for r in out)
+
+
+def test_fertility_distributed_matches_incore(spark, sf_dir):
+    from spark_ifs_spark.operators.unigram import tokenizer_fertility
+    from spark_ifs_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(tuple(r) for r in tokenizer_fertility(docs, "source", "text").collect())
+    b = sorted(
+        tuple(r)
+        for r in tokenizer_fertility(
+            docs, "source", "text", incore_vocab_budget=0
+        ).collect()
+    )
+    assert a == b and len(a) > 0
