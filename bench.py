@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "doremi_weights",
     "doremi_mix",
     "tokenizer_fertility",
+    "unigram_doc_tokens",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

@@ -271,6 +271,7 @@ def _unigram_distributed(
     vocab_keep: int,
     encode: bool = False,
     fertility: bool = False,
+    pieces: bool = False,
 ) -> DataFrame:
     """Distributed EM: the word relation never leaves the cluster; each
     round broadcasts the vocabulary-sized score dict and aggregates
@@ -349,9 +350,10 @@ def _unigram_distributed(
     from pyspark.sql import Window
 
     rk = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-    if fertility:
-        # per-word piece counts under the FINAL scores: same E-step
-        # machinery, emitting (w, k) instead of piece usage
+    if fertility or pieces:
+        # per-word piece counts (fertility) or ordered piece sequences
+        # (pieces) under the FINAL scores: same E-step machinery with a
+        # different emit shape
         total = vocab.agg(F.sum("cnt")).first()[0]
         score_rows = vocab.select(
             "piece",
@@ -362,6 +364,23 @@ def _unigram_distributed(
         scores_b = spark.sparkContext.broadcast(
             {r["piece"]: r["s"] for r in score_rows}
         )
+
+        if pieces:
+
+            def p_step(batches, _scores=scores_b, _mp=max_piece):
+                for pdf in batches:
+                    sc = _scores.value
+                    ws, seqs, ps = [], [], []
+                    for w in pdf["w"]:
+                        segs = _viterbi(w, sc, _mp)  # last piece first
+                        n = len(segs)
+                        for i, piece in enumerate(segs):
+                            ws.append(w)
+                            seqs.append(n - i)
+                            ps.append(piece)
+                    yield pd.DataFrame({"w": ws, "seq": seqs, "piece": ps})
+
+            return words.mapInPandas(p_step, "w string, seq int, piece string")
 
         def k_step(batches, _scores=scores_b, _mp=max_piece):
             for pdf in batches:
@@ -459,4 +478,78 @@ def tokenizer_fertility(
         F.floor(F.col("n_chars") * 1_000_000 / F.col("n_tokens"))
         .cast("long")
         .alias("chars_per_token_ppm"),
+    )
+
+
+#: fingerprint modulus — keeps per-doc sums of hashed-token terms well
+#: inside int64 (1e9 × 1e5 tokens/doc)
+FP_MOD = 1_000_000_007
+
+
+def unigram_doc_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_piece: int = 4,
+    min_count: int = 5,
+    em_rounds: int = 2,
+    prune_top: int = 64,
+    incore_vocab_budget: int = 1_000_000,
+) -> DataFrame:
+    """``(doc_id, n_tokens, fp)`` — the per-document TOKEN STREAM under
+    the trained unigram vocab, gated by an order-sensitive fingerprint:
+    each token contributes ``md5_int60(piece @ word_pos # seq) mod
+    FP_MOD`` and ``fp`` is the per-doc sum, so any reordering, split,
+    or merge of pieces changes the value. This is what
+    ``unigram_token_counts`` (counts only) cannot prove: that the
+    deployed encode emits the right pieces in the right places.
+
+    Plan: documents explode to (doc, 1-based word position, word) —
+    map-side; the per-word piece SEQUENCE relation ``(w, seq, piece)``
+    is vocabulary-bounded and joins back broadcast; one doc-keyed
+    aggregate finishes. Words over ``MAX_WORD_LEN`` are excluded on
+    both sides (byte-fallback territory), consistent with training.
+    """
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    spark = df.sparkSession
+    wf = word_frequencies(df, text_col)
+    head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
+    if incore_vocab_budget and len(head) <= incore_vocab_budget:
+        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+        vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+        total = sum(vocab.values())
+        scores = {p: _score_micro(n, total) for p, n in vocab.items()}
+        rows = []
+        for w, _ in words:
+            pieces = _viterbi(w, scores, max_piece)  # backtrace order: last->first
+            n = len(pieces)
+            rows.extend((w, n - i, p) for i, p in enumerate(pieces))
+        pieces_df = spark.createDataFrame(rows, "w string, seq int, piece string")
+    else:
+        pieces_df = _unigram_distributed(
+            wf, max_piece, min_count, em_rounds, prune_top,
+            vocab_keep=0, pieces=True,
+        )
+    docw = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "w"),
+        )
+        .where((F.col("w") != "") & (F.length("w") <= MAX_WORD_LEN))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    toks = docw.join(F.broadcast(pieces_df), "w")
+    contrib = (
+        md5_int60(
+            F.concat(
+                F.col("piece"), F.lit("@"), F.col("pos").cast("string"),
+                F.lit("#"), F.col("seq").cast("string"),
+            )
+        )
+        % FP_MOD
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(contrib).alias("fp"),
     )

@@ -2412,6 +2412,10 @@ def sql_tokenizer_fertility() -> str:
     return _sql_unigram("fertility")
 
 
+def sql_unigram_doc_tokens() -> str:
+    return _sql_unigram("doc_tokens")
+
+
 def _sql_unigram(mode: str) -> str:
     """Fully unrolled EM: per round, MAX_WORD_LEN Viterbi-DP CTEs (one
     per end position, argbest via QUALIFY) + MAX_WORD_LEN backtrace
@@ -2502,6 +2506,35 @@ def _sql_unigram(mode: str) -> str:
   FROM vocab{r}, t{r}
 )""")
     body = ",\n".join(cte)
+    if mode == "doc_tokens":
+        from spark_ifs_spark.operators.unigram import FP_MOD
+
+        allbt = " UNION ALL ".join(
+            f"SELECT w, {k} AS bt_k, piece FROM bt{R}_{k}"
+            for k in range(1, MAXW + 1)
+        )
+        fp = sql_md5_int60(
+            "concat(piece, '@', CAST(pos AS VARCHAR), '#', CAST(seq AS VARCHAR))"
+        )
+        return f"""
+WITH {body},
+allbt AS MATERIALIZED ({allbt}),
+npw AS (SELECT w, CAST(count(*) AS INT) AS n FROM allbt GROUP BY 1),
+pieces AS (
+  SELECT a.w, CAST(npw.n - a.bt_k + 1 AS INT) AS seq, a.piece
+  FROM allbt a JOIN npw USING (w)
+),
+docw AS (
+  SELECT doc_id, pos, w FROM ({_SQL_WORDS.split('AS (', 1)[1].rsplit(')', 1)[0]})
+  WHERE w <> '' AND len(w) <= {MAXW}
+),
+tok AS (
+  SELECT d.doc_id, ({fp}) % {FP_MOD} AS contrib
+  FROM docw d JOIN pieces USING (w)
+)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(contrib) AS BIGINT) AS fp
+FROM tok GROUP BY 1
+"""
     if mode == "fertility":
         allbt = " UNION ALL ".join(
             f"SELECT w FROM bt{R}_{k}" for k in range(1, MAXW + 1)
@@ -2566,6 +2599,20 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return tokenizer_fertility(
         docs, "source", "text",
+        max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
+        em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+    )
+
+
+def q_unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token stream under the trained unigram vocab, gated
+    by an order-sensitive fingerprint — see :func:`~spark_ifs_spark.
+    operators.unigram.unigram_doc_fingerprints`."""
+    from spark_ifs_spark.operators.unigram import unigram_doc_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_doc_fingerprints(
+        docs, "doc_id", "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
     )

@@ -106,3 +106,39 @@ def test_fertility_distributed_matches_incore(spark, sf_dir):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_doc_fingerprints_distributed_matches_incore(spark, sf_dir):
+    from spark_ifs_spark.operators.unigram import unigram_doc_fingerprints
+    from spark_ifs_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    a = sorted(tuple(r) for r in unigram_doc_fingerprints(docs, "doc_id", "text").collect())
+    b = sorted(
+        tuple(r)
+        for r in unigram_doc_fingerprints(
+            docs, "doc_id", "text", incore_vocab_budget=0
+        ).collect()
+    )
+    assert a == b and len(a) == 150
+
+
+def test_doc_fingerprint_is_order_sensitive(spark):
+    """Swapping two words changes fp but not n_tokens."""
+    from spark_ifs_spark.operators.unigram import unigram_doc_fingerprints
+
+    base = ["alpha beta gamma delta"] * 6  # enough freq for candidates
+    df1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id long, text string"
+    )
+    df2 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base[:-1] + ["beta alpha gamma delta"])],
+        "doc_id long, text string",
+    )
+    r1 = {r["doc_id"]: (r["n_tokens"], r["fp"]) for r in
+          unigram_doc_fingerprints(df1, "doc_id", "text", min_count=3).collect()}
+    r2 = {r["doc_id"]: (r["n_tokens"], r["fp"]) for r in
+          unigram_doc_fingerprints(df2, "doc_id", "text", min_count=3).collect()}
+    assert r1[0] == r2[0]                      # untouched doc identical
+    assert r1[5][0] == r2[5][0]                # same token count
+    assert r1[5][1] != r2[5][1]                # different order -> different fp
