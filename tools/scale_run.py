@@ -138,6 +138,8 @@ def main() -> None:
         "doremi_mix",
         "unigram_lm_vocab",
         "unigram_token_counts",
+        "tokenizer_fertility",
+        "unigram_doc_tokens",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
