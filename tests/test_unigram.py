@@ -142,3 +142,43 @@ def test_doc_fingerprint_is_order_sensitive(spark):
     assert r1[0] == r2[0]                      # untouched doc identical
     assert r1[5][0] == r2[5][0]                # same token count
     assert r1[5][1] != r2[5][1]                # different order -> different fp
+
+
+def test_viterbi_optimal_vs_bruteforce_property():
+    """Property: _viterbi returns a maximum-score segmentation (and the
+    deterministic representative under the (score, longer-last-piece)
+    order) for every word — checked against brute-force enumeration."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def segmentations(w, max_piece):
+        if not w:
+            yield []
+            return
+        for piece_len in range(1, min(max_piece, len(w)) + 1):
+            for rest in segmentations(w[:-piece_len], max_piece):
+                yield rest + [w[-piece_len:]]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        st.dictionaries(
+            st.text(alphabet="ab", min_size=2, max_size=3),
+            st.integers(min_value=-50, max_value=-1),
+            max_size=6,
+        ),
+    )
+    def check(word, extra):
+        scores = {"a": -10, "b": -12, **extra}
+        got = _viterbi(word, scores, 3)
+        assert "".join(reversed(got)) == word
+        best = max(
+            (
+                sum(scores[p] for p in seg)
+                for seg in segmentations(word, 3)
+                if all(p in scores for p in seg)
+            ),
+        )
+        assert sum(scores[p] for p in got) == best
+
+    check()
