@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "doremi_mix",
     "tokenizer_fertility",
     "unigram_doc_tokens",
+    "pref_bt_ratings",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

@@ -1,0 +1,115 @@
+"""Bradley-Terry preference ratings — the aggregation step of
+preference-data curation (RLHF / RLAIF reward-data pipelines, LMSYS
+-style leaderboards): given pairwise match outcomes between items,
+fit the Bradley-Terry model p(i beats j) = p_i / (p_i + p_j) by the
+MM algorithm (Hunter 2004, Annals of Statistics):
+
+    p_i  <-  W_i / sum_{j != i}  n_ij / (p_i + p_j)
+
+iterated from the uniform start and renormalized each round.
+
+Scale shape: deriving the match/win relation from raw data is the
+corpus-scale pass (one join + one bounded aggregate — items², not
+rows); the MM solve itself runs on that items-bounded relation
+driver-side (the broadcast-small-side rule: RLHF item sets are models
+/ sources / policies — hundreds, not billions).
+
+Cross-engine exactness: every per-item denominator is summed in
+ascending-opponent order and the normalizer in ascending-item order
+(a left fold over a SORTED list — DuckDB `list_sum(list(x ORDER BY
+j))`, Python `sum` over the sorted list), so both engines execute the
+identical IEEE-754 operation sequence and the fixed-point iterates
+are bit-equal; the published rating is an integer ppm floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: MM iterations — enough for ~ppm-stable ratings on hundreds of items
+BT_ITERS = 8
+
+
+def bt_ratings_from_matches(
+    matches: list[tuple[str, str, int]], iters: int = BT_ITERS
+) -> dict[str, float]:
+    """MM fit on a (winner, loser, n) match list. Deterministic: all
+    reductions run in sorted-key order (see module docstring)."""
+    items = sorted({i for w, l, _ in matches for i in (w, l)})
+    wins = {i: 0 for i in items}
+    n_ij: dict[tuple[str, str], int] = {}
+    for w, l, n in matches:
+        wins[w] += n
+        n_ij[(w, l)] = n_ij.get((w, l), 0) + n
+        n_ij[(l, w)] = n_ij.get((l, w), 0) + n
+    p = {i: 1.0 for i in items}
+    for _ in range(iters):
+        new = {}
+        for i in items:
+            denom = sum(
+                n_ij[(i, j)] / (p[i] + p[j])
+                for j in items
+                if j != i and (i, j) in n_ij
+            )
+            new[i] = (wins[i] / denom) if denom > 0.0 else 0.0
+        s = sum(new[i] for i in items)
+        p = {i: (new[i] / s if s > 0.0 else 0.0) for i in items}
+    return p
+
+
+def source_bt_ratings(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    size_col: str,
+    stride: int = 7919,
+    iters: int = BT_ITERS,
+) -> DataFrame:
+    """``(key, n_wins, n_matches, rating_ppm)`` — Bradley-Terry ratings
+    of ``key_col`` groups from deterministic document matches: doc ``i``
+    plays doc ``(i + stride) mod N`` (a fixed coprime stride visits
+    every doc exactly twice — once as home, once as away), the larger
+    ``size_col`` wins (ties: lower id), same-key matches are discarded.
+    With a real preference dataset, feed its (winner, loser) pairs to
+    :func:`bt_ratings_from_matches` directly.
+    """
+    n_total = df.count()
+    a = df.select(
+        F.col(id_col).alias("ia"),
+        F.col(key_col).alias("ka"),
+        F.col(size_col).alias("sa"),
+    )
+    b = df.select(
+        F.col(id_col).alias("ib"),
+        F.col(key_col).alias("kb"),
+        F.col(size_col).alias("sb"),
+    )
+    pairs = a.join(b, (F.col("ia") + stride) % n_total == F.col("ib")).where(
+        F.col("ka") != F.col("kb")
+    )
+    a_wins = (F.col("sa") > F.col("sb")) | (
+        (F.col("sa") == F.col("sb")) & (F.col("ia") < F.col("ib"))
+    )
+    outcomes = pairs.select(
+        F.when(a_wins, F.col("ka")).otherwise(F.col("kb")).alias("w"),
+        F.when(a_wins, F.col("kb")).otherwise(F.col("ka")).alias("l"),
+    ).groupBy("w", "l").agg(F.count(F.lit(1)).alias("n"))
+
+    rows = [(r["w"], r["l"], r["n"]) for r in outcomes.collect()]  # items²-bounded
+    p = bt_ratings_from_matches(rows, iters)
+    wins = {k: 0 for k in p}
+    total = {k: 0 for k in p}
+    for w, l, n in rows:
+        wins[w] += n
+        total[w] += n
+        total[l] += n
+    import math
+
+    out = [
+        (k, wins[k], total[k], math.floor(round(p[k], 9) * 1e6))
+        for k in sorted(p)
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "key string, n_wins long, n_matches long, rating_ppm long"
+    )

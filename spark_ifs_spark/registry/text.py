@@ -2616,3 +2616,64 @@ def q_unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
     )
+
+
+BT_STRIDE = 7919  # fixed coprime stride: every doc plays home+away once
+
+
+def q_pref_bt_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source ratings from deterministic document matches
+    (the preference-aggregation step of RLHF data curation) — see
+    :mod:`spark_ifs_spark.operators.ratings`."""
+    from spark_ifs_spark.operators.ratings import source_bt_ratings
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_bt_ratings(docs, "doc_id", "source", "n_chars", stride=BT_STRIDE)
+
+
+def sql_pref_bt_ratings() -> str:
+    from spark_ifs_spark.operators.ratings import BT_ITERS
+
+    cte = [f"""nt AS (SELECT count(*) AS n FROM documents)""", f"""oc AS MATERIALIZED (
+  SELECT CASE WHEN a.n_chars > b.n_chars
+              OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+         THEN a.source ELSE b.source END AS w,
+         CASE WHEN a.n_chars > b.n_chars
+              OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+         THEN b.source ELSE a.source END AS l
+  FROM documents a
+  JOIN nt ON true
+  JOIN documents b ON (a.doc_id + {BT_STRIDE}) % nt.n = b.doc_id
+  WHERE a.source <> b.source
+)""", """mt AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM oc GROUP BY 1, 2)""",
+"""items AS MATERIALIZED (SELECT DISTINCT k FROM (SELECT w AS k FROM mt UNION SELECT l FROM mt))""",
+"""wins AS MATERIALIZED (
+  SELECT i.k, CAST(coalesce(sum(mt.n), 0) AS BIGINT) AS wns
+  FROM items i LEFT JOIN mt ON mt.w = i.k GROUP BY 1
+)""", """nij AS MATERIALIZED (
+  SELECT k1, k2, CAST(sum(n) AS BIGINT) AS n FROM (
+    SELECT w AS k1, l AS k2, n FROM mt UNION ALL SELECT l AS k1, w AS k2, n FROM mt
+  ) GROUP BY 1, 2
+)""", """p0 AS MATERIALIZED (SELECT k, 1.0 AS p FROM items)"""]
+    for r in range(1, BT_ITERS + 1):
+        cte.append(f"""num{r} AS MATERIALIZED (
+  SELECT a.k, w.wns,
+         w.wns / list_sum(list(nij.n * 1.0 / (a.p + b.p) ORDER BY b.k)) AS p
+  FROM p{r - 1} a
+  JOIN nij ON nij.k1 = a.k
+  JOIN p{r - 1} b ON b.k = nij.k2
+  JOIN wins w ON w.k = a.k
+  GROUP BY a.k, w.wns
+)""")
+        cte.append(f"s{r} AS MATERIALIZED (SELECT list_sum(list(p ORDER BY k)) AS s FROM num{r})")
+        cte.append(f"p{r} AS MATERIALIZED (SELECT k, CASE WHEN s > 0 THEN p / s ELSE 0.0 END AS p FROM num{r}, s{r})")
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+SELECT p.k AS key, w.wns AS n_wins, tot.n AS n_matches,
+       CAST(floor(round(p.p, 9) * 1e6) AS BIGINT) AS rating_ppm
+FROM p{BT_ITERS} p
+JOIN wins w ON w.k = p.k
+JOIN (SELECT k1 AS k, CAST(sum(n) AS BIGINT) AS n FROM nij GROUP BY 1) tot
+  ON tot.k = p.k
+"""

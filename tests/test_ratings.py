@@ -1,0 +1,45 @@
+"""Bradley-Terry preference ratings (operators/ratings.py)."""
+
+from __future__ import annotations
+
+from spark_ifs_spark.operators.ratings import (
+    bt_ratings_from_matches,
+    source_bt_ratings,
+)
+
+
+def test_bt_two_player_closed_form():
+    """2 items: the MM fixed point is p_a/(p_a+p_b) = wins_a/total —
+    ratings proportional to win counts."""
+    p = bt_ratings_from_matches([("a", "b", 3), ("b", "a", 1)], iters=50)
+    assert abs(p["a"] / (p["a"] + p["b"]) - 0.75) < 1e-9
+    assert abs(p["a"] + p["b"] - 1.0) < 1e-12
+
+
+def test_bt_transitive_ordering():
+    """a>b>c in matches -> ratings strictly ordered."""
+    m = [("a", "b", 8), ("b", "a", 2), ("b", "c", 8), ("c", "b", 2),
+         ("a", "c", 9), ("c", "a", 1)]
+    p = bt_ratings_from_matches(m)
+    assert p["a"] > p["b"] > p["c"] > 0
+
+
+def test_bt_zero_win_item():
+    p = bt_ratings_from_matches([("a", "b", 5)])
+    assert p["b"] == 0.0 and p["a"] == 1.0
+
+
+def test_source_bt_ratings_schema_and_consistency(spark, sf_dir):
+    from spark_ifs_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_bt_ratings(docs, "doc_id", "source", "n_chars").collect()
+    assert len(out) == 20
+    total_ppm = sum(r["rating_ppm"] for r in out)
+    assert 0.999e6 <= total_ppm <= 1.0e6  # normalized, floored
+    # every doc plays home+away minus same-source matches
+    assert all(r["n_wins"] <= r["n_matches"] for r in out)
+    # higher win RATE should broadly mean higher rating at the extremes
+    by_rating = sorted(out, key=lambda r: r["rating_ppm"])
+    lo, hi = by_rating[0], by_rating[-1]
+    assert hi["n_wins"] / hi["n_matches"] > lo["n_wins"] / lo["n_matches"]
