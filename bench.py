@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "unigram_doc_tokens",
     "pref_bt_ratings",
+    "split_psi",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

@@ -2677,3 +2677,65 @@ JOIN wins w ON w.k = p.k
 JOIN (SELECT k1 AS k, CAST(sum(n) AS BIGINT) AS n FROM nij GROUP BY 1) tot
   ON tot.k = p.k
 """
+
+
+PSI_BIN_WIDTH = 100  # n_chars bin width for the split-drift PSI
+
+
+def q_split_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the doc-length distribution,
+    val/test vs train — THE standard drift gate for "is my eval split
+    distributed like training data" (rule of thumb: PSI < 0.1 stable,
+    > 0.25 shifted). Bins are fixed-width ``n_chars // PSI_BIN_WIDTH``
+    (mergeable across partitions/batches like the histogram sketches);
+    only bins populated in BOTH splits contribute (the clip-empty
+    convention), and ``n_shared_bins`` reports how many that is.
+
+    Plan: one scan-fused split+bin projection, one (split, bin)
+    aggregate (bins × 3 rows), then the PSI fold on that bounded
+    relation — no second corpus pass per split pair.
+    """
+    from spark_ifs_spark.operators.sampling import split_assign
+
+    docs = split_assign(
+        _read(spark, sf_dir, "documents"), "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED
+    )
+    binned = docs.select(
+        "split", (F.col("n_chars") / PSI_BIN_WIDTH).cast("long").alias("bin")
+    ).groupBy("split", "bin").agg(F.count(F.lit(1)).alias("n"))
+    tot = binned.groupBy("split").agg(F.sum("n").alias("t"))
+    by = binned.join(tot, "split").select(
+        "split", "bin", (F.col("n").cast("double") / F.col("t")).alias("share")
+    )
+    train = by.where(F.col("split") == "train").select(
+        "bin", F.col("share").alias("p")
+    )
+    other = by.where(F.col("split") != "train")
+    j = other.join(train, "bin")  # clip: shared bins only
+    term = (F.col("share") - F.col("p")) * F.log(F.col("share") / F.col("p"))
+    return j.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_shared_bins"),
+        F.round(F.sum(term), 6).alias("psi"),
+    )
+
+
+def sql_split_psi() -> str:
+    from spark_ifs_spark.operators.sampling import sql_split_case
+
+    case = sql_split_case("doc_id", SPLIT_WEIGHTS, SPLIT_SEED)
+    return f"""
+WITH binned AS (
+  SELECT {case} AS split, n_chars // {PSI_BIN_WIDTH} AS bin, count(*) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT split, CAST(sum(n) AS BIGINT) AS t FROM binned GROUP BY 1),
+by AS (
+  SELECT split, bin, n * 1.0 / t AS share FROM binned JOIN tot USING (split)
+),
+train AS (SELECT bin, share AS p FROM by WHERE split = 'train')
+SELECT o.split, count(*) AS n_shared_bins,
+       round(sum((o.share - tr.p) * ln(o.share / tr.p)), 6) AS psi
+FROM by o JOIN train tr USING (bin)
+WHERE o.split <> 'train'
+GROUP BY 1
+"""
