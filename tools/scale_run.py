@@ -140,6 +140,8 @@ def main() -> None:
         "unigram_token_counts",
         "tokenizer_fertility",
         "unigram_doc_tokens",
+        "pref_bt_ratings",
+        "split_psi",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
