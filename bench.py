@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "unigram_doc_tokens",
     "pref_bt_ratings",
     "split_psi",
+    "bootstrap_doclen_ci",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

@@ -1107,3 +1107,73 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             ).alias("pass_all"),
         )
     )
+
+
+#: Poisson(1) CDF in ppm (floored), k = 0..8 — the multiplicity law of
+#: the Poisson bootstrap. Computed ONCE in Python and injected into
+#: both engines as literals (the libm-constant-table discipline), so
+#: the deterministic multiplicity draw is identical everywhere.
+import math as _math
+
+POISSON1_CDF_PPM: tuple[int, ...] = tuple(
+    _math.floor(sum(_math.exp(-1) / _math.factorial(j) for j in range(k + 1)) * 1_000_000)
+    for k in range(9)
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 64,
+    seed: int = 42,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """``(n_replicas, point_mean, ci_lo, ci_hi)`` — mean of
+    ``value_col`` with a Poisson-bootstrap confidence interval: every
+    (replica, row) gets a deterministic multiplicity ``m ~ Poisson(1)``
+    (md5 uniform vs the injected CDF table), each replica's mean is an
+    exact integer-sum ratio, and the CI is the exact (lo, hi) quantile
+    pair over the ``n_replicas`` means.
+
+    This is THE at-scale bootstrap (Chamandy et al., Google 2012):
+    multiplicities are row-local (no sampling coordination, no global
+    n), so the whole resampling pass is map-side — one corpus scan
+    computing ``n_replicas`` md5 draws per row, partial aggregation
+    collapsing to ``n_replicas × partitions`` cells before the one
+    bounded shuffle. Replica means and quantiles are rounded to 6
+    decimals (the cross-engine interpolation guard).
+    """
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    cdf = F.array(*[F.lit(c) for c in POISSON1_CDF_PPM])
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
+    rows = df.select(
+        F.col(id_col).alias("id"), F.col(value_col).cast("long").alias("v")
+    ).select("id", "v", b)
+    u = md5_int60(
+        F.concat(F.lit(f"boot{seed}:"), F.col("b").cast("string"),
+                 F.lit(":"), F.col("id").cast("string"))
+    ) % 1_000_000
+    m = F.size(F.filter(cdf, lambda c: c <= u))
+    reps = (
+        rows.select("b", m.alias("m"), "v")
+        .groupBy("b")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("sv"), F.sum("m").alias("sm"))
+        .where(F.col("sm") > 0)
+        .select(F.round(F.col("sv").cast("double") / F.col("sm"), 6).alias("mean"))
+    )
+    point = df.select(
+        F.round(
+            F.sum(F.col(value_col).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean")
+    )
+    ci = reps.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(F.expr(f"percentile(mean, {lo!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(mean, {hi!r})"), 6).alias("ci_hi"),
+    )
+    return ci.crossJoin(point).select("n_replicas", "point_mean", "ci_lo", "ci_hi")

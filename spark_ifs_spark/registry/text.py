@@ -2739,3 +2739,43 @@ FROM by o JOIN train tr USING (bin)
 WHERE o.split <> 'train'
 GROUP BY 1
 """
+
+
+BOOT_REPLICAS = 64
+BOOT_SEED = 42
+
+
+def q_bootstrap_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for mean document length — the
+    statistical-rigor gate every corpus-metric dashboard needs; see
+    :func:`~spark_ifs_spark.operators.textstats.poisson_bootstrap_mean_ci`."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.poisson_bootstrap_mean_ci(
+        docs, "doc_id", "n_chars", n_replicas=BOOT_REPLICAS, seed=BOOT_SEED
+    )
+
+
+def sql_bootstrap_doclen_ci() -> str:
+    from spark_ifs_spark.operators.textstats import POISSON1_CDF_PPM
+
+    cdf = ", ".join(str(c) for c in POISSON1_CDF_PPM)
+    u = sql_md5_int60(
+        f"concat('boot{BOOT_SEED}:', CAST(b.b AS VARCHAR), ':', CAST(d.doc_id AS VARCHAR))"
+    )
+    return f"""
+WITH rep AS (
+  SELECT b, round(sum(m * n_chars) * 1.0 / sum(m), 6) AS mean
+  FROM (
+    SELECT b.b AS b, d.n_chars,
+           len(list_filter([{cdf}], c -> c <= ({u}) % 1000000)) AS m
+    FROM documents d, (SELECT unnest(range({BOOT_REPLICAS})) AS b) b
+  )
+  GROUP BY 1
+  HAVING sum(m) > 0
+),
+pt AS (SELECT round(sum(n_chars) * 1.0 / count(*), 6) AS point_mean FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_replicas, pt.point_mean,
+       round(quantile_cont(mean, {0.05!r}), 6) AS ci_lo,
+       round(quantile_cont(mean, {0.95!r}), 6) AS ci_hi
+FROM rep, pt GROUP BY pt.point_mean
+"""

@@ -358,3 +358,28 @@ def test_tfidf_pairs_stop_term_stays_subquadratic(spark):
     # produce C(200,2)=19900 candidate pairs; the filler groups (df=8)
     # bound what remains
     assert len(pairs) < 300
+
+
+def test_poisson_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_dir):
+    from spark_ifs_spark.operators.textstats import (
+        POISSON1_CDF_PPM,
+        poisson_bootstrap_mean_ci,
+    )
+    from spark_ifs_spark.sources.parquet import load_table
+
+    # the injected CDF is the Poisson(1) law
+    import math
+
+    assert POISSON1_CDF_PPM[0] == math.floor(math.exp(-1) * 1e6)
+    assert POISSON1_CDF_PPM[-1] >= 999998  # CDF(8) covers all but ~1e-6
+
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = poisson_bootstrap_mean_ci(docs, "doc_id", "n_chars").collect()[0]
+    r2 = poisson_bootstrap_mean_ci(docs, "doc_id", "n_chars").collect()[0]
+    assert tuple(r1) == tuple(r2)  # deterministic
+    assert r1["ci_lo"] <= r1["point_mean"] <= r1["ci_hi"]
+    assert r1["n_replicas"] == 64
+    # CI width shrinks for a constant column to ~0
+    const = docs.selectExpr("doc_id", "100 AS v")
+    rc = poisson_bootstrap_mean_ci(const, "doc_id", "v").collect()[0]
+    assert rc["ci_lo"] == rc["ci_hi"] == rc["point_mean"] == 100.0
