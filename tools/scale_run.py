@@ -142,6 +142,7 @@ def main() -> None:
         "unigram_doc_tokens",
         "pref_bt_ratings",
         "split_psi",
+        "bootstrap_doclen_ci",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
