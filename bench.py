@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "pref_bt_ratings",
     "split_psi",
     "bootstrap_doclen_ci",
+    "lm_kn_logprob",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

@@ -1177,3 +1177,63 @@ def poisson_bootstrap_mean_ci(
         F.round(F.expr(f"percentile(mean, {hi!r})"), 6).alias("ci_hi"),
     )
     return ci.crossJoin(point).select("n_replicas", "point_mean", "ci_lo", "ci_hi")
+
+
+def kneser_ney_logprob(
+    df: DataFrame, id_col: str, text_col: str, discount: float = 0.75
+) -> DataFrame:
+    """``(id, n_bigrams, ll_micronats)`` — per-document score under an
+    interpolated Kneser-Ney bigram LM, the smoothing KenLM (and hence
+    CCNet's actual perplexity filter) uses, upgrading the ML-estimate
+    :func:`bigram_logprob`:
+
+        p(w|v) = (c(vw) − d)/c(v·)  +  d·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+
+    (c(vw) ≥ 1 when scoring the training corpus, so the max(·,0) clip
+    is inactive). Every per-occurrence log term is floored to integer
+    micronats before summation — the ``bigram_logprob`` determinism
+    contract — and the float expression is written with EXPLICIT
+    parenthesization mirrored in the oracle so both engines execute
+    the identical IEEE sequence.
+
+    Plan: same two corpus scans as ``bigram_logprob``; the three extra
+    statistics (left totals, left/right continuation counts, total
+    distinct pairs) are windows over the distinct-pair VOCABULARY
+    relation — including one deliberate single-partition count over it
+    (bounded by vocabulary², never corpus).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    occ = df.select(F.col(id_col).alias("id"), F.explode(pairs).alias("pair"))
+    pair_counts = occ.groupBy("pair").agg(F.count(F.lit(1)).alias("c_pair"))
+    left = F.substring_index(F.col("pair"), " ", 1)
+    right = F.substring_index(F.col("pair"), " ", -1)
+    wl = Window.partitionBy(left)
+    wr = Window.partitionBy(right)
+    wall = Window.partitionBy()
+    d = float(discount)
+    c = F.col("c_pair").cast("double")
+    cl = F.sum("c_pair").over(wl).cast("double")
+    n1l = F.count(F.lit(1)).over(wl).cast("double")
+    n1r = F.count(F.lit(1)).over(wr).cast("double")
+    npairs = F.count(F.lit(1)).over(wall).cast("double")
+    p = ((c - F.lit(d)) / cl) + (((F.lit(d) * n1l) / cl) * (n1r / npairs))
+    model = pair_counts.select(
+        "pair", F.floor(F.log(p) * 1e6).cast("long").alias("t")
+    )
+    per_doc = occ.groupBy("id", "pair").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per_doc.join(model, "pair")
+        .groupBy("id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("t")).alias("ll_micronats"),
+        )
+    )

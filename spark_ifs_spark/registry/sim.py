@@ -1377,3 +1377,51 @@ kept AS (
 SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM kept GROUP BY 1
 """
+
+
+KN_DISCOUNT = 0.75
+
+
+def q_lm_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (KenLM's smoothing) —
+    see :func:`~spark_ifs_spark.operators.textstats.kneser_ney_logprob`."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.kneser_ney_logprob(
+        docs, "doc_id", "text", discount=KN_DISCOUNT
+    ).withColumnRenamed("id", "doc_id")
+
+
+def sql_lm_kn_logprob() -> str:
+    d = repr(KN_DISCOUNT)
+    return f"""
+WITH occ AS (
+  SELECT doc_id, t[s.i + 1] || ' ' || t[s.i + 2] AS pair
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(0, len(t) - 2)) AS i) s
+  WHERE len(t) >= 2
+), per_doc AS (
+  SELECT doc_id, pair, count(*) AS k FROM occ GROUP BY 1, 2
+), pair_counts AS (
+  SELECT pair, CAST(sum(k) AS BIGINT) AS c_pair FROM per_doc GROUP BY pair
+), stats AS (
+  SELECT pair, c_pair,
+         sum(c_pair) OVER (PARTITION BY split_part(pair, ' ', 1)) AS cl,
+         count(*) OVER (PARTITION BY split_part(pair, ' ', 1)) AS n1l,
+         count(*) OVER (PARTITION BY split_part(pair, ' ', -1)) AS n1r,
+         count(*) OVER () AS np
+  FROM pair_counts
+), model AS (
+  SELECT pair,
+         CAST(floor(ln(
+           ((CAST(c_pair AS DOUBLE) - {d}) / CAST(cl AS DOUBLE))
+           + ((({d} * CAST(n1l AS DOUBLE)) / CAST(cl AS DOUBLE))
+              * (CAST(n1r AS DOUBLE) / CAST(np AS DOUBLE)))
+         ) * 1e6) AS BIGINT) AS t
+  FROM stats
+)
+SELECT per_doc.doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       CAST(sum(k * t) AS BIGINT) AS ll_micronats
+FROM per_doc JOIN model USING (pair)
+GROUP BY per_doc.doc_id
+"""

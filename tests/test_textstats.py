@@ -383,3 +383,53 @@ def test_poisson_bootstrap_ci_brackets_point_and_is_deterministic(spark, sf_dir)
     const = docs.selectExpr("doc_id", "100 AS v")
     rc = poisson_bootstrap_mean_ci(const, "doc_id", "v").collect()[0]
     assert rc["ci_lo"] == rc["ci_hi"] == rc["point_mean"] == 100.0
+
+
+def test_kneser_ney_properties(spark):
+    """KN conditionals over observed continuations sum to < 1 (mass
+    reserved for unseen words), and per-doc bigram counts match the
+    ML-estimate scorer's."""
+    import math
+
+    from spark_ifs_spark.operators.textstats import (
+        bigram_logprob,
+        kneser_ney_logprob,
+    )
+
+    rows = [(1, "a b a b a c"), (2, "b a b c a b"), (3, "c a c b a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kn = {r["id"]: (r["n_bigrams"], r["ll_micronats"])
+          for r in kneser_ney_logprob(df, "doc_id", "text").collect()}
+    ml = {r["id"]: (r["n_bigrams"], r["ll_micronats"])
+          for r in bigram_logprob(df, "doc_id", "text").collect()}
+    assert {k: v[0] for k, v in kn.items()} == {k: v[0] for k, v in ml.items()}
+    assert any(kn[k][1] != ml[k][1] for k in kn)  # smoothing changes scores
+
+    # normalization check, hand-computed model from the same corpus
+    pairs = {}
+    for _, t in rows:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    d = 0.75
+    lefts = {}
+    n1l, n1r = {}, {}
+    for (a, b), c in pairs.items():
+        lefts[a] = lefts.get(a, 0) + c
+        n1l[a] = n1l.get(a, 0) + 1
+        n1r[b] = n1r.get(b, 0) + 1
+    np_ = len(pairs)
+    for v in lefts:
+        obs = sum(
+            (c - d) / lefts[v] + (d * n1l[v] / lefts[v]) * (n1r[b] / np_)
+            for (a, b), c in pairs.items()
+            if a == v
+        )
+        assert obs < 1.0 + 1e-12
+        # full normalization: adding unseen-continuation mass ~ sums to 1
+        full = sum(
+            max(pairs.get((v, b), 0) - d, 0.0) / lefts[v]
+            + (d * n1l[v] / lefts[v]) * (n1r[b] / np_)
+            for b in n1r
+        )
+        assert abs(full - 1.0) < 1e-9
