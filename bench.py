@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "split_psi",
     "bootstrap_doclen_ci",
     "lm_kn_logprob",
+    "dedup_substring_removal",
     "url_dedup",
     "mrmr_k10_synthetic",
     "mi_pair_lineitem",

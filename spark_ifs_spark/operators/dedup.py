@@ -1132,3 +1132,61 @@ def contaminated_ids_bloom(
         .select("id")
         .distinct()
     )
+
+
+def substring_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_run_tokens: int = 16,
+) -> DataFrame:
+    """``(id, n_tokens, n_removed, clean_digest)`` — the REMOVAL half of
+    ExactSubstr dedup (Lee et al. 2022): cut every token covered by a
+    duplicated run (:func:`duplicate_substring_runs`) and re-emit the
+    cleaned document, reported as token counts plus a 60-bit digest of
+    the cleaned text (the value-hashable stand-in for shipping bodies
+    through the gate). Documents with no duplicated runs pass through
+    with ``n_removed = 0``; a fully-duplicated document cleans to the
+    empty string.
+
+    Adjacent maximal islands can cover OVERLAPPING token spans (islands
+    are separated in shingle space by >= 1 position, which is < k
+    tokens), so removal counts come from the kept-token set — never
+    from summing interval lengths.
+
+    Plan: the runs relation aggregates to one interval-array row per
+    affected document (runs-bounded, usually a small fraction of the
+    corpus) and joins back on id; token filtering is a map-side HOF
+    over the split array (``filter`` + ``exists`` — whole-stage
+    codegen, no per-token shuffle, bodies never ride an exchange).
+    """
+    runs = duplicate_substring_runs(df, id_col, text_col, k, min_run_tokens)
+    iv = runs.groupBy(F.col(id_col).alias("id")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("start_tok", "run_tokens"))
+        ).alias("ivs")
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    joined = base.join(iv, "id", "left")
+    toks = F.split(F.col("_t"), " ")
+    idx = F.transform(toks, lambda w, i: F.struct(w.alias("w"), i.alias("i")))
+    ivs = F.coalesce(
+        F.col("ivs"),
+        F.array().cast("array<struct<start_tok:int,run_tokens:int>>"),
+    )
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            ivs,
+            lambda v: (s["i"] >= v["start_tok"])
+            & (s["i"] < v["start_tok"] + v["run_tokens"]),
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    return joined.select(
+        "id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).alias("n_removed"),
+        md5_int60(clean).alias("clean_digest"),
+    )

@@ -994,3 +994,59 @@ rk AS (
 )
 SELECT doc_id, url, host, n_dups, rank FROM rk WHERE rank <= {URL_HOST_CAP}
 """
+
+
+def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL: cut duplicated-run tokens and re-emit the
+    cleaned corpus (reported as counts + cleaned-text digest) — see
+    :func:`~spark_ifs_spark.operators.dedup.substring_removal`."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.substring_removal(
+        docs, "doc_id", "text", k=SUBSTR_K, min_run_tokens=SUBSTR_MIN_RUN
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def sql_dedup_substring_removal() -> str:
+    k = SUBSTR_K
+    shingle_of = f"array_to_string(t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+{k})], ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, {sql_md5_int60(shingle_of)} AS h
+  FROM toks, unnest(generate_series(0, len(t) - {k})) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM sh JOIN dup USING (h)
+),
+runs AS (
+  SELECT doc_id, CAST(min(pos) AS INT) AS start_tok,
+         CAST(max(pos) - min(pos) + {k} AS INT) AS run_tokens
+  FROM isl GROUP BY doc_id, g
+  HAVING max(pos) - min(pos) + {k} >= {SUBSTR_MIN_RUN}
+),
+{_SQL_WORDS},
+kept AS (
+  SELECT w.doc_id, w.pos, w.w
+  FROM words w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM runs r
+    WHERE r.doc_id = w.doc_id
+      AND w.pos - 1 >= r.start_tok
+      AND w.pos - 1 < r.start_tok + r.run_tokens
+  )
+),
+agg AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         coalesce(string_agg(w, ' ' ORDER BY pos), '') AS clean
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
+       {sql_md5_int60("coalesce(a.clean, '')")} AS clean_digest
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""

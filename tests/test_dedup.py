@@ -537,3 +537,25 @@ def test_containment_high_df_correction_exact(spark):
     assert got == {k: v for k, v in want.items() if k in rare_pairs}
     # and the correction really fired: doc1→doc2 includes boiler shingles
     assert got[(1, 2)] == want[(1, 2)] and want[(1, 2)] > 0.5
+
+
+def test_substring_removal_cleans_planted_duplicate(spark):
+    """A run duplicated across two docs is removed from BOTH; unique
+    text survives; counts come from the kept set (overlap-safe)."""
+    from spark_ifs_spark.functions.hashing import md5_int60_py
+    from spark_ifs_spark.operators.dedup import substring_removal
+
+    dup = " ".join(f"d{i}" for i in range(20))
+    rows = [
+        (1, "alpha beta " + dup + " gamma"),
+        (2, "x y z " + dup),
+        (3, "totally unique words only here right now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: (r["n_tokens"], r["n_removed"], r["clean_digest"])
+           for r in substring_removal(df, "doc_id", "text", k=8, min_run_tokens=16).collect()}
+    assert out[1][0] == 23 and out[1][1] == 20
+    assert out[1][2] == md5_int60_py("alpha beta gamma")
+    assert out[2] == (23, 20, md5_int60_py("x y z"))
+    assert out[3][1] == 0
+    assert out[3][2] == md5_int60_py(rows[2][1])

@@ -122,6 +122,7 @@ def test_driver_window_frozen():
         "mrmr_k10_synthetic", "unigram_token_counts", "doremi_mix",
         "tokenizer_fertility", "unigram_doc_tokens", "pref_bt_ratings",
         "split_psi", "bootstrap_doclen_ci", "lm_kn_logprob",
+        "dedup_substring_removal",
         # r3-era backfill (least-recently gated)
         "events_user_stats", "pipeline_end_to_end", "dup_clusters",
         "kmeans_step", "embedding_top_pairs", "text_token_counts",
@@ -136,5 +137,4 @@ def test_driver_window_frozen():
         "doc_length_quantiles", "mix_by_source", "textrank_keywords",
         "event_transitions", "docs_weighted_sample", "events_funnel",
         "events_cohorts", "events_scd2", "cms_term_counts",
-        "pmi_top_pairs",
     ]
