@@ -143,6 +143,8 @@ def main() -> None:
         "pref_bt_ratings",
         "split_psi",
         "bootstrap_doclen_ci",
+        "lm_kn_logprob",
+        "dedup_substring_removal",
     ]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
