@@ -71,10 +71,18 @@ def source_bt_ratings(
     plays doc ``(i + stride) mod N`` (a fixed coprime stride visits
     every doc exactly twice — once as home, once as away), the larger
     ``size_col`` wins (ties: lower id), same-key matches are discarded.
-    With a real preference dataset, feed its (winner, loser) pairs to
-    :func:`bt_ratings_from_matches` directly.
+    Requires contiguous 0-based ids (the synthetic-fixture contract;
+    the tables here satisfy it) — with a real preference dataset, feed
+    its (winner, loser) pairs to :func:`bt_ratings_from_matches`
+    directly. When ``n_total`` is a multiple of ``stride`` the stride
+    bumps by one so no document pairs with itself.
     """
     n_total = df.count()
+    if n_total % stride == 0:
+        # (i + stride) % n == i would pair every doc with itself;
+        # stride+1 keeps the visit-everyone-twice property (mirrored
+        # in the oracle SQL)
+        stride = stride + 1
     a = df.select(
         F.col(id_col).alias("ia"),
         F.col(key_col).alias("ka"),

@@ -1197,10 +1197,11 @@ def kneser_ney_logprob(
     the identical IEEE sequence.
 
     Plan: same two corpus scans as ``bigram_logprob``; the three extra
-    statistics (left totals, left/right continuation counts, total
-    distinct pairs) are windows over the distinct-pair VOCABULARY
-    relation — including one deliberate single-partition count over it
-    (bounded by vocabulary², never corpus).
+    statistics are computed on the distinct-pair relation: left totals
+    and continuation counts as KEYED windows, the total-distinct-pairs
+    normalizer as a broadcast scalar (never an empty-partition window —
+    distinct bigram TYPES grow with the corpus under Heaps' law, so a
+    single-partition pass over them would not survive 100 TB).
     """
     from pyspark.sql import Window
 
@@ -1217,15 +1218,21 @@ def kneser_ney_logprob(
     right = F.substring_index(F.col("pair"), " ", -1)
     wl = Window.partitionBy(left)
     wr = Window.partitionBy(right)
-    wall = Window.partitionBy()
     d = float(discount)
     c = F.col("c_pair").cast("double")
     cl = F.sum("c_pair").over(wl).cast("double")
     n1l = F.count(F.lit(1)).over(wl).cast("double")
     n1r = F.count(F.lit(1)).over(wr).cast("double")
-    npairs = F.count(F.lit(1)).over(wall).cast("double")
+    # N1+(..): a SCALAR, not a window — an empty-partition window would
+    # funnel the whole distinct-bigram relation (which grows with
+    # corpus, not vocabulary) through one task; a broadcast 1-row
+    # cross join keeps the plan parallel and the value identical.
+    npdf = pair_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("_npairs")
+    )
+    npairs = F.col("_npairs")
     p = ((c - F.lit(d)) / cl) + (((F.lit(d) * n1l) / cl) * (n1r / npairs))
-    model = pair_counts.select(
+    model = pair_counts.crossJoin(F.broadcast(npdf)).select(
         "pair", F.floor(F.log(p) * 1e6).cast("long").alias("t")
     )
     per_doc = occ.groupBy("id", "pair").agg(F.count(F.lit(1)).alias("k"))

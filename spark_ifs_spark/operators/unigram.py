@@ -345,7 +345,11 @@ def _unigram_distributed(
             .orderBy(F.col("cnt").desc(), F.col("piece").asc())
             .limit(prune_top)
         )
+        prev = vocab
         vocab = smoothed.unionByName(multi).persist()
+        vocab.count()  # materialize the new cache BEFORE dropping the
+        if prev is not cand:  # old one it was derived from
+            prev.unpersist()
 
     from pyspark.sql import Window
 

@@ -2643,7 +2643,10 @@ def sql_pref_bt_ratings() -> str:
          THEN b.source ELSE a.source END AS l
   FROM documents a
   JOIN nt ON true
-  JOIN documents b ON (a.doc_id + {BT_STRIDE}) % nt.n = b.doc_id
+  JOIN documents b
+    ON (a.doc_id + CASE WHEN nt.n % {BT_STRIDE} = 0
+                        THEN {BT_STRIDE} + 1 ELSE {BT_STRIDE} END) % nt.n
+       = b.doc_id
   WHERE a.source <> b.source
 )""", """mt AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n FROM oc GROUP BY 1, 2)""",
 """items AS MATERIALIZED (SELECT DISTINCT k FROM (SELECT w AS k FROM mt UNION SELECT l FROM mt))""",

@@ -2,33 +2,41 @@
 embedding vectors into the IVF-partitioned corpus layout
 (``sources/sinks.py:write_ivf_corpus``) without rebuilding it.
 
-Posture — the same ``foreachBatch`` state-is-the-store design as
-``streaming/events.py:streaming_hll``:
+Consistency design — a POINTER COMMIT, the table-format pattern
+(Iceberg/Delta metadata commits) in miniature, because an append-only
+file sink plus side files cannot otherwise deliver the guarantees a
+maintained index needs:
 
-- every micro-batch is cell-assigned MAP-SIDE against the current
-  centroids (:func:`~spark_ifs_spark.operators.similarity.ivf_cell_expr`
-  — ``num_centroids`` dot products per row, no join, no shuffle) and
-  APPENDED to the cell-partitioned parquet corpus; probes keep pruning
-  to the probed cells (``PartitionFilters``), including the rows that
-  arrived a second ago;
-- every ``refresh_every`` batches the centroids are retrained from the
-  full accumulated corpus and the corpus is re-tagged + compacted in a
-  two-phase (tmp → rename) swap, so drift between the centroid field
-  and the data distribution is bounded and a crash mid-refresh never
-  leaves a torn index;
-- replayed batches (at-least-once delivery) are ABSORBED via a
-  committed batch-id high-watermark — an append sink is not naturally
-  idempotent the way the HLL register max is, so idempotence is made
-  explicit.
+- ``current.json`` is the ONLY commit point: it names the live corpus
+  version directory and carries the centroids AND the append
+  high-watermark, and it is replaced atomically (``os.replace``). A
+  reader (probe/refresh) resolving through it always sees a complete,
+  mutually-consistent (corpus, centroids) pair — there is no instant
+  where a re-clustered corpus is paired with stale centroids.
+- appends write each micro-batch to its own ``batch=<id>`` partition
+  of the live corpus version with ``mode("overwrite")`` — a REPLAYED
+  batch (at-least-once delivery, or a crash between the data write and
+  the pointer update) rewrites the same directory with the same rows:
+  idempotent by construction, not by bookkeeping. The watermark in the
+  pointer exists for one case only: batches already ABSORBED into a
+  compacted version by a refresh, which a directory overwrite could
+  otherwise duplicate.
+- a refresh retrains centroids from the full accumulated corpus,
+  rewrites it cell-partitioned into a NEW version directory
+  (``corpus-v{k+1}/batch=-1/cell=*``), then commits pointer + new
+  centroids + unchanged watermark in one atomic replace; the old
+  version is deleted only after the commit (a crash leaves an orphan
+  directory, cleaned on the next refresh — never a torn index).
 
 At 100 TB: appends touch only the partitions the batch's vectors land
 in; the refresh is the only corpus-wide pass and is deliberately
 periodic (amortized), exactly how production IVF services (FAISS
-OnDisk / Milvus segment compaction) schedule re-clustering. No oracle
-entry — streaming-only surface (the package convention); batch ≡
-stream parity is pinned by ``tests/test_streaming_ann.py`` instead:
-after the final refresh the streamed index is row- and cell-identical
-to a one-shot ``write_ivf_corpus`` of the same vectors.
+OnDisk / Milvus segment compaction) schedule re-clustering. On an
+object store, ``os.replace`` of the pointer becomes the catalog/table
+-format commit. No oracle entry — streaming-only surface (the package
+convention); batch ≡ stream parity, replay absorption, crash-window
+recovery, and probe partition-pruning are pinned by
+``tests/test_streaming_ann.py``.
 """
 
 from __future__ import annotations
@@ -47,24 +55,39 @@ from spark_ifs_spark.operators.similarity import (
 )
 
 
-def _paths(index_path: str) -> tuple[str, str, str]:
-    root = index_path.rstrip("/")
-    return f"{root}/corpus", f"{root}/centroids.json", f"{root}/watermark.json"
+def _pointer_path(index_path: str) -> str:
+    return os.path.join(index_path.rstrip("/"), "current.json")
+
+
+def _read_state(index_path: str) -> dict | None:
+    p = _pointer_path(index_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_state(index_path: str, state: dict) -> None:
+    p = _pointer_path(index_path)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, p)  # atomic on POSIX — the one commit point
+
+
+def corpus_dir(index_path: str) -> str:
+    """Directory of the LIVE corpus version (resolved via the pointer)."""
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    return os.path.join(index_path.rstrip("/"), state["corpus"])
 
 
 def read_centroids(index_path: str) -> list[tuple[int, list[float]]] | None:
-    _, cpath, _ = _paths(index_path)
-    if not os.path.exists(cpath):
+    state = _read_state(index_path)
+    if state is None:
         return None
-    with open(cpath) as f:
-        return [(int(c), [float(x) for x in v]) for c, v in json.load(f)]
-
-
-def _write_json(path: str, obj) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.replace(tmp, path)  # atomic on POSIX
+    return [(int(c), [float(x) for x in v]) for c, v in state["centroids"]]
 
 
 def streaming_ivf_index(
@@ -82,30 +105,37 @@ def streaming_ivf_index(
     (append-only against the first batch's centroids).
     """
     spark = stream.sparkSession
-    corpus_path, cents_path, wm_path = _paths(index_path)
-    os.makedirs(index_path, exist_ok=True)
-
-    def _watermark() -> int:
-        if not os.path.exists(wm_path):
-            return -1
-        with open(wm_path) as f:
-            return int(json.load(f)["batch_id"])
+    root = index_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
 
     def _append(batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= _watermark():
-            return  # replayed batch already committed — absorb
         rows = batch.select(
             F.col(id_col).alias("id"), as_double_array(vec_col).alias("vec")
         )
-        cents = read_centroids(index_path)
-        if cents is None:
+        state = _read_state(index_path)
+        if state is not None and batch_id <= state["last_batch_id"]:
+            return  # already absorbed (possibly compacted) — replay skip
+        if state is None:
+            if rows.isEmpty():
+                return
             cents = ivf_centroids(rows, "id", "vec", num_centroids)
-            _write_json(cents_path, cents)
+            state = {
+                "version": 0,
+                "corpus": "corpus-v0",
+                "centroids": cents,
+                "last_batch_id": -1,
+            }
+        cents = [(int(c), [float(x) for x in v]) for c, v in state["centroids"]]
         tagged = rows.withColumn("cell", ivf_cell_expr(cents, "vec"))
-        tagged.write.mode("append").partitionBy("cell").parquet(corpus_path)
+        # per-batch directory + overwrite = replay-idempotent data write;
+        # a crash before the pointer update simply rewrites it verbatim
+        tagged.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(root, state["corpus"], f"batch={batch_id}")
+        )
+        state["last_batch_id"] = batch_id
+        _commit_state(index_path, state)
         if refresh_every and (batch_id + 1) % refresh_every == 0:
             refresh_ivf_index(spark, index_path, num_centroids)
-        _write_json(wm_path, {"batch_id": batch_id})
 
     return (
         stream.writeStream.foreachBatch(_append)
@@ -118,23 +148,44 @@ def streaming_ivf_index(
 def refresh_ivf_index(
     spark: SparkSession, index_path: str, num_centroids: int
 ) -> None:
-    """Retrain centroids on the accumulated corpus and re-tag + compact
-    it, two-phase: the new layout is fully written to a tmp dir before
-    the swap, so every instant has a complete committed index."""
-    corpus_path, cents_path, _ = _paths(index_path)
-    corpus = spark.read.parquet(corpus_path).select("id", "vec")
-    # materialize before overwrite: the plan reads files the swap replaces
+    """Retrain centroids on the accumulated corpus and rewrite it
+    compacted into a new version directory; commit corpus + centroids +
+    watermark in ONE atomic pointer replace. Crash-safe at every
+    instant: the pointer always names a complete version, and orphan
+    version directories (crash after data write, before commit — or
+    after commit, before cleanup) are swept here."""
+    root = index_path.rstrip("/")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    # sweep orphans from any earlier crash
+    for d in os.listdir(root):
+        if d.startswith("corpus-v") and d != state["corpus"]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    corpus = spark.read.parquet(os.path.join(root, state["corpus"])).select(
+        "id", "vec"
+    )
     corpus = corpus.localCheckpoint(eager=True)
     cents = ivf_centroids(corpus, "id", "vec", num_centroids)
+    new_version = state["version"] + 1
+    new_dir = f"corpus-v{new_version}"
     tagged = corpus.withColumn("cell", ivf_cell_expr(cents, "vec"))
-    tmp = corpus_path + ".tmp"
-    tagged.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    old = corpus_path + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(corpus_path, old)
-    os.rename(tmp, corpus_path)
-    shutil.rmtree(old, ignore_errors=True)
-    _write_json(cents_path, cents)
+    # batch=-1 = "compacted": keeps the (batch, cell) directory shape
+    # uniform so partition discovery and cell pruning are unchanged
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(root, new_dir, "batch=-1")
+    )
+    old_dir = state["corpus"]
+    _commit_state(
+        index_path,
+        {
+            "version": new_version,
+            "corpus": new_dir,
+            "centroids": cents,
+            "last_batch_id": state["last_batch_id"],
+        },
+    )
+    shutil.rmtree(os.path.join(root, old_dir), ignore_errors=True)
 
 
 def probe_ivf_index(
@@ -165,10 +216,9 @@ def probe_ivf_index(
         ),
     )
     cells = [cid for cid, _ in by_sim[:probe]]
-    corpus_path, _, _ = _paths(index_path)
-    corpus = spark.read.parquet(corpus_path).where(F.col("cell").isin(cells))
-    q = F.array(*[F.lit(float(x) / qn) for x in query_vec])
-    scored = corpus.select(
-        "id", cosine(F.col("vec"), q).alias("cos")
+    corpus = spark.read.parquet(corpus_dir(index_path)).where(
+        F.col("cell").isin(cells)
     )
+    q = F.array(*[F.lit(float(x) / qn) for x in query_vec])
+    scored = corpus.select("id", cosine(F.col("vec"), q).alias("cos"))
     return scored.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)

@@ -107,8 +107,8 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 7 rotated the window to: the 4 round-7 additions, the 24
-    r3-era keys round-6 insertions pushed past position 50, then 22
+    Round 7 rotated the window to: the 13 round-7 additions, the 24
+    r3-era keys round-6 insertions pushed past position 50, then 13
     r4-era keys. Any accidental reorder (new entries must APPEND once
     the window is final) fails here before it silently changes what
     the driver verifies."""

@@ -43,3 +43,13 @@ def test_source_bt_ratings_schema_and_consistency(spark, sf_dir):
     by_rating = sorted(out, key=lambda r: r["rating_ppm"])
     lo, hi = by_rating[0], by_rating[-1]
     assert hi["n_wins"] / hi["n_matches"] > lo["n_wins"] / lo["n_matches"]
+
+
+def test_source_bt_stride_multiple_of_count_self_pair_guard(spark):
+    """n_total % stride == 0 would pair every doc with itself; the
+    bumped stride keeps matches non-empty and self-pair-free."""
+    rows = [(i, "s" + str(i % 3), 10 + i) for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = source_bt_ratings(df, "doc_id", "source", "n_chars", stride=7).collect()
+    assert len(out) == 3
+    assert sum(r["n_matches"] for r in out) > 0

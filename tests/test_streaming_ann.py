@@ -1,11 +1,17 @@
 """Streaming IVF index maintenance (streaming/ann.py): batch ≡ stream
-parity, replay absorption, refresh compaction, probe pruning."""
+parity, replay absorption, crash-window recovery (pointer-commit
+semantics), refresh compaction, probe pruning."""
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import functions as F
 
 from spark_ifs_spark.streaming.ann import (
+    _pointer_path,
+    corpus_dir,
     probe_ivf_index,
     read_centroids,
     refresh_ivf_index,
@@ -33,6 +39,13 @@ def _run(spark, src, store, ckpt, schema, refresh_every):
     q.awaitTermination(120)
 
 
+def _index_rows(spark, store):
+    return {
+        (r["id"], r["cell"])
+        for r in spark.read.parquet(corpus_dir(str(store))).select("id", "cell").collect()
+    }
+
+
 def test_streamed_index_matches_batch_build_after_refresh(spark, tmp_path):
     """After the final refresh, the streamed index equals a one-shot
     write_ivf_corpus of the same vectors: same rows, same cells, same
@@ -55,28 +68,65 @@ def test_streamed_index_matches_batch_build_after_refresh(spark, tmp_path):
     assert read_centroids(str(store)) == [
         (c, [float(x) for x in v]) for c, v in cents_batch
     ]
-    streamed = {
-        (r["id"], r["cell"])
-        for r in spark.read.parquet(str(store / "corpus")).collect()
-    }
     oneshot = {
         (r["vec_id"], r["cell"])
         for r in spark.read.parquet(str(batch_path)).collect()
     }
+    streamed = _index_rows(spark, store)
     assert streamed == oneshot and len(streamed) == 90
 
 
 def test_replay_is_absorbed(spark, tmp_path):
     """Re-running the whole feed with a fresh checkpoint (at-least-once
-    replay) must not duplicate rows — the batch-id watermark absorbs it."""
+    replay) must not duplicate rows — batch-directory overwrite +
+    watermark absorb it."""
     src, store = tmp_path / "feed", tmp_path / "idx"
     b1 = _mk_batch(spark, range(0, 30))
     b1.write.parquet(str(src / "f1.parquet"))
     _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
-    n1 = spark.read.parquet(str(store / "corpus")).count()
+    n1 = len(_index_rows(spark, store))
     _run(spark, src, store, tmp_path / "ck_replay", b1.schema, refresh_every=0)
-    n2 = spark.read.parquet(str(store / "corpus")).count()
+    n2 = len(_index_rows(spark, store))
     assert n1 == n2 == 30
+
+
+def test_lost_pointer_update_is_recovered_idempotently(spark, tmp_path):
+    """Crash window: batch data committed but the pointer update lost.
+    A replay must rewrite the same batch directory verbatim — no
+    duplicates, watermark restored."""
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1 = _mk_batch(spark, range(0, 25))
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+    # simulate the lost pointer update: roll the watermark back
+    p = _pointer_path(str(store))
+    state = json.load(open(p))
+    state["last_batch_id"] = -1
+    json.dump(state, open(p, "w"))
+    _run(spark, src, store, tmp_path / "ck2", b1.schema, refresh_every=0)
+    rows = _index_rows(spark, store)
+    assert len(rows) == 25
+    assert json.load(open(p))["last_batch_id"] == 0
+
+
+def test_orphan_version_from_crashed_refresh_is_swept(spark, tmp_path):
+    """Crash window: refresh wrote its new version directory but died
+    before the pointer commit. The pointer still serves the old
+    complete version; the next refresh sweeps the orphan and
+    completes."""
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1 = _mk_batch(spark, range(0, 25))
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+    orphan = store / "corpus-v1"
+    os.makedirs(orphan / "batch=-1")
+    (orphan / "batch=-1" / "junk").write_text("torn write")
+    # index still fully readable through the pointer
+    assert len(_index_rows(spark, store)) == 25
+    refresh_ivf_index(spark, str(store), num_centroids=4)
+    assert len(_index_rows(spark, store)) == 25
+    assert not (orphan / "batch=-1" / "junk").exists()
+    assert json.load(open(_pointer_path(str(store))))["corpus"] == "corpus-v1"
 
 
 def test_probe_prunes_partitions_and_ranks(spark, tmp_path):
@@ -97,27 +147,21 @@ def test_probe_prunes_partitions_and_ranks(spark, tmp_path):
     assert all(rows[i]["cos"] >= rows[i + 1]["cos"] for i in range(4))
 
 
-def test_refresh_is_idempotent_and_crash_safe_layout(spark, tmp_path):
-    """Refreshing twice in a row changes nothing (same corpus, same
-    deterministic centroids); no .tmp/.old residue remains."""
-    import os
-
+def test_refresh_is_idempotent_and_commits_atomically(spark, tmp_path):
+    """Refreshing twice changes nothing (same corpus, same
+    deterministic centroids, version advances); centroids and corpus
+    always come from the SAME pointer commit."""
     src, store = tmp_path / "feed", tmp_path / "idx"
     b1 = _mk_batch(spark, range(0, 25))
     b1.write.parquet(str(src / "f1.parquet"))
     _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
     refresh_ivf_index(spark, str(store), num_centroids=4)
-    c1 = read_centroids(str(store))
-    rows1 = sorted(
-        (r["id"], r["cell"])
-        for r in spark.read.parquet(str(store / "corpus")).collect()
-    )
+    c1, r1 = read_centroids(str(store)), sorted(_index_rows(spark, store))
     refresh_ivf_index(spark, str(store), num_centroids=4)
-    c2 = read_centroids(str(store))
-    rows2 = sorted(
-        (r["id"], r["cell"])
-        for r in spark.read.parquet(str(store / "corpus")).collect()
-    )
-    assert c1 == c2 and rows1 == rows2
-    assert not os.path.exists(str(store / "corpus") + ".tmp")
-    assert not os.path.exists(str(store / "corpus") + ".old")
+    c2, r2 = read_centroids(str(store)), sorted(_index_rows(spark, store))
+    assert c1 == c2 and r1 == r2
+    state = json.load(open(_pointer_path(str(store))))
+    assert state["version"] == 2 and state["corpus"] == "corpus-v2"
+    # exactly one version directory remains
+    dirs = [d for d in os.listdir(store) if d.startswith("corpus-v")]
+    assert dirs == ["corpus-v2"]
