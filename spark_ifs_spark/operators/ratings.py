@@ -74,14 +74,15 @@ def source_bt_ratings(
     Requires contiguous 0-based ids (the synthetic-fixture contract;
     the tables here satisfy it) — with a real preference dataset, feed
     its (winner, loser) pairs to :func:`bt_ratings_from_matches`
-    directly. When ``n_total`` is a multiple of ``stride`` the stride
+    directly. When ``stride`` is a multiple of ``n_total`` the stride
     bumps by one so no document pairs with itself.
     """
     n_total = df.count()
-    if n_total % stride == 0:
-        # (i + stride) % n == i would pair every doc with itself;
-        # stride+1 keeps the visit-everyone-twice property (mirrored
-        # in the oracle SQL)
+    if n_total > 0 and stride % n_total == 0:
+        # (i + stride) % n == i exactly when n divides stride — every
+        # doc would pair with itself. stride+1 is then never divisible
+        # by n (for n >= 2: stride+1 ≡ 1 mod n) and keeps the
+        # visit-everyone-twice property (mirrored in the oracle SQL).
         stride = stride + 1
     a = df.select(
         F.col(id_col).alias("ia"),

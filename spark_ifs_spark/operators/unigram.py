@@ -353,6 +353,20 @@ def _unigram_distributed(
 
     from pyspark.sql import Window
 
+    def _finish(out: DataFrame) -> DataFrame:
+        # Materialize the (bounded) result BEFORE dropping the caches it
+        # was computed from, then release them — otherwise every
+        # distributed unigram call leaves `words` and the final round's
+        # `vocab` persisted in executor storage for the session's life.
+        # localCheckpoint truncates lineage, so the checkpoint blocks
+        # themselves are ContextCleaner-collected once the result is
+        # unreferenced (a bare persist never is).
+        out = out.localCheckpoint(eager=True)
+        words.unpersist()
+        if vocab is not cand:
+            vocab.unpersist()
+        return out
+
     rk = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
     if fertility or pieces:
         # per-word piece counts (fertility) or ordered piece sequences
@@ -384,7 +398,9 @@ def _unigram_distributed(
                             ps.append(piece)
                     yield pd.DataFrame({"w": ws, "seq": seqs, "piece": ps})
 
-            return words.mapInPandas(p_step, "w string, seq int, piece string")
+            return _finish(
+                words.mapInPandas(p_step, "w string, seq int, piece string")
+            )
 
         def k_step(batches, _scores=scores_b, _mp=max_piece):
             for pdf in batches:
@@ -396,17 +412,19 @@ def _unigram_distributed(
                     }
                 )
 
-        return words.mapInPandas(k_step, "w string, k long")
+        return _finish(words.mapInPandas(k_step, "w string, k long"))
     if encode:
         # deploy-time encode: one more E-step under the FINAL scores,
         # ranked usage (all used pieces — already vocabulary-bounded)
-        return _usage_df(vocab).select(
-            F.row_number().over(rk).alias("rank"),
-            "piece",
-            F.col("cnt").alias("n_tokens"),
+        return _finish(
+            _usage_df(vocab).select(
+                F.row_number().over(rk).alias("rank"),
+                "piece",
+                F.col("cnt").alias("n_tokens"),
+            )
         )
     total = vocab.agg(F.sum("cnt")).first()[0]
-    return (
+    return _finish(
         vocab.select(
             F.row_number().over(rk).alias("rank"),
             "piece",

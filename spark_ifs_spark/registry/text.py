@@ -2644,7 +2644,7 @@ def sql_pref_bt_ratings() -> str:
   FROM documents a
   JOIN nt ON true
   JOIN documents b
-    ON (a.doc_id + CASE WHEN nt.n % {BT_STRIDE} = 0
+    ON (a.doc_id + CASE WHEN {BT_STRIDE} % nt.n = 0
                         THEN {BT_STRIDE} + 1 ELSE {BT_STRIDE} END) % nt.n
        = b.doc_id
   WHERE a.source <> b.source

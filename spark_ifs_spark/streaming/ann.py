@@ -114,7 +114,16 @@ def streaming_ivf_index(
         )
         state = _read_state(index_path)
         if state is not None and batch_id <= state["last_batch_id"]:
-            return  # already absorbed (possibly compacted) — replay skip
+            # Replay skip. Valid ONLY under the SAME checkpoint, where
+            # Structured Streaming guarantees a replayed batch id
+            # carries exactly the rows it carried before (offsets are
+            # in the checkpoint WAL). Pointing a FRESH checkpoint at an
+            # existing index is not supported: the new run may group
+            # old+new source files into one low-numbered batch, and
+            # skipping it would silently drop the new rows — start a
+            # fresh index (or key idempotence on content, not batch id)
+            # for cross-checkpoint reruns.
+            return
         if state is None:
             if rows.isEmpty():
                 return
@@ -203,9 +212,15 @@ def probe_ivf_index(
 
     from spark_ifs_spark.operators.similarity import cosine
 
-    cents = read_centroids(index_path)
-    if cents is None:
-        raise FileNotFoundError(f"no centroids at {index_path}")
+    # ONE pointer read: centroids and corpus directory MUST come from
+    # the same snapshot, else a refresh committing between two reads
+    # would pair old centroids with a re-clustered corpus (wrong cells
+    # pruned) or point the scan at a just-deleted version directory.
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed index at {index_path}")
+    cents = [(int(c), [float(x) for x in v]) for c, v in state["centroids"]]
+    corpus_path = os.path.join(index_path.rstrip("/"), state["corpus"])
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     by_sim = sorted(
         cents,
@@ -216,9 +231,7 @@ def probe_ivf_index(
         ),
     )
     cells = [cid for cid, _ in by_sim[:probe]]
-    corpus = spark.read.parquet(corpus_dir(index_path)).where(
-        F.col("cell").isin(cells)
-    )
+    corpus = spark.read.parquet(corpus_path).where(F.col("cell").isin(cells))
     q = F.array(*[F.lit(float(x) / qn) for x in query_vec])
     scored = corpus.select("id", cosine(F.col("vec"), q).alias("cos"))
     return scored.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)

@@ -46,10 +46,15 @@ def test_source_bt_ratings_schema_and_consistency(spark, sf_dir):
 
 
 def test_source_bt_stride_multiple_of_count_self_pair_guard(spark):
-    """n_total % stride == 0 would pair every doc with itself; the
+    """stride % n_total == 0 would pair every doc with itself; the
     bumped stride keeps matches non-empty and self-pair-free."""
     rows = [(i, "s" + str(i % 3), 10 + i) for i in range(7)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
-    out = source_bt_ratings(df, "doc_id", "source", "n_chars", stride=7).collect()
-    assert len(out) == 3
-    assert sum(r["n_matches"] for r in out) > 0
+    # stride == n (n divides stride) and stride == 2n (the case the
+    # old n % stride guard missed) must both bump
+    for stride in (7, 14):
+        out = source_bt_ratings(
+            df, "doc_id", "source", "n_chars", stride=stride
+        ).collect()
+        assert len(out) == 3
+        assert sum(r["n_matches"] for r in out) > 0

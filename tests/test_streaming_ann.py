@@ -77,9 +77,14 @@ def test_streamed_index_matches_batch_build_after_refresh(spark, tmp_path):
 
 
 def test_replay_is_absorbed(spark, tmp_path):
-    """Re-running the whole feed with a fresh checkpoint (at-least-once
-    replay) must not duplicate rows — batch-directory overwrite +
-    watermark absorb it."""
+    """Re-running the IDENTICAL feed with a fresh checkpoint
+    (at-least-once replay) must not duplicate rows — batch-directory
+    overwrite + watermark absorb it. Identical feed is the supported
+    cross-checkpoint case: with no new source files, every batch the
+    new run forms is a subset of what the watermark already covers.
+    A fresh checkpoint over a feed that ALSO has new files is
+    unsupported (documented in ``_append``) — new rows could be
+    grouped into an already-absorbed batch id and skipped."""
     src, store = tmp_path / "feed", tmp_path / "idx"
     b1 = _mk_batch(spark, range(0, 30))
     b1.write.parquet(str(src / "f1.parquet"))
