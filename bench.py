@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "corpus_report",
     "ccnet_mix",
     "knn_label_accuracy",
+    "c4_line_filters",
+    "c4_line_dedup",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -526,3 +526,35 @@ UNI_VOCAB_KEEP = 48
 
 # DoReMi weights applied to the corpus mix (doremi_mix)
 DOREMI_MIX_CHARS = 400_000
+
+
+# C4-style line-level cleaning (c4_line_filters, c4_line_dedup). The
+# documents table is single-line prose, so the fixture derives a
+# deterministic multi-line "page" per document: consecutive
+# C4_LINE_WORDS-word chunks become lines, and planted decorations keyed
+# on (doc_id, line_no) moduli exercise every C4 rule — brace lines,
+# "javascript" boilerplate lines, policy-phrase lines, lines without
+# terminal punctuation (1 in 3), and naturally-short tail chunks.
+C4_LINE_WORDS = 6
+C4_MIN_WORDS = 5  # C4 keeps lines with >= 5 words
+
+
+def _c4_line_fixture_expr(dialect: str) -> str:
+    """Decorated line at 0-based index ``i`` of the words array ``ws``
+    for the row's ``doc_id`` — the engine-shared C4 page fixture.
+    ``dialect`` is ``"spark"`` or ``"duck"``; the decoration CASE is
+    dialect-common, only array slice/join spellings differ."""
+    W = C4_LINE_WORDS
+    if dialect == "spark":
+        base = f"array_join(slice(ws, CAST(i * {W} + 1 AS INT), {W}), ' ')"
+    else:
+        base = (
+            f"array_to_string(ws[CAST(i * {W} + 1 AS INT)"
+            f":CAST(i * {W} + {W} AS INT)], ' ')"
+        )
+    return f"""CASE
+  WHEN (doc_id * 5 + i) % 31 = 0 THEN concat('{{ code ', {base}, ' }}')
+  WHEN (doc_id * 7 + i) % 29 = 0 THEN 'please enable javascript to continue.'
+  WHEN (doc_id * 11 + i) % 37 = 0 THEN concat({base}, ' terms of use.')
+  WHEN (doc_id + i) % 3 <> 0 THEN concat({base}, '.')
+  ELSE {base} END"""

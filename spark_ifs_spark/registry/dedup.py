@@ -22,6 +22,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _sql_unrolled_greedy,
     _t,
     _url_fixture_expr,
+    _c4_line_fixture_expr,
 )
 
 
@@ -1049,4 +1050,118 @@ SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
        CAST(len(t.t) - coalesce(a.n_kept, 0) AS INT) AS n_removed,
        {sql_md5_int60("coalesce(a.clean, '')")} AS clean_digest
 FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _c4_lines_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ln, line) — the derived C4 page fixture, exploded."""
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "ws", F.split("text", " ")
+    )
+    line = _c4_line_fixture_expr("spark")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(ws) - 1) div {C4_LINE_WORDS}),"
+                f" i -> {line})"
+            )
+        ).alias("ln", "line"),
+    )
+
+
+def _sql_c4_lines() -> str:
+    """The DuckDB twin of the derived lines relation."""
+    line = _c4_line_fixture_expr("duck")
+    return f"""pages AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i AS INT) AS ln, {line} AS line
+  FROM pages,
+       LATERAL (SELECT unnest(generate_series(0, (len(ws) - 1) // {C4_LINE_WORDS})) AS i) ix
+)"""
+
+
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-line quality rules over the derived page fixture:
+    per-document violation counts + surviving-line count — see
+    :mod:`spark_ifs_spark.operators.c4` (Raffel et al. 2020 §2.2
+    rules: terminal punctuation, min words, javascript/brace/policy
+    lines)."""
+    from spark_ifs_spark.operators import c4
+
+    return c4.line_filter_stats(
+        _c4_lines_df(spark, sf_dir), min_words=C4_MIN_WORDS
+    )
+
+
+def sql_c4_line_filters() -> str:
+    from spark_ifs_spark.operators.c4 import c4_kept_expr
+
+    kept = c4_kept_expr("duck", "line", C4_MIN_WORDS)
+    return f"""
+WITH {_sql_c4_lines()}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN {kept} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN right(line, 1) <> '.' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_terminal,
+       CAST(sum(CASE WHEN len(string_split(line, ' ')) < {C4_MIN_WORDS} THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(sum(CASE WHEN contains(line, '{{') THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+       CAST(sum(CASE WHEN contains(line, 'javascript') THEN 1 ELSE 0 END) AS BIGINT) AS n_js,
+       CAST(sum(CASE WHEN contains(line, 'terms of use') THEN 1 ELSE 0 END) AS BIGINT) AS n_policy
+FROM lines GROUP BY 1
+"""
+
+
+def q_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line filtering + cross-document duplicated-line removal
+    (keep first occurrence), re-emitting the cleaned page as a digest —
+    the line-level analogue of ``dedup_substring_removal``; see
+    :func:`~spark_ifs_spark.operators.c4.line_dedup`."""
+    from spark_ifs_spark.operators import c4
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "ws", F.split("text", " ")
+    )
+    line = _c4_line_fixture_expr("spark")
+    lines_col = F.expr(
+        f"transform(sequence(0, (size(ws) - 1) div {C4_LINE_WORDS}),"
+        f" i -> {line})"
+    )
+    return c4.line_dedup(docs, "doc_id", lines_col, min_words=C4_MIN_WORDS)
+
+
+def sql_c4_line_dedup() -> str:
+    from spark_ifs_spark.operators.c4 import LN_MOD, c4_kept_expr
+
+    kept = c4_kept_expr("duck", "line", C4_MIN_WORDS)
+    return f"""
+WITH {_sql_c4_lines()},
+kept AS (SELECT doc_id, ln, line FROM lines WHERE {kept}),
+keys AS (SELECT doc_id, ln, md5(line) AS h FROM kept),
+own AS (
+  SELECT h, count(*) AS n_occ, min(doc_id * {LN_MOD} + ln) AS own
+  FROM keys GROUP BY 1
+),
+rem AS (
+  SELECT k.doc_id, k.ln
+  FROM keys k JOIN own o USING (h)
+  WHERE o.n_occ > 1 AND k.doc_id * {LN_MOD} + k.ln <> o.own
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS page
+  FROM kept k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rem r WHERE r.doc_id = k.doc_id AND r.ln = k.ln
+  )
+  GROUP BY 1
+)
+SELECT n.doc_id,
+       CAST(n.n_lines AS INT) AS n_lines,
+       CAST(coalesce(kc.n_kept, 0) AS INT) AS n_kept,
+       CAST(coalesce(rc.n_rm, 0) AS INT) AS n_dup_removed,
+       md5(coalesce(c.page, '')) AS clean_md5
+FROM (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1) n
+LEFT JOIN (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY 1) kc USING (doc_id)
+LEFT JOIN (SELECT doc_id, count(*) AS n_rm FROM rem GROUP BY 1) rc USING (doc_id)
+LEFT JOIN clean c USING (doc_id)
 """
