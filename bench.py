@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "knn_label_accuracy",
     "c4_line_filters",
     "c4_line_dedup",
+    "kmeans_train",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -768,6 +768,37 @@ def ivf_centroids_kmeans(
     return cents
 
 
+def kmeans_train_stats(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """``(cell, dim, n, mean)`` — the CONVERGED k-means clustering:
+    run ``iters`` Lloyd iterations (:func:`ivf_centroids_kmeans`, the
+    trained-centroid producer behind SemDeDup cells and trained IVF)
+    and report the final assignment's per-cell populations and centroid
+    coordinates. :func:`kmeans_step` is this with ``iters=0``.
+
+    Plan per iteration (and for the final stats pass): one corpus scan
+    with the map-side cell-assignment projection + ONE hash aggregate
+    of ``num_centroids × dims`` cells; the driver holds only the
+    ``k × d`` centroid table between iterations. Total cost is
+    ``iters + 1`` bounded scan+aggregate passes — the 100 TB contract
+    for Lloyd training. Deterministic end to end (lowest-id seeds,
+    exact means, empty cells keep their previous centroid), so with
+    quantized inputs the whole trained trajectory is engine-exact.
+    """
+    cents = ivf_centroids_kmeans(df, id_col, vec_col, num_centroids, iters)
+    assigned = tagged_cells(df, cents, id_col, vec_col).select(
+        "cell", F.posexplode("v").alias("dim", "x")
+    )
+    return assigned.groupBy("cell", "dim").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean")
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str,

@@ -1425,3 +1425,76 @@ SELECT per_doc.doc_id,
 FROM per_doc JOIN model USING (pair)
 GROUP BY per_doc.doc_id
 """
+
+
+KMEANS_ITERS = 2  # Lloyd iterations for the trained-clustering gate
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERGED k-means over quantized embeddings: KMEANS_ITERS Lloyd
+    iterations from the deterministic seeds, then the final
+    assignment's per-cell populations and centroid means —
+    ``kmeans_step`` is the ``iters=0`` special case; see
+    :func:`~spark_ifs_spark.operators.similarity.kmeans_train_stats`.
+    Inputs are 1/8-quantized (the package convention) so every
+    centroid mean is an exact-sum / single-division double and the
+    whole trajectory is engine-reproducible."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe"),
+    )
+    out = similarity.kmeans_train_stats(
+        emb, "vec_id", "qe", IVF_CENTROIDS, iters=KMEANS_ITERS
+    )
+    return out.select("cell", "dim", "n", F.round("mean", 6).alias("mean"))
+
+
+def sql_kmeans_train() -> str:
+    qe = "floor(e.embedding[t.i + 1] * 8) / 8"
+    cte = [f"""c0 AS MATERIALIZED (
+  SELECT s.vec_id AS cid, CAST(t.i AS INT) AS dim,
+         floor(s.embedding[t.i + 1] * 8) / 8 AS m
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}) s
+  CROSS JOIN range({EMB_DIMS}) t(i)
+)"""]
+    for r in range(1, KMEANS_ITERS + 2):
+        cte.append(f"""vc{r} AS MATERIALIZED (
+  SELECT e.vec_id AS id, c.cid,
+         sum(({qe}) * c.m)
+           / (sqrt(sum(({qe}) * ({qe}))) * sqrt(sum(c.m * c.m))) AS cos
+  FROM embeddings e
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  JOIN c{r - 1} c ON c.dim = t.i
+  GROUP BY 1, 2
+)""")
+        cte.append(f"""assign{r} AS MATERIALIZED (
+  SELECT id, cid AS cell FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc{r}
+  ) WHERE rn = 1
+)""")
+        if r <= KMEANS_ITERS:
+            cte.append(f"""u{r} AS MATERIALIZED (
+  SELECT a.cell AS cid, CAST(t.i AS INT) AS dim, avg({qe}) AS m
+  FROM embeddings e
+  JOIN assign{r} a ON a.id = e.vec_id
+  CROSS JOIN range({EMB_DIMS}) t(i)
+  GROUP BY 1, 2
+)""")
+            cte.append(f"""c{r} AS MATERIALIZED (
+  SELECT c.cid, c.dim, coalesce(u.m, c.m) AS m
+  FROM c{r - 1} c LEFT JOIN u{r} u ON u.cid = c.cid AND u.dim = c.dim
+)""")
+    body = ",\n".join(cte)
+    fin = KMEANS_ITERS + 1
+    return f"""
+WITH {body}
+SELECT a.cell,
+       CAST(t.i AS INT) AS dim,
+       count(*) AS n,
+       round(avg(floor(e.embedding[t.i + 1] * 8) / 8), 6) AS mean
+FROM embeddings e
+JOIN assign{fin} a ON a.id = e.vec_id
+CROSS JOIN range({EMB_DIMS}) t(i)
+GROUP BY 1, 2
+"""

@@ -550,3 +550,62 @@ def test_knn_label_accuracy_separable_and_mixed(spark):
             similarity.knn_label_accuracy(df2, "vec_id", "embedding", "label", k=3).collect()}
     assert out2[0]["acc_ppm"] == 1000000
     assert out2[1]["n_correct"] == 4 and out2[1]["n_vecs"] == 5
+
+
+def test_kmeans_train_stats_parity_with_trained_centroids(spark, sf_dir):
+    """The gated kmeans_train relation must report exactly the
+    centroids ivf_centroids_kmeans trains at the same config — the
+    trained-clustering consumers (SemDeDup cells, trained IVF) and the
+    gate see one clustering, not two."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_centroids_kmeans,
+        kmeans_train_stats,
+        as_double_array,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    iters, k = 2, 8
+    cents = ivf_centroids_kmeans(emb, "vec_id", "qe", k, iters=iters)
+    stats = kmeans_train_stats(emb, "vec_id", "qe", k, iters=iters).collect()
+    # the reported means ARE the next Lloyd update of the trained
+    # centroids; non-empty cells of one more explicit assignment pass
+    # must agree exactly
+    tagged = emb.select(
+        ivf_cell_expr(cents, "qe").alias("cell"), as_double_array("qe").alias("v")
+    )
+    want = {
+        (r["cell"], r["dim"]): (r["n"], r["mean"])
+        for r in tagged.select("cell", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("x").alias("mean"))
+        .collect()
+    }
+    got = {(r["cell"], r["dim"]): (r["n"], r["mean"]) for r in stats}
+    assert got == want
+    # population sanity: every vector lands in exactly one cell
+    n_vec = emb.count()
+    dims = {d for _, d in got}
+    assert sum(n for (c, d), (n, _) in got.items() if d == 0) == n_vec
+    assert len(dims) == 64
+
+
+def test_kmeans_train_iter0_equals_kmeans_step(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.similarity import kmeans_step, kmeans_train_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {
+        (r["cell"], r["dim"]): (r["n"], r["mean"])
+        for r in kmeans_train_stats(emb, "vec_id", "embedding", 8, iters=0).collect()
+    }
+    b = {
+        (r["cell"], r["dim"]): (r["n"], r["mean"])
+        for r in kmeans_step(emb, "vec_id", "embedding", 8).collect()
+    }
+    assert a == b
