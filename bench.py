@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "c4_line_filters",
     "c4_line_dedup",
     "kmeans_train",
+    "tokenizer_compare",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -575,3 +575,99 @@ def unigram_doc_fingerprints(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(contrib).alias("fp"),
     )
+
+
+def tokenizer_compare(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    n_merges: int = 5,
+    max_piece: int = 4,
+    min_count: int = 5,
+    em_rounds: int = 2,
+    prune_top: int = 64,
+    incore_vocab_budget: int = 1_000_000,
+) -> DataFrame:
+    """``(source, n_words, uni_tokens, bpe_tokens,
+    uni_tokens_per_word_ppm, bpe_tokens_per_word_ppm)`` — fertility of
+    the trained UNIGRAM vocabulary vs the trained BPE merge list on the
+    same corpus, per domain: the comparison tokenizer teams actually
+    run when choosing between the two algorithms (Bostrom & Durrett
+    2020). A domain where BPE fertility beats unigram (or vice versa)
+    is under-served by the other vocabulary.
+
+    Both tokenizers train on the SAME filtered word-frequency relation
+    (words over ``MAX_WORD_LEN`` excluded — the unigram training
+    convention, applied uniformly so both vocabularies see the same
+    word population; note ``bpe_train`` alone trains unfiltered).
+
+    Plan: ONE corpus scan builds the (source, word) counts; the word-
+    frequency relation derives from it (no second pass); both
+    trainings and the per-word token counts run on the vocabulary-
+    bounded relation (driver in-core under ``incore_vocab_budget``,
+    distributed EM / distributed merge loop beyond it); the two
+    pieces-per-word maps join back broadcast. Ratios are integer ppm
+    (floor) — engine-exact.
+    """
+    from spark_ifs_spark.operators.bpe import (
+        _bpe_distributed,
+        _bpe_incore,
+        _merge_incore,
+        apply_merges_expr,
+    )
+
+    spark = df.sparkSession
+    wsrc = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("w"),
+        )
+        .where((F.col("w") != "") & (F.length("w") <= MAX_WORD_LEN))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wf = wsrc.groupBy("w").agg(F.sum("c").alias("c"))
+    head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
+    if incore_vocab_budget and len(head) <= incore_vocab_budget:
+        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+        vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+        total = sum(vocab.values())
+        scores = {p: _score_micro(n, total) for p, n in vocab.items()}
+        merges = [(x, y) for _, x, y, _ in _bpe_incore(words, n_merges)]
+        rows = []
+        for w, _ in words:
+            syms = list(w)
+            for x, y in merges:
+                syms = _merge_incore(syms, x, y)
+            rows.append((w, len(_viterbi(w, scores, max_piece)), len(syms)))
+        k_df = spark.createDataFrame(rows, "w string, uk long, bk long")
+    else:
+        uni = _unigram_distributed(
+            wf, max_piece, min_count, em_rounds, prune_top,
+            vocab_keep=0, fertility=True,
+        ).withColumnRenamed("k", "uk")
+        merges = [(x, y) for _, x, y, _ in _bpe_distributed(wf, n_merges)]
+        bpe_k = wf.select(
+            "w",
+            F.size(apply_merges_expr(F.split("w", ""), merges))
+            .cast("long")
+            .alias("bk"),
+        )
+        k_df = uni.join(bpe_k, "w")
+    per = wsrc.join(F.broadcast(k_df), "w").groupBy("source").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * F.col("uk")).alias("uni_tokens"),
+        F.sum(F.col("c") * F.col("bk")).alias("bpe_tokens"),
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "uni_tokens",
+        "bpe_tokens",
+        F.floor(F.col("uni_tokens") * 1_000_000 / F.col("n_words"))
+        .cast("long")
+        .alias("uni_tokens_per_word_ppm"),
+        F.floor(F.col("bpe_tokens") * 1_000_000 / F.col("n_words"))
+        .cast("long")
+        .alias("bpe_tokens_per_word_ppm"),
+    )

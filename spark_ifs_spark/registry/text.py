@@ -2416,22 +2416,18 @@ def sql_unigram_doc_tokens() -> str:
     return _sql_unigram("doc_tokens")
 
 
-def _sql_unigram(mode: str) -> str:
-    """Fully unrolled EM: per round, MAX_WORD_LEN Viterbi-DP CTEs (one
-    per end position, argbest via QUALIFY) + MAX_WORD_LEN backtrace
-    CTEs, then usage/prune/rescore — the ``bpe_train_merges`` unrolling
+def _sql_unigram_ctes(R: int) -> list[str]:
+    """The unrolled-EM CTE list shared by every unigram oracle (and by
+    ``sql_tokenizer_compare``, which appends BPE rounds over the same
+    filtered ``wf``): per round, MAX_WORD_LEN Viterbi-DP CTEs (one per
+    end position, argbest via QUALIFY) + MAX_WORD_LEN backtrace CTEs,
+    then usage/prune/rescore — the ``bpe_train_merges`` unrolling
     pattern. All CTEs MATERIALIZED (they are referenced by later
-    rounds; inlining would recompute exponentially). ``encode=True``
-    appends one extra E-step round under the FINAL scores and returns
-    its ranked usage (``encode`` — unigram_token_counts) or its
-    per-word piece counts joined to per-source word counts
-    (``fertility`` — tokenizer_fertility)."""
+    rounds; inlining would recompute exponentially)."""
     from spark_ifs_spark.operators.unigram import MAX_WORD_LEN
 
-    P, MINC, R = UNI_MAX_PIECE, UNI_MIN_COUNT, UNI_EM_ROUNDS
-    if mode != "vocab":
-        R = R + 1  # round R+1 is the encode pass; it prunes nothing
-    PRUNE, KEEP, MAXW = UNI_PRUNE_TOP, UNI_VOCAB_KEEP, MAX_WORD_LEN
+    P, MINC = UNI_MAX_PIECE, UNI_MIN_COUNT
+    PRUNE, MAXW = UNI_PRUNE_TOP, MAX_WORD_LEN
     cte = [f"""wf AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -2505,7 +2501,24 @@ def _sql_unigram(mode: str) -> str:
   SELECT piece, CAST(floor(ln(cnt * 1.0 / tot) * 1e6) AS BIGINT) AS s
   FROM vocab{r}, t{r}
 )""")
-    body = ",\n".join(cte)
+    return cte
+
+
+def _sql_unigram(mode: str) -> str:
+    """Mode-specific tail over :func:`_sql_unigram_ctes`: ``vocab``
+    (unigram_lm_vocab) reads the final pruned vocabulary; the others
+    run round R+1 as an encode pass under the FINAL scores and return
+    its ranked usage (``encode`` — unigram_token_counts), its per-word
+    piece counts joined to per-source word counts (``fertility`` —
+    tokenizer_fertility), or per-document token streams
+    (``doc_tokens`` — unigram_doc_tokens)."""
+    from spark_ifs_spark.operators.unigram import MAX_WORD_LEN
+
+    R = UNI_EM_ROUNDS
+    if mode != "vocab":
+        R = R + 1  # round R+1 is the encode pass; it prunes nothing
+    KEEP, MAXW = UNI_VOCAB_KEEP, MAX_WORD_LEN
+    body = ",\n".join(_sql_unigram_ctes(R))
     if mode == "doc_tokens":
         from spark_ifs_spark.operators.unigram import FP_MOD
 
@@ -2781,4 +2794,58 @@ SELECT CAST(count(*) AS BIGINT) AS n_replicas, pt.point_mean,
        round(quantile_cont(mean, {0.05!r}), 6) AS ci_lo,
        round(quantile_cont(mean, {0.95!r}), 6) AS ci_hi
 FROM rep, pt GROUP BY pt.point_mean
+"""
+
+
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-vs-unigram fertility per source under vocabularies trained
+    on the same filtered word relation — the algorithm-choice
+    comparison; see :func:`~spark_ifs_spark.operators.unigram.
+    tokenizer_compare`."""
+    from spark_ifs_spark.operators.unigram import tokenizer_compare
+
+    docs = _read(spark, sf_dir, "documents")
+    return tokenizer_compare(
+        docs, "source", "text",
+        n_merges=BPE_MERGES,
+        max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
+        em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+    )
+
+
+def sql_tokenizer_compare() -> str:
+    from spark_ifs_spark.operators.unigram import MAX_WORD_LEN
+
+    R = UNI_EM_ROUNDS + 1  # round R+1 is the unigram encode pass
+    cte = _sql_unigram_ctes(R)
+    # BPE merge rounds over the SAME filtered word relation (the
+    # uniform-population convention of tokenizer_compare; bpe_train's
+    # own gate stays unfiltered)
+    cte.append("syms0 AS (SELECT w, c, string_split(w, '') AS s FROM wf)")
+    for r in range(BPE_MERGES):
+        cte.append(_sql_bpe_round(r).strip().lstrip("\n"))
+    allbt = " UNION ALL ".join(
+        f"SELECT w FROM bt{R}_{k}" for k in range(1, MAX_WORD_LEN + 1)
+    )
+    body = ",\n".join(cte)
+    return f"""
+WITH {body},
+np AS (SELECT w, CAST(count(*) AS BIGINT) AS uk FROM ({allbt}) GROUP BY 1),
+bp AS (SELECT w, CAST(len(s) AS BIGINT) AS bk FROM syms{BPE_MERGES}),
+wsrc AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' AND len(w) <= {MAX_WORD_LEN}
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * uk) AS BIGINT) AS uni_tokens,
+         CAST(sum(c * bk) AS BIGINT) AS bpe_tokens
+  FROM wsrc JOIN np USING (w) JOIN bp USING (w) GROUP BY 1
+)
+SELECT source, n_words, uni_tokens, bpe_tokens,
+       CAST(floor(uni_tokens * 1000000.0 / n_words) AS BIGINT) AS uni_tokens_per_word_ppm,
+       CAST(floor(bpe_tokens * 1000000.0 / n_words) AS BIGINT) AS bpe_tokens_per_word_ppm
+FROM agg
 """

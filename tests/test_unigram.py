@@ -182,3 +182,41 @@ def test_viterbi_optimal_vs_bruteforce_property():
         assert sum(scores[p] for p in got) == best
 
     check()
+
+
+def test_tokenizer_compare_distributed_matches_incore(spark, sf_dir):
+    from spark_ifs_spark.operators.unigram import tokenizer_compare
+    from spark_ifs_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = sorted(tuple(r) for r in tokenizer_compare(docs, "source", "text").collect())
+    b = sorted(
+        tuple(r)
+        for r in tokenizer_compare(
+            docs, "source", "text", incore_vocab_budget=0
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_tokenizer_compare_semantics(spark):
+    """A corpus whose words BPE merges fully (few distinct, frequent
+    pairs) must show BPE fertility <= character count and >= 1 token
+    per word; both tokenizers agree on single-char words."""
+    from spark_ifs_spark.operators.unigram import tokenizer_compare
+
+    rows = [(i, "s" + str(i % 2), "abab abab cdcd x y") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in tokenizer_compare(docs, "source", "text").collect()}
+    for r in out.values():
+        assert r["n_words"] > 0
+        # every word yields at least one token under either vocabulary
+        assert r["uni_tokens"] >= r["n_words"]
+        assert r["bpe_tokens"] >= r["n_words"]
+        # fertility never exceeds characters-per-word (pieces are >= 1 char)
+        assert r["uni_tokens_per_word_ppm"] <= 4_000_000
+        assert r["bpe_tokens_per_word_ppm"] <= 4_000_000
+    # identical text in both sources -> identical fertility
+    a, b = out["s0"], out["s1"]
+    assert a["uni_tokens_per_word_ppm"] == b["uni_tokens_per_word_ppm"]
+    assert a["bpe_tokens_per_word_ppm"] == b["bpe_tokens_per_word_ppm"]
