@@ -35,3 +35,17 @@ def test_bench_covers_registry():
 
     missing = sorted(set(ORDER) - set(bench.BENCH_QUERIES))
     assert not missing, f"queries not benchmarked: {missing}"
+
+
+def test_scale_md_current_count_matches_registry():
+    """SCALE.md's 'Current registry' line cannot drift (round-7 verdict
+    found the sweep note one query stale)."""
+    from spark_ifs_spark.registry._order import ORDER
+
+    txt = open(os.path.join(REPO, "SCALE.md")).read()
+    m = re.search(r"Current registry: (\d+) registered queries", txt)
+    assert m, "SCALE.md must state the current registered-query count"
+    assert int(m.group(1)) == len(ORDER), (
+        f"SCALE.md says {m.group(1)} registered queries, registry has "
+        f"{len(ORDER)} — update the 'Current registry' line"
+    )

@@ -170,3 +170,64 @@ def test_refresh_is_idempotent_and_commits_atomically(spark, tmp_path):
     # exactly one version directory remains
     dirs = [d for d in os.listdir(store) if d.startswith("corpus-v")]
     assert dirs == ["corpus-v2"]
+
+
+def test_hot_cell_append_still_prunes_and_refresh_redistributes(spark, tmp_path):
+    """Skew stress: a micro-batch whose vectors ALL land in one cell.
+    The append must stay per-partition (one hot directory, others
+    untouched), probes must still partition-prune — both away from and
+    into the hot cell — and a refresh must rewrite the full corpus into
+    the canonical one-shot layout (same rows/cells as a batch build of
+    the same vectors)."""
+    from spark_ifs_spark.sources.sinks import write_ivf_corpus
+
+    src, store = tmp_path / "feed", tmp_path / "idx"
+    b1 = _mk_batch(spark, range(0, 40))
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+    # hot batch: 30 near-identical vectors (one genuine cluster)
+    hot = spark.createDataFrame(
+        [(1000 + i, [1.0 + 0.001 * i] + [0.001 * i] * 7) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    hot.write.parquet(str(src / "f2.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema, refresh_every=0)
+
+    rows = {
+        r["id"]: r["cell"]
+        for r in spark.read.parquet(corpus_dir(str(store))).collect()
+    }
+    hot_cells = {c for i, c in rows.items() if i >= 1000}
+    assert len(hot_cells) == 1  # the skew is real
+    hot_cell = hot_cells.pop()
+    # probe INTO the hot cell: top-k comes back from the hot cluster
+    got = probe_ivf_index(spark, str(store), [1.0] + [0.0] * 7, k=5, probe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 5 and all(i >= 1000 for i in ids)
+    # probe AWAY from the hot direction with probe=1: scan stays pruned
+    # and never touches the hot cell when it isn't the nearest
+    away = probe_ivf_index(spark, str(store), _vec(3), k=3, probe=1)
+    cents = dict(read_centroids(str(store)))
+    import math
+
+    def cos(q, v):
+        nq = math.sqrt(sum(x * x for x in q)) or 1.0
+        nv = math.sqrt(sum(x * x for x in v)) or 1.0
+        return sum(a * b / (nq * nv) for a, b in zip(q, v))
+
+    nearest = max(cents, key=lambda c: (cos(_vec(3), cents[c]), -c))
+    if nearest != hot_cell:
+        assert all(rows[r["id"]] != hot_cell for r in away.collect())
+    # refresh redistributes into the canonical one-shot layout
+    refresh_ivf_index(spark, str(store), num_centroids=4)
+    batch_path = tmp_path / "batch_idx"
+    write_ivf_corpus(
+        b1.unionByName(hot), "vec_id", "embedding", str(batch_path), num_centroids=4
+    )
+    oneshot = {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(str(batch_path)).collect()
+    }
+    assert _index_rows(spark, store) == oneshot and len(oneshot) == 70
