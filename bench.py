@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "c4_line_dedup",
     "kmeans_train",
     "tokenizer_compare",
+    "dedup_source_matrix",
+    "pref_pl_ratings",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

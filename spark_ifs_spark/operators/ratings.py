@@ -122,3 +122,148 @@ def source_bt_ratings(
     return df.sparkSession.createDataFrame(
         out, "key string, n_wins long, n_matches long, rating_ppm long"
     )
+
+
+#: MM iterations for the Plackett-Luce fit — same budget as BT_ITERS
+PL_ITERS = 8
+
+
+def pl_ratings_from_rankings(
+    rankings: list[tuple[tuple[str, ...], int]], iters: int = PL_ITERS
+) -> dict[str, float]:
+    """Plackett-Luce MM fit (Hunter 2004 §5 — the k-way generalization
+    of Bradley-Terry) on a list of ``(ordered_items, n)`` rankings,
+    best first:
+
+        w_i  <-  W_i / D_i
+        W_i  =  #(non-last appearances of i)
+        D_i  =  sum over (ranking, position p) with i in the suffix
+                from p of  n / (sum of w over that suffix)
+
+    renormalized each round. Deterministic bit-exact cross-engine:
+    rankings iterate in sorted order, suffix sums are ascending-
+    position left folds, every accumulation is a left fold in
+    (ranking, position) order — the identical IEEE sequence DuckDB's
+    ``list_sum(list(x ORDER BY ...))`` executes (the BT convention).
+    """
+    items = sorted({k for r, _ in rankings for k in r})
+    wins = {i: 0 for i in items}
+    for r, n in rankings:
+        for k in r[:-1]:
+            wins[k] += n
+    p = {i: 1.0 for i in items}
+    for _ in range(iters):
+        terms: dict[str, list[float]] = {i: [] for i in items}
+        for r, n in sorted(rankings):
+            for pos in range(len(r) - 1):
+                suf = r[pos:]
+                s = 0.0
+                for k in suf:
+                    s = s + p[k]
+                t = n / s
+                for k in suf:
+                    terms[k].append(t)
+        new = {}
+        for i in items:
+            d = 0.0
+            for t in terms[i]:
+                d = d + t
+            new[i] = (wins[i] / d) if d > 0.0 else 0.0
+        z = 0.0
+        for i in items:
+            z = z + new[i]
+        p = {i: (new[i] / z if z > 0.0 else 0.0) for i in items}
+    return p
+
+
+def source_pl_ratings(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    size_col: str,
+    stride1: int = 7919,
+    stride2: int = 104729,
+    iters: int = PL_ITERS,
+) -> DataFrame:
+    """``(key, n_first, n_matches, rating_ppm)`` — Plackett-Luce
+    ratings of ``key_col`` groups from deterministic THREE-WAY
+    document matches: doc ``i`` plays docs ``(i + e1) mod N`` and
+    ``(i + e2) mod N``, ranked by ``size_col`` DESC (ties: lower id
+    ranks higher); matches whose three keys are not pairwise distinct
+    are discarded. Effective strides ``e1 = 1 + (stride1 % (N-1))``
+    and ``e2`` (bumped once on collision) are always in ``[1, N-1]``,
+    so no participant repeats within a match; requires contiguous
+    0-based ids and ``N >= 3`` (the synthetic-fixture contract — with
+    real ranked preference data feed
+    :func:`pl_ratings_from_rankings` directly).
+
+    Scale shape: the corpus pass is two stride equi-joins + ONE
+    keys³-bounded aggregate of ranking-type counts; the MM solve runs
+    on that bounded relation driver-side, bit-exact (sorted folds),
+    published as integer ppm.
+    """
+    import math
+
+    n_total = df.count()
+    spark = df.sparkSession
+    schema = "key string, n_first long, n_matches long, rating_ppm long"
+    if n_total < 3:
+        return spark.createDataFrame([], schema)
+    e1 = 1 + (stride1 % (n_total - 1))
+    e2 = 1 + ((stride2 + e1) % (n_total - 1))
+    if e2 == e1:
+        e2 = 1 + (e2 % (n_total - 1))
+    a = df.select(
+        F.col(id_col).alias("ia"),
+        F.col(key_col).alias("ka"),
+        F.col(size_col).alias("za"),
+    )
+    b = df.select(
+        F.col(id_col).alias("ib"),
+        F.col(key_col).alias("kb"),
+        F.col(size_col).alias("zb"),
+    )
+    c = df.select(
+        F.col(id_col).alias("ic"),
+        F.col(key_col).alias("kc"),
+        F.col(size_col).alias("zc"),
+    )
+    tri = (
+        a.join(b, (F.col("ia") + e1) % n_total == F.col("ib"))
+        .join(c, (F.col("ia") + e2) % n_total == F.col("ic"))
+        .where(
+            (F.col("ka") != F.col("kb"))
+            & (F.col("ka") != F.col("kc"))
+            & (F.col("kb") != F.col("kc"))
+        )
+    )
+    ranked = F.sort_array(
+        F.array(
+            F.struct((-F.col("za")).alias("ns"), F.col("ia").alias("id"), F.col("ka").alias("k")),
+            F.struct((-F.col("zb")).alias("ns"), F.col("ib").alias("id"), F.col("kb").alias("k")),
+            F.struct((-F.col("zc")).alias("ns"), F.col("ic").alias("id"), F.col("kc").alias("k")),
+        )
+    )
+    counts = (
+        tri.select(ranked.alias("r"))
+        .select(
+            F.col("r")[0]["k"].alias("a"),
+            F.col("r")[1]["k"].alias("b"),
+            F.col("r")[2]["k"].alias("c"),
+        )
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = [((r["a"], r["b"], r["c"]), int(r["n"])) for r in counts.collect()]
+    p = pl_ratings_from_rankings(rows, iters)
+    first = {k: 0 for k in p}
+    total = {k: 0 for k in p}
+    for (x, y, z), n in rows:
+        first[x] += n
+        for k in (x, y, z):
+            total[k] += n
+    out = [
+        (k, first[k], total[k], math.floor(round(p[k], 9) * 1e6))
+        for k in sorted(p)
+    ]
+    return spark.createDataFrame(out, schema)

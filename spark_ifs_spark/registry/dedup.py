@@ -1165,3 +1165,54 @@ LEFT JOIN (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY 1) kc USING (doc
 LEFT JOIN (SELECT doc_id, count(*) AS n_rm FROM rem GROUP BY 1) rc USING (doc_id)
 LEFT JOIN clean c USING (doc_id)
 """
+
+
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: MinHash-LSH verified pairs
+    aggregated by unordered source pair — the "which domains copy
+    which" audit run before choosing dedup scopes (FineWeb keeps
+    per-dump dedup partly because of exactly this structure). Pure
+    composition: the ``dedup_minhash`` pair plan + two id→source joins
+    (broadcast at dim size) + one bounded (source × source) aggregate;
+    the pair jaccards fold as exact integer ppm (round-9-before-floor
+    guard), so the relation is engine-exact."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    ppm = F.floor(F.round(F.col("jaccard"), 9) * 1e6).cast("long")
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            ppm.alias("jppm"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("jppm").alias("sum_jaccard_ppm"),
+        )
+    )
+
+
+def sql_dedup_source_matrix() -> str:
+    inner = sql_dedup_minhash().replace(
+        "round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard",
+        "i * 1.0 / (sa.n_sh + sb.n_sh - i) AS jaccard",
+    )
+    return f"""
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(floor(round(p.jaccard, 9) * 1e6) AS BIGINT)) AS BIGINT) AS sum_jaccard_ppm
+FROM ({inner}) p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+GROUP BY 1, 2
+"""

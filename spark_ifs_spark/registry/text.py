@@ -2849,3 +2849,110 @@ SELECT source, n_words, uni_tokens, bpe_tokens,
        CAST(floor(bpe_tokens * 1000000.0 / n_words) AS BIGINT) AS bpe_tokens_per_word_ppm
 FROM agg
 """
+
+
+PL_STRIDE1 = 7919    # three-way match fixture strides; effective
+PL_STRIDE2 = 104731  # strides derive mod (N-1) (see operator). Chosen
+#                      so the effective strides stay NONZERO and
+#                      DISTINCT mod 20 (the fixture's source
+#                      cardinality, which divides the doc counts at the
+#                      gate SFs) — otherwise every match carries a
+#                      duplicate source key and is discarded (the
+#                      104729 lesson: e1 ≡ e2 ≡ 15 mod 20 at N=500
+#                      left an empty, vacuously-matching relation).
+
+
+def q_pref_pl_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plackett-Luce source ratings from deterministic three-way
+    document matches — the k-way ranked-preference aggregation
+    (listwise RLHF data); see
+    :func:`~spark_ifs_spark.operators.ratings.source_pl_ratings`."""
+    from spark_ifs_spark.operators.ratings import source_pl_ratings
+
+    docs = _read(spark, sf_dir, "documents")
+    return source_pl_ratings(
+        docs, "doc_id", "source", "n_chars",
+        stride1=PL_STRIDE1, stride2=PL_STRIDE2,
+    )
+
+
+def sql_pref_pl_ratings() -> str:
+    from spark_ifs_spark.operators.ratings import PL_ITERS
+
+    s1, s2 = PL_STRIDE1, PL_STRIDE2
+    cte = [
+        "nt AS (SELECT count(*) AS n FROM documents)",
+        f"""st0 AS (SELECT n, 1 + ({s1} % (n - 1)) AS e1,
+       1 + (({s2} + 1 + ({s1} % (n - 1))) % (n - 1)) AS e2p FROM nt)""",
+        """st AS (SELECT n, e1,
+       CASE WHEN e2p = e1 THEN 1 + (e2p % (n - 1)) ELSE e2p END AS e2 FROM st0)""",
+        """tri0 AS MATERIALIZED (
+  SELECT a.doc_id AS t,
+         a.source AS ka, a.n_chars AS za, a.doc_id AS ia,
+         b.source AS kb, b.n_chars AS zb, b.doc_id AS ib,
+         c.source AS kc, c.n_chars AS zc, c.doc_id AS ic
+  FROM documents a
+  JOIN st ON true
+  JOIN documents b ON (a.doc_id + st.e1) % st.n = b.doc_id
+  JOIN documents c ON (a.doc_id + st.e2) % st.n = c.doc_id
+  WHERE a.source <> b.source AND a.source <> c.source AND b.source <> c.source
+)""",
+        """longf AS MATERIALIZED (
+  SELECT t, k, row_number() OVER (PARTITION BY t ORDER BY z DESC, id ASC) AS rn
+  FROM (SELECT t, ka AS k, za AS z, ia AS id FROM tri0
+        UNION ALL SELECT t, kb, zb, ib FROM tri0
+        UNION ALL SELECT t, kc, zc, ic FROM tri0)
+)""",
+        """tri AS MATERIALIZED (
+  SELECT f.k AS a, s.k AS b, th.k AS c, CAST(count(*) AS BIGINT) AS n
+  FROM longf f
+  JOIN longf s ON s.t = f.t AND s.rn = 2
+  JOIN longf th ON th.t = f.t AND th.rn = 3
+  WHERE f.rn = 1
+  GROUP BY 1, 2, 3
+)""",
+        """pos3 AS MATERIALIZED (
+  SELECT a AS k, n FROM tri UNION ALL SELECT b, n FROM tri UNION ALL SELECT c, n FROM tri
+)""",
+        """items AS MATERIALIZED (SELECT DISTINCT k FROM pos3)""",
+        """wins AS MATERIALIZED (
+  SELECT i.k, CAST(coalesce(sum(w.n), 0) AS BIGINT) AS wns
+  FROM items i LEFT JOIN (SELECT a AS k, n FROM tri UNION ALL SELECT b, n FROM tri) w
+    ON w.k = i.k
+  GROUP BY 1
+)""",
+        """pp0 AS MATERIALIZED (SELECT k, 1.0 AS p FROM items)""",
+    ]
+    for r in range(1, PL_ITERS + 1):
+        cte.append(f"""t{r} AS MATERIALIZED (
+  SELECT tri.a, tri.b, tri.c, u.p,
+         CASE u.pos WHEN 'a' THEN tri.a WHEN 'b' THEN tri.b ELSE tri.c END AS k,
+         CASE WHEN u.p = 1 THEN tri.n / ((pa.p + pb.p) + pc.p)
+              ELSE tri.n / (pb.p + pc.p) END AS term
+  FROM tri
+  JOIN pp{r - 1} pa ON pa.k = tri.a
+  JOIN pp{r - 1} pb ON pb.k = tri.b
+  JOIN pp{r - 1} pc ON pc.k = tri.c
+  CROSS JOIN (VALUES (1, 'a'), (1, 'b'), (1, 'c'), (2, 'b'), (2, 'c')) u(p, pos)
+)""")
+        cte.append(f"""d{r} AS MATERIALIZED (
+  SELECT k, list_sum(list(term ORDER BY a, b, c, p)) AS d
+  FROM t{r} GROUP BY 1
+)""")
+        cte.append(f"""new{r} AS MATERIALIZED (
+  SELECT w.k, CASE WHEN d.d > 0 THEN w.wns / d.d ELSE 0.0 END AS p
+  FROM wins w LEFT JOIN d{r} d ON d.k = w.k
+)""")
+        cte.append(f"s{r} AS MATERIALIZED (SELECT list_sum(list(p ORDER BY k)) AS s FROM new{r})")
+        cte.append(f"pp{r} AS MATERIALIZED (SELECT k, CASE WHEN s > 0 THEN p / s ELSE 0.0 END AS p FROM new{r}, s{r})")
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+SELECT p.k AS key,
+       CAST(coalesce(fw.n, 0) AS BIGINT) AS n_first,
+       CAST(tot.n AS BIGINT) AS n_matches,
+       CAST(floor(round(p.p, 9) * 1e6) AS BIGINT) AS rating_ppm
+FROM pp{PL_ITERS} p
+LEFT JOIN (SELECT a AS k, sum(n) AS n FROM tri GROUP BY 1) fw ON fw.k = p.k
+JOIN (SELECT k, sum(n) AS n FROM pos3 GROUP BY 1) tot ON tot.k = p.k
+"""

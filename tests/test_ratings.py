@@ -58,3 +58,56 @@ def test_source_bt_stride_multiple_of_count_self_pair_guard(spark):
         ).collect()
         assert len(out) == 3
         assert sum(r["n_matches"] for r in out) > 0
+
+
+def test_pl_reduces_to_bt_on_pairwise_rankings():
+    """Plackett-Luce on 2-way rankings IS Bradley-Terry (Hunter 2004):
+    the MM updates coincide, so ratings agree to float-fold noise."""
+    from spark_ifs_spark.operators.ratings import (
+        bt_ratings_from_matches,
+        pl_ratings_from_rankings,
+    )
+
+    matches = [("x", "y", 7), ("y", "x", 3), ("x", "z", 5), ("z", "y", 2)]
+    bt = bt_ratings_from_matches(matches)
+    pl = pl_ratings_from_rankings([((w, l), n) for w, l, n in matches])
+    assert set(bt) == set(pl)
+    for k in bt:
+        assert abs(bt[k] - pl[k]) < 1e-9
+
+
+def test_pl_first_ranked_dominates():
+    from spark_ifs_spark.operators.ratings import pl_ratings_from_rankings
+
+    p = pl_ratings_from_rankings(
+        [(("a", "b", "c"), 6), (("a", "c", "b"), 4), (("b", "a", "c"), 1)]
+    )
+    assert p["a"] > p["b"] > p["c"]
+    assert abs(sum(p.values()) - 1.0) < 1e-12
+
+
+def test_source_pl_ratings_fixture(spark):
+    from spark_ifs_spark.operators.ratings import source_pl_ratings
+
+    rows = [(i, "s" + str(i % 3), 10 + (i * 7) % 50) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # strides chosen so the effective strides are distinct and nonzero
+    # mod 3 (the key cardinality) — see the PL_STRIDE2 fixture note
+    out = source_pl_ratings(
+        df, "doc_id", "source", "n_chars", stride1=3, stride2=6
+    ).collect()
+    assert len(out) == 3
+    assert all(r["n_first"] <= r["n_matches"] for r in out)
+    assert sum(r["n_first"] for r in out) > 0
+    # ratings normalize to ~1e6 ppm
+    assert abs(sum(r["rating_ppm"] for r in out) - 1_000_000) < 10
+
+
+def test_source_pl_ratings_degenerate_sizes(spark):
+    from spark_ifs_spark.operators.ratings import source_pl_ratings
+
+    # n < 3 -> empty relation, no crash
+    df = spark.createDataFrame(
+        [(0, "a", 1), (1, "b", 2)], "doc_id long, source string, n_chars long"
+    )
+    assert source_pl_ratings(df, "doc_id", "source", "n_chars").count() == 0
