@@ -107,34 +107,36 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 7 rotated the window to: the 13 round-7 additions, the 24
-    r3-era keys round-6 insertions pushed past position 50, then 13
-    r4-era keys. Any accidental reorder (new entries must APPEND once
-    the window is final) fails here before it silently changes what
-    the driver verifies."""
+    Round 8 rotated the window to: the six round-8 additions, the 43
+    r4-era keys whose newest driver rows dated round 4, then
+    pmi_top_pairs (head of the r5-era backfill queue). Any accidental
+    reorder (new entries must APPEND once the window is final) fails
+    here before it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
     from spark_ifs_spark.registry._order import ORDER
 
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
-        "unigram_lm_vocab", "doremi_weights", "url_dedup",
-        "mrmr_k10_synthetic", "unigram_token_counts", "doremi_mix",
-        "tokenizer_fertility", "unigram_doc_tokens", "pref_bt_ratings",
-        "split_psi", "bootstrap_doclen_ci", "lm_kn_logprob",
-        "dedup_substring_removal",
-        # r3-era backfill (least-recently gated)
-        "events_user_stats", "pipeline_end_to_end", "dup_clusters",
-        "kmeans_step", "embedding_top_pairs", "text_token_counts",
-        "text_quality", "text_repetition", "corpus_clean", "vocab_top50",
-        "lang_id", "doc_fingerprint", "multimodal_features",
-        "lineitem_pricing", "nation_revenue", "priority_orders",
-        "events_topk_per_type", "events_asof_signup", "events_attribution",
-        "events_rolling_7d", "supplier_diversity", "split_counts",
-        "docs_cap_per_source", "scrub_pii",
-        # r4-era
-        "doc_chunks", "packed_bins", "decontam_ids", "tfidf_top3",
-        "doc_length_quantiles", "mix_by_source", "textrank_keywords",
-        "event_transitions", "docs_weighted_sample", "events_funnel",
-        "events_cohorts", "events_scd2", "cms_term_counts",
+        # round-8 additions
+        "c4_line_filters", "c4_line_dedup", "kmeans_train",
+        "tokenizer_compare", "dedup_source_matrix", "pref_pl_ratings",
+        # r4-era backfill (least-recently gated)
+        "ann_topk_sq8", "dedup_exact_normalized", "pipeline_audit",
+        "dedup_fuzzy_edit", "ann_topk_ivf_trained", "nation_trade_volume",
+        "bracket_revenue", "top_supplier", "bpe_pairs_top50",
+        "bpe_train_merges", "bpe_token_counts", "embedding_gram",
+        "pca_power_step", "pca_power_iter2", "shipping_priority",
+        "returned_revenue", "order_priority_mix", "promo_revenue",
+        "small_order_revenue", "idle_customers", "lm_bigram_logprob",
+        "embedding_project", "source_overlap", "events_latest_state",
+        "docs_sample_n", "events_winsorized", "docs_profile",
+        "events_rollup", "docs_length_deciles", "events_type_pivot",
+        "corpus_diff", "events_props_json", "unconverted_views",
+        "events_cube", "session_journeys", "supplier_zscore",
+        "monthly_growth", "events_daily_anomaly", "customer_rfm",
+        "forecast_revenue", "late_suppliers", "part_pair_counts",
+        "decontam_bloom",
+        # r5-era backfill head
+        "pmi_top_pairs",
     ]
