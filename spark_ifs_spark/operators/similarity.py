@@ -799,6 +799,115 @@ def kmeans_train_stats(
     )
 
 
+def kmeans_train_stats_q8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """``(cell, dim, n, mean)`` — ENGINE-EXACT converged k-means over
+    1/8-quantized vectors, the gated variant of
+    :func:`kmeans_train_stats`.
+
+    Why a separate arithmetic: the float path scores cells as
+    ``dot(v, c/|c|)`` while a relational twin computes
+    ``dot(v, c) / (|v||c|)`` — mathematically the same argmax, but on a
+    MATHEMATICALLY EXACT tie (which symmetric synthetic data does
+    produce at scale) the two spellings round differently and the
+    tie-break diverges. Here the Lloyd state is INTEGER: each cell
+    carries its members' summed ``floor(x*8)`` vector ``S`` and count
+    ``n`` (the mean's direction is ``S`` — the ``1/(8n)`` factor
+    cancels out of the cosine argmax), and the assignment score is
+    ``int_dot(v8, S) / sqrt(int_ssq(S))`` — an exact int64 dot divided
+    by the correctly-rounded sqrt of an exact int64: every engine
+    computes the identical double, ties are exact on both sides, and
+    the shared ``cid``-ascending tie-break decides them identically.
+    Reported means are ``round(S / (8.0 · n), 6)`` — same two exact
+    operands everywhere.
+
+    Plan shape per iteration (and final stats pass): one scan with the
+    map-side literal-array argmax + ONE ``k × d``-bounded integer-sum
+    hash aggregate; driver holds only the integer centroid table.
+    Exact at any corpus size while ``|S| · 8·max|x| · d < 2^53``
+    (petascale headroom for unit-norm embeddings).
+    """
+    import math
+
+    v8 = F.expr(
+        f"transform({vec_col}, x -> CAST(floor(x * 8) AS BIGINT))"
+    )
+    src = df.select(F.col(id_col).alias("id"), v8.alias("v8"))
+    seeds = src.orderBy("id").limit(num_centroids).collect()
+    # state: cid -> (S vector of int64, n)
+    state: dict[int, tuple[list[int], int]] = {
+        int(r["id"]): ([int(x) for x in r["v8"]], 1) for r in seeds
+    }
+
+    def cell_expr() -> Column:
+        scored = []
+        for cid in sorted(state):
+            s_vec, _ = state[cid]
+            ssq = sum(x * x for x in s_vec)
+            denom = math.sqrt(float(ssq)) or 1.0
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("v8"),
+                    F.array(*[F.lit(x).cast("long") for x in s_vec]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            scored.append(
+                F.struct(
+                    (dot.cast("double") / F.lit(denom)).alias("s"),
+                    F.lit(-cid).alias("ncid"),
+                )
+            )
+        return -F.array_max(F.array(*scored))["ncid"]
+
+    def assigned() -> DataFrame:
+        # two projections: mixing the struct-array argmax with a
+        # generator in one select loses the struct field names during
+        # resolution (the kmeans_step lesson)
+        tagged = src.select(cell_expr().alias("cell"), "v8")
+        return tagged.select("cell", F.posexplode("v8").alias("dim", "x"))
+
+    dims = len(state[min(state)][0]) if state else 0
+    for _ in range(iters):
+        agg = (
+            assigned()
+            .groupBy("cell", "dim")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()  # k × d integer rows — bounded
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in agg:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = int(r["s"])
+            counts[int(r["cell"])] = int(r["n"])
+        state = {
+            cid: (
+                ([by_cell[cid][d] for d in range(dims)], counts[cid])
+                if cid in by_cell
+                else state[cid]  # empty cell keeps its previous state
+            )
+            for cid in state
+        }
+    final = (
+        assigned()
+        .groupBy("cell", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    )
+    return final.select(
+        "cell",
+        "dim",
+        "n",
+        F.round(F.col("s").cast("double") / (8.0 * F.col("n")), 6).alias("mean"),
+    )
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     id_col: str,

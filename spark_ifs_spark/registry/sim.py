@@ -1434,55 +1434,57 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONVERGED k-means over quantized embeddings: KMEANS_ITERS Lloyd
     iterations from the deterministic seeds, then the final
     assignment's per-cell populations and centroid means —
-    ``kmeans_step`` is the ``iters=0`` special case; see
-    :func:`~spark_ifs_spark.operators.similarity.kmeans_train_stats`.
-    Inputs are 1/8-quantized (the package convention) so every
-    centroid mean is an exact-sum / single-division double and the
-    whole trajectory is engine-reproducible."""
-    emb = _read(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe"),
+    ``kmeans_step`` is the ``iters=0`` special case. Gated through the
+    INTEGER-STATE variant
+    (:func:`~spark_ifs_spark.operators.similarity.kmeans_train_stats_q8`):
+    cells carry exact integer sum-vectors, assignment scores are
+    ``int_dot / sqrt(int_ssq)``, so both engines compute bit-identical
+    scores and exact ties break identically — the float spelling
+    diverged on a mathematically exact tie at sf0.1."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.kmeans_train_stats_q8(
+        emb, "vec_id", "embedding", IVF_CENTROIDS, iters=KMEANS_ITERS
     )
-    out = similarity.kmeans_train_stats(
-        emb, "vec_id", "qe", IVF_CENTROIDS, iters=KMEANS_ITERS
-    )
-    return out.select("cell", "dim", "n", F.round("mean", 6).alias("mean"))
 
 
 def sql_kmeans_train() -> str:
-    qe = "floor(e.embedding[t.i + 1] * 8) / 8"
+    v8 = "CAST(floor(e.embedding[t.i + 1] * 8) AS BIGINT)"
     cte = [f"""c0 AS MATERIALIZED (
   SELECT s.vec_id AS cid, CAST(t.i AS INT) AS dim,
-         floor(s.embedding[t.i + 1] * 8) / 8 AS m
+         CAST(floor(s.embedding[t.i + 1] * 8) AS BIGINT) AS s
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {IVF_CENTROIDS}) s
   CROSS JOIN range({EMB_DIMS}) t(i)
 )"""]
     for r in range(1, KMEANS_ITERS + 2):
+        cte.append(f"""q{r} AS MATERIALIZED (
+  SELECT cid, CAST(sum(s * s) AS BIGINT) AS ssq FROM c{r - 1} GROUP BY 1
+)""")
         cte.append(f"""vc{r} AS MATERIALIZED (
   SELECT e.vec_id AS id, c.cid,
-         sum(({qe}) * c.m)
-           / (sqrt(sum(({qe}) * ({qe}))) * sqrt(sum(c.m * c.m))) AS cos
+         CAST(sum(({v8}) * c.s) AS DOUBLE)
+           / (CASE WHEN q.ssq = 0 THEN 1.0 ELSE sqrt(CAST(q.ssq AS DOUBLE)) END) AS sc
   FROM embeddings e
   CROSS JOIN range({EMB_DIMS}) t(i)
   JOIN c{r - 1} c ON c.dim = t.i
-  GROUP BY 1, 2
+  JOIN q{r} q ON q.cid = c.cid
+  GROUP BY e.vec_id, c.cid, q.ssq
 )""")
         cte.append(f"""assign{r} AS MATERIALIZED (
   SELECT id, cid AS cell FROM (
-    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY cos DESC, cid ASC) AS rn
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY sc DESC, cid ASC) AS rn
     FROM vc{r}
   ) WHERE rn = 1
 )""")
         if r <= KMEANS_ITERS:
             cte.append(f"""u{r} AS MATERIALIZED (
-  SELECT a.cell AS cid, CAST(t.i AS INT) AS dim, avg({qe}) AS m
+  SELECT a.cell AS cid, CAST(t.i AS INT) AS dim, CAST(sum({v8}) AS BIGINT) AS s
   FROM embeddings e
   JOIN assign{r} a ON a.id = e.vec_id
   CROSS JOIN range({EMB_DIMS}) t(i)
   GROUP BY 1, 2
 )""")
             cte.append(f"""c{r} AS MATERIALIZED (
-  SELECT c.cid, c.dim, coalesce(u.m, c.m) AS m
+  SELECT c.cid, c.dim, coalesce(u.s, c.s) AS s
   FROM c{r - 1} c LEFT JOIN u{r} u ON u.cid = c.cid AND u.dim = c.dim
 )""")
     body = ",\n".join(cte)
@@ -1492,7 +1494,8 @@ WITH {body}
 SELECT a.cell,
        CAST(t.i AS INT) AS dim,
        count(*) AS n,
-       round(avg(floor(e.embedding[t.i + 1] * 8) / 8), 6) AS mean
+       round(CAST(sum(CAST(floor(e.embedding[t.i + 1] * 8) AS BIGINT)) AS DOUBLE)
+             / (8.0 * count(*)), 6) AS mean
 FROM embeddings e
 JOIN assign{fin} a ON a.id = e.vec_id
 CROSS JOIN range({EMB_DIMS}) t(i)

@@ -609,3 +609,35 @@ def test_kmeans_train_iter0_equals_kmeans_step(spark, sf_dir):
         for r in kmeans_step(emb, "vec_id", "embedding", 8).collect()
     }
     assert a == b
+
+
+def test_kmeans_train_q8_matches_float_path_when_no_ties(spark, sf_dir):
+    """The integer-state variant runs the SAME Lloyd recurrence as the
+    float path on quantized input — identical output wherever no exact
+    assignment tie occurs (this SF has none; the q8 arithmetic exists
+    to decide the ties that DO occur at larger SFs identically across
+    engines)."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.similarity import (
+        kmeans_train_stats,
+        kmeans_train_stats_q8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q8 = {
+        (r["cell"], r["dim"]): (r["n"], r["mean"])
+        for r in kmeans_train_stats_q8(emb, "vec_id", "embedding", 8, iters=2).collect()
+    }
+    embq = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> floor(x * 8) / 8)").alias("qe")
+    )
+    fl = {
+        (r["cell"], r["dim"]): (r["n"], r["mean"])
+        for r in kmeans_train_stats(embq, "vec_id", "qe", 8, iters=2)
+        # Spark's HALF_UP round on both sides — Python's round() is
+        # banker's and flips exact-half values like -0.0078125
+        .select("cell", "dim", "n", F.round("mean", 6).alias("mean"))
+        .collect()
+    }
+    assert q8 == fl

@@ -145,7 +145,27 @@ def main() -> None:
         "bootstrap_doclen_ci",
         "lm_kn_logprob",
         "dedup_substring_removal",
+        # round 8 (pref_pl_ratings is deliberately absent: its corpus
+        # pass is the pref_bt_ratings shape with one extra stride join,
+        # and the replicated corpus's doc count is ≡ 0 mod the source
+        # cardinality, which degenerates the three-way match fixture)
+        "c4_line_filters",
+        "c4_line_dedup",
+        "kmeans_train",
+        "tokenizer_compare",
+        "dedup_source_matrix",
     ]
+    # queries whose output is a unique-keyed join or an aggregate whose
+    # value columns a bare count() would let Catalyst PRUNE — force the
+    # full output with a hash-fold aggregate (the r7 lesson: the
+    # eliminated join measured 0.9 s with zero shuffle)
+    full_output = {
+        "c4_line_filters",
+        "c4_line_dedup",
+        "kmeans_train",
+        "tokenizer_compare",
+        "dedup_source_matrix",
+    }
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
     for factor in factors:
@@ -154,7 +174,14 @@ def main() -> None:
         for name in names:
             before, _ = shuffle_totals(spark)
             t0 = time.time()
-            n_out = QUERIES[name](spark, sf_dir).count()
+            df = QUERIES[name](spark, sf_dir)
+            if name in full_output:
+                n_out = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64(*df.columns)).alias("h"),
+                ).first()["n"]
+            else:
+                n_out = df.count()
             dt = time.time() - t0
             after, _ = shuffle_totals(spark)
             print(
