@@ -91,7 +91,13 @@ def shuffle_totals(spark: SparkSession) -> tuple[float, float]:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [10, 100]
+    args = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in args:
+        k = args.index("--only")
+        only = args[k + 1 :]
+        args = args[:k]
+    factors = [int(a) for a in args] or [10, 100]
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -166,6 +172,8 @@ def main() -> None:
         "tokenizer_compare",
         "dedup_source_matrix",
     }
+    if only:
+        names = [n for n in names if n in only]
     print("| factor | rows(docs) | query | wall s | rows out | Δshuffle MB |")
     print("|---|---|---|---|---|---|")
     for factor in factors:
@@ -178,7 +186,9 @@ def main() -> None:
             if name in full_output:
                 n_out = df.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum(F.xxhash64(*df.columns)).alias("h"),
+                    # pmod keeps the forced-output fold inside int64
+                    # under ANSI mode (a raw xxhash64 sum overflows)
+                    F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000_007))).alias("h"),
                 ).first()["n"]
             else:
                 n_out = df.count()
