@@ -758,3 +758,51 @@ def test_unigram_candidates_single_shuffle(spark, sf_dir):
     # wf itself costs one exchange (word counts); candidates add exactly
     # one more (piece counts) — substrings never shuffle unexploded text
     assert count_exchanges(cand) == count_exchanges(wf) + 1
+
+
+def test_c4_line_filters_single_doc_keyed_shuffle(spark, sf_dir):
+    """The stats pass is one scan-fused flag projection + ONE doc-keyed
+    hash aggregate (partials combine map-side) — no joins, no second
+    corpus pass."""
+    from spark_ifs_spark.registry.dedup import q_c4_line_filters
+
+    df = q_c4_line_filters(spark, sf_dir)
+    assert count_exchanges(df) == 1
+    plan = explain_str(df)
+    assert "Join" not in plan
+
+
+def test_c4_line_dedup_joinback_broadcasts_removal_lists(spark, sf_dir):
+    """The reassembly join-back must broadcast the duplicated-lines-
+    bounded removal side — document bodies never ride an exchange for
+    the cleaned-page rebuild."""
+    from spark_ifs_spark.registry.dedup import q_c4_line_dedup
+
+    df = q_c4_line_dedup(spark, sf_dir)
+    df.collect()  # let AQE finalize join strategies
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_train_q8_iteration_is_one_bounded_aggregate(spark, sf_dir):
+    """Each Lloyd pass (including the final stats pass) is one scan
+    with the map-side literal argmax + ONE (cell, dim)-keyed integer
+    aggregate — a single exchange bounded by k × d cells."""
+    from spark_ifs_spark.operators.similarity import kmeans_train_stats_q8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = kmeans_train_stats_q8(emb, "vec_id", "embedding", 8, iters=0)
+    assert count_exchanges(df) == 1
+    assert "Join" not in explain_str(df)
+
+
+def test_tokenizer_compare_broadcasts_vocab_join(spark, sf_dir):
+    """The per-word piece-count map joins back BROADCAST onto the one
+    corpus-scan (source, word) relation — the corpus side never
+    shuffles for the vocabulary join."""
+    from spark_ifs_spark.registry.text import q_tokenizer_compare
+
+    df = q_tokenizer_compare(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert count_exchanges(df) <= 3  # (source,w) agg + source agg (+AQE read)
