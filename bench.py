@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "tokenizer_compare",
     "dedup_source_matrix",
     "pref_pl_ratings",
+    "minhash_recall_audit",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

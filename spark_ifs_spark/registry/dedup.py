@@ -154,6 +154,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_dedup_minhash() -> str:
+    return _sql_minhash_pairs(JACCARD_THRESHOLD)
+
+
+def _sql_minhash_pairs(threshold: float) -> str:
     params = minhash_params(MINHASH_HASHES)
     hash_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
     rpb = MINHASH_ROWS_PER_BAND
@@ -190,7 +194,7 @@ SELECT id_a, id_b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
-WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {JACCARD_THRESHOLD}
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= {threshold}
 """
 
 
@@ -1215,4 +1219,71 @@ FROM ({inner}) p
 JOIN documents a ON a.doc_id = p.id_a
 JOIN documents b ON b.doc_id = p.id_b
 GROUP BY 1, 2
+"""
+
+
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs analytic MinHash-LSH recall, the dedup analogue of
+    ``ann_recall_audit``: ground truth is the LOSSLESS prefix-filter
+    exact-Jaccard join (AllPairs/PPJoin) at the dyadic threshold 0.75
+    over the SAME trigram shingles, detection is the banded-LSH path
+    at the gated (16 hashes × r=2) config with the same exact-Jaccard
+    verify — so detected ⊆ truth and recall is exactly
+    ``n_detected / n_true``. ``expected_floor_ppm`` is the analytic
+    detect probability ``1 − (1 − t^r)^b`` AT the threshold (a lower
+    bound — true pairs sit above t), injected as the same Python-
+    computed literal in both engines. An audit tool: run on a sample
+    at corpus scale, exactly like the ANN recall audits."""
+    import math
+
+    docs = _read(spark, sf_dir, "documents")
+    truth = dedup.jaccard_prefix_pairs(
+        docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
+    ).select("id_a", "id_b")
+    det = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=PREFIX_THRESHOLD,
+    ).select("id_a", "id_b")
+    bands = MINHASH_HASHES // MINHASH_ROWS_PER_BAND
+    expected = math.floor(
+        (1.0 - (1.0 - PREFIX_THRESHOLD**MINHASH_ROWS_PER_BAND) ** bands) * 1e6
+    )
+    tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    dc = truth.join(det, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_detected")
+    )
+    return tc.crossJoin(dc).select(
+        "n_true",
+        "n_detected",
+        F.when(F.col("n_true") == 0, F.lit(1_000_000))
+        .otherwise(F.floor(F.col("n_detected") * 1_000_000 / F.col("n_true")))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.lit(expected).cast("long").alias("expected_floor_ppm"),
+    )
+
+
+def sql_minhash_recall_audit() -> str:
+    import math
+
+    bands = MINHASH_HASHES // MINHASH_ROWS_PER_BAND
+    expected = math.floor(
+        (1.0 - (1.0 - PREFIX_THRESHOLD**MINHASH_ROWS_PER_BAND) ** bands) * 1e6
+    )
+    return f"""
+WITH truth AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({sql_dedup_jaccard_prefix()})
+),
+det AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_sql_minhash_pairs(PREFIX_THRESHOLD)})
+),
+tc AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+dc AS (SELECT CAST(count(*) AS BIGINT) AS n_detected
+       FROM truth JOIN det USING (id_a, id_b))
+SELECT n_true, n_detected,
+       CAST(CASE WHEN n_true = 0 THEN 1000000
+                 ELSE floor(n_detected * 1000000.0 / n_true) END AS BIGINT) AS recall_ppm,
+       CAST({expected} AS BIGINT) AS expected_floor_ppm
+FROM tc, dc
 """
