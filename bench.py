@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "dedup_source_matrix",
     "pref_pl_ratings",
     "minhash_recall_audit",
+    "winnow_fingerprints",
+    "shard_dup_coverage",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

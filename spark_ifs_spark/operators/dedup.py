@@ -1190,3 +1190,81 @@ def substring_removal(
         (F.size(toks) - F.size(kept)).alias("n_removed"),
         md5_int60(clean).alias("clean_digest"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """``(id, n_shingles, n_fps, fp_md5)`` — WINNOWING document
+    fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    algorithm): hash every positional ``k``-gram, slide a ``window``
+    over the hash sequence, and select each window's minimal hash
+    (ties: rightmost — the robust-winnowing convention). The selected
+    ``(pos, hash)`` set is the fingerprint; winnowing guarantees any
+    shared substring of at least ``window + k - 1`` tokens contributes
+    a shared fingerprint, at ~``2/(window+1)`` selection density —
+    local fingerprinting with a matched detection guarantee, unlike
+    the global rolling hash of ``textstats.fingerprint``.
+
+    Plan: one pure map-side array expression per document — positional
+    shingle hashes, windowed argmin via nested ``transform``/
+    ``array_min`` over struct ``(h, -pos)``, distinct selected
+    positions, digest — fused into the scan, zero shuffles (the
+    ``word_shingles`` property; asserted in ``test_plans.py``). At
+    100 TB this is a projection; matching fingerprints across
+    documents is then a digest-keyed join exactly like the shingle
+    dedup family.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - k + 1
+    hs = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda j: md5_int60(F.array_join(F.slice(toks, j + 1, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = df.select(
+        F.col(id_col).alias("id"), hs.alias("hs"), F.greatest(n_sh, F.lit(0)).alias("nsh")
+    )
+    nsh = F.col("nsh")
+    hsc = F.col("hs")
+    w = window
+    argmin_pos = lambda i: -F.array_min(  # noqa: E731
+        F.transform(
+            F.sequence(i, F.least(i + w - 1, nsh - 1)),
+            lambda j: F.struct(
+                F.element_at(hsc, j + 1).alias("h"), (-j).alias("np")
+            ),
+        )
+    )["np"]
+    sel = F.when(
+        nsh > 0,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(nsh - w, F.lit(0))),
+                    argmin_pos,
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = F.array_join(
+        F.transform(
+            sel,
+            lambda p: F.concat(
+                p.cast("string"), F.lit(":"), F.element_at(hsc, p + 1).cast("string")
+            ),
+        ),
+        ",",
+    )
+    return base.select(
+        "id",
+        nsh.cast("int").alias("n_shingles"),
+        F.size(sel).alias("n_fps"),
+        F.md5(fps).alias("fp_md5"),
+    )

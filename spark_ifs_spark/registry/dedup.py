@@ -1287,3 +1287,118 @@ SELECT n_true, n_detected,
        CAST({expected} AS BIGINT) AS expected_floor_ppm
 FROM tc, dc
 """
+
+
+WINNOW_K = 3       # positional k-gram size (shared trigram convention)
+WINNOW_WINDOW = 4  # winnowing window: guarantee = window + k - 1 tokens
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: windowed-argmin selected
+    k-gram hashes with the rightmost-tie robust convention — see
+    :func:`~spark_ifs_spark.operators.dedup.winnow_fingerprints`."""
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup.winnow_fingerprints(
+        docs, "doc_id", "text", k=WINNOW_K, window=WINNOW_WINDOW
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def sql_winnow_fingerprints() -> str:
+    k, w = WINNOW_K, WINNOW_WINDOW
+    shingle_of = (
+        f"array_to_string(t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+{k})], ' ')"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, {sql_md5_int60(shingle_of)} AS h
+  FROM toks, unnest(generate_series(0, len(t) - {k})) AS u(i)
+),
+ns AS (SELECT doc_id, CAST(count(*) AS INT) AS n_sh FROM sh GROUP BY 1),
+starts AS (
+  SELECT doc_id, CAST(u.i AS INT) AS ws
+  FROM ns, unnest(generate_series(0, greatest(n_sh - {w}, 0))) AS u(i)
+),
+win AS (
+  SELECT s.doc_id, st.ws, s.pos, s.h,
+         row_number() OVER (PARTITION BY s.doc_id, st.ws
+                            ORDER BY s.h ASC, s.pos DESC) AS rn
+  FROM starts st
+  JOIN sh s ON s.doc_id = st.doc_id
+           AND s.pos >= st.ws AND s.pos <= st.ws + {w} - 1
+),
+sel AS (SELECT DISTINCT doc_id, pos, h FROM win WHERE rn = 1),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_fps,
+         md5(string_agg(CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR),
+                        ',' ORDER BY pos)) AS fp_md5
+  FROM sel GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(coalesce(ns.n_sh, 0) AS INT) AS n_shingles,
+       CAST(coalesce(a.n_fps, 0) AS INT) AS n_fps,
+       coalesce(a.fp_md5, md5('')) AS fp_md5
+FROM toks t
+LEFT JOIN ns USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_shard_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would PER-SHARD dedup suffice? The fraction of MinHash near-dup
+    pairs that land INSIDE one rendezvous shard — the diagnostic behind
+    FineWeb's per-dump-vs-global dedup decision (global dedup shuffles
+    the world; per-shard dedup only catches intra-shard pairs). Pure
+    composition: the ``dedup_minhash`` pair plan + two broadcast
+    id→shard joins (the shard map is a scan-fused projection) + ONE
+    scalar aggregate. With hash shards and no correlation the expected
+    intra fraction is 1/S — a measured value far above that says dups
+    cluster and per-shard dedup keeps most of the win."""
+    from spark_ifs_spark.operators.sampling import rendezvous_shard
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    ).select("id_a", "id_b")
+    sh = rendezvous_shard(docs.select("doc_id"), "doc_id", MANIFEST_SHARDS)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shard").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shard").alias("shb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(
+            F.sum((F.col("sha") == F.col("shb")).cast("int")), F.lit(0)
+        ).cast("long").alias("n_intra_shard"),
+    ).select(
+        "n_pairs",
+        "n_intra_shard",
+        F.when(F.col("n_pairs") == 0, F.lit(0))
+        .otherwise(F.floor(F.col("n_intra_shard") * 1_000_000 / F.col("n_pairs")))
+        .cast("long")
+        .alias("intra_ppm"),
+        F.lit(MANIFEST_SHARDS).cast("int").alias("n_shards"),
+    )
+
+
+def sql_shard_dup_coverage() -> str:
+    from spark_ifs_spark.operators.sampling import sql_rendezvous_shard
+
+    shard = sql_rendezvous_shard("doc_id", MANIFEST_SHARDS)
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({sql_dedup_minhash()})
+),
+s AS MATERIALIZED (SELECT doc_id, {shard} AS shard FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(CASE WHEN sa.shard = sb.shard THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_intra_shard,
+       CAST(CASE WHEN count(*) = 0 THEN 0
+                 ELSE floor(sum(CASE WHEN sa.shard = sb.shard THEN 1 ELSE 0 END) * 1000000.0 / count(*))
+            END AS BIGINT) AS intra_ppm,
+       CAST({MANIFEST_SHARDS} AS INT) AS n_shards
+FROM p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+"""

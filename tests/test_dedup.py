@@ -559,3 +559,55 @@ def test_substring_removal_cleans_planted_duplicate(spark):
     assert out[2] == (23, 20, md5_int60_py("x y z"))
     assert out[3][1] == 0
     assert out[3][2] == md5_int60_py(rows[2][1])
+
+
+def test_winnowing_detection_guarantee(spark):
+    """Schleimer et al. Thm: any shared token run of length
+    >= window + k - 1 (here 4 + 3 - 1 = 6) yields at least one SHARED
+    selected (k-gram) fingerprint hash between the two documents."""
+    from spark_ifs_spark.operators.dedup import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"{shared} seven eight nine ten eleven twelve"),
+        (2, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # re-derive the selected hash SETS via the same operator pieces:
+    # fp_md5 digests ordered (pos,hash) so equal docs match, but the
+    # guarantee is about shared HASHES — recompute per doc in python
+    import hashlib
+
+    def sel_hashes(text, k=3, w=4):
+        t = text.split(" ")
+        hs = [
+            int(hashlib.md5(" ".join(t[j:j + k]).encode()).hexdigest()[:15], 16)
+            for j in range(len(t) - k + 1)
+        ]
+        out = set()
+        for i in range(max(len(hs) - w, 0) + 1):
+            h, nj = min((hs[j], -j) for j in range(i, min(i + w, len(hs))))
+            out.add(hs[-nj])
+        return out
+
+    s0, s1, s2 = (sel_hashes(t) for _, t in rows)
+    assert s0 & s1, "shared 6-token run must share a fingerprint"
+    assert not (s0 & s2) and not (s1 & s2)
+    # and the operator agrees with the reference selection sizes
+    got = {
+        r["id"]: r["n_fps"]
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    assert got == {0: len(s0), 1: len(s1), 2: len(s2)}
+
+
+def test_winnowing_is_scan_fused(spark, sf_dir):
+    from spark_ifs_spark.operators.dedup import winnow_fingerprints
+    from spark_ifs_spark.plans import assert_no_exchange
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert_no_exchange(
+        winnow_fingerprints(docs, "doc_id", "text"), "winnow_fingerprints"
+    )

@@ -107,9 +107,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 8 rotated the window to: the seven round-8 additions and the
-    43 r4-era keys whose newest driver rows dated round 4
-    (pmi_top_pairs sits at position 51 as the r9 backfill head). Any accidental
+    Round 8 rotated the window to: the nine round-8 additions and 41
+    r4-era keys whose newest driver rows dated round 4 (the two
+    displaced r4-era keys sit at positions 51-52 as the r9 backfill
+    head). Any accidental
     reorder (new entries must APPEND once the window is final) fails
     here before it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
@@ -119,6 +120,7 @@ def test_driver_window_frozen():
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
         # round-8 additions
+        "winnow_fingerprints", "shard_dup_coverage",
         "minhash_recall_audit", "c4_line_filters", "c4_line_dedup", "kmeans_train",
         "tokenizer_compare", "dedup_source_matrix", "pref_pl_ratings",
         # r4-era backfill (least-recently gated)
@@ -135,6 +137,5 @@ def test_driver_window_frozen():
         "corpus_diff", "events_props_json", "unconverted_views",
         "events_cube", "session_journeys", "supplier_zscore",
         "monthly_growth", "events_daily_anomaly", "customer_rfm",
-        "forecast_revenue", "late_suppliers", "part_pair_counts",
-        "decontam_bloom",
+        "forecast_revenue", "late_suppliers",
     ]
