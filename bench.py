@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "minhash_recall_audit",
     "winnow_fingerprints",
     "shard_dup_coverage",
+    "readability_scores",
+    "source_centroid_sim",
+    "zorder_layout",
+    "priority_sample",
+    "kmv_distinct_sources",
+    "winnow_pairs",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -1192,33 +1192,14 @@ def substring_removal(
     )
 
 
-def winnow_fingerprints(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int = 3,
-    window: int = 4,
+def _winnow_base(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
 ) -> DataFrame:
-    """``(id, n_shingles, n_fps, fp_md5)`` — WINNOWING document
-    fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
-    algorithm): hash every positional ``k``-gram, slide a ``window``
-    over the hash sequence, and select each window's minimal hash
-    (ties: rightmost — the robust-winnowing convention). The selected
-    ``(pos, hash)`` set is the fingerprint; winnowing guarantees any
-    shared substring of at least ``window + k - 1`` tokens contributes
-    a shared fingerprint, at ~``2/(window+1)`` selection density —
-    local fingerprinting with a matched detection guarantee, unlike
-    the global rolling hash of ``textstats.fingerprint``.
-
-    Plan: one pure map-side array expression per document — positional
-    shingle hashes, windowed argmin via nested ``transform``/
-    ``array_min`` over struct ``(h, -pos)``, distinct selected
-    positions, digest — fused into the scan, zero shuffles (the
-    ``word_shingles`` property; asserted in ``test_plans.py``). At
-    100 TB this is a projection; matching fingerprints across
-    documents is then a digest-keyed join exactly like the shingle
-    dedup family.
-    """
+    """``(id, hs, nsh, sel)`` — positional k-gram hashes plus the
+    winnowing-selected position array (rightmost-tie robust
+    convention), as one scan-fused array expression. Shared by
+    :func:`winnow_fingerprints` (per-doc digest) and
+    :func:`winnow_matches` (cross-doc pair detection)."""
     toks = F.split(F.col(text_col), " ")
     n_sh = F.size(toks) - k + 1
     hs = F.when(
@@ -1253,9 +1234,41 @@ def winnow_fingerprints(
             )
         ),
     ).otherwise(F.array().cast("array<int>"))
+    return base.select("id", "hs", "nsh", sel.alias("sel"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """``(id, n_shingles, n_fps, fp_md5)`` — WINNOWING document
+    fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+    algorithm): hash every positional ``k``-gram, slide a ``window``
+    over the hash sequence, and select each window's minimal hash
+    (ties: rightmost — the robust-winnowing convention). The selected
+    ``(pos, hash)`` set is the fingerprint; winnowing guarantees any
+    shared substring of at least ``window + k - 1`` tokens contributes
+    a shared fingerprint, at ~``2/(window+1)`` selection density —
+    local fingerprinting with a matched detection guarantee, unlike
+    the global rolling hash of ``textstats.fingerprint``.
+
+    Plan: one pure map-side array expression per document — positional
+    shingle hashes, windowed argmin via nested ``transform``/
+    ``array_min`` over struct ``(h, -pos)``, distinct selected
+    positions, digest — fused into the scan, zero shuffles (the
+    ``word_shingles`` property; asserted in ``test_plans.py``). At
+    100 TB this is a projection; matching fingerprints across
+    documents is then a digest-keyed join exactly like the shingle
+    dedup family (see :func:`winnow_matches`).
+    """
+    base = _winnow_base(df, id_col, text_col, k, window)
+    hsc = F.col("hs")
     fps = F.array_join(
         F.transform(
-            sel,
+            F.col("sel"),
             lambda p: F.concat(
                 p.cast("string"), F.lit(":"), F.element_at(hsc, p + 1).cast("string")
             ),
@@ -1264,7 +1277,62 @@ def winnow_fingerprints(
     )
     return base.select(
         "id",
-        nsh.cast("int").alias("n_shingles"),
-        F.size(sel).alias("n_fps"),
+        F.col("nsh").cast("int").alias("n_shingles"),
+        F.size("sel").alias("n_fps"),
         F.md5(fps).alias("fp_md5"),
+    )
+
+
+def winnow_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_hash_docs: int = 64,
+) -> DataFrame:
+    """``(id_a, id_b, n_shared)`` — document pairs sharing at least
+    ``min_shared`` winnowing-selected fingerprint hashes: the MOSS
+    cross-document match step over :func:`winnow_fingerprints`'s local
+    selection. Because winnowing guarantees a selected hash inside any
+    shared run of ``window + k − 1`` tokens, a pair's ``n_shared``
+    lower-bounds its count of distinct shared long substrings — local
+    overlap detection (quotes, boilerplate, partial plagiarism) where
+    MinHash sees only whole-document similarity.
+
+    Plan: the scan-fused selection projection, then EXPLODE only the
+    selected hashes (~``2/(window+1)`` of shingles — the winnowing
+    economy vs joining all shingles), one digest-keyed
+    document-frequency aggregate dropping hashes in more than
+    ``max_hash_docs`` docs (boilerplate guard — it caps the join
+    fan-out per hash exactly like the MinHash band ``max_bucket``
+    cap), and a hash-keyed self-join + pair count. Document bodies
+    never ride an exchange; only ``(hash, id)`` pairs shuffle.
+    """
+    base = _winnow_base(df, id_col, text_col, k, window)
+    hsc = F.col("hs")
+    sel_h = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col("sel"), lambda p: F.element_at(hsc, p + 1))
+            )
+        ).alias("h"),
+    )
+    keep = (
+        sel_h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_hash_docs)
+        .select("h")
+    )
+    kept = sel_h.join(keep, "h")
+    a = kept.select(F.col("id").alias("id_a"), "h")
+    b = kept.select(F.col("id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

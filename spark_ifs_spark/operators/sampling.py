@@ -507,3 +507,89 @@ def sql_rendezvous_shard(id_expr: str, num_shards: int, salt: str = "shard") -> 
         for s in range(num_shards)
     )
     return f"(-(list_max([{draws}])).ns)"
+
+
+def priority_sample_estimate(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """One row ``(n_rows, k, n_sample, tau, est_total, exact_total,
+    err_ppm)`` — PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007):
+    draw ``u_i = (md5+1)/2^60 ∈ (0,1]`` per row, rank by priority
+    ``q_i = w_i/u_i``, keep the top ``k``; with ``τ`` the (k+1)-th
+    priority, each kept row's estimator ``max(w_i, τ)`` makes the
+    sample's sum an unbiased estimate of ``Σw`` — THE way to estimate
+    corpus token totals (or any subset-sum: per-language, per-source…)
+    from a fixed-size weighted sample without a full pass at query
+    time. The exact total rides along as the audit; production keeps
+    only the k-row sample.
+
+    Determinism: ``w`` (integer weight) → double is exact, ``u`` and
+    ``q`` are single IEEE divisions mirrored in the oracle, ranking is
+    (q DESC, id ASC), and the k-bounded estimator sum is a sorted left
+    fold by id (the Bradley-Terry determinism contract).
+
+    Plan: priorities are a scan-fused projection; the only distributed
+    step is the salted global top-(k+1) (⌀ ``(id, w, q)`` triples, no
+    payload); everything after is k-bounded driver-scale arithmetic.
+    """
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    two60 = float(1 << 60)
+    w = F.col(weight_col).cast("double")
+    u = (
+        md5_int60(
+            F.concat(F.lit(f"prio:{seed}:"), F.col(id_col).cast("string"))
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(two60)
+    pr = df.select(
+        F.col(id_col).alias("id"), w.alias("w"), (w / u).alias("q")
+    ).withColumn("_g", F.lit(1))
+    top = salted_topk_per_key(
+        pr, ["_g"], "q", k=k + 1, tiebreak_cols=["id"], descending=True
+    )
+    tau_df = top.groupBy("_g").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rank") == k + 1, F.col("q"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    samp = (
+        top.filter(F.col("rank") <= k)
+        .join(F.broadcast(tau_df), "_g")
+        .select("id", F.greatest(F.col("w"), F.col("tau")).alias("we"), "tau")
+    )
+    est = samp.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sample"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "we"))),
+                lambda s: s["we"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("est_raw"),
+    )
+    ex = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(weight_col).cast("long").alias("exact_total"),
+    )
+    err = F.floor(
+        (F.abs(F.col("est_total") - F.col("exact_total").cast("double")) * 1e6)
+        / F.col("exact_total").cast("double")
+    ).cast("long")
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            "n_rows",
+            F.lit(k).cast("int").alias("k"),
+            "n_sample",
+            F.round("tau", 6).alias("tau"),
+            F.round("est_raw", 6).alias("est_total"),
+            "exact_total",
+        )
+        .withColumn("err_ppm", err)
+    )

@@ -1702,3 +1702,67 @@ def hard_negatives(
     return src.groupBy("cell").applyInPandas(
         _cell_negs, "id long, neg_id long, cos double, rank int"
     )
+
+
+def grouped_centroid_cosine(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    scale: int = 8,
+) -> DataFrame:
+    """``(key_a, key_b, n_a, n_b, cos)`` — pairwise cosine similarity
+    between per-group embedding CENTROIDS (the source-vs-source /
+    domain-vs-domain semantic-proximity matrix a mixture designer reads
+    before reweighting: near-duplicate sources are mix-redundant).
+
+    Integer-state determinism (the ``kmeans_train`` contract): each
+    component is quantized ``floor(x·scale)`` (scale a power of two —
+    the float→double promotion and the multiply are both exact), groups
+    carry exact int64 sum-vectors, and cosine is computed from integer
+    dot/ssq via IEEE-exact ``sqrt``/division — bit-identical across
+    engines, and cosine is scale-invariant so the un-normalized sum
+    vector IS the centroid direction. Exact while
+    ``n_group · scale·max|x| · d < 2^53``.
+
+    Plan: one scan exploding to ``(key, dim, q)``, a (key × d)-bounded
+    partial-aggregating sum, then all pair math on the keys×d relation
+    — corpus rows never shuffle, and the pair join is keys²·d-bounded
+    by construction.
+    """
+    q = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    s = q.groupBy("key", "dim").agg(
+        F.sum(F.floor(F.col("x").cast("double") * scale).cast("long")).alias("s")
+    )
+    nrm = s.groupBy("key").agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+    cnt = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    a = s.select(F.col("key").alias("key_a"), "dim", F.col("s").alias("sa"))
+    b = s.select(F.col("key").alias("key_b"), "dim", F.col("s").alias("sb"))
+    dot = (
+        a.join(b, "dim")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = F.broadcast(nrm.select(F.col("key").alias("key_a"), F.col("ssq").alias("ssq_a")))
+    nb = F.broadcast(nrm.select(F.col("key").alias("key_b"), F.col("ssq").alias("ssq_b")))
+    ca = F.broadcast(cnt.select(F.col("key").alias("key_a"), F.col("n").alias("n_a")))
+    cb = F.broadcast(cnt.select(F.col("key").alias("key_b"), F.col("n").alias("n_b")))
+    cos = F.when(
+        (F.col("ssq_a") == 0) | (F.col("ssq_b") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("ssq_a").cast("double"))
+                * F.sqrt(F.col("ssq_b").cast("double"))
+            ),
+            6,
+        )
+    )
+    return (
+        dot.join(na, "key_a").join(nb, "key_b").join(ca, "key_a").join(cb, "key_b")
+        .select("key_a", "key_b", "n_a", "n_b", cos.alias("cos"))
+    )

@@ -246,3 +246,56 @@ SELECT {keys},
        END AS est_distinct
 FROM scored
 """
+
+
+def kmv_sketch(
+    df: DataFrame, key_cols: list[str], value_col: str, k: int = 128
+) -> DataFrame:
+    """``(key…, h, rank)`` — the K-Minimum-Values distinct-count sketch
+    (Bar-Yossef et al. 2002 / Beyer et al. 2007): per key, the ``k``
+    smallest md5 hash values of the distinct ``value_col`` population.
+    KMV sketches are MERGEABLE BY UNION: the k smallest hashes of a
+    union of sets are contained in the union of each set's k smallest,
+    so re-sketching the concatenated sketch rows IS the sketch of the
+    union — the property that lets per-shard sketches fold into corpus
+    cardinalities without touching the corpus again (pinned in
+    ``test_sketches.py``).
+
+    Plan: one distinct aggregate on ``(key, hash)`` (digest-keyed — the
+    values themselves never shuffle beyond their 60-bit hashes), then
+    the salted two-stage top-k, so no task ever holds more than
+    ``k × buckets`` rows however skewed the key. Everything downstream
+    of the distinct is k-bounded per key.
+    """
+    from spark_ifs_spark.functions.hashing import md5_int60
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    d = df.select(
+        *key_cols, md5_int60(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    return salted_topk_per_key(d, key_cols, "h", k=k, descending=False)
+
+
+#: KMV estimator numerator (k−1)·2^60 as an exact double (k−1 has few
+#: mantissa bits), computed in Python so both engines share the literal.
+def _kmv_num(k: int) -> float:
+    return float((k - 1) * (1 << 60))
+
+
+def kmv_estimate(sketch: DataFrame, key_cols: list[str], k: int = 128) -> DataFrame:
+    """``(key…, n_sketch, kth_h, est_distinct)`` from KMV sketch rows:
+    the standard unbiased estimator ``(k−1) · 2^60 / h_(k)`` when the
+    sketch is full, the exact count when the population was smaller
+    than ``k``. Both engines floor the IEEE-identical double quotient,
+    so the estimate is deterministic."""
+    num = _kmv_num(k)
+    agg = sketch.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_sketch"),
+        F.max("h").alias("kth_h"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("long")
+    ).otherwise(
+        F.floor(F.lit(num) / F.col("kth_h").cast("double")).cast("long")
+    )
+    return agg.select(*key_cols, "n_sketch", "kth_h", est.alias("est_distinct"))

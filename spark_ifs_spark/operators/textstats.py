@@ -1244,3 +1244,70 @@ def kneser_ney_logprob(
             F.sum(F.col("k") * F.col("t")).alias("ll_micronats"),
         )
     )
+
+
+#: vowel-group regex for the syllable heuristic (RE2/Java-portable).
+SYLLABLE_RE = "[aeiouy]+"
+
+#: sentence-terminal token regex: last char is ., ! or ?
+SENTENCE_END_RE = "[.!?]$"
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, n_words, n_sentences, n_syllables, flesch, fk_grade)`` —
+    Flesch reading-ease and Flesch-Kincaid grade level per document
+    (Kincaid et al. 1975), the classic readability quality-filter
+    features, with the standard deterministic approximations:
+
+    - words = whitespace tokens;
+    - sentences = tokens carrying terminal punctuation (``[.!?]$``),
+      floored to 1 so unpunctuated fragments still score;
+    - syllables(word) = vowel-group count (``[aeiouy]+`` runs), floored
+      to 1 per word — the textstat-style heuristic.
+
+        flesch    = 206.835 − 1.015·(W/S) − 84.6·(SY/W)
+        fk_grade  = 0.39·(W/S) + 11.8·(SY/W) − 15.59
+
+    Both published at ``round(·, 6)``; the float expressions are
+    explicitly parenthesized and mirrored in the oracle so both engines
+    execute the identical IEEE sequence.
+
+    Plan: one pure map-side array expression per document — split,
+    regexp counts inside a ``transform``/``aggregate`` fold — fused
+    into the scan, zero shuffles. At 100 TB this is a projection.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(F.filter(toks, lambda w: w.rlike(SENTENCE_END_RE))), F.lit(1)
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.regexp_count(w, F.lit(SYLLABLE_RE)), F.lit(1)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        syl.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return base.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - (F.lit(1.015) * wps) - (F.lit(84.6) * spw), 6
+        ).alias("flesch"),
+        F.round(
+            (F.lit(0.39) * wps) + (F.lit(11.8) * spw) - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

@@ -528,6 +528,32 @@ UNI_VOCAB_KEEP = 48
 DOREMI_MIX_CHARS = 400_000
 
 
+def _punct_fixture_expr(dialect: str) -> str:
+    """Punctuated-text fixture for readability scoring: the documents
+    table is punctuation-free word prose, so terminal punctuation is
+    planted deterministically per (doc_id, word index) — '.' every
+    (3·doc_id + i) ≡ 0 (mod 7), '!' on a coprime 23-modulus, '?' on a
+    41-modulus — giving variable sentence lengths per document.
+    Expects the words array bound as ``ws``; dialect is ``"spark"`` or
+    ``"duck"`` (index lambda vs list comprehension spelling)."""
+    case = """CASE
+  WHEN (doc_id * 3 + i) % 7 = 0 THEN concat({w}, '.')
+  WHEN (doc_id * 5 + i) % 23 = 0 THEN concat({w}, '!')
+  WHEN (doc_id + i) % 41 = 0 THEN concat({w}, '?')
+  ELSE {w} END"""
+    if dialect == "spark":
+        return (
+            "array_join(transform(ws, (w, i) -> "
+            + case.format(w="w")
+            + "), ' ')"
+        )
+    return (
+        "array_to_string(["
+        + case.format(w="ws[CAST(i AS INT) + 1]")
+        + " FOR i IN range(len(ws))], ' ')"
+    )
+
+
 # C4-style line-level cleaning (c4_line_filters, c4_line_dedup). The
 # documents table is single-line prose, so the fixture derives a
 # deterministic multi-line "page" per document: consecutive

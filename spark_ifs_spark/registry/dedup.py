@@ -1304,14 +1304,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("id", "doc_id")
 
 
-def sql_winnow_fingerprints() -> str:
+def _sql_winnow_sel() -> str:
+    """CTE chain ending in ``sel(doc_id, pos, h)`` — the winnowing
+    selection, shared by the fingerprint digest and the cross-doc
+    match oracles."""
     k, w = WINNOW_K, WINNOW_WINDOW
     shingle_of = (
         f"array_to_string(t[(CAST(u.i AS INT)+1):(CAST(u.i AS INT)+{k})], ' ')"
     )
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS MATERIALIZED (
   SELECT doc_id, CAST(u.i AS INT) AS pos, {sql_md5_int60(shingle_of)} AS h
   FROM toks, unnest(generate_series(0, len(t) - {k})) AS u(i)
 ),
@@ -1328,7 +1330,12 @@ win AS (
   JOIN sh s ON s.doc_id = st.doc_id
            AND s.pos >= st.ws AND s.pos <= st.ws + {w} - 1
 ),
-sel AS (SELECT DISTINCT doc_id, pos, h FROM win WHERE rn = 1),
+sel AS MATERIALIZED (SELECT DISTINCT doc_id, pos, h FROM win WHERE rn = 1)"""
+
+
+def sql_winnow_fingerprints() -> str:
+    return f"""
+WITH {_sql_winnow_sel()},
 agg AS (
   SELECT doc_id, CAST(count(*) AS INT) AS n_fps,
          md5(string_agg(CAST(pos AS VARCHAR) || ':' || CAST(h AS VARCHAR),
@@ -1342,6 +1349,37 @@ SELECT t.doc_id,
 FROM toks t
 LEFT JOIN ns USING (doc_id)
 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_HASH_DOCS = 64
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS cross-document matching: pairs sharing >= WINNOW_MIN_SHARED
+    winnowing-selected fingerprint hashes, with the document-frequency
+    boilerplate cap — see
+    :func:`~spark_ifs_spark.operators.dedup.winnow_matches`."""
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.winnow_matches(
+        docs, "doc_id", "text",
+        k=WINNOW_K, window=WINNOW_WINDOW,
+        min_shared=WINNOW_MIN_SHARED, max_hash_docs=WINNOW_MAX_HASH_DOCS,
+    )
+
+
+def sql_winnow_pairs() -> str:
+    return f"""
+WITH {_sql_winnow_sel()},
+d AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM sel),
+keep AS (SELECT h FROM d GROUP BY h HAVING count(*) <= {WINNOW_MAX_HASH_DOCS})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INT) AS n_shared
+FROM d a
+JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+JOIN keep k ON k.h = a.h
+GROUP BY 1, 2
+HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 

@@ -1501,3 +1501,57 @@ JOIN assign{fin} a ON a.id = e.vec_id
 CROSS JOIN range({EMB_DIMS}) t(i)
 GROUP BY 1, 2
 """
+
+
+def q_source_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-source semantic proximity: pairwise cosine between
+    per-source embedding centroids (integer-state exact) — the matrix a
+    mixture designer reads to find mix-redundant sources. See
+    :func:`~spark_ifs_spark.operators.similarity.grouped_centroid_cosine`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    e = emb.join(docs, emb["vec_id"] == docs["doc_id"]).select(
+        "source", "embedding"
+    )
+    out = similarity.grouped_centroid_cosine(e, "source", "embedding", scale=8)
+    return out.select(
+        F.col("key_a").alias("source_a"),
+        F.col("key_b").alias("source_b"),
+        "n_a", "n_b", "cos",
+    )
+
+
+def sql_source_centroid_sim() -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT d.source, t.i AS dim,
+         CAST(floor(CAST(em.embedding[t.i + 1] AS DOUBLE) * 8) AS BIGINT) AS q
+  FROM embeddings em
+  JOIN documents d ON d.doc_id = em.vec_id, range({EMB_DIMS}) t(i)
+),
+s AS MATERIALIZED (
+  SELECT source, dim, CAST(sum(q) AS BIGINT) AS s FROM e GROUP BY 1, 2
+),
+nrm AS (SELECT source, CAST(sum(s * s) AS BIGINT) AS ssq FROM s GROUP BY 1),
+cnt AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+  GROUP BY 1
+),
+dot AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT dot.source_a, dot.source_b, ca.n AS n_a, cb.n AS n_b,
+       CASE WHEN na.ssq = 0 OR nb.ssq = 0 THEN 0.0
+            ELSE round(CAST(dot.dot AS DOUBLE)
+                       / (sqrt(CAST(na.ssq AS DOUBLE)) * sqrt(CAST(nb.ssq AS DOUBLE))), 6)
+       END AS cos
+FROM dot
+JOIN nrm na ON na.source = dot.source_a
+JOIN nrm nb ON nb.source = dot.source_b
+JOIN cnt ca ON ca.source = dot.source_a
+JOIN cnt cb ON cb.source = dot.source_b
+"""

@@ -158,3 +158,97 @@ FROM ({hll}) t
 """
 
 
+
+
+KMV_K = 128
+
+
+def q_kmv_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-vocabulary cardinality via the KMV sketch
+    (k smallest md5 hashes), PLUS the union cardinality computed by
+    MERGING the per-source sketches — never re-scanning the corpus —
+    with exact counts alongside as the estimator audit. At 100 TB the
+    exact columns are the audit (swap them out); the sketch path's
+    corpus work is one digest-distinct aggregate, and every shard/
+    source sketch folds into any union by concatenation (pinned in
+    ``test_sketches.py``)."""
+    from spark_ifs_spark.operators import sketches
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    sk = sketches.kmv_sketch(terms, ["source"], "term", k=KMV_K)
+    per = sketches.kmv_estimate(sk, ["source"], k=KMV_K)
+    ex = terms.groupBy("source").agg(F.countDistinct("term").alias("n_exact"))
+    merged = (
+        sk.select("h").distinct().withColumn("source", F.lit("__union__"))
+    )
+    usk = salted_topk_per_key(merged, ["source"], "h", k=KMV_K, descending=False)
+    uper = sketches.kmv_estimate(usk, ["source"], k=KMV_K)
+    uex = (
+        terms.agg(F.countDistinct("term").alias("n_exact"))
+        .withColumn("source", F.lit("__union__"))
+    )
+    out = per.join(ex, "source").unionByName(uper.join(uex, "source"))
+    err = F.floor(
+        (F.abs(F.col("est_distinct") - F.col("n_exact")).cast("double") * 1e6)
+        / F.col("n_exact").cast("double")
+    ).cast("long")
+    return out.select(
+        "source", "n_exact", "n_sketch", "kth_h", "est_distinct",
+        err.alias("err_ppm"),
+    )
+
+
+def sql_kmv_distinct_sources() -> str:
+    from spark_ifs_spark.operators.sketches import _kmv_num
+
+    k = KMV_K
+    num = repr(_kmv_num(k))
+    h = sql_md5_int60("w")
+    est = (
+        f"CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS BIGINT) "
+        f"ELSE CAST(floor(CAST({num} AS DOUBLE) / CAST(kth_h AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT source, w, {h} AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+d AS MATERIALIZED (SELECT DISTINCT source, h FROM terms),
+sk AS MATERIALIZED (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM d
+  ) WHERE rn <= {k}
+),
+per AS (
+  SELECT source, CAST(count(*) AS INT) AS n_sketch, max(h) AS kth_h
+  FROM sk GROUP BY 1
+),
+ex AS (SELECT source, count(DISTINCT w) AS n_exact FROM terms GROUP BY 1),
+usk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk)
+  ) WHERE rn <= {k}
+),
+uper AS (
+  SELECT '__union__' AS source, CAST(count(*) AS INT) AS n_sketch,
+         max(h) AS kth_h
+  FROM usk
+),
+uex AS (SELECT '__union__' AS source, count(DISTINCT w) AS n_exact FROM terms),
+unioned AS (
+  SELECT p.source, e.n_exact, p.n_sketch, p.kth_h FROM per p JOIN ex e USING (source)
+  UNION ALL
+  SELECT p.source, e.n_exact, p.n_sketch, p.kth_h FROM uper p JOIN uex e USING (source)
+)
+SELECT source, CAST(n_exact AS BIGINT) AS n_exact, n_sketch, kth_h,
+       {est} AS est_distinct,
+       CAST(floor((CAST(abs(({est}) - n_exact) AS DOUBLE) * 1e6)
+                  / CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
+FROM unioned
+"""

@@ -9,6 +9,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _USER_STATS_STAGED,
     _cleanup_staged_dirs,
     _lr_features,
+    _punct_fixture_expr,
     _quantized_wide,
     _read,
     _sql_bpe_round,
@@ -2955,4 +2956,101 @@ SELECT p.k AS key,
 FROM pp{PL_ITERS} p
 LEFT JOIN (SELECT a AS k, sum(n) AS n FROM tri GROUP BY 1) fw ON fw.k = p.k
 JOIN (SELECT k, sum(n) AS n FROM pos3 GROUP BY 1) tot ON tot.k = p.k
+"""
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade per document over the
+    punctuated-text fixture (the corpus is punctuation-free prose, so
+    terminal punctuation is planted deterministically — see
+    ``_punct_fixture_expr``); the classic readability quality-filter
+    features. Scan-fused projection, zero shuffles."""
+    docs = _read(spark, sf_dir, "documents")
+    ptext = docs.withColumn("ws", F.split("text", " ")).withColumn(
+        "ptext", F.expr(_punct_fixture_expr("spark"))
+    )
+    out = textstats.readability_scores(ptext, "doc_id", "ptext")
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def sql_readability_scores() -> str:
+    fixture = _punct_fixture_expr("duck")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+p AS (SELECT doc_id, {fixture} AS ptext FROM t),
+pw AS (SELECT doc_id, string_split(ptext, ' ') AS w FROM p),
+base AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_words,
+         CAST(greatest(
+           len(list_filter(w, x -> regexp_matches(x, '[.!?]$'))), 1
+         ) AS INT) AS n_sentences,
+         CAST(list_sum(list_transform(
+           w, x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)
+         )) AS INT) AS n_syllables
+  FROM pw
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - (1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+                     - (84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))), 6)
+         AS flesch,
+       round((0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)))
+           + (11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))) - 15.59, 6)
+         AS fk_grade
+FROM base
+"""
+
+
+PRIO_K = 64
+PRIO_SEED = 7
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-sampling subset-sum estimate of total corpus chars from
+    a PRIO_K-row weighted sample, with the exact total as audit — see
+    :func:`~spark_ifs_spark.operators.sampling.priority_sample_estimate`."""
+    from spark_ifs_spark.operators.sampling import priority_sample_estimate
+
+    docs = _read(spark, sf_dir, "documents")
+    return priority_sample_estimate(
+        docs, "doc_id", "n_chars", k=PRIO_K, seed=PRIO_SEED
+    )
+
+
+def sql_priority_sample() -> str:
+    k = PRIO_K
+    h = sql_md5_int60(f"concat('prio:{PRIO_SEED}:', CAST(doc_id AS VARCHAR))")
+    two60 = repr(float(1 << 60))
+    return f"""
+WITH pr AS (
+  SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS w,
+         CAST(n_chars AS DOUBLE)
+           / (CAST(({h}) + 1 AS DOUBLE) / {two60}) AS q
+  FROM documents
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY q DESC, id ASC) AS rn FROM pr),
+tau AS (
+  SELECT coalesce(max(CASE WHEN rn = {k + 1} THEN q END), 0.0) AS tau FROM rk
+),
+samp AS (
+  SELECT id, greatest(w, tau) AS we, tau
+  FROM rk, tau WHERE rn <= {k}
+),
+est AS (
+  SELECT any_value(tau) AS tau, CAST(count(*) AS INT) AS n_sample,
+         list_sum(list(we ORDER BY id)) AS est_raw
+  FROM samp
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_chars) AS BIGINT) AS exact_total
+  FROM documents
+)
+SELECT ex.n_rows, CAST({k} AS INT) AS k, est.n_sample,
+       round(est.tau, 6) AS tau,
+       round(est.est_raw, 6) AS est_total,
+       ex.exact_total,
+       CAST(floor((abs(round(est.est_raw, 6) - CAST(ex.exact_total AS DOUBLE)) * 1e6)
+                  / CAST(ex.exact_total AS DOUBLE)) AS BIGINT) AS err_ppm
+FROM est, ex
 """

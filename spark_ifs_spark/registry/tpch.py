@@ -1306,3 +1306,86 @@ FROM counts, t
 """
 
 
+
+
+# Z-order layout audit (zorder_layout): rectangular predicate covering
+# 1/8 × 1/8 of the normalized (customer, order-day) space.
+ZQ_X = (8192, 16383)
+ZQ_Y = (8192, 16383)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file-pruning audit of a Z-order (Morton) layout vs a
+    linear time-ordered layout over orders(o_custkey, o_orderdate) —
+    the `OPTIMIZE ZORDER BY` decision, measured: rows a 2-D predicate
+    scans under each layout's per-file envelope statistics. See
+    :mod:`spark_ifs_spark.operators.layout`."""
+    from spark_ifs_spark.functions.timeutil import epoch_us
+    from spark_ifs_spark.operators.layout import zorder_scan_audit
+
+    orders = _read(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("x"),
+        (epoch_us(orders, "o_orderdate") / F.lit(86_400_000_000)).cast("long").alias("y"),
+    )
+    return zorder_scan_audit(base, "x", "y", ZQ_X, ZQ_Y)
+
+
+def sql_zorder_layout() -> str:
+    from spark_ifs_spark.operators.layout import (
+        FILE_BITS,
+        ZBITS,
+        bucketize_sql,
+        interleave_sql,
+    )
+
+    bx = bucketize_sql("x", "mnx", "mxx", "//", ZBITS)
+    by = bucketize_sql("y", "mny", "mxy", "//", ZBITS)
+    z = interleave_sql("gx", "gy", "//", ZBITS)
+    zshift = 1 << (2 * ZBITS - FILE_BITS)
+    lshift = 1 << (ZBITS - FILE_BITS)
+    (x1, x2), (y1, y2) = ZQ_X, ZQ_Y
+    return f"""
+WITH base AS (
+  SELECT CAST(o_custkey AS BIGINT) AS x,
+         epoch_us(o_orderdate) // 86400000000 AS y
+  FROM orders
+),
+mm AS (
+  SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy FROM base
+),
+b AS (SELECT {bx} AS gx, {by} AS gy FROM base, mm),
+k AS MATERIALIZED (
+  SELECT gx, gy,
+         CASE WHEN gx >= {x1} AND gx <= {x2}
+               AND gy >= {y1} AND gy <= {y2} THEN 1 ELSE 0 END AS m,
+         ({z}) // {zshift} AS zfile,
+         gy // {lshift} AS lfile
+  FROM b
+),
+e AS (
+  SELECT 'zorder' AS layout, zfile AS f, gx, gy, m FROM k
+  UNION ALL
+  SELECT 'linear' AS layout, lfile AS f, gx, gy, m FROM k
+),
+files AS (
+  SELECT layout, f, count(*) AS n_rows, sum(m) AS n_matched,
+         min(gx) AS mnx, max(gx) AS mxx, min(gy) AS mny, max(gy) AS mxy
+  FROM e GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS INT) AS n_files,
+       CAST(sum(CASE WHEN mxx >= {x1} AND mnx <= {x2}
+                      AND mxy >= {y1} AND mny <= {y2} THEN 1 ELSE 0 END) AS INT)
+         AS files_scanned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN mxx >= {x1} AND mnx <= {x2}
+                      AND mxy >= {y1} AND mny <= {y2} THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(sum(n_matched) AS BIGINT) AS rows_matched,
+       (CAST(sum(CASE WHEN mxx >= {x1} AND mnx <= {x2}
+                       AND mxy >= {y1} AND mny <= {y2} THEN n_rows ELSE 0 END) AS BIGINT)
+        * 1000000) // CAST(sum(n_rows) AS BIGINT) AS scan_ppm
+FROM files
+GROUP BY 1
+"""

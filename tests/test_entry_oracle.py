@@ -107,9 +107,9 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 8 rotated the window to: the nine round-8 additions and 41
-    r4-era keys whose newest driver rows dated round 4 (the two
-    displaced r4-era keys sit at positions 51-52 as the r9 backfill
+    Round 8 rotated the window to: the fifteen round-8 additions and
+    35 r4-era keys whose newest driver rows dated round 4 (the eight
+    displaced r4-era keys sit at positions 51-58 as the r9 backfill
     head). Any accidental
     reorder (new entries must APPEND once the window is final) fails
     here before it silently changes what the driver verifies."""
@@ -120,6 +120,8 @@ def test_driver_window_frozen():
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
         # round-8 additions
+        "readability_scores", "source_centroid_sim", "zorder_layout",
+        "priority_sample", "kmv_distinct_sources", "winnow_pairs",
         "winnow_fingerprints", "shard_dup_coverage",
         "minhash_recall_audit", "c4_line_filters", "c4_line_dedup", "kmeans_train",
         "tokenizer_compare", "dedup_source_matrix", "pref_pl_ratings",
@@ -135,7 +137,5 @@ def test_driver_window_frozen():
         "docs_sample_n", "events_winsorized", "docs_profile",
         "events_rollup", "docs_length_deciles", "events_type_pivot",
         "corpus_diff", "events_props_json", "unconverted_views",
-        "events_cube", "session_journeys", "supplier_zscore",
-        "monthly_growth", "events_daily_anomaly", "customer_rfm",
-        "forecast_revenue", "late_suppliers",
+        "events_cube", "session_journeys",
     ]

@@ -163,3 +163,33 @@ def test_hll_matches_duckdb_twin(spark):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_kmv_sketch_merge_equals_direct_sketch(spark, sf_dir):
+    """KMV mergeability: re-sketching the UNION of two shard sketches
+    equals sketching the union of the shards directly — the property
+    that lets per-shard sketches fold into corpus cardinalities."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.lit("all").alias("g"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    # two shard sketches, keyed by half
+    shard_sk = kmv_sketch(terms, ["half"], "term", k=64)
+    merged_rows = shard_sk.select("h").distinct().withColumn("g", F.lit("all"))
+    merged = salted_topk_per_key(merged_rows, ["g"], "h", k=64, descending=False)
+    direct = kmv_sketch(terms, ["g"], "term", k=64)
+    m = kmv_estimate(merged, ["g"], k=64).collect()[0]
+    d = kmv_estimate(direct, ["g"], k=64).collect()[0]
+    assert (m["kth_h"], m["n_sketch"], m["est_distinct"]) == (
+        d["kth_h"], d["n_sketch"], d["est_distinct"]
+    )
+    # and the estimate is sane: within 30% of the exact distinct count
+    exact = terms.select("term").distinct().count()
+    assert abs(m["est_distinct"] - exact) / exact < 0.30

@@ -160,6 +160,13 @@ def main() -> None:
         "kmeans_train",
         "tokenizer_compare",
         "dedup_source_matrix",
+        "winnow_fingerprints",
+        "shard_dup_coverage",
+        "winnow_pairs",
+        "readability_scores",
+        "kmv_distinct_sources",
+        "priority_sample",
+        "source_centroid_sim",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -171,6 +178,13 @@ def main() -> None:
         "kmeans_train",
         "tokenizer_compare",
         "dedup_source_matrix",
+        "winnow_fingerprints",
+        "shard_dup_coverage",
+        "winnow_pairs",
+        "readability_scores",
+        "kmv_distinct_sources",
+        "priority_sample",
+        "source_centroid_sim",
     }
     if only:
         names = [n for n in names if n in only]
