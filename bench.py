@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "minhash_recall_audit",
     "winnow_fingerprints",
     "shard_dup_coverage",
+    "heaps_law_fit",
+    "quality_threshold_sweep",
+    "dedup_retention",
     "readability_scores",
     "source_centroid_sim",
     "zorder_layout",

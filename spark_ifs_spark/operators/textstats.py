@@ -1311,3 +1311,162 @@ def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (F.lit(0.39) * wps) + (F.lit(11.8) * spw) - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+HEAPS_CHECKPOINTS = 8
+
+
+def heaps_fit_exprs(J: int = HEAPS_CHECKPOINTS) -> tuple[str, str]:
+    """Dialect-shared SQL text computing ``(beta_ppm, lnk_ppm)`` — the
+    least-squares Heaps'-law fit ``ln V = ln k + β·ln T`` over ``J``
+    checkpoint columns ``t1..tJ`` (cumulative tokens) and ``v1..vJ``
+    (cumulative vocabulary) — identical token-for-token in Spark and
+    DuckDB so both engines execute the same IEEE sequence. Each ln is
+    floored to integer micronats FIRST (the ``bigram_logprob``
+    determinism convention), so the regression runs on exact
+    micronat-grid doubles."""
+    def q(col: str) -> str:
+        return (
+            f"(CAST(floor(ln(CAST({col} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            " / 1000000.0)"
+        )
+
+    xs = [q(f"t{j}") for j in range(1, J + 1)]
+    ys = [q(f"v{j}") for j in range(1, J + 1)]
+
+    def chain(terms: list[str]) -> str:
+        out = terms[0]
+        for t in terms[1:]:
+            out = f"({out} + {t})"
+        return out
+
+    sx = chain(xs)
+    sy = chain(ys)
+    sxy = chain([f"({x} * {y})" for x, y in zip(xs, ys)])
+    sxx = chain([f"({x} * {x})" for x in xs])
+    b = f"((({J}.0 * {sxy}) - ({sx} * {sy})) / (({J}.0 * {sxx}) - ({sx} * {sx})))"
+    lnk = f"(({sy} - ({b} * {sx})) / {J}.0)"
+    beta_ppm = f"CAST(floor(round({b}, 9) * 1000000.0) AS BIGINT)"
+    lnk_ppm = f"CAST(floor(round({lnk}, 9) * 1000000.0) AS BIGINT)"
+    return beta_ppm, lnk_ppm
+
+
+def heaps_law_fit(
+    df: DataFrame, id_col: str, text_col: str, checkpoints: int = HEAPS_CHECKPOINTS
+) -> DataFrame:
+    """``(j, n_docs, n_tokens, vocab, beta_ppm, lnk_ppm)`` — Heaps'-law
+    vocabulary-growth audit: cumulative distinct-vocabulary size at
+    ``checkpoints`` prefixes of the corpus (prefix = ids below
+    ``n·j/J``; ``id_col`` must be a dense 0-based sequence) plus the
+    least-squares fit of ``ln V = ln k + β·ln T``. Heaps' β is the
+    number that says how vocabulary — and everything vocabulary-bounded
+    (tokenizer tables, KMV/HLL sketch loads, bigram TYPE relations) —
+    grows when the corpus 10×es: the capacity-planning constant every
+    SCALE posture note that says "vocabulary-bounded, not
+    corpus-bounded" implicitly depends on.
+
+    Plan: the whole curve comes from TWO bounded aggregates — per-term
+    FIRST-occurrence ids (one vocabulary-bounded min-aggregate; a term
+    is in prefix-j's vocabulary iff its first id is below the cut, so
+    no per-checkpoint rescan) and one doc-level conditional-sum pass —
+    followed by J-bounded literal-chain arithmetic. Corpus rows are
+    read once each; nothing corpus-sized shuffles (the word explode
+    partially aggregates map-side onto vocabulary keys).
+    """
+    J = checkpoints
+    nw = F.size(F.split(F.col(text_col), " "))
+    base = df.select(F.col(id_col).alias("id"), nw.alias("nw"))
+    cnt = base.agg(F.count(F.lit(1)).alias("n"))
+    cuts = [F.expr(f"(n * {j}) DIV {J}") for j in range(1, J + 1)]
+    toks = base.crossJoin(F.broadcast(cnt)).agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(F.when(F.col("id") < c, F.col("nw")).otherwise(F.lit(0)))
+            .alias(f"t{j}")
+            for j, c in zip(range(1, J + 1), cuts)
+        ],
+    )
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    first = words.groupBy("term").agg(F.min("id").alias("fd"))
+    vocab = first.crossJoin(F.broadcast(cnt)).agg(
+        *[
+            F.sum((F.col("fd") < c).cast("long")).alias(f"v{j}")
+            for j, c in zip(range(1, J + 1), cuts)
+        ]
+    )
+    one = toks.crossJoin(vocab)
+    beta_ppm, lnk_ppm = heaps_fit_exprs(J)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("j"),
+                        F.expr(f"(n * {j}) DIV {J}").alias("n_docs"),
+                        F.col(f"t{j}").cast("long").alias("n_tokens"),
+                        F.col(f"v{j}").cast("long").alias("vocab"),
+                    )
+                    for j in range(1, J + 1)
+                ]
+            )
+        ).alias("c"),
+        F.expr(beta_ppm).alias("beta_ppm"),
+        F.expr(lnk_ppm).alias("lnk_ppm"),
+    )
+    return rows.select("c.j", "c.n_docs", "c.n_tokens", "c.vocab", "beta_ppm", "lnk_ppm")
+
+
+def quality_threshold_sweep(
+    df: DataFrame, id_col: str, text_col: str, bins: int = 20
+) -> DataFrame:
+    """``(bin, tau_ppm, n_docs, n_tokens, docs_retained, tokens_retained,
+    retained_ppm)`` — the filter-threshold DECISION CURVE for a quality
+    score: per score bin, how many documents/tokens the corpus retains
+    if everything at or above that bin's threshold is kept. This is the
+    plot a pipeline owner reads before picking a classifier cutoff
+    (FineWeb-Edu's "threshold 3" decision): token retention vs
+    threshold in one relation, on the deterministic
+    :func:`quality_score`.
+
+    Plan: the score is a scan-fused projection; ONE ``bins``-bounded
+    aggregate absorbs the corpus, and the cumulative-from-the-top sums
+    run on ≤ ``bins`` rows (the unpartitioned window is bins-bounded by
+    construction, never corpus-bounded). ``tau_ppm`` and
+    ``retained_ppm`` are exact integer arithmetic.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, id_col, text_col)
+    b = F.least(
+        F.floor(F.round(F.col("quality"), 6) * bins).cast("int"),
+        F.lit(bins - 1),
+    )
+    per = (
+        q.select(b.alias("bin"), F.col("n_words"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    step = 1_000_000 // bins
+    out = per.select(
+        "bin",
+        (F.col("bin").cast("long") * step).alias("tau_ppm"),
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).alias("docs_retained"),
+        F.sum("n_tokens").over(w).alias("tokens_retained"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "bin", "tau_ppm", "n_docs", "n_tokens", "docs_retained",
+        "tokens_retained",
+        F.expr("(tokens_retained * 1000000) DIV _t").alias("retained_ppm"),
+    )

@@ -1440,3 +1440,63 @@ FROM p
 JOIN s sa ON sa.doc_id = p.id_a
 JOIN s sb ON sb.doc_id = p.id_b
 """
+
+
+def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does dedup COST each source? Per source: docs/chars before
+    vs after MinHash-cluster dedup under the min-id-representative
+    policy — the per-domain retention report (heavy SEO/mirror sources
+    crater, curated sources survive) a pipeline owner reads after every
+    dedup run. Pure composition: the `dup_clusters` component relation
+    (doc-id pairs only) left-joined to the corpus id/source/n_chars
+    projection — bodies never move — plus two source-bounded
+    aggregates."""
+    from spark_ifs_spark.operators.graph import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    # no broadcast hint: the clustered-id relation is id-pairs only but
+    # grows with the dup mass — let AQE pick broadcast vs shuffle join
+    d = docs.select("doc_id", "source", "n_chars").join(cc, "doc_id", "left")
+    kept = F.col("cluster").isNull() | (F.col("doc_id") == F.col("cluster"))
+    out = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+        F.sum(kept.cast("long")).alias("docs_after"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("chars_after"),
+    )
+    return out.withColumn(
+        "retained_ppm", F.expr("(chars_after * 1000000) DIV chars_before")
+    )
+
+
+def sql_dedup_retention() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED (SELECT * FROM ({sql_dup_clusters()}) t),
+d AS (
+  SELECT doc.source, doc.doc_id, doc.n_chars, c.cluster
+  FROM documents doc LEFT JOIN clusters c ON c.doc_id = doc.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS docs_before,
+         CAST(sum(n_chars) AS BIGINT) AS chars_before,
+         CAST(sum(CASE WHEN cluster IS NULL OR doc_id = cluster
+                       THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+         CAST(sum(CASE WHEN cluster IS NULL OR doc_id = cluster
+                       THEN n_chars ELSE 0 END) AS BIGINT) AS chars_after
+  FROM d GROUP BY 1
+)
+SELECT source, docs_before, chars_before, docs_after, chars_after,
+       (chars_after * 1000000) // chars_before AS retained_ppm
+FROM agg
+"""

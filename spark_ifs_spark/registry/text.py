@@ -50,22 +50,32 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_text_quality() -> str:
+def _sql_quality_parts() -> tuple[str, str]:
+    """(base CTE text, rounded-quality expression) — the heuristic
+    quality score's SQL twin, shared by ``text_quality`` and
+    ``quality_threshold_sweep`` so the two oracles cannot drift."""
     stop_sum = " + ".join(_sql_count_word(w) for w in textstats.STOPWORDS)
-    return f"""
-WITH base AS (
+    base = f"""base AS (
   SELECT doc_id AS id,
          len(string_split(text, ' ')) AS n_words,
          (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')) AS mean_wl,
          ({stop_sum}) * 1.0 / len(string_split(text, ' ')) AS stop_ratio
   FROM documents
-)
+)"""
+    quality = """round(least(n_words / 50.0, 1.0)
+             * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
+             * least(stop_ratio * 5.0, 1.0), 6)"""
+    return base, quality
+
+
+def sql_text_quality() -> str:
+    base, quality = _sql_quality_parts()
+    return f"""
+WITH {base}
 SELECT id, n_words,
        round(mean_wl, 6) AS mean_word_len,
        round(stop_ratio, 6) AS stopword_ratio,
-       round(least(n_words / 50.0, 1.0)
-             * (1.0 - least(abs(mean_wl - 5.0) / 5.0, 1.0))
-             * least(stop_ratio * 5.0, 1.0), 6) AS quality
+       {quality} AS quality
 FROM base
 """
 
@@ -3053,4 +3063,100 @@ SELECT ex.n_rows, CAST({k} AS INT) AS k, est.n_sample,
        CAST(floor((abs(round(est.est_raw, 6) - CAST(ex.exact_total AS DOUBLE)) * 1e6)
                   / CAST(ex.exact_total AS DOUBLE)) AS BIGINT) AS err_ppm
 FROM est, ex
+"""
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth checkpoints + β/ln k fit — see
+    :func:`~spark_ifs_spark.operators.textstats.heaps_law_fit`."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.heaps_law_fit(docs, "doc_id", "text")
+
+
+def sql_heaps_law_fit() -> str:
+    J = textstats.HEAPS_CHECKPOINTS
+    beta_ppm, lnk_ppm = textstats.heaps_fit_exprs(J)
+    t_cols = ", ".join(
+        f"sum(CASE WHEN doc_id < (n * {j}) // {J} THEN nw ELSE 0 END) AS t{j}"
+        for j in range(1, J + 1)
+    )
+    v_cols = ", ".join(
+        f"sum(CASE WHEN fd < (n * {j}) // {J} THEN 1 ELSE 0 END) AS v{j}"
+        for j in range(1, J + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, (n * {j}) // {J} AS n_docs, t{j} AS n_tokens, "
+        f"v{j} AS vocab, {beta_ppm} AS beta_ppm, {lnk_ppm} AS lnk_ppm FROM one"
+        for j in range(1, J + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS nw FROM documents
+),
+cnt AS (SELECT count(*) AS n FROM base),
+toks AS (
+  SELECT max(n) AS n, {t_cols}
+  FROM (SELECT id AS doc_id, nw, n FROM base, cnt)
+),
+first_occ AS (
+  SELECT term, min(doc_id) AS fd
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+),
+voc AS (
+  SELECT {v_cols}
+  FROM (SELECT fd, n FROM first_occ, cnt)
+),
+one AS MATERIALIZED (
+  SELECT CAST(toks.n AS BIGINT) AS n,
+         {", ".join(f"CAST(t{j} AS BIGINT) AS t{j}" for j in range(1, J + 1))},
+         {", ".join(f"CAST(v{j} AS BIGINT) AS v{j}" for j in range(1, J + 1))}
+  FROM toks, voc
+)
+SELECT CAST(j AS INT) AS j, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+       beta_ppm, lnk_ppm
+FROM ({rows})
+"""
+
+
+QSWEEP_BINS = 20
+
+
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter decision curve: docs/tokens retained per score
+    threshold — see
+    :func:`~spark_ifs_spark.operators.textstats.quality_threshold_sweep`."""
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.quality_threshold_sweep(
+        docs, "doc_id", "text", bins=QSWEEP_BINS
+    )
+
+
+def sql_quality_threshold_sweep() -> str:
+    base, quality = _sql_quality_parts()
+    bins = QSWEEP_BINS
+    step = 1_000_000 // bins
+    return f"""
+WITH {base},
+qd AS (
+  SELECT least(CAST(floor({quality} * {bins}) AS INT), {bins - 1}) AS bin,
+         n_words
+  FROM base
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_tokens
+  FROM qd GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per),
+cum AS (
+  SELECT bin, CAST(bin AS BIGINT) * {step} AS tau_ppm, n_docs, n_tokens,
+         CAST(sum(n_docs) OVER (ORDER BY bin DESC) AS BIGINT) AS docs_retained,
+         CAST(sum(n_tokens) OVER (ORDER BY bin DESC) AS BIGINT) AS tokens_retained
+  FROM per
+)
+SELECT bin, tau_ppm, n_docs, n_tokens, docs_retained, tokens_retained,
+       (tokens_retained * 1000000) // t AS retained_ppm
+FROM cum, tot
 """

@@ -167,6 +167,9 @@ def main() -> None:
         "kmv_distinct_sources",
         "priority_sample",
         "source_centroid_sim",
+        "heaps_law_fit",
+        "quality_threshold_sweep",
+        "dedup_retention",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -185,6 +188,9 @@ def main() -> None:
         "kmv_distinct_sources",
         "priority_sample",
         "source_centroid_sim",
+        "heaps_law_fit",
+        "quality_threshold_sweep",
+        "dedup_retention",
     }
     if only:
         names = [n for n in names if n in only]
