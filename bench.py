@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "minhash_recall_audit",
     "winnow_fingerprints",
     "shard_dup_coverage",
+    "packing_waste_curve",
     "heaps_law_fit",
     "quality_threshold_sweep",
     "dedup_retention",

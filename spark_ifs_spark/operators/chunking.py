@@ -171,3 +171,116 @@ def chunk_documents_udtf(
         f"SELECT s.id, c.chunk_idx, c.n_tokens, c.chunk "
         f"FROM {name}_src s, LATERAL {name}(s.text) c"
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    bucket: int = 4096,
+) -> DataFrame:
+    """Adds ``out_col`` = the EXCLUSIVE prefix sum of ``value_col``
+    under ``order_col`` order — without the classic scale killer (an
+    unpartitioned window funnels the whole corpus through ONE task).
+
+    Two-level decomposition: rows bucket by ``order_col DIV bucket``
+    (deterministic — no dependence on physical partitioning), bucket
+    sums roll up into bucket OFFSETS (a window over ``n/bucket`` rows,
+    the only non-partitioned step — document the ratio: at 10^11 rows
+    and bucket 4096 that is 2.4·10^7 bucket rows, itself bucketable by
+    recursion if ever needed), offsets broadcast back, and the
+    within-bucket cumsum runs in a ``bucket``-bounded PARTITIONED
+    window. Exact, deterministic, and every corpus-sized step is
+    partition-parallel.
+    """
+    b = df.withColumn("_bkt", F.expr(f"{order_col} DIV {bucket}"))
+    per = b.groupBy("_bkt").agg(F.sum(value_col).alias("_bs"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select(
+        "_bkt", F.coalesce(F.sum("_bs").over(wb), F.lit(0)).alias("_off")
+    )
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(off), "_bkt")
+        .withColumn(
+            out_col,
+            F.col("_off") + F.coalesce(F.sum(value_col).over(ww), F.lit(0)),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
+PACK_CTX_LENGTHS = [64, 128, 256, 512]
+
+
+def packing_waste_curve(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    ctx_lengths: list[int] = PACK_CTX_LENGTHS,
+) -> DataFrame:
+    """One row per candidate context length L: the pad-vs-pack
+    decision curve for training-sequence assembly.
+
+    - single-sequence regime (one doc per sequence, truncate at L, pad
+      to L): ``tokens_kept = Σ min(size, L)``, ``truncated_docs``,
+      ``single_util_ppm = tokens_kept·10^6 / (n_docs·L)`` — the
+      padding waste everyone underestimates;
+    - packed regime (interval packing of the cumulative token stream,
+      the ``pack_chunks`` discipline): every bin is exactly L except
+      the last, so ``packed_bins = ⌈total/L⌉`` and ``packed_util_ppm =
+      total·10^6/(packed_bins·L)``; the cost is ``straddled_docs`` —
+      documents crossing a bin boundary (split across sequences),
+      counted exactly from the :func:`prefix_sum`.
+
+    All integer arithmetic. Plan: one prefix sum (two-level, see
+    :func:`prefix_sum`), a ×|L| map-side expand, one |L|-bounded
+    aggregate.
+    """
+    cum = prefix_sum(
+        df.select(F.col(id_col).alias("id"), F.col(size_col).alias("nw")),
+        "id",
+        "nw",
+    )
+    ls = F.explode(
+        F.array(*[F.lit(int(L)).cast("int") for L in ctx_lengths])
+    ).alias("ctx_len")
+    e = cum.select("id", "nw", "cum_before", ls)
+    L = F.col("ctx_len").cast("long")
+    straddle = (
+        (F.col("nw") > 0)
+        & (
+            F.expr("cum_before DIV CAST(ctx_len AS BIGINT)")
+            != F.expr("(cum_before + nw - 1) DIV CAST(ctx_len AS BIGINT)")
+        )
+    ).cast("long")
+    agg = e.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nw").cast("long").alias("total_tokens"),
+        F.sum(F.least(F.col("nw").cast("long"), L)).alias("tokens_kept"),
+        F.sum((F.col("nw") > L).cast("long")).alias("truncated_docs"),
+        F.sum(straddle).alias("straddled_docs"),
+    )
+    return agg.select(
+        "ctx_len",
+        "n_docs",
+        "total_tokens",
+        "tokens_kept",
+        "truncated_docs",
+        F.expr("(tokens_kept * 1000000) DIV (n_docs * CAST(ctx_len AS BIGINT))")
+        .alias("single_util_ppm"),
+        F.expr(
+            "(total_tokens + CAST(ctx_len AS BIGINT) - 1) DIV CAST(ctx_len AS BIGINT)"
+        ).alias("packed_bins"),
+        F.expr(
+            "(total_tokens * 1000000) DIV "
+            "(((total_tokens + CAST(ctx_len AS BIGINT) - 1) DIV CAST(ctx_len AS BIGINT)) "
+            "* CAST(ctx_len AS BIGINT))"
+        ).alias("packed_util_ppm"),
+        "straddled_docs",
+    )

@@ -3160,3 +3160,62 @@ SELECT bin, tau_ppm, n_docs, n_tokens, docs_retained, tokens_retained,
        (tokens_retained * 1000000) // t AS retained_ppm
 FROM cum, tot
 """
+
+
+def q_packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-vs-pack decision curve over candidate context lengths:
+    single-sequence padding/truncation waste vs interval-packing
+    utilization and straddle cost, from one scale-honest prefix sum —
+    see :func:`~spark_ifs_spark.operators.chunking.packing_waste_curve`."""
+    from spark_ifs_spark.operators.chunking import packing_waste_curve
+
+    docs = _read(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return packing_waste_curve(sized, "doc_id", "n_tok")
+
+
+def sql_packing_waste_curve() -> str:
+    from spark_ifs_spark.operators.chunking import PACK_CTX_LENGTHS
+
+    ls = ", ".join(f"({int(L)})" for L in PACK_CTX_LENGTHS)
+    return f"""
+WITH sized AS (
+  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  FROM documents
+),
+cum AS (
+  SELECT id, nw,
+         CAST(coalesce(sum(nw) OVER (ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM sized
+),
+e AS (
+  SELECT c.*, CAST(l.ctx_len AS INT) AS ctx_len
+  FROM cum c CROSS JOIN (VALUES {ls}) l(ctx_len)
+),
+agg AS (
+  SELECT ctx_len,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS total_tokens,
+         CAST(sum(least(nw, CAST(ctx_len AS BIGINT))) AS BIGINT) AS tokens_kept,
+         CAST(sum(CASE WHEN nw > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS truncated_docs,
+         CAST(sum(CASE WHEN nw > 0 AND cum_before // CAST(ctx_len AS BIGINT)
+                        <> (cum_before + nw - 1) // CAST(ctx_len AS BIGINT)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS straddled_docs
+  FROM e GROUP BY 1
+)
+SELECT ctx_len, n_docs, total_tokens, tokens_kept, truncated_docs,
+       (tokens_kept * 1000000) // (n_docs * CAST(ctx_len AS BIGINT))
+         AS single_util_ppm,
+       (total_tokens + CAST(ctx_len AS BIGINT) - 1) // CAST(ctx_len AS BIGINT)
+         AS packed_bins,
+       (total_tokens * 1000000)
+         // (((total_tokens + CAST(ctx_len AS BIGINT) - 1) // CAST(ctx_len AS BIGINT))
+             * CAST(ctx_len AS BIGINT)) AS packed_util_ppm,
+       straddled_docs
+FROM agg
+"""

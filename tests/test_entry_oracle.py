@@ -107,10 +107,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 8 rotated the window to: the eighteen round-8 additions and
-    32 r4-era keys whose newest driver rows dated round 4 (the eleven
-    displaced r4-era keys, unconverted_views .. decontam_bloom, sit at
-    positions 51-61 as the r9 backfill head). Any accidental
+    Round 8 rotated the window to: the nineteen round-8 additions and
+    31 r4-era keys whose newest driver rows dated round 4 (the twelve
+    displaced r4-era keys, events_props_json .. decontam_bloom, sit at
+    positions 51-62 as the r9 backfill head). Any accidental
     reorder (new entries must APPEND once the window is final) fails
     here before it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
@@ -120,6 +120,7 @@ def test_driver_window_frozen():
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
         # round-8 additions
+        "packing_waste_curve",
         "heaps_law_fit", "quality_threshold_sweep", "dedup_retention",
         "readability_scores", "source_centroid_sim", "zorder_layout",
         "priority_sample", "kmv_distinct_sources", "winnow_pairs",
@@ -137,5 +138,5 @@ def test_driver_window_frozen():
         "embedding_project", "source_overlap", "events_latest_state",
         "docs_sample_n", "events_winsorized", "docs_profile",
         "events_rollup", "docs_length_deciles", "events_type_pivot",
-        "corpus_diff", "events_props_json",
+        "corpus_diff",
     ]

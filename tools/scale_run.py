@@ -170,6 +170,7 @@ def main() -> None:
         "heaps_law_fit",
         "quality_threshold_sweep",
         "dedup_retention",
+        "packing_waste_curve",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -191,6 +192,7 @@ def main() -> None:
         "heaps_law_fit",
         "quality_threshold_sweep",
         "dedup_retention",
+        "packing_waste_curve",
     }
     if only:
         names = [n for n in names if n in only]
