@@ -1500,3 +1500,67 @@ SELECT source, docs_before, chars_before, docs_after, chars_after,
        (chars_after * 1000000) // chars_before AS retained_ppm
 FROM agg
 """
+
+
+def q_dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are near-dups SYNDICATION (cross-source) or crawl artifacts
+    (intra-source)? Per source-diversity level (number of distinct
+    sources inside a near-dup cluster): cluster count, doc mass, and
+    the majority-source share — the diagnostic that decides whether
+    dedup must run globally across sources or per-source suffices
+    (cluster-level complement of the pair-level `dedup_source_matrix`).
+    Composition: the `dup_clusters` relation joined to the id→source
+    projection, a cluster-bounded (cluster, source) count, then two
+    bounded aggregates. Bodies never move."""
+    from spark_ifs_spark.operators.graph import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    cc = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+    )
+    j = cc.join(docs.select("doc_id", "source"), "doc_id")
+    per = j.groupBy("cluster", "source").agg(F.count(F.lit(1)).alias("n"))
+    cl = per.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sources"),
+        F.sum("n").alias("size"),
+        F.max("n").alias("maj"),
+    )
+    return (
+        cl.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("size").cast("long").alias("n_docs"),
+            F.sum("maj").cast("long").alias("majority_docs"),
+        )
+        .withColumn(
+            "majority_ppm", F.expr("(majority_docs * 1000000) DIV n_docs")
+        )
+    )
+
+
+def sql_dedup_cluster_purity() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED (SELECT * FROM ({sql_dup_clusters()}) t),
+j AS (
+  SELECT c.cluster, d.source
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+per AS (SELECT cluster, source, count(*) AS n FROM j GROUP BY 1, 2),
+cl AS (
+  SELECT cluster, CAST(count(*) AS INT) AS n_sources,
+         sum(n) AS size_, max(n) AS maj
+  FROM per GROUP BY 1
+)
+SELECT n_sources,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(size_) AS BIGINT) AS n_docs,
+       CAST(sum(maj) AS BIGINT) AS majority_docs,
+       (CAST(sum(maj) AS BIGINT) * 1000000) // CAST(sum(size_) AS BIGINT)
+         AS majority_ppm
+FROM cl GROUP BY 1
+"""

@@ -3219,3 +3219,88 @@ SELECT ctx_len, n_docs, total_tokens, tokens_kept, truncated_docs,
        straddled_docs
 FROM agg
 """
+
+
+NGRAM_COVERAGE_NS = [100, 1000, 10000]
+
+
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipfian mass concentration: what fraction of all token
+    OCCURRENCES the top-N most frequent terms cover, for N in
+    NGRAM_COVERAGE_NS — the curve that sizes vocabularies (a tokenizer
+    whose top-10k pieces cover 98% of occurrences wastes little on
+    unks) and prices frequency-based pruning. Plan: one
+    vocabulary-bounded term-count aggregate, the salted global
+    top-max(N) (rank shuffle bounded to k×buckets rows), one
+    |N|-bounded conditional-sum pass; the corpus is read once."""
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    kmax = max(NGRAM_COVERAGE_NS)
+    top = salted_topk_per_key(
+        vocab.withColumn("_g", F.lit(1)), ["_g"], "n",
+        k=kmax, tiebreak_cols=["term"], descending=True,
+    )
+    rows = top.select(
+        "n",
+        "rank",
+        F.explode(
+            F.array(*[F.lit(int(N)).cast("int") for N in NGRAM_COVERAGE_NS])
+        ).alias("top_n"),
+    )
+    agg = rows.groupBy("top_n").agg(
+        F.sum(F.when(F.col("rank") <= F.col("top_n"), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.sum((F.col("rank") <= F.col("top_n")).cast("long")).alias("n_terms_used"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "top_n",
+        "n_terms_used",
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.expr("(covered_tokens * 1000000) DIV total_tokens").alias("coverage_ppm"),
+    )
+
+
+def sql_ngram_coverage_curve() -> str:
+    ns = ", ".join(f"({int(N)})" for N in NGRAM_COVERAGE_NS)
+    kmax = max(NGRAM_COVERAGE_NS)
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM vocab
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rank
+  FROM vocab QUALIFY rank <= {kmax}
+),
+e AS (
+  SELECT r.n, r.rank, CAST(l.top_n AS INT) AS top_n
+  FROM ranked r CROSS JOIN (VALUES {ns}) l(top_n)
+),
+agg AS (
+  SELECT top_n,
+         CAST(sum(CASE WHEN rank <= top_n THEN n ELSE 0 END) AS BIGINT)
+           AS covered_tokens,
+         CAST(sum(CASE WHEN rank <= top_n THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_terms_used
+  FROM e GROUP BY 1
+)
+SELECT top_n, n_terms_used, vocab_size, covered_tokens, total_tokens,
+       (covered_tokens * 1000000) // total_tokens AS coverage_ppm
+FROM agg, tot
+"""

@@ -171,6 +171,8 @@ def main() -> None:
         "quality_threshold_sweep",
         "dedup_retention",
         "packing_waste_curve",
+        "ngram_coverage_curve",
+        "dedup_cluster_purity",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -193,6 +195,8 @@ def main() -> None:
         "quality_threshold_sweep",
         "dedup_retention",
         "packing_waste_curve",
+        "ngram_coverage_curve",
+        "dedup_cluster_purity",
     }
     if only:
         names = [n for n in names if n in only]
