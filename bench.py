@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "minhash_recall_audit",
     "winnow_fingerprints",
     "shard_dup_coverage",
+    "quality_calibration",
+    "label_agreement_kappa",
     "ngram_coverage_curve",
     "dedup_cluster_purity",
     "packing_waste_curve",

@@ -3304,3 +3304,189 @@ SELECT top_n, n_terms_used, vocab_size, covered_tokens, total_tokens,
        (covered_tokens * 1000000) // total_tokens AS coverage_ppm
 FROM agg, tot
 """
+
+
+CALIB_BINS = 10
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for the
+    heuristic quality score against a deterministic binary label
+    (embeddings.label parity — the audit measures calibration, it does
+    not require the score to be good): per confidence bin, count,
+    mean confidence, empirical positive rate, |gap|, and the
+    n-weighted ECE as a constant column. The quality-classifier
+    trust-check (FineWeb-Edu-style pipelines act on absolute
+    thresholds, which only mean anything if the score is calibrated).
+
+    Plan: scan-fused score, one doc_id-keyed join to the label
+    projection, ONE bins-bounded aggregate; all published numbers are
+    exact integer ppm (per-row confidence is floored to ppm first, so
+    every sum is integer)."""
+    docs = _read(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs, "doc_id", "text").select(
+        "id", F.round("quality", 6).alias("q")
+    )
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), (F.col("label") % 2).alias("y")
+    )
+    j = q.join(emb, "id").select(
+        F.least(F.floor(F.col("q") * CALIB_BINS).cast("int"), F.lit(CALIB_BINS - 1))
+        .alias("bin"),
+        F.floor(F.col("q") * 1_000_000).cast("long").alias("conf_ppm"),
+        F.col("y").cast("long").alias("y"),
+    )
+    per = j.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"),
+        F.sum("conf_ppm").alias("sum_conf"),
+    )
+    per = per.select(
+        "bin",
+        "n",
+        F.expr("(pos * 1000000) DIV n").alias("acc_ppm"),
+        F.expr("sum_conf DIV n").alias("conf_ppm"),
+        F.abs(
+            F.expr("(pos * 1000000) DIV n") - F.expr("sum_conf DIV n")
+        ).alias("gap_ppm"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("_t"),
+        F.sum(F.col("gap_ppm") * F.col("n")).alias("_g"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "acc_ppm", "conf_ppm", "gap_ppm",
+        F.expr("_g DIV _t").alias("ece_ppm"),
+    )
+
+
+def sql_quality_calibration() -> str:
+    base, quality = _sql_quality_parts()
+    b = CALIB_BINS
+    return f"""
+WITH {base},
+q AS (SELECT id, {quality} AS q FROM base),
+j AS (
+  SELECT least(CAST(floor(q.q * {b}) AS INT), {b - 1}) AS bin,
+         CAST(floor(q.q * 1000000) AS BIGINT) AS conf_ppm,
+         CAST(e.label % 2 AS BIGINT) AS y
+  FROM q JOIN embeddings e ON e.vec_id = q.id
+),
+per AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS pos,
+         CAST(sum(conf_ppm) AS BIGINT) AS sum_conf
+  FROM j GROUP BY 1
+),
+pp AS (
+  SELECT bin, n,
+         (pos * 1000000) // n AS acc_ppm,
+         sum_conf // n AS conf_ppm,
+         abs((pos * 1000000) // n - sum_conf // n) AS gap_ppm
+  FROM per
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS t,
+         CAST(sum(gap_ppm * n) AS BIGINT) AS g
+  FROM pp
+)
+SELECT bin, n, acc_ppm, conf_ppm, gap_ppm, g // t AS ece_ppm
+FROM pp, tot
+"""
+
+
+KAPPA_CLASSES = 10
+KAPPA_NOISE_MOD = 5  # second annotator disagrees on ~1/5 of items
+
+
+def q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-annotator agreement over the label column and a
+    planted second annotator (md5-keyed disagreement on ~1/KAPPA_NOISE
+    of items, shifted to a deterministic other class) — the label-QA
+    gate every human-annotation/RLHF pipeline runs before trusting a
+    batch: raw agreement overstates reliability when the class prior
+    is skewed; κ subtracts chance agreement pe = Σ_k p1(k)·p2(k).
+
+    One row: (n_items, n_agree, po_ppm, pe_ppm, kappa_ppm). Everything
+    derives from ONE class-bounded contingency aggregate (K² cells);
+    po/pe/κ are ratios of exact integer counts, published under the
+    round(·,9)→ppm-floor guard with the float sequence mirrored."""
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    emb = _read(spark, sf_dir, "embeddings")
+    h = md5_int60(F.concat(F.lit("anno2:"), F.col("vec_id").cast("string")))
+    a2 = F.when(
+        h % KAPPA_NOISE_MOD != 0, F.col("label").cast("long")
+    ).otherwise(
+        (F.col("label") + 1 + (h % (KAPPA_CLASSES - 1))) % KAPPA_CLASSES
+    )
+    pairs = emb.select(
+        F.col("label").cast("long").alias("a1"), a2.alias("a2")
+    )
+    cells = pairs.groupBy("a1", "a2").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    agree = F.sum(F.when(F.col("a1") == F.col("a2"), F.col("c")).otherwise(F.lit(0)))
+    one = cells.agg(
+        n.alias("n_items"), agree.alias("n_agree")
+    )
+    m1 = cells.groupBy("a1").agg(F.sum("c").alias("c1"))
+    m2 = cells.groupBy("a2").agg(F.sum("c").alias("c2"))
+    # Σ_k c1(k)·c2(k) as an exact integer (classes joined on value)
+    pe_num = (
+        m1.join(m2, m1["a1"] == m2["a2"])
+        .agg(F.sum(F.col("c1") * F.col("c2")).alias("pe_num"))
+    )
+    out = one.crossJoin(F.broadcast(pe_num))
+    po = F.col("n_agree").cast("double") / F.col("n_items").cast("double")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_items").cast("double") * F.col("n_items").cast("double")
+    )
+    kappa = (po - pe) / (F.lit(1.0) - pe)
+    return out.select(
+        "n_items",
+        "n_agree",
+        F.floor(F.round(po, 9) * 1_000_000).cast("long").alias("po_ppm"),
+        F.floor(F.round(pe, 9) * 1_000_000).cast("long").alias("pe_ppm"),
+        F.floor(F.round(kappa, 9) * 1_000_000).cast("long").alias("kappa_ppm"),
+    )
+
+
+def sql_label_agreement_kappa() -> str:
+    h = sql_md5_int60("concat('anno2:', CAST(vec_id AS VARCHAR))")
+    K, M = KAPPA_CLASSES, KAPPA_NOISE_MOD
+    return f"""
+WITH pairs AS (
+  SELECT CAST(label AS BIGINT) AS a1,
+         CASE WHEN ({h}) % {M} <> 0 THEN CAST(label AS BIGINT)
+              ELSE (label + 1 + (({h}) % {K - 1})) % {K} END AS a2
+  FROM embeddings
+),
+cells AS MATERIALIZED (
+  SELECT a1, a2, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+),
+one AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN a1 = a2 THEN c ELSE 0 END) AS BIGINT) AS n_agree
+  FROM cells
+),
+m1 AS (SELECT a1, CAST(sum(c) AS BIGINT) AS c1 FROM cells GROUP BY 1),
+m2 AS (SELECT a2, CAST(sum(c) AS BIGINT) AS c2 FROM cells GROUP BY 1),
+pe AS (
+  SELECT CAST(sum(c1 * c2) AS BIGINT) AS pe_num
+  FROM m1 JOIN m2 ON m2.a2 = m1.a1
+)
+SELECT n_items, n_agree,
+       CAST(floor(round(CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE), 9)
+                  * 1000000) AS BIGINT) AS po_ppm,
+       CAST(floor(round(CAST(pe_num AS DOUBLE)
+                        / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)), 9)
+                  * 1000000) AS BIGINT) AS pe_ppm,
+       CAST(floor(round(
+         ((CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE))
+          - (CAST(pe_num AS DOUBLE)
+             / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE))))
+         / (1.0 - (CAST(pe_num AS DOUBLE)
+                   / (CAST(n_items AS DOUBLE) * CAST(n_items AS DOUBLE)))), 9)
+                  * 1000000) AS BIGINT) AS kappa_ppm
+FROM one, pe
+"""

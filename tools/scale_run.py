@@ -173,6 +173,8 @@ def main() -> None:
         "packing_waste_curve",
         "ngram_coverage_curve",
         "dedup_cluster_purity",
+        "quality_calibration",
+        "label_agreement_kappa",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -197,6 +199,8 @@ def main() -> None:
         "packing_waste_curve",
         "ngram_coverage_curve",
         "dedup_cluster_purity",
+        "quality_calibration",
+        "label_agreement_kappa",
     }
     if only:
         names = [n for n in names if n in only]
