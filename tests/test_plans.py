@@ -806,3 +806,32 @@ def test_tokenizer_compare_broadcasts_vocab_join(spark, sf_dir):
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert count_exchanges(df) <= 3  # (source,w) agg + source agg (+AQE read)
+
+
+def test_r8_session2_plan_shapes(spark, sf_dir):
+    """Plan-shape pins for the round-8 session-2 operators: column
+    pruning reaches the scans, shuffle counts stay bounded, and the
+    scan-fused projections stay shuffle-free."""
+    import __spark_entry__ as m
+    from spark_ifs_spark.plans.checks import (
+        count_exchanges,
+        read_schema_columns,
+    )
+
+    q = m.queries()
+    # quality_threshold_sweep: score is scan-fused; the only exchanges
+    # are the bins aggregate + the bins-bounded window/total join
+    assert count_exchanges(q["quality_threshold_sweep"](spark, sf_dir)) <= 4
+    # readability reads ONLY the columns it needs (pruning evidence)
+    cols = set(read_schema_columns(q["readability_scores"](spark, sf_dir)))
+    assert "text" in cols and "lang" not in cols and "source" not in cols
+    # zorder audit: one min/max agg + one (layout,file) agg + final fold
+    assert count_exchanges(q["zorder_layout"](spark, sf_dir)) <= 6
+    # calibration: score join + one bins-bounded aggregate + total fold
+    assert count_exchanges(q["quality_calibration"](spark, sf_dir)) <= 6
+    # kappa: contingency + two marginals + pe join + final fold; and it
+    # must read only the two columns it uses
+    kdf = q["label_agreement_kappa"](spark, sf_dir)
+    assert count_exchanges(kdf) <= 8
+    kcols = set(read_schema_columns(kdf))
+    assert "embedding" not in kcols, "kappa must not read the vector column"
