@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "minhash_recall_audit",
     "winnow_fingerprints",
     "shard_dup_coverage",
+    "join_size_estimate",
     "quality_calibration",
     "label_agreement_kappa",
     "ngram_coverage_curve",

@@ -1389,3 +1389,106 @@ SELECT layout,
 FROM files
 GROUP BY 1
 """
+
+
+JSE_K = 256
+JSE_PRIORITY = "1-URGENT"
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join-cardinality estimation — the cost-based
+    optimizer's core decision, audited: estimate
+    |σ(orders) ⋈ lineitem| with the textbook uniform-key formula
+    ``n_a·n_b / max(d_a, d_b)`` where the distinct key counts come
+    from KMV sketches (k smallest md5 hashes — the statistics a
+    catalog would store per column), and compare against the true
+    join size. At 100 TB this is exactly the call a planner makes
+    BEFORE choosing broadcast vs shuffle vs sort-merge; the audit
+    reports the estimator's ppm error so the sketch size k can be
+    costed. Sketch paths are one digest-distinct + salted top-k per
+    side; the true join is the audit."""
+    from spark_ifs_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    a = orders.filter(F.col("o_orderpriority") == JSE_PRIORITY).select(
+        F.col("o_orderkey").alias("k")
+    )
+    b = li.select(F.col("l_orderkey").alias("k"))
+
+    def _d(df):
+        g = df.withColumn("g", F.lit(1))
+        sk = kmv_sketch(g, ["g"], "k", k=JSE_K)
+        return kmv_estimate(sk, ["g"], k=JSE_K).select("est_distinct")
+
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    da = _d(a).withColumnRenamed("est_distinct", "d_a_est")
+    db = _d(b).withColumnRenamed("est_distinct", "d_b_est")
+    true_df = a.join(b, "k").agg(F.count(F.lit(1)).alias("true_join"))
+    one = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(da))
+        .crossJoin(F.broadcast(db))
+        .crossJoin(F.broadcast(true_df))
+    )
+    est = F.floor(
+        (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        / F.greatest(
+            F.col("d_a_est").cast("double"), F.col("d_b_est").cast("double")
+        )
+    ).cast("long")
+    return one.select(
+        "n_a", "n_b", "d_a_est", "d_b_est",
+        est.alias("est_join"),
+        "true_join",
+        F.floor(
+            (F.abs(est - F.col("true_join")).cast("double") * 1e6)
+            / F.col("true_join").cast("double")
+        ).cast("long").alias("err_ppm"),
+    )
+
+
+def sql_join_size_estimate() -> str:
+    from spark_ifs_spark.operators.sketches import _kmv_num
+
+    k = JSE_K
+    num = repr(_kmv_num(k))
+    h = sql_md5_int60("CAST(k AS VARCHAR)")
+
+    def sketch(rel: str, alias: str) -> str:
+        return f"""{alias}_d AS (
+  SELECT CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS BIGINT)
+              ELSE CAST(floor(CAST({num} AS DOUBLE) / CAST(kth AS DOUBLE)) AS BIGINT)
+         END AS d_est
+  FROM (
+    SELECT CAST(count(*) AS INT) AS n_sketch, max(h) AS kth
+    FROM (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT {h} AS h FROM {rel})
+    ) WHERE rn <= {k}
+  )
+)"""
+
+    return f"""
+WITH a AS (SELECT o_orderkey AS k FROM orders
+           WHERE o_orderpriority = '{JSE_PRIORITY}'),
+b AS (SELECT l_orderkey AS k FROM lineitem),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b),
+{sketch('a', 'a')},
+{sketch('b', 'b')},
+tr AS (SELECT CAST(count(*) AS BIGINT) AS true_join
+       FROM a JOIN b ON b.k = a.k)
+SELECT n_a, n_b,
+       a_d.d_est AS d_a_est, b_d.d_est AS d_b_est,
+       CAST(floor((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  / greatest(CAST(a_d.d_est AS DOUBLE), CAST(b_d.d_est AS DOUBLE)))
+            AS BIGINT) AS est_join,
+       true_join,
+       CAST(floor((CAST(abs(CAST(floor((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  / greatest(CAST(a_d.d_est AS DOUBLE), CAST(b_d.d_est AS DOUBLE)))
+            AS BIGINT) - true_join) AS DOUBLE) * 1e6)
+                  / CAST(true_join AS DOUBLE)) AS BIGINT) AS err_ppm
+FROM na, nb, a_d, b_d, tr
+"""

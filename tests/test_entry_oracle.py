@@ -107,10 +107,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 8 rotated the window to: the twenty-three round-8 additions
-    and 27 r4-era keys whose newest driver rows dated round 4 (the
-    sixteen displaced r4-era keys, events_rollup .. decontam_bloom, sit
-    at positions 51-66 as the r9 backfill head). Any accidental
+    Round 8 rotated the window to: the twenty-four round-8 additions
+    and 26 r4-era keys whose newest driver rows dated round 4 (the
+    seventeen displaced r4-era keys, docs_profile .. decontam_bloom,
+    sit at positions 51-67 as the r9 backfill head). Any accidental
     reorder (new entries must APPEND once the window is final) fails
     here before it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
@@ -120,6 +120,7 @@ def test_driver_window_frozen():
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
         # round-8 additions
+        "join_size_estimate",
         "quality_calibration", "label_agreement_kappa",
         "ngram_coverage_curve", "dedup_cluster_purity",
         "packing_waste_curve",
@@ -138,5 +139,5 @@ def test_driver_window_frozen():
         "returned_revenue", "order_priority_mix", "promo_revenue",
         "small_order_revenue", "idle_customers", "lm_bigram_logprob",
         "embedding_project", "source_overlap", "events_latest_state",
-        "docs_sample_n", "events_winsorized", "docs_profile",
+        "docs_sample_n", "events_winsorized",
     ]
