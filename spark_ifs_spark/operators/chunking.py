@@ -184,6 +184,10 @@ def prefix_sum(
     under ``order_col`` order — without the classic scale killer (an
     unpartitioned window funnels the whole corpus through ONE task).
 
+    ``order_col`` must be UNIQUE per row — ties would make the
+    within-bucket window's exclusive frame nondeterministic between
+    runs. (The packing caller orders by the unique doc id.)
+
     Two-level decomposition: rows bucket by ``order_col DIV bucket``
     (deterministic — no dependence on physical partitioning), bucket
     sums roll up into bucket OFFSETS (a window over ``n/bucket`` rows,

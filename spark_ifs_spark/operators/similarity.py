@@ -1722,7 +1722,10 @@ def grouped_centroid_cosine(
     dot/ssq via IEEE-exact ``sqrt``/division — bit-identical across
     engines, and cosine is scale-invariant so the un-normalized sum
     vector IS the centroid direction. Exact while
-    ``n_group · scale·max|x| · d < 2^53``.
+    ``(n_group · scale·max|x|)² · d < 2^53`` (the dot/ssq SUMS are the
+    binding terms, not the per-dim sums — at d=64, scale=8, |x|≤1 that
+    is n_group ≲ 4×10⁶ docs per group; past it, pre-scale the sums or
+    widen to decimal).
 
     Plan: one scan exploding to ``(key, dim, q)``, a (key × d)-bounded
     partial-aggregating sum, then all pair math on the keys×d relation

@@ -1326,8 +1326,11 @@ def heaps_fit_exprs(J: int = HEAPS_CHECKPOINTS) -> tuple[str, str]:
     determinism convention), so the regression runs on exact
     micronat-grid doubles."""
     def q(col: str) -> str:
+        # greatest(·,1) guards ln(0) on degenerate inputs (corpora with
+        # fewer than J docs make the first cut empty): identical text in
+        # both engines, a no-op whenever the checkpoint is non-empty
         return (
-            f"(CAST(floor(ln(CAST({col} AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            f"(CAST(floor(ln(CAST(greatest({col}, 1) AS DOUBLE)) * 1000000.0) AS BIGINT)"
             " / 1000000.0)"
         )
 

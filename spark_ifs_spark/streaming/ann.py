@@ -55,24 +55,11 @@ from spark_ifs_spark.operators.similarity import (
 )
 
 
-def _pointer_path(index_path: str) -> str:
-    return os.path.join(index_path.rstrip("/"), "current.json")
-
-
-def _read_state(index_path: str) -> dict | None:
-    p = _pointer_path(index_path)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _commit_state(index_path: str, state: dict) -> None:
-    p = _pointer_path(index_path)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, p)  # atomic on POSIX — the one commit point
+from spark_ifs_spark.streaming._pointer import (  # noqa: F401
+    _commit_state,
+    _pointer_path,
+    _read_state,
+)
 
 
 def corpus_dir(index_path: str) -> str:

@@ -46,24 +46,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def _pointer_path(path: str) -> str:
-    return os.path.join(path.rstrip("/"), "current.json")
-
-
-def _read_state(path: str) -> dict | None:
-    p = _pointer_path(path)
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
-
-
-def _commit_state(path: str, state: dict) -> None:
-    p = _pointer_path(path)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(state, f)
-    os.replace(tmp, p)  # atomic on POSIX — the one commit point
+from spark_ifs_spark.streaming._pointer import (  # noqa: F401
+    _commit_state,
+    _pointer_path,
+    _read_state,
+)
 
 
 _EMPTY = {
@@ -87,9 +74,13 @@ def _batch_partial(
     """(counts, kmv) bounded partials for one micro-batch."""
     from spark_ifs_spark.operators.sketches import kmv_sketch
 
+    # NULL text is folded as the empty string: without the coalesce,
+    # size(split(NULL)) is -1 (DECREMENTING n_tokens) and the KMV
+    # explode drops the row, so an all-NULL source would vanish from
+    # the inner-joined profile
     docs = batch.select(
         F.col(source_col).alias("source"),
-        F.col(text_col).alias("text"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
     )
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -185,7 +176,12 @@ def read_profile(spark: SparkSession, profile_path: str) -> DataFrame:
     merged = kmv.select("source", "h").distinct()
     sketch = salted_topk_per_key(merged, ["source"], "h", k=k, descending=False)
     est = kmv_estimate(sketch.select("source", "h"), ["source"], k=k)
-    return totals.join(est, "source").select(
+    # left join + fills: defensive against a source with counts but no
+    # sketch rows (cannot happen through _batch_partial, but a profile
+    # must never silently DROP a source it has counted)
+    return totals.join(est, "source", "left").na.fill(
+        {"n_sketch": 0, "kth_h": 0, "est_distinct": 0}
+    ).select(
         "source", "n_docs", "n_chars", "n_tokens", "n_sketch", "kth_h",
         F.col("est_distinct").alias("est_vocab"),
     )

@@ -162,3 +162,19 @@ def test_parameter_mismatch_is_a_hard_error(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="built with"):
         q.awaitTermination(120)
+
+
+def test_null_text_is_folded_as_empty_not_dropped(spark, tmp_path):
+    """A NULL-text document must not decrement token counts (the
+    size(split(NULL)) == -1 trap) nor erase its source from the
+    profile; it folds as an empty string."""
+    src, store = tmp_path / "feed", tmp_path / "prof"
+    rows = [(0, "a b c", "srcA"), (1, None, "srcB"), (2, None, "srcB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", df.schema)
+    prof = _profile_map(spark, store)
+    assert set(prof) == {"srcA", "srcB"}
+    nd, nc, nt, nsk, kth, ev = prof["srcB"]
+    assert nd == 2 and nc == 0
+    assert nt >= 0  # the -1-per-null trap would make this negative

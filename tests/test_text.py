@@ -14,7 +14,7 @@ def test_readability_is_scan_fused(spark, sf_dir):
 
 def test_readability_known_values(spark):
     """Hand-checked Flesch on a two-sentence doc: 6 words, 2 sentences,
-    8 syllables (ca-esar sa-lad is ta-sty. yes.)."""
+    9 syllables (cae-sar 2, sa-lad 2, is 1, tas-ty 2, well 1, yes 1)."""
     from spark_ifs_spark.operators.textstats import readability_scores
 
     df = spark.createDataFrame(
@@ -22,8 +22,6 @@ def test_readability_known_values(spark):
     )
     r = readability_scores(df, "id", "t").collect()[0]
     assert (r["n_words"], r["n_sentences"]) == (6, 2)
-    # caesar: aeae->2 groups? 'ae','a' -> wait: c-ae-s-a-r = 2; salad 2; is 1;
-    # tasty: a,y = 2; well 1; yes 1  => 9
     assert r["n_syllables"] == 9
     wps, spw = 6 / 2, 9 / 6
     assert abs(r["flesch"] - round(206.835 - 1.015 * wps - 84.6 * spw, 6)) < 1e-9
