@@ -259,3 +259,64 @@ def test_cosine_lsh_pairs_subset_of_exact(spark, seed, threshold, num_planes, nu
         expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cos"] - expect) < 1e-9
         assert r["cos"] >= threshold - 1e-12
+
+
+# --- winnowing detection guarantee (round 8) --------------------------------
+# Pure-Python mirror of operators/dedup.py:_winnow_base's selection rule
+# (windowed argmin over positional k-gram md5 hashes, rightmost tie), so
+# hypothesis can hammer the guarantee without a Spark job per example.
+
+def _winnow_sel_hashes(tokens, k=3, w=4):
+    import hashlib
+
+    hs = [
+        int(hashlib.md5(" ".join(tokens[j:j + k]).encode()).hexdigest()[:15], 16)
+        for j in range(len(tokens) - k + 1)
+    ]
+    out = set()
+    for i in range(max(len(hs) - w, 0) + 1):
+        _, nj = min((hs[j], -j) for j in range(i, min(i + w, len(hs))))
+        out.add(hs[-nj])
+    return out
+
+
+_tok = st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}")
+
+
+@given(
+    pre_a=st.lists(_tok, min_size=0, max_size=12),
+    post_a=st.lists(_tok, min_size=0, max_size=12),
+    pre_b=st.lists(_tok, min_size=0, max_size=12),
+    post_b=st.lists(_tok, min_size=0, max_size=12),
+    shared=st.lists(_tok, min_size=6, max_size=10),  # >= w + k - 1 = 6
+)
+@settings(max_examples=150, deadline=None)
+def test_winnowing_guarantee_property(pre_a, post_a, pre_b, post_b, shared):
+    """Schleimer et al.'s theorem, fuzzed: ANY shared token run of
+    length >= window + k - 1 placed in arbitrary contexts yields at
+    least one shared selected fingerprint hash."""
+    a = pre_a + shared + post_a
+    b = pre_b + shared + post_b
+    assert _winnow_sel_hashes(a) & _winnow_sel_hashes(b)
+
+
+# --- KMV sketch mergeability (round 8) ---------------------------------------
+
+@given(
+    parts=st.lists(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=80),
+        min_size=1,
+        max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_merge_property(parts, k):
+    """The algebraic fact operators/sketches.py:kmv_sketch and
+    streaming/profile.py rely on: the k smallest of a union equal the
+    k smallest of the union of per-part k-smallest sets — for ANY
+    partitioning and any k."""
+    union = set().union(*[set(p) for p in parts])
+    direct = sorted(union)[:k]
+    merged_rows = set().union(*[set(sorted(set(p))[:k]) for p in parts])
+    assert sorted(merged_rows)[:k] == direct
