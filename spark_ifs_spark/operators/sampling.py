@@ -552,17 +552,22 @@ def priority_sample_estimate(
     top = salted_topk_per_key(
         pr, ["_g"], "q", k=k + 1, tiebreak_cols=["id"], descending=True
     )
-    tau_df = top.groupBy("_g").agg(
+    # tau and the estimator sum are GLOBAL aggregates (always exactly
+    # one row, even on empty input — the grouped spelling returned zero
+    # rows there, diverging from an ungrouped-aggregate oracle), with
+    # the scalar tau crossJoined back broadcast. Empty-input contract:
+    # one row with n_rows = 0, tau = 0.0 and NULL exact_total/err_ppm.
+    tau_df = top.agg(
         F.coalesce(
             F.max(F.when(F.col("rank") == k + 1, F.col("q"))), F.lit(0.0)
         ).alias("tau")
     )
     samp = (
         top.filter(F.col("rank") <= k)
-        .join(F.broadcast(tau_df), "_g")
-        .select("id", F.greatest(F.col("w"), F.col("tau")).alias("we"), "tau")
+        .crossJoin(F.broadcast(tau_df))
+        .select("id", F.greatest(F.col("w"), F.col("tau")).alias("we"))
     )
-    est = samp.groupBy("tau").agg(
+    est = samp.agg(
         F.count(F.lit(1)).cast("int").alias("n_sample"),
         F.aggregate(
             F.transform(
@@ -572,7 +577,7 @@ def priority_sample_estimate(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("est_raw"),
-    )
+    ).crossJoin(F.broadcast(tau_df))
     ex = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(weight_col).cast("long").alias("exact_total"),

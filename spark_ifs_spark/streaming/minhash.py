@@ -44,7 +44,6 @@ pytest-pinned.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -135,70 +134,75 @@ def streaming_minhash_dedup(
         shingles = word_shingles(docs, "id", "text", n)
         sh_new = shingles.select("id", md5_int60(F.col("sh")).alias("h")).persist()
         bands_new = _lsh_bands(shingles, num_hashes, rows_per_band, seed).persist()
-        sizes_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        # unpersist in finally — a failed parquet write must not leak
+        # the cached blocks for the session's life (same leak class as
+        # the r7 unigram _finish fix)
+        try:
+            sizes_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-        corpus_bands = _read_corpus(spark, root, state["corpus"], "bands", wm)
-        corpus_sh = _read_corpus(spark, root, state["corpus"], "shingles", wm)
-        corpus_sizes = _read_corpus(spark, root, state["corpus"], "sizes", wm)
+            corpus_bands = _read_corpus(spark, root, state["corpus"], "bands", wm)
+            corpus_sh = _read_corpus(spark, root, state["corpus"], "shingles", wm)
+            corpus_sizes = _read_corpus(spark, root, state["corpus"], "sizes", wm)
 
-        right_bands = corpus_bands.select("id", "band", "bkey").unionByName(
-            bands_new.select("id", "band", "bkey")
-        )
-        a, b = bands_new.alias("a"), right_bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.id") != F.col("b.id")),
+            right_bands = corpus_bands.select("id", "band", "bkey").unionByName(
+                bands_new.select("id", "band", "bkey")
             )
-            .select(
-                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            a, b = bands_new.alias("a"), right_bands.alias("b")
+            cand = (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.id") != F.col("b.id")),
+                )
+                .select(
+                    F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                    F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                )
+                .distinct()
             )
-            .distinct()
-        )
-        all_sh = corpus_sh.select("id", "h").unionByName(sh_new)
-        all_sizes = corpus_sizes.select("id", "n_sh").unionByName(sizes_new)
-        da = all_sh.select(F.col("id").alias("id_a"), "h")
-        db = all_sh.select(F.col("id").alias("_idb"), F.col("h").alias("h2"))
-        inter = (
-            cand.join(da, "id_a")
-            .join(db, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h2")))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("i"))
-        )
-        na = all_sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
-        nb = all_sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
-        pairs = (
-            inter.join(na, "id_a")
-            .join(nb, "id_b")
-            .withColumn(
-                "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+            all_sh = corpus_sh.select("id", "h").unionByName(sh_new)
+            all_sizes = corpus_sizes.select("id", "n_sh").unionByName(sizes_new)
+            da = all_sh.select(F.col("id").alias("id_a"), "h")
+            db = all_sh.select(F.col("id").alias("_idb"), F.col("h").alias("h2"))
+            inter = (
+                cand.join(da, "id_a")
+                .join(db, (F.col("id_b") == F.col("_idb")) & (F.col("h") == F.col("h2")))
+                .groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("i"))
             )
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
+            na = all_sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+            nb = all_sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+            pairs = (
+                inter.join(na, "id_a")
+                .join(nb, "id_b")
+                .withColumn(
+                    "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
 
-        cdir = os.path.join(root, state["corpus"])
-        # per-batch directory + overwrite = replay idempotence; pairs
-        # first, pointer last — a crash leaves only invisible orphans
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(root, "pairs", f"batch={batch_id}")
-        )
-        # the batch partition value comes from the DIRECTORY NAME —
-        # never duplicated as a data column
-        bands_new.write.mode("overwrite").parquet(
-            os.path.join(cdir, "bands", f"batch={batch_id}")
-        )
-        sh_new.write.mode("overwrite").parquet(
-            os.path.join(cdir, "shingles", f"batch={batch_id}")
-        )
-        sizes_new.write.mode("overwrite").parquet(
-            os.path.join(cdir, "sizes", f"batch={batch_id}")
-        )
-        sh_new.unpersist()
-        bands_new.unpersist()
+            cdir = os.path.join(root, state["corpus"])
+            # per-batch directory + overwrite = replay idempotence; pairs
+            # first, pointer last — a crash leaves only invisible orphans
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(root, "pairs", f"batch={batch_id}")
+            )
+            # the batch partition value comes from the DIRECTORY NAME —
+            # never duplicated as a data column
+            bands_new.write.mode("overwrite").parquet(
+                os.path.join(cdir, "bands", f"batch={batch_id}")
+            )
+            sh_new.write.mode("overwrite").parquet(
+                os.path.join(cdir, "shingles", f"batch={batch_id}")
+            )
+            sizes_new.write.mode("overwrite").parquet(
+                os.path.join(cdir, "sizes", f"batch={batch_id}")
+            )
+        finally:
+            sh_new.unpersist()
+            bands_new.unpersist()
         state["last_batch_id"] = batch_id
         _commit_state(index_path, state)
 

@@ -39,7 +39,6 @@ windows and compaction are pinned in ``tests/test_streaming_profile.py``.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -77,7 +76,11 @@ def _batch_partial(
     # NULL text is folded as the empty string: without the coalesce,
     # size(split(NULL)) is -1 (DECREMENTING n_tokens) and the KMV
     # explode drops the row, so an all-NULL source would vanish from
-    # the inner-joined profile
+    # the inner-joined profile. An EMPTY string must then contribute
+    # zero tokens — split('', ' ') yields [''] (size 1), a phantom
+    # token that would also insert the empty term into the vocabulary
+    # sketch — so token counts gate on length and the term relation
+    # drops '' before sketching.
     docs = batch.select(
         F.col(source_col).alias("source"),
         F.coalesce(F.col(text_col), F.lit("")).alias("text"),
@@ -85,9 +88,15 @@ def _batch_partial(
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
-        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.length("text") == 0, F.lit(0)).otherwise(
+                F.size(F.split(F.col("text"), " "))
+            )
+        ).cast("long").alias("n_tokens"),
     )
-    terms = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
     sketch = kmv_sketch(terms, ["source"], "term", k=k).select("source", "h")
     return counts, sketch
 

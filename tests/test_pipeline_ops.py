@@ -413,3 +413,34 @@ def test_negative_samples_invariants(spark):
     assert len({(r["id"], r["neg_id"]) for r in rows}) == len(rows)
     as_neg = Counter(r["neg_id"] for r in rows)
     assert set(as_neg.values()) == {4}
+
+
+def test_priority_sample_estimate_empty_input_one_row(spark):
+    """Empty-input contract (round-9 ADVICE): the estimator is a GLOBAL
+    aggregate, so an empty corpus yields exactly one row — n_rows 0,
+    tau 0.0, NULL exact_total — not zero rows (the old groupBy('tau')
+    shape vanished there while an ungrouped oracle aggregate did not)."""
+    from spark_ifs_spark.operators.sampling import priority_sample_estimate
+
+    df = spark.createDataFrame([], "doc_id long, w long")
+    rows = priority_sample_estimate(df, "doc_id", "w", k=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rows"] == 0 and r["n_sample"] == 0
+    assert r["tau"] == 0.0 and r["est_total"] == 0.0
+    assert r["exact_total"] is None and r["err_ppm"] is None
+
+
+def test_priority_sample_estimate_small_exact(spark):
+    """With n <= k every row is kept, tau is 0, and the estimator sum
+    IS the exact total (max(w, 0) = w) — the unbiasedness edge case."""
+    from spark_ifs_spark.operators.sampling import priority_sample_estimate
+
+    df = spark.createDataFrame(
+        [(i, 10 + i) for i in range(5)], "doc_id long, w long"
+    )
+    r = priority_sample_estimate(df, "doc_id", "w", k=8).collect()[0]
+    assert r["n_rows"] == 5 and r["n_sample"] == 5
+    assert r["tau"] == 0.0
+    assert r["est_total"] == float(r["exact_total"]) == 60.0
+    assert r["err_ppm"] == 0

@@ -75,7 +75,11 @@ def test_streamed_profile_matches_batch_computation(spark, tmp_path):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).cast("long").alias("n_chars"),
-            F.sum(F.size(F.split(F.col("text"), " ")))
+            F.sum(
+                F.when(F.length("text") == 0, F.lit(0)).otherwise(
+                    F.size(F.split(F.col("text"), " "))
+                )
+            )
             .cast("long")
             .alias("n_tokens"),
         )
@@ -83,7 +87,7 @@ def test_streamed_profile_matches_batch_computation(spark, tmp_path):
     }
     terms = all_docs.select(
         "source", F.explode(F.split("text", " ")).alias("term")
-    )
+    ).where(F.col("term") != "")
     sk = kmv_sketch(terms, ["source"], "term", k=K).select("source", "h")
     est = {
         r["source"]: (r["n_sketch"], r["kth_h"], r["est_distinct"])
@@ -177,4 +181,8 @@ def test_null_text_is_folded_as_empty_not_dropped(spark, tmp_path):
     assert set(prof) == {"srcA", "srcB"}
     nd, nc, nt, nsk, kth, ev = prof["srcB"]
     assert nd == 2 and nc == 0
-    assert nt >= 0  # the -1-per-null trap would make this negative
+    # empty text contributes ZERO tokens (not the phantom [''] token)
+    # and the empty term never enters the vocabulary sketch, so an
+    # all-empty source reads back through the zero-filled left join
+    assert nt == 0
+    assert (nsk, kth, ev) == (0, 0, 0)
