@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "priority_sample",
     "kmv_distinct_sources",
     "winnow_pairs",
+    "knn_graph",
+    "knn_graph_recall",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -1555,3 +1555,157 @@ JOIN nrm nb ON nb.source = dot.source_b
 JOIN cnt ca ON ca.source = dot.source_a
 JOIN cnt cb ON cb.source = dot.source_b
 """
+
+
+# --- approximate kNN graph (NN-descent) --------------------------------
+from spark_ifs_spark.operators import knn as _knn  # noqa: E402
+
+KNN_GRAPH_K = 4  # emitted out-degree
+KNN_GRAPH_ROUNDS = 3  # NN-descent refinement rounds
+KNN_GRAPH_GROUPS = 8  # hash-ring seed groups
+KNN_GRAPH_SCALE = 1024  # integer-state quantization (power of two)
+KNN_GRAPH_SAMPLE_MOD = 20  # recall-audit node sample (id % mod == 0)
+_KNN_WORK = 5 * KNN_GRAPH_K  # internal working degree (K = 5k)
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate directed kNN graph via IVF-seeded NN-descent — see
+    :func:`~spark_ifs_spark.operators.knn.knn_graph`. Centroid count is
+    corpus-scaled (constant ~128-vector cells) so seed cost stays linear."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    out = _knn.knn_graph(
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
+        work_degree=_KNN_WORK,
+    )
+    return out.select("id", "nb", F.round("score", 6).alias("score"), "rank")
+
+
+def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of :func:`q_knn_graph` against EXACT top-k (same
+    quantized metric) on the deterministic node sample — the
+    ``minhash_recall_audit`` discipline for the graph family."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    return _knn.knn_graph_recall(
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
+        sample_mod=KNN_GRAPH_SAMPLE_MOD, work_degree=_KNN_WORK,
+    )
+
+
+def _sql_knn_score(pairs: str, kk: int) -> str:
+    """Score a ``(id, nb)`` pair relation with the exact integer-state
+    cosine and keep each id's top-``kk`` (score desc, nb asc) — the SQL
+    twin of ``knn._scored`` + ``salted_topk_per_key``."""
+    return f"""
+  SELECT id, nb,
+         CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+              ELSE CAST(list_sum([qa[i + 1] * qb[i + 1] FOR i IN range({EMB_DIMS})]) AS DOUBLE)
+                   / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))) END AS score
+  FROM (
+    SELECT c.id, c.nb, a.qv AS qa, a.ssq AS sa, b.qv AS qb, b.ssq AS sb
+    FROM {pairs} c JOIN kq a ON a.id = c.id JOIN kq b ON b.id = c.nb)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) <= {kk}"""
+
+
+def _sql_knn_ctes() -> str:
+    """The WITH-body shared by the two kNN-graph oracles: quantized
+    vectors, ring + IVF-cell seeds, then KNN_GRAPH_ROUNDS unrolled
+    NN-descent rounds ending at ``ke{R}`` (working-degree edge lists).
+    MATERIALIZED per the unrolled-round rule (`_sql_unrolled_greedy`
+    precedent) — later rounds reference earlier ones many times."""
+    kk, g, sc = _KNN_WORK, KNN_GRAPH_GROUPS, KNN_GRAPH_SCALE
+    cte = [f"""kq0 AS (
+  SELECT vec_id AS id,
+         [CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {sc}) AS BIGINT) FOR i IN range({EMB_DIMS})] AS qv
+  FROM embeddings
+)""", """kq AS MATERIALIZED (
+  SELECT id, qv, CAST(list_sum([x * x FOR x IN qv]) AS BIGINT) AS ssq FROM kq0
+)""", f"""kpos AS MATERIALIZED (
+  SELECT id, id % {g} AS g,
+         row_number() OVER (PARTITION BY id % {g} ORDER BY id) - 1 AS rn,
+         count(*) OVER (PARTITION BY id % {g}) AS cnt
+  FROM kq
+)""", f"""kring AS (
+  SELECT p.id, t.id AS nb
+  FROM kpos p
+  CROSS JOIN (SELECT unnest(range(1, {kk + 1})) AS j) js
+  JOIN kpos t ON t.g = p.g AND t.rn = (p.rn + js.j) % p.cnt
+  WHERE js.j < p.cnt
+)""", """kcents AS MATERIALIZED (
+  SELECT id AS cid, qv AS cq, ssq AS cs FROM kq
+  QUALIFY row_number() OVER (ORDER BY id) <= GREATEST(16, count(*) OVER () // 128)
+)""", f"""kassign AS MATERIALIZED (
+  SELECT id, cell FROM (
+    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY cscore DESC, cell ASC) AS rn
+    FROM (
+      SELECT id, cid AS cell,
+             CASE WHEN cs = 0 THEN 0.0
+                  ELSE CAST(list_sum([qv[i + 1] * cq[i + 1] FOR i IN range({EMB_DIMS})]) AS DOUBLE)
+                       / sqrt(CAST(cs AS DOUBLE)) END AS cscore
+      FROM (SELECT q.id, q.qv, c.cid, c.cq, c.cs FROM kq q CROSS JOIN kcents c)))
+  WHERE rn = 1
+)""", """kseed AS (
+  SELECT DISTINCT id, nb FROM (
+    SELECT id, nb FROM kring
+    UNION ALL SELECT nb AS id, id AS nb FROM kring
+    UNION ALL SELECT a.id, b.id AS nb FROM kassign a JOIN kassign b ON a.cell = b.cell AND a.id <> b.id)
+)""", f"""ke0 AS MATERIALIZED ({_sql_knn_score('kseed', kk)}
+)"""]
+    for r in range(1, KNN_GRAPH_ROUNDS + 1):
+        cte.append(f"""krev{r} AS (
+  SELECT id, nb, score FROM (SELECT nb AS id, id AS nb, score FROM ke{r - 1})
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) <= {kk}
+)""")
+        cte.append(f"""kb{r} AS MATERIALIZED (
+  SELECT DISTINCT id, nb FROM (SELECT id, nb FROM ke{r - 1} UNION ALL SELECT id, nb FROM krev{r})
+)""")
+        cte.append(f"""kcand{r} AS MATERIALIZED (
+  SELECT DISTINCT id, nb FROM (
+    SELECT x.nb AS id, y.nb AS nb FROM kb{r} x JOIN kb{r} y ON x.id = y.id AND x.nb <> y.nb
+    UNION ALL SELECT id, nb FROM kb{r}
+    UNION ALL SELECT nb AS id, id AS nb FROM kb{r})
+  WHERE id <> nb
+)""")
+        cte.append(f"""ke{r} AS MATERIALIZED ({_sql_knn_score(f'kcand{r}', kk)}
+)""")
+    return ",\n".join(cte)
+
+
+def sql_knn_graph() -> str:
+    rr = KNN_GRAPH_ROUNDS
+    return f"""
+WITH {_sql_knn_ctes()}
+SELECT id, nb, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT id, nb, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
+  FROM ke{rr})
+WHERE rnk <= {KNN_GRAPH_K}
+"""
+
+
+def sql_knn_graph_recall() -> str:
+    rr, k, mod = KNN_GRAPH_ROUNDS, KNN_GRAPH_K, KNN_GRAPH_SAMPLE_MOD
+    truth_pairs = f"(SELECT a.id, b.id AS nb FROM kq a JOIN kq b ON a.id % {mod} = 0 AND a.id <> b.id)"
+    return f"""
+WITH {_sql_knn_ctes()},
+kfin AS (
+  SELECT id, nb FROM (
+    SELECT id, nb, row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
+    FROM ke{rr})
+  WHERE rnk <= {k}
+),
+ktruth AS MATERIALIZED (
+  SELECT id, nb FROM ({_sql_knn_score(truth_pairs, k)})
+)
+SELECT n.n_nodes, CAST({k} AS INTEGER) AS k, s.n_sample, h.hits, p.possible,
+       CASE WHEN p.possible = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(floor(h.hits * 1000000 / p.possible) AS BIGINT) END AS recall_ppm
+FROM (SELECT count(*) AS n_nodes FROM kq) n,
+     (SELECT count(*) AS n_sample FROM kq WHERE id % {mod} = 0) s,
+     (SELECT count(*) AS hits FROM ktruth t JOIN kfin e ON e.id = t.id AND e.nb = t.nb) h,
+     (SELECT count(*) AS possible FROM ktruth) p
+"""
