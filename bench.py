@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "ngram_coverage_curve",
     "dedup_cluster_purity",
     "packing_waste_curve",
+    "packing_assignment",
     "heaps_law_fit",
     "quality_threshold_sweep",
     "dedup_retention",

@@ -288,3 +288,92 @@ def packing_waste_curve(
         ).alias("packed_util_ppm"),
         "straddled_docs",
     )
+
+
+PACK_ASSIGN_CTX = 256
+
+
+def pack_assign(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    ctx_len: int = PACK_ASSIGN_CTX,
+    bucket: int = 4096,
+) -> DataFrame:
+    """REALIZED whole-document bin packing: ``(doc_id, n_tok, seq_len,
+    bin_id, tok_offset, truncated)`` — the assignment a trainer's data
+    loader actually consumes (``packing_waste_curve`` only prices the
+    decision; this materializes it).
+
+    First-fit-decreasing is inherently sequential (every placement
+    depends on all previous bins' residual space), so the distributed
+    form is SIZE-CLASS SHELF PACKING, the closed-form member of the
+    harmonic/class-segregated family: documents group by capped exact
+    length ``cs = max(min(n_tok, L), 1)`` (oversized docs truncate into
+    single-doc bins), a bin holds ``cap = L DIV cs`` same-class
+    documents, and the n-th document of a class (id order) sits at bin
+    ``n DIV cap``, token offset ``(n mod cap)·cs``. Within a class this
+    is OPTIMAL (equal sizes ⇒ no packing can beat ⌈cnt/cap⌉ bins); the
+    scheme's total waste vs the interval lower bound is at most one
+    underfilled bin per class plus the per-bin remainder ``L mod cs`` —
+    both measured, not assumed, by the ``packing_assignment`` query's
+    parity checks against ``packing_waste_curve``.
+
+    Scale shape: the per-class row number uses the same two-level
+    decomposition as :func:`prefix_sum` — rows bucket by ``id DIV
+    bucket``, per-(class, bucket) counts roll up through a
+    class-partitioned window over bucket rows (|classes ≤ L| ×
+    n/bucket rows, never the corpus), and the within-bucket
+    ``row_number`` window is (class, bucket)-bounded. Global bin ids
+    come from a |classes|-bounded window (classes sorted by size DESC
+    — the "decreasing" in FFD) broadcast back. No corpus-sized window,
+    no shuffle wider than the (cs, _bkt) hash — deterministic under
+    any physical partitioning.
+    """
+    L = int(ctx_len)
+    b = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(size_col).cast("long").alias("n_tok"),
+    ).withColumn(
+        "cs", F.greatest(F.least(F.col("n_tok"), F.lit(L).cast("long")), F.lit(1).cast("long"))
+    ).withColumn("_bkt", F.expr("doc_id DIV " + str(int(bucket))))
+    # per-(class, bucket) counts -> class-partitioned exclusive cumsum
+    per = b.groupBy("cs", "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = (
+        Window.partitionBy("cs")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per.select(
+        "cs", "_bkt", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_off")
+    )
+    ww = Window.partitionBy("cs", "_bkt").orderBy(F.col("doc_id").asc())
+    rn = (
+        b.join(off, ["cs", "_bkt"])
+        .withColumn("rn", F.col("_off") + F.row_number().over(ww) - 1)
+        .drop("_bkt", "_off")
+    )
+    # |classes|-bounded bin numbering: bins of larger classes first
+    caps = rn.groupBy("cs").agg(F.count(F.lit(1)).alias("cnt"))
+    caps = caps.withColumn("cap", F.expr(f"greatest({L} DIV cs, 1)"))
+    wc = (
+        Window.orderBy(F.col("cs").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = caps.withColumn(
+        "bin0",
+        F.coalesce(F.sum(F.expr("(cnt + cap - 1) DIV cap")).over(wc), F.lit(0)),
+    ).select("cs", "cap", "bin0")
+    return (
+        rn.join(F.broadcast(offs), "cs")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("cs").alias("seq_len"),
+            (F.col("bin0") + F.expr("rn DIV cap")).cast("long").alias("bin_id"),
+            (F.pmod(F.col("rn"), F.col("cap")) * F.col("cs"))
+            .cast("long")
+            .alias("tok_offset"),
+            (F.col("n_tok") > L).alias("truncated"),
+        )
+    )

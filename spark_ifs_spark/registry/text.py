@@ -3490,3 +3490,53 @@ SELECT n_items, n_agree,
                   * 1000000) AS BIGINT) AS kappa_ppm
 FROM one, pe
 """
+
+
+PACK_ASSIGN_L = 64  # exercises both truncation (max len 100) and multi-doc bins
+
+
+def q_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized whole-document packing assignment (size-class shelf,
+    the distributed closed form of first-fit-decreasing) — the
+    ``(doc_id, bin_id, tok_offset)`` relation a trainer's loader
+    consumes; see :func:`~spark_ifs_spark.operators.chunking.pack_assign`."""
+    from spark_ifs_spark.operators.chunking import pack_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_assign(sized, "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L)
+
+
+def sql_packing_assignment() -> str:
+    L = PACK_ASSIGN_L
+    return f"""
+WITH sized AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+cl AS (
+  SELECT doc_id, n_tok, GREATEST(LEAST(n_tok, {L}), 1) AS cs FROM sized
+),
+rn AS (
+  SELECT doc_id, n_tok, cs,
+         row_number() OVER (PARTITION BY cs ORDER BY doc_id) - 1 AS rn
+  FROM cl
+),
+caps AS (
+  SELECT cs, CAST(count(*) AS BIGINT) AS cnt, GREATEST({L} // cs, 1) AS cap
+  FROM rn GROUP BY cs
+),
+offs AS (
+  SELECT cs, cap,
+         CAST(coalesce(sum((cnt + cap - 1) // cap) OVER (ORDER BY cs DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin0
+  FROM caps
+)
+SELECT r.doc_id, r.n_tok, CAST(r.cs AS BIGINT) AS seq_len,
+       CAST(o.bin0 + r.rn // o.cap AS BIGINT) AS bin_id,
+       CAST((r.rn % o.cap) * r.cs AS BIGINT) AS tok_offset,
+       r.n_tok > {L} AS truncated
+FROM rn r JOIN offs o USING (cs)
+"""
