@@ -107,10 +107,11 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 8 rotated the window to: the twenty-four round-8 additions
-    and 26 r4-era keys whose newest driver rows dated round 4 (the
-    seventeen displaced r4-era keys, docs_profile .. decontam_bloom,
-    sit at positions 51-67 as the r9 backfill head). Any accidental
+    Round 9 rotated the window to: the three round-9 additions, then
+    ALL 47 least-recently-gated keys — the seventeen r4-era keys the
+    r8 window displaced, the nine r4-era keys from round 7's old
+    positions 51-59, and the oldest r5-era block — so after this gate
+    no key's freshest driver row is older than round 5. Any accidental
     reorder (new entries must APPEND once the window is final) fails
     here before it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
@@ -119,25 +120,21 @@ def test_driver_window_frozen():
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
-        # round-8 additions
-        "join_size_estimate",
-        "quality_calibration", "label_agreement_kappa",
-        "ngram_coverage_curve", "dedup_cluster_purity",
-        "packing_waste_curve",
-        "heaps_law_fit", "quality_threshold_sweep", "dedup_retention",
-        "readability_scores", "source_centroid_sim", "zorder_layout",
-        "priority_sample", "kmv_distinct_sources", "winnow_pairs",
-        "winnow_fingerprints", "shard_dup_coverage",
-        "minhash_recall_audit", "c4_line_filters", "c4_line_dedup", "kmeans_train",
-        "tokenizer_compare", "dedup_source_matrix", "pref_pl_ratings",
-        # r4-era backfill (least-recently gated)
-        "ann_topk_sq8", "dedup_exact_normalized", "pipeline_audit",
-        "dedup_fuzzy_edit", "ann_topk_ivf_trained", "nation_trade_volume",
-        "bracket_revenue", "top_supplier", "bpe_pairs_top50",
-        "bpe_train_merges", "bpe_token_counts", "embedding_gram",
-        "pca_power_step", "pca_power_iter2", "shipping_priority",
-        "returned_revenue", "order_priority_mix", "promo_revenue",
-        "small_order_revenue", "idle_customers", "lm_bigram_logprob",
-        "embedding_project", "source_overlap", "events_latest_state",
-        "docs_sample_n", "events_winsorized",
+        # round-9 additions
+        "knn_graph", "knn_graph_recall", "packing_assignment",
+        # r4-era backfill (the 26 keys displaced across r7/r8)
+        "docs_profile", "events_rollup", "docs_length_deciles", "events_type_pivot",
+        "corpus_diff", "events_props_json", "unconverted_views", "events_cube",
+        "session_journeys", "supplier_zscore", "monthly_growth", "events_daily_anomaly",
+        "customer_rfm", "forecast_revenue", "late_suppliers", "part_pair_counts",
+        "decontam_bloom", "pmi_top_pairs", "quality_lr_score", "market_share",
+        "custdist", "big_volume_customers", "widget_part_suppliers", "decontam_overlap",
+        "bm25_topk", "tfidf_cosine_pairs",
+        # oldest r5-era block
+        "boilerplate_shingles", "docs_novelty", "docs_temperature_mix", "gopher_filters",
+        "split_leakage", "cluster_size_stats", "ann_recall_audit", "events_hll_users",
+        "docs_profile_sketch", "source_quality_report", "user_streaks", "weighted_median_price",
+        "lineitem_corr", "part_pair_lift", "kwic_snippets", "events_interarrival",
+        "events_value_histogram", "lang_source_chisq", "source_token_entropy", "user_value_twa",
+        "orders_sla",
     ]
