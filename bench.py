@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "winnow_pairs",
     "knn_graph",
     "knn_graph_recall",
+    "knn_graph_components",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -314,3 +314,49 @@ def knn_graph_recall(
             .alias("recall_ppm"),
         )
     )
+
+
+def knn_graph_components(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    k: int = 4,
+    num_centroids: int = 16,
+    rounds: int = 3,
+    groups: int = 8,
+    scale: int = 1024,
+    work_degree: int | None = None,
+) -> DataFrame:
+    """``(id, component)`` — graph-based near-duplicate clusters: the
+    connected components of the MUTUAL kNN graph thresholded at
+    ``threshold`` (an edge survives iff i lists j AND j lists i among
+    their top-k, at cosine ≥ threshold) — the graph consumer the kNN
+    index exists for. Mutuality is the standard asymmetric-hub filter:
+    a hub that many nodes list (but which lists none of them back)
+    contributes no edge, so components stay tight at corpus scale.
+
+    This is the ANN-graph approximation of the exact
+    ``cosine_threshold_pairs`` → ``connected_components`` pipeline
+    (``dedup_embedding`` + ``dup_clusters`` family): pairs the graph
+    missed (recall < 100%, measured by :func:`knn_graph_recall`) are
+    missing edges here — approximate by construction, audited, never
+    silently all-pairs. Component ids are minimum member ids
+    (:func:`~spark_ifs_spark.operators.graph.connected_components`
+    contract); only nodes with ≥1 mutual edge appear.
+    """
+    e = knn_graph(
+        df, id_col, vec_col, k=k, num_centroids=num_centroids, rounds=rounds,
+        groups=groups, scale=scale, work_degree=work_degree,
+    ).filter(F.col("score") >= threshold).select("id", "nb")
+    rev = e.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+    mutual = (
+        e.join(rev, ["id", "nb"], "left_semi")
+        .filter(F.col("id") < F.col("nb"))
+        .select(F.col("id").alias("id_a"), F.col("nb").alias("id_b"))
+    )
+    from spark_ifs_spark.operators.graph import connected_components
+
+    return connected_components(mutual, "id_a", "id_b").select(
+        "id", "component"
+    )

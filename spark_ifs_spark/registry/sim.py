@@ -1709,3 +1709,46 @@ FROM (SELECT count(*) AS n_nodes FROM kq) n,
      (SELECT count(*) AS hits FROM ktruth t JOIN kfin e ON e.id = t.id AND e.nb = t.nb) h,
      (SELECT count(*) AS possible FROM ktruth) p
 """
+
+
+def q_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based near-dup clusters: connected components of the
+    MUTUAL kNN graph thresholded at ``EMB_DEDUP_THRESHOLD`` — the ANN
+    approximation of the exact ``dedup_embedding`` pipeline and the
+    consumer the graph family exists for. See
+    :func:`~spark_ifs_spark.operators.knn.knn_graph_components`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    return _knn.knn_graph_components(
+        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD,
+        k=KNN_GRAPH_K, num_centroids=nc, rounds=KNN_GRAPH_ROUNDS,
+        groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE, work_degree=_KNN_WORK,
+    )
+
+
+def sql_knn_graph_components() -> str:
+    rr, k = KNN_GRAPH_ROUNDS, KNN_GRAPH_K
+    thr = repr(EMB_DEDUP_THRESHOLD)
+    return f"""
+WITH RECURSIVE {_sql_knn_ctes()},
+kfe AS (
+  SELECT id, nb, score FROM (
+    SELECT id, nb, score,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
+    FROM ke{rr})
+  WHERE rnk <= {k} AND score >= {thr}
+),
+kmut AS (
+  SELECT e1.id AS a, e1.nb AS b
+  FROM kfe e1 JOIN kfe e2 ON e1.id = e2.nb AND e1.nb = e2.id
+  WHERE e1.id < e1.nb
+),
+kedges AS (SELECT a, b FROM kmut UNION SELECT b AS a, a AS b FROM kmut),
+kwalk(node, reach) AS (
+  SELECT a, b FROM kedges
+  UNION
+  SELECT w.node, e.b FROM kwalk w JOIN kedges e ON w.reach = e.a
+)
+SELECT node AS id, least(node, min(reach)) AS component
+FROM kwalk GROUP BY node
+"""
