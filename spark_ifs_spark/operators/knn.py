@@ -143,12 +143,66 @@ def _ring_seed(ids: DataFrame, k: int, groups: int) -> DataFrame:
     ).select("id", "nb")
 
 
+#: past this many seed cells the crossJoin-expression assignment flips
+#: to the broadcast-numpy GEMM kernel — same threshold and same reason
+#: as ``similarity.ivf_assign_np`` (SemDeDup): with corpus-scaled cells
+#: (nc = n/128) the expression path scores n·nc pairs, which is
+#: QUADRATIC in n (measured: 22 s at 20k nodes → 346 s at 200k before
+#: this kernel). The kernel computes the SAME argmax exactly (see
+#: ``_cell_assign_np``), so results are path-independent (pytest-pinned)
+#: and every gate SF (nc = 16) stays on the expression path the oracle
+#: mirrors.
+NP_ASSIGN_MIN_CENTROIDS = 65
+
+
+def _cell_assign_np(q: DataFrame, cents_rows: list) -> DataFrame:
+    """``(id, cell)`` via broadcast-numpy argmax — EXACT integer-state
+    equivalence with the expression path: the quantized components and
+    the int64 dot are integer-valued with |dot| ≤ d·(scale·max|x|)²
+    < 2^53, so the float64 BLAS GEMM computes them exactly; the
+    division by the identical √ssq_c doubles is IEEE-exact; ties
+    (equal doubles) fall to ``np.argmax``'s first-occurrence rule over
+    cid-ascending columns = the expression path's cid-asc tie-break.
+    ``cs == 0`` columns are forced to +0.0 (the expression's literal)."""
+    import numpy as np
+
+    cents_rows = sorted(cents_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in cents_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cents_rows], dtype=np.float64)
+    cs = np.array([r[2] for r in cents_rows], dtype=np.float64)
+    inv = np.where(cs == 0.0, 0.0, 1.0 / np.sqrt(cs))
+    zero = cs == 0.0
+    sc = q.sparkSession.sparkContext
+    bc = sc.broadcast((cids, C, inv, zero))
+
+    def assign(batches):
+        import pandas as pd
+
+        bcids, bC, binv, bzero = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.float64)
+            s = (X @ bC.T) * binv[None, :]
+            if bzero.any():
+                s[:, bzero] = 0.0
+            best = np.argmax(s, axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cell": bcids[best]}
+            )
+
+    return q.select("id", "qv").mapInPandas(assign, "id long, cell long")
+
+
 def _cell_seed(q: DataFrame, num_centroids: int) -> DataFrame:
     """All (ordered) pairs sharing an IVF cell. Seed centroids are the
     ``num_centroids`` smallest ids (the ``ivf_centroids`` convention);
     assignment is argmax over ``dot/√ssq_c`` (the row norm cancels out
     of the cosine argmax), centroid-id-asc ties — a broadcast join plus
-    a per-node k=1 window, no corpus shuffle."""
+    a per-node k=1 window at gate cell counts, the exact-equivalent
+    numpy GEMM kernel past ``NP_ASSIGN_MIN_CENTROIDS`` (the n·nc
+    expression scoring is quadratic under corpus-scaled cells). No
+    corpus shuffle on either path."""
     cents = (
         q.orderBy("id")
         .limit(num_centroids)
@@ -158,20 +212,24 @@ def _cell_seed(q: DataFrame, num_centroids: int) -> DataFrame:
             F.col("ssq").alias("_cs"),
         )
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "_cq", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    cscore = F.when(F.col("_cs") == 0, F.lit(0.0)).otherwise(
-        F.col("_dot").cast("double") / F.sqrt(F.col("_cs").cast("double"))
-    )
-    assign = topk_per_key(
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("_dot", dot)
-        .select("id", "cid", cscore.alias("cscore")),
-        ["id"], "cscore", k=1, tiebreak_cols=["cid"],
-    ).select("id", F.col("cid").alias("cell"))
+    if num_centroids >= NP_ASSIGN_MIN_CENTROIDS:
+        rows = [(r["cid"], list(r["_cq"]), r["_cs"]) for r in cents.collect()]
+        assign = _cell_assign_np(q, rows)
+    else:
+        dot = F.aggregate(
+            F.zip_with("qv", "_cq", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        cscore = F.when(F.col("_cs") == 0, F.lit(0.0)).otherwise(
+            F.col("_dot").cast("double") / F.sqrt(F.col("_cs").cast("double"))
+        )
+        assign = topk_per_key(
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("_dot", dot)
+            .select("id", "cid", cscore.alias("cscore")),
+            ["id"], "cscore", k=1, tiebreak_cols=["cid"],
+        ).select("id", F.col("cid").alias("cell"))
     a, b = assign.alias("a"), assign.alias("b")
     return a.join(
         b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") != F.col("b.id"))

@@ -85,3 +85,21 @@ def test_descent_improves_recall_over_seeds(spark, sf_dir):
     # so recall is monotone; on this corpus the improvement is strict
     assert r2["hits"] > r0["hits"]
     assert r2["recall_ppm"] == math.floor(r2["hits"] * 1_000_000 / r2["possible"])
+
+
+def test_cell_assign_np_path_matches_expression_path(spark, sf_dir, monkeypatch):
+    """The >64-cell numpy GEMM assignment is EXACTLY the expression
+    path's argmax (integer-valued float64 GEMM + IEEE division +
+    first-occurrence tie-break = cid-asc): same seed pairs, any nc."""
+    import spark_ifs_spark.operators.knn as knn_mod
+
+    df = _emb(spark, sf_dir, 300)
+    q = quantized_vectors(df, "vec_id", "embedding", 1024).localCheckpoint(eager=True)
+    expr_pairs = sorted(
+        (r["id"], r["nb"]) for r in knn_mod._cell_seed(q, 24).collect()
+    )
+    monkeypatch.setattr(knn_mod, "NP_ASSIGN_MIN_CENTROIDS", 1)
+    np_pairs = sorted(
+        (r["id"], r["nb"]) for r in knn_mod._cell_seed(q, 24).collect()
+    )
+    assert expr_pairs == np_pairs and len(expr_pairs) > 0
