@@ -170,20 +170,25 @@ def _cell_assign_np(q: DataFrame, cents_rows: list) -> DataFrame:
     cids = np.array([r[0] for r in cents_rows], dtype=np.int64)
     C = np.array([r[1] for r in cents_rows], dtype=np.float64)
     cs = np.array([r[2] for r in cents_rows], dtype=np.float64)
-    inv = np.where(cs == 0.0, 0.0, 1.0 / np.sqrt(cs))
+    # DIVIDE by √cs exactly as the expression path does — a precomputed
+    # reciprocal multiply (dot · fl(1/√cs)) is NOT the same rounding as
+    # fl(dot/√cs) and could flip an ulp-near centroid tie between the
+    # two paths; cs == 0 divisors are patched to 1 and their columns
+    # forced to the expression's literal +0.0 afterwards
     zero = cs == 0.0
+    rt = np.sqrt(np.where(zero, 1.0, cs))
     sc = q.sparkSession.sparkContext
-    bc = sc.broadcast((cids, C, inv, zero))
+    bc = sc.broadcast((cids, C, rt, zero))
 
     def assign(batches):
         import pandas as pd
 
-        bcids, bC, binv, bzero = bc.value
+        bcids, bC, brt, bzero = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf["qv"]), dtype=np.float64)
-            s = (X @ bC.T) * binv[None, :]
+            s = (X @ bC.T) / brt[None, :]
             if bzero.any():
                 s[:, bzero] = 0.0
             best = np.argmax(s, axis=1)
@@ -326,29 +331,16 @@ def knn_graph_recall(
         rounds=rounds, groups=groups, scale=scale, work_degree=work_degree,
     ).select("id", "nb")
     q = quantized_vectors(df, id_col, vec_col, scale)
-    sq = q.filter((F.col("id") % sample_mod) == 0).select(
-        "id", F.col("qv").alias("_qa"), F.col("ssq").alias("_sa")
-    )
-    allq = q.select(
-        F.col("id").alias("nb"), F.col("qv").alias("_qb"), F.col("ssq").alias("_sb")
-    )
-    dot = F.aggregate(
-        F.zip_with("_qa", "_qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    score = F.when(
-        (F.col("_sa") == 0) | (F.col("_sb") == 0), F.lit(0.0)
-    ).otherwise(
-        F.col("_dot").cast("double")
-        / (F.sqrt(F.col("_sa").cast("double")) * F.sqrt(F.col("_sb").cast("double")))
+    sq = q.filter((F.col("id") % sample_mod) == 0).select("id")
+    # truth scoring goes through the SAME _scored builder as the
+    # descent (one definition of the integer-state cosine, not a
+    # drifting copy); the truth top-k stays SALTED — its per-key input
+    # is the whole corpus, the one unbounded window in this module
+    pairs = sq.crossJoin(q.select(F.col("id").alias("nb"))).filter(
+        F.col("id") != F.col("nb")
     )
     truth = salted_topk_per_key(
-        allq.crossJoin(F.broadcast(sq))
-        .filter(F.col("id") != F.col("nb"))
-        .withColumn("_dot", dot)
-        .select("id", "nb", score.alias("score")),
-        ["id"], "score", k=k, tiebreak_cols=["nb"],
+        _scored(pairs, q), ["id"], "score", k=k, tiebreak_cols=["nb"]
     ).select("id", "nb")
     hits = truth.join(edges, ["id", "nb"], "left_semi").agg(
         F.count(F.lit(1)).alias("hits")

@@ -3170,8 +3170,13 @@ def q_packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.chunking import packing_waste_curve
 
     docs = _read(spark, sf_dir, "documents")
+    # NULL text: size(split(NULL)) is -1 in Spark but NULL in DuckDB —
+    # the size(split) trap from the r8 profile fix; count 0 explicitly
     sized = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tok"),
     )
     return packing_waste_curve(sized, "doc_id", "n_tok")
 
@@ -3182,7 +3187,8 @@ def sql_packing_waste_curve() -> str:
     ls = ", ".join(f"({int(L)})" for L in PACK_CTX_LENGTHS)
     return f"""
 WITH sized AS (
-  SELECT doc_id AS id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+  SELECT doc_id AS id,
+         CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS nw
   FROM documents
 ),
 cum AS (
@@ -3503,8 +3509,12 @@ def q_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.chunking import pack_assign
 
     docs = _read(spark, sf_dir, "documents")
+    # same NULL-text guard as q_packing_waste_curve (size(split) trap)
     sized = docs.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tok"),
     )
     return pack_assign(sized, "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L)
 
@@ -3513,7 +3523,8 @@ def sql_packing_assignment() -> str:
     L = PACK_ASSIGN_L
     return f"""
 WITH sized AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  SELECT doc_id,
+         CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tok
   FROM documents
 ),
 cl AS (

@@ -27,10 +27,12 @@ consistency design as ``streaming/{ann,minhash,profile}.py``
   watermark`` partition filter — orphan directories from a crash
   between data write and pointer update are invisible) and semi-joins
   corpus shingle digests against it: flags are always computed against
-  a complete, mutually-consistent eval snapshot. At 100 TB the
-  committed digest relation rides a broadcast while it fits (an eval
-  suite is small by definition) and degrades to a shuffle semi-join
-  past that — same contract as the batch operator; the Bloom-prefilter
+  a complete, mutually-consistent eval snapshot. The join strategy is
+  deliberately UNHINTED: AQE broadcasts the digest relation while its
+  runtime size fits (an eval suite is small by definition) and falls
+  back to a shuffle semi-join past that — a hard `broadcast()` hint
+  would instead fail outright at the 8 GB broadcast ceiling. Same
+  contract as the batch operator; the Bloom-prefilter
   regime (``contaminated_ids_bloom``) composes by building the sketch
   FROM this index's digests instead of from raw eval text.
 - ``compact_decontam_index`` rewrites the accumulated digests
@@ -153,7 +155,7 @@ def flag_contaminated(
     corpus_sh = word_shingles(corpus, id_col, text_col, state["params"]["n"])
     return (
         corpus_sh.select("id", md5_int60(F.col("sh")).alias("h"))
-        .join(F.broadcast(eval_h.distinct()), "h", "leftsemi")
+        .join(eval_h.distinct(), "h", "leftsemi")
         .select("id")
         .distinct()
     )
