@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "dedup_cluster_purity",
     "packing_waste_curve",
     "packing_assignment",
+    "coverage_select_k5",
     "heaps_law_fit",
     "quality_threshold_sweep",
     "dedup_retention",

@@ -200,3 +200,61 @@ def doremi_weights(
         excess.alias("excess_micro"),
         F.floor(F.round(weight, 9) * 1e6).cast("long").alias("rate_ppm"),
     )
+
+
+def coverage_select(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, n: int = 2
+) -> DataFrame:
+    """``(rank, doc_id, new_terms)`` — greedy maximum-coverage document
+    selection: k rounds of "pick the document adding the most
+    NOT-YET-COVERED word ``n``-gram terms" (lazy set cover, the
+    (1 − 1/e) approximation guarantee of submodular greedy) — the
+    coverage-driven seed-corpus / eval-slice picker, and the same
+    unrolled-greedy shape as mRMR column selection (``select_columns``)
+    with marginal term coverage as the objective. The unit is an
+    n-gram (default bigram), not a unigram, because a saturating word
+    vocabulary (this corpus's, per the Heaps-fit lesson) lets one long
+    document cover everything in round 1 — bigrams keep the objective
+    discriminative at every tested scale.
+
+    Plan per round: one broadcast ANTI join of the distinct
+    ``(doc, term)`` relation against the covered-term set (bounded by
+    the ≤ r·max_doc_vocab terms selected so far — broadcast by AQE),
+    one per-doc count aggregate, and a ``max(struct)`` argbest (score
+    desc, doc-id-asc ties — the ``_argbest`` convention). The term
+    relation is localCheckpoint'ed once and scanned k times; no
+    corpus-sized window, no driver state beyond the k winners and the
+    covered-term DataFrame. A document with zero uncovered terms has
+    no rows after the ANTI join, so it can never win; when no document
+    adds coverage the loop stops early (fewer than k rows — matched by
+    the oracle, whose empty round-r winner empties all later rounds).
+    """
+    from spark_ifs_spark.operators.dedup import word_shingles
+
+    spark = df.sparkSession
+    terms = (
+        word_shingles(df, id_col, text_col, n)
+        .withColumnRenamed("sh", "term")
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    out = []
+    for r in range(1, k + 1):
+        cand = terms if covered is None else terms.join(
+            covered, "term", "left_anti"
+        )
+        counts = cand.groupBy("id").agg(F.count(F.lit(1)).alias("sc"))
+        w = counts.agg(
+            F.max(F.struct(F.col("sc"), (-F.col("id")).alias("nid")))
+        ).first()[0]
+        if w is None:
+            break
+        win_id, new_terms = -w["nid"], int(w["sc"])
+        out.append((r, win_id, new_terms))
+        won = terms.filter(F.col("id") == win_id).select("term")
+        covered = (
+            won if covered is None else covered.unionByName(won).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out, "rank int, doc_id long, new_terms long"
+    )

@@ -3551,3 +3551,54 @@ SELECT r.doc_id, r.n_tok, CAST(r.cs AS BIGINT) AS seq_len,
        r.n_tok > {L} AS truncated
 FROM rn r JOIN offs o USING (cs)
 """
+
+
+COVERAGE_SELECT_K = 5
+
+
+def q_coverage_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage document selection (submodular greedy,
+    k rounds) — see
+    :func:`~spark_ifs_spark.operators.selection.coverage_select`."""
+    from spark_ifs_spark.operators.selection import coverage_select
+
+    docs = _read(spark, sf_dir, "documents")
+    return coverage_select(docs, "doc_id", "text", k=COVERAGE_SELECT_K, n=2)
+
+
+def sql_coverage_select_k5() -> str:
+    """Unrolled-greedy twin (the `_sql_unrolled_greedy` discipline):
+    round r counts terms outside cov{r-1} per doc, takes the (count
+    DESC, id ASC) winner, and extends the covered set; an empty
+    winner empties every later round, matching the Spark early stop."""
+    k = COVERAGE_SELECT_K
+    cte = ["""ct AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, w[s.i + 1] || ' ' || w[s.i + 2] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(0, len(w) - 2)) AS i) s
+  WHERE len(w) >= 2
+)"""]
+    prev_cov = None
+    for r in range(1, k + 1):
+        src = "ct" if prev_cov is None else f"(SELECT ct.id, ct.term FROM ct ANTI JOIN {prev_cov} cv ON ct.term = cv.term)"
+        cte.append(f"""w{r} AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS sc
+  FROM {src} t{r}
+  GROUP BY id ORDER BY sc DESC, id ASC LIMIT 1
+)""")
+        cov_body = f"SELECT ct.term FROM ct JOIN w{r} ON ct.id = w{r}.id"
+        if prev_cov is not None:
+            cov_body += f" UNION SELECT term FROM {prev_cov}"
+        cte.append(f"""cov{r} AS MATERIALIZED (
+  SELECT DISTINCT term FROM ({cov_body})
+)""")
+        prev_cov = f"cov{r}"
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, id AS doc_id, sc AS new_terms FROM w{r}"
+        for r in range(1, k + 1)
+    )
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+{union}
+"""

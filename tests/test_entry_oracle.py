@@ -107,8 +107,8 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 9 rotated the window to: the four round-9 additions, then
-    the 46 least-recently-gated keys — the seventeen r4-era keys the
+    Round 9 rotated the window to: the five round-9 additions, then
+    the 45 least-recently-gated keys — the seventeen r4-era keys the
     r8 window displaced, the nine r4-era keys from round 7's old
     positions 51-59, and the oldest r5-era block — so after this gate
     no key's freshest driver row is older than round 5. Any accidental
@@ -121,7 +121,7 @@ def test_driver_window_frozen():
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
         # round-9 additions
-        "knn_graph", "knn_graph_recall", "knn_graph_components", "packing_assignment",
+        "knn_graph", "knn_graph_recall", "knn_graph_components", "packing_assignment", "coverage_select_k5",
         # r4-era backfill (the 26 keys displaced across r7/r8)
         "docs_profile", "events_rollup", "docs_length_deciles", "events_type_pivot",
         "corpus_diff", "events_props_json", "unconverted_views", "events_cube",
@@ -135,5 +135,5 @@ def test_driver_window_frozen():
         "split_leakage", "cluster_size_stats", "ann_recall_audit", "events_hll_users",
         "docs_profile_sketch", "source_quality_report", "user_streaks", "weighted_median_price",
         "lineitem_corr", "part_pair_lift", "kwic_snippets", "events_interarrival",
-        "events_value_histogram", "lang_source_chisq", "source_token_entropy", "user_value_twa",
+        "events_value_histogram", "lang_source_chisq", "source_token_entropy",
     ]

@@ -195,6 +195,7 @@ def main() -> None:
         # graph under audit is the knn_graph row)
         "knn_graph",
         "packing_assignment",
+        "coverage_select_k5",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -224,6 +225,7 @@ def main() -> None:
         "zorder_layout",
         "knn_graph",
         "packing_assignment",
+        "coverage_select_k5",
     }
     if only:
         names = [n for n in names if n in only]
