@@ -1,5 +1,4 @@
-
-
+"""Selection-operator invariants (coverage_select greedy)."""
 def test_coverage_select_greedy_invariants(spark, sf_dir):
     """Submodular greedy: winners are distinct, marginal gains are
     non-increasing, and each round's gain equals the winner's
