@@ -377,3 +377,87 @@ def pack_assign(
             (F.col("n_tok") > L).alias("truncated"),
         )
     )
+
+
+EPOCH_SHUFFLE_BUCKETS = 4096  # 2^12 hash-prefix buckets (h < 2^60)
+
+
+def epoch_shuffle(
+    bins: DataFrame,
+    id_col: str,
+    n_epochs: int,
+    seed: int = 42,
+) -> DataFrame:
+    """``(epoch, bin_id, position)`` — the deterministic per-epoch
+    shuffle manifest a trainer's data loader consumes on top of
+    :func:`pack_assign`: for each epoch, a seeded permutation of the
+    packed bins, identical across engines, runs and partitionings
+    (the ``split_assign`` reproducibility contract extended from
+    membership to ORDER).
+
+    The permutation key is the portable md5 rank
+    ``h = md5_int60(seed || ':' || epoch || ':' || bin_id)`` (the
+    ``functions/hashing.py`` scheme); position = rank of ``(h,
+    bin_id)`` within the epoch (the bin_id tiebreak makes the order
+    total even under an md5 collision). Epochs never repeat an order
+    because the hash input embeds the epoch; the seed reshuffles
+    everything.
+
+    Scale shape: a global per-epoch ``row_number`` would be a
+    single-task sort at 10⁹+ bins, so the rank is computed with the
+    same two-level decomposition as :func:`pack_assign`'s row numbers:
+    rows bucket by the hash's top 12 bits (``h DIV 2^48`` — bucket
+    order IS hash order, so within-bucket ranks splice exactly),
+    per-(epoch, bucket) counts roll up through an epoch-partitioned
+    window over ``EPOCH_SHUFFLE_BUCKETS`` rows, and the within-bucket
+    ``row_number`` window is (epoch, bucket)-bounded. No corpus-sized
+    window; the epoch fan-out is a zero-shuffle ``explode`` projection.
+
+    No counterpart in the reference; extension operator (trainer-facing
+    manifest, the ``pack_assign`` follow-on)."""
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    shift = 1 << 48  # 2^60 hash space / 2^12 buckets
+    b = (
+        bins.select(F.col(id_col).cast("long").alias("bin_id"))
+        .distinct()
+        .select(
+            "bin_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+            ).alias("epoch"),
+        )
+    )
+    h = md5_int60(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("bin_id").cast("string"),
+        )
+    )
+    hb = b.select("epoch", "bin_id", h.alias("h")).withColumn(
+        "_bkt", F.expr(f"h DIV {shift}")
+    )
+    per = hb.groupBy("epoch", "_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    wb = (
+        Window.partitionBy("epoch")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per.select(
+        "epoch", "_bkt", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_off")
+    )
+    ww = Window.partitionBy("epoch", "_bkt").orderBy(
+        F.col("h").asc(), F.col("bin_id").asc()
+    )
+    return (
+        hb.join(off, ["epoch", "_bkt"])
+        .select(
+            "epoch",
+            "bin_id",
+            (F.col("_off") + F.row_number().over(ww) - 1)
+            .cast("long")
+            .alias("position"),
+        )
+    )

@@ -118,6 +118,11 @@ def connected_components(
             )
     base = work_dir or tempfile.mkdtemp(prefix="spark_ifs_cc_")
     own_dir = work_dir is None
+    # driver-sync accounting for the distributed path, readable after
+    # the call as ``connected_components.last_stats`` — the job-count
+    # regression tests pin that sum checks stay ~half the jump count
+    last_stats = {"outer_rounds": 0, "jumps": 0, "sum_checks": 0, "verify_checks": 0}
+    connected_components.last_stats = last_stats
 
     def _trunc(df: DataFrame, name: str) -> DataFrame:
         path = f"{base}/{name}"
@@ -152,6 +157,7 @@ def connected_components(
         for outer in range(max_iter):
             if g.limit(1).count() == 0:
                 return _finish(labels)
+            last_stats["outer_rounds"] += 1
             # (a) hook: every active node points at min(self, neighbors)
             ptr = _trunc(
                 g.groupBy("a")
@@ -163,11 +169,26 @@ def connected_components(
                 f"ptr_{outer % 2}_a",
             )
             # (b) pointer jumping: p <- p(p) until the forest is flat.
-            # p(x) <= x always, so the pointer sum strictly decreases
-            # until the fixpoint — an unchanged sum IS convergence.
-            # decimal(38,0) keeps the sum exact (no i64 wrap).
+            # Jump j composes the pointer map 2^j times, and forest
+            # depth is at most the active-node count, so
+            # ceil(log2(n_active)) jumps ALWAYS flatten — that bound
+            # caps the loop with a count already paid by the hook
+            # aggregate's row count. Convergence is still detected
+            # early (hook forests are usually much shallower than the
+            # bound) via the pointer sum — p(x) <= x always, so the
+            # sum strictly decreases until the fixpoint and an
+            # unchanged sum IS convergence; decimal(38,0) keeps it
+            # exact (no i64 wrap) — but the sum is a driver round-trip
+            # per check, so it runs only every SECOND jump: at cluster
+            # scale the jump count is latency, not throughput, and
+            # halving the driver syncs halves the idle gaps without
+            # giving up early exit. Stats land in ``last_stats`` for
+            # the job-count regression test.
+            n_active = ptr.count()
+            max_jumps = max(1, (max(n_active, 2) - 1).bit_length())
             prev_sum = object()
-            for j in range(64):
+            flat = False
+            for j in range(max_jumps):
                 x = ptr.alias("x")
                 y = ptr.alias("y")
                 ptr = _trunc(
@@ -177,17 +198,34 @@ def connected_components(
                     ),
                     f"ptr_{outer % 2}_{'b' if j % 2 == 0 else 'a'}",
                 )
-                cur_sum = ptr.agg(
-                    F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
-                ).collect()[0]["s"]
-                if cur_sum == prev_sum:
-                    break
-                prev_sum = cur_sum
-            else:
-                raise RuntimeError(
-                    "connected_components: pointer jumping did not "
-                    "converge in 64 steps"
+                last_stats["jumps"] += 1
+                if j % 2 == 1 and j + 1 < max_jumps:
+                    cur_sum = ptr.agg(
+                        F.sum(F.col("p").cast("decimal(38,0)")).alias("s")
+                    ).collect()[0]["s"]
+                    last_stats["sum_checks"] += 1
+                    if cur_sum == prev_sum:
+                        flat = True
+                        break
+                    prev_sum = cur_sum
+            if not flat:
+                # ran to the log2 cap (or a 1-jump forest): one final
+                # verification aggregate — a row whose parent's pointer
+                # differs means the cap math was violated; fail loud.
+                x = ptr.alias("x")
+                y = ptr.alias("y")
+                bad = (
+                    x.join(y, F.col("x.p") == F.col("y.id"))
+                    .where(F.col("y.p") != F.col("x.p"))
+                    .limit(1)
+                    .count()
                 )
+                last_stats["verify_checks"] += 1
+                if bad:
+                    raise RuntimeError(
+                        "connected_components: pointer jumping not flat "
+                        f"after {max_jumps} jumps (n_active={n_active})"
+                    )
             # (c) fold this round's roots into the cumulative labels.
             # labels.comp values are ids of the previous round's active
             # graph, exactly ptr's key space.

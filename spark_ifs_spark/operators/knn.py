@@ -61,6 +61,8 @@ search surface); extension operator.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -199,6 +201,119 @@ def _cell_assign_np(q: DataFrame, cents_rows: list) -> DataFrame:
     return q.select("id", "qv").mapInPandas(assign, "id long, cell long")
 
 
+#: past this many seed cells the DRIVER COLLECT of the centroid
+#: relation itself becomes the bottleneck — with corpus-scaled cells
+#: (nc = n/128) the collected+broadcast centroid list grows linearly
+#: with the corpus (tens of GB of driver/broadcast footprint at true
+#: 100 TB), so the assignment flips to the TWO-LEVEL coarse-quantizer
+#: path (`_cell_assign_two_level`): only ~√nc coarse centroids are
+#: ever collected, fine centroids stay a distributed relation, and
+#: each point GEMM-scores only the fine centroids of its top-`probes`
+#: coarse cells (the FAISS IVF coarse-quantizer shape). Every gate SF
+#: stays far below this threshold, on the flat oracle-mirrored path;
+#: the two-level path is pytest-pinned to the flat argmax (exactly
+#: equal when probes covers all coarse cells, empirically equal on
+#: the test fixtures at the default probes).
+TWO_LEVEL_MIN_CENTROIDS = 1024
+
+#: coarse cells probed per point on the two-level path. Probing more
+#: cells approaches the flat argmax (probes = all coarse cells IS the
+#: flat argmax, provably); 8 recovers it exactly on every measured
+#: fixture. This is a SEED-QUALITY knob, not a correctness one — a
+#: point assigned to its 2nd-best cell still gets within-cell seed
+#: pairs, and the NN-descent rounds + recall audit own final quality.
+TWO_LEVEL_PROBES = 8
+
+
+def _topp_coarse_np(q: DataFrame, coarse_rows: list, probes: int) -> DataFrame:
+    """``(id, coarse)`` — each point's top-``probes`` coarse cells by
+    the same integer-exact GEMM score as `_cell_assign_np`, ties
+    cid-ascending (np.argsort stable over cid-asc columns)."""
+    import numpy as np
+
+    coarse_rows = sorted(coarse_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in coarse_rows], dtype=np.int64)
+    C = np.array([r[1] for r in coarse_rows], dtype=np.float64)
+    cs = np.array([r[2] for r in coarse_rows], dtype=np.float64)
+    zero = cs == 0.0
+    rt = np.sqrt(np.where(zero, 1.0, cs))
+    p = min(probes, len(coarse_rows))
+    sc = q.sparkSession.sparkContext
+    bc = sc.broadcast((cids, C, rt, zero, p))
+
+    def probe(batches):
+        import pandas as pd
+
+        bcids, bC, brt, bzero, bp = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf["qv"]), dtype=np.float64)
+            s = (X @ bC.T) / brt[None, :]
+            if bzero.any():
+                s[:, bzero] = 0.0
+            # stable argsort on -score over cid-asc columns = (score
+            # DESC, cid ASC), the expression path's tie order
+            top = np.argsort(-s, axis=1, kind="stable")[:, :bp]
+            ids = np.repeat(pdf["id"].to_numpy(), bp)
+            yield pd.DataFrame({"id": ids, "coarse": bcids[top].ravel()})
+
+    return q.select("id", "qv").mapInPandas(probe, "id long, coarse long")
+
+
+def _cell_assign_two_level(
+    q: DataFrame, cents: DataFrame, probes: int | None = None
+) -> DataFrame:
+    """``(id, cell)`` without ever collecting the fine-centroid
+    relation: (1) the ``⌈√nc⌉`` smallest-cid fine centroids become the
+    COARSE quantizer (the only driver collect — √-scale); (2) fine
+    centroids assign to their top-1 coarse cell with the exact GEMM
+    kernel (distributed, coarse broadcast); (3) each point probes its
+    top-``probes`` coarse cells; (4) the point GEMM-scores only the
+    fine centroids in probed cells — an expression-path integer dot +
+    ``topk_per_key(k=1, cid-asc)``, the SAME scoring and tie-break as
+    the flat path over the surviving candidate set. Per-point work is
+    ~probes·√nc scorings instead of nc; driver/broadcast footprint is
+    √nc centroids instead of nc. With ``probes`` ≥ the coarse-cell
+    count the candidate set is complete and the result EQUALS the flat
+    argmax (pytest-pinned); at fewer probes it is the standard IVF
+    coarse-quantizer approximation — acceptable here because cell
+    assignment only SEEDS the NN-descent, whose recall is audited."""
+    # late-bound default so tests (and callers) can steer the module
+    # knob without re-binding a def-time default
+    if probes is None:
+        probes = TWO_LEVEL_PROBES
+    nc = cents.count()
+    ncc = max(1, math.isqrt(max(nc - 1, 0)) + 1 if nc > 1 else 1)
+    coarse = cents.orderBy("cid").limit(ncc)
+    coarse_rows = [
+        (r["cid"], list(r["_cq"]), r["_cs"]) for r in coarse.collect()
+    ]
+    fine_q = cents.select(F.col("cid").alias("id"), F.col("_cq").alias("qv"))
+    f2c = _cell_assign_np(fine_q, coarse_rows).select(
+        F.col("id").alias("cid"), F.col("cell").alias("coarse")
+    )
+    pprobe = _topp_coarse_np(q, coarse_rows, probes)
+    cand = pprobe.join(f2c, "coarse").select("id", "cid")
+    dot = F.aggregate(
+        F.zip_with("qv", "_cq", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    cscore = F.when(F.col("_cs") == 0, F.lit(0.0)).otherwise(
+        F.col("_dot").cast("double") / F.sqrt(F.col("_cs").cast("double"))
+    )
+    scored = (
+        cand.join(q.select("id", "qv"), "id")
+        .join(cents, "cid")
+        .withColumn("_dot", dot)
+        .select("id", "cid", cscore.alias("cscore"))
+    )
+    return topk_per_key(
+        scored, ["id"], "cscore", k=1, tiebreak_cols=["cid"]
+    ).select("id", F.col("cid").alias("cell"))
+
+
 def _cell_seed(q: DataFrame, num_centroids: int) -> DataFrame:
     """All (ordered) pairs sharing an IVF cell. Seed centroids are the
     ``num_centroids`` smallest ids (the ``ivf_centroids`` convention);
@@ -206,8 +321,10 @@ def _cell_seed(q: DataFrame, num_centroids: int) -> DataFrame:
     of the cosine argmax), centroid-id-asc ties — a broadcast join plus
     a per-node k=1 window at gate cell counts, the exact-equivalent
     numpy GEMM kernel past ``NP_ASSIGN_MIN_CENTROIDS`` (the n·nc
-    expression scoring is quadratic under corpus-scaled cells). No
-    corpus shuffle on either path."""
+    expression scoring is quadratic under corpus-scaled cells), and
+    the two-level coarse-quantizer past ``TWO_LEVEL_MIN_CENTROIDS``
+    (the nc-sized driver collect is itself linear in the corpus under
+    nc = n/128 — the 100 TB swap). No corpus shuffle on any path."""
     cents = (
         q.orderBy("id")
         .limit(num_centroids)
@@ -217,7 +334,9 @@ def _cell_seed(q: DataFrame, num_centroids: int) -> DataFrame:
             F.col("ssq").alias("_cs"),
         )
     )
-    if num_centroids >= NP_ASSIGN_MIN_CENTROIDS:
+    if num_centroids >= TWO_LEVEL_MIN_CENTROIDS:
+        assign = _cell_assign_two_level(q, cents.localCheckpoint(eager=True))
+    elif num_centroids >= NP_ASSIGN_MIN_CENTROIDS:
         rows = [(r["cid"], list(r["_cq"]), r["_cs"]) for r in cents.collect()]
         assign = _cell_assign_np(q, rows)
     else:
@@ -325,7 +444,14 @@ def knn_graph_recall(
     deterministic node sample ``id % sample_mod == 0``: the
     ``minhash_recall_audit`` discipline, run on a sample at corpus
     scale. ``possible`` is the truth-set size (= n_sample·k when every
-    sampled node has ≥ k others)."""
+    sampled node has ≥ k others).
+
+    Tie-cut convention: the truth set keeps exactly k rows per node,
+    cutting equal-score ties at the k boundary by nb-ASC row_number
+    (mirrored in the oracle). A graph edge score-tied with a kept
+    truth edge therefore counts as a miss, so on heavily quantized
+    (tie-prone) vectors recall can UNDER-report — a conservative
+    metric quirk, never an over-report."""
     edges = knn_graph(
         df, id_col, vec_col, k=k, num_centroids=num_centroids,
         rounds=rounds, groups=groups, scale=scale, work_degree=work_degree,
@@ -410,3 +536,153 @@ def knn_graph_components(
     return connected_components(mutual, "id_a", "id_b").select(
         "id", "component"
     )
+
+
+def graph_diversity_select(
+    edges: DataFrame, nodes: DataFrame, k: int = 5
+) -> DataFrame:
+    """``(rank, id, far_sim)`` — greedy farthest-point (k-center)
+    diversity selection over a scored kNN edge relation: the
+    embedding-space dual of ``coverage_select``'s term set cover and
+    the standard coreset picker for curation (Gonzalez'85 2-approx
+    farthest-point traversal, run on graph similarities instead of
+    exact distances).
+
+    ``edges`` is a directed ``(id, nb, score)`` relation (e.g.
+    :func:`knn_graph` output); it is symmetrized with per-pair max
+    score. ``nodes`` is a one-column relation of every selectable id —
+    isolated nodes included, since a node with NO graph edge to the
+    selected set has similarity 0 (maximally far) and is a legitimate,
+    often ideal, pick. Greedy loop, ``coverage_select``'s shape:
+    maintain ``best(id, sim)`` = each unselected node's max similarity
+    to the selected set (0.0 initially, so round 1 deterministically
+    picks the minimum id); each round pulls the ``(sim ASC, id ASC)``
+    argmin with ONE ``min(struct)`` aggregate (no window), then folds
+    the winner's incident edges in with ``greatest`` — a pushed-down
+    ``nb = winner`` filter plus one id-keyed left join. ``far_sim`` is
+    the winner's similarity-to-selected at pick time.
+
+    Scale posture: the edge relation is n·k rows scanned k times
+    (localCheckpoint'ed once); ``best`` is node-sized and truncated
+    per round; driver state is the k winners. Scores are the
+    integer-state cosine, IEEE-identical across engines, so the
+    greedy argmin never diverges from the DuckDB oracle. Fewer than
+    ``k`` nodes → early stop with fewer rows (the oracle's empty
+    round-r winner empties all later rounds identically).
+
+    No counterpart in the reference (no vector/graph surface there);
+    extension operator — the second named consumer of
+    :func:`knn_graph` (graph dedup being the first)."""
+    spark = edges.sparkSession
+    sym = (
+        edges.select("id", "nb", "score")
+        .unionByName(
+            edges.select(
+                F.col("nb").alias("id"), F.col("id").alias("nb"), "score"
+            )
+        )
+        .groupBy("id", "nb")
+        .agg(F.max("score").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .withColumn("sim", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for r in range(1, k + 1):
+        w = best.agg(F.min(F.struct(F.col("sim"), F.col("id")))).first()[0]
+        if w is None:
+            break
+        win_sim, win_id = float(w["sim"]), int(w["id"])
+        out.append((r, win_id, win_sim))
+        upd = sym.filter(F.col("nb") == win_id).select(
+            "id", F.col("score").alias("_ns")
+        )
+        best = (
+            best.filter(F.col("id") != win_id)
+            .join(upd, "id", "left")
+            .select(
+                "id",
+                F.greatest(
+                    F.col("sim"), F.coalesce(F.col("_ns"), F.lit(0.0))
+                ).alias("sim"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(out, "rank int, id long, far_sim double")
+
+
+def label_propagation(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """``(id, label, round_converged)`` — semi-supervised label
+    spreading over a kNN edge relation: seed nodes carry fixed labels
+    (``round_converged = 0``); each of ``rounds`` bounded rounds,
+    every still-unlabeled node adjacent to ≥1 labeled node adopts the
+    MAJORITY label among its labeled neighbors (exact integer vote
+    counts; ties → smallest label), stamped with the round it
+    converged. Labels are sticky — once assigned, never revisited
+    (seed clamping extended to every assignment), so the result is
+    deterministic and each node appears at most once; nodes never
+    reached within ``rounds`` are absent.
+
+    ``edges`` is directed ``(id, nb)``; votes travel both ways
+    (symmetrized, distinct). Per round: one anti-join isolates the
+    unlabeled frontier, one id-keyed join + ``(id, label)`` count
+    aggregate tallies votes, one ``max(struct(votes, -label))``
+    argbest per node picks the winner — no window wider than the
+    vote relation, no driver state. The label relation grows
+    monotonically and is lineage-truncated per round
+    (``localCheckpoint``, the :func:`knn_graph` convention — round
+    count is a small constant, unlike ``connected_components``'s
+    data-dependent loop which needs the parquet form). An empty
+    frontier ends the loop early (later rounds provably add nothing).
+
+    No counterpart in the reference; extension operator — the third
+    named consumer of :func:`knn_graph`."""
+    sym = (
+        edges.select("id", "nb")
+        .unionByName(
+            edges.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sid, slab = seeds.columns[0], seeds.columns[1]
+    labels = (
+        seeds.select(
+            F.col(sid).cast("long").alias("id"),
+            F.col(slab).cast("long").alias("label"),
+        )
+        .withColumn("round_converged", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, rounds + 1):
+        frontier = sym.join(labels.select("id"), "id", "left_anti")
+        votes = (
+            frontier.join(
+                labels.select(F.col("id").alias("nb"), "label"), "nb"
+            )
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        new = (
+            votes.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("w")
+            )
+            .select(
+                "id",
+                (-F.col("w.nl")).alias("label"),
+                F.lit(r).alias("round_converged"),
+            )
+        )
+        if new.limit(1).count() == 0:
+            break
+        labels = labels.unionByName(new).localCheckpoint(eager=True)
+    return labels

@@ -689,6 +689,127 @@ def ivf_assign_np(
 # janino-compile-bound; switch to the broadcast-numpy assigner
 _EXPR_ASSIGN_LIMIT = 64
 
+#: past this many centroids the nc-sized DRIVER COLLECT inside
+#: ``ivf_centroids`` is itself the scale problem (corpus-scaled
+#: nc = n/128 makes the collected+broadcast list linear in the corpus
+#: — tens of GB at true 100 TB), so ``scaled_tagged_cells`` flips to
+#: the two-level coarse-quantizer path: only ~√nc coarse centroids are
+#: collected and each point GEMM-scores the fine centroids of its
+#: top-``probes`` coarse cells (the FAISS IVF shape; the integer-state
+#: twin with a provable equality pin lives in ``knn.py``). Every gate
+#: SF stays far below this threshold on the flat oracle-mirrored path.
+SIM_TWO_LEVEL_MIN_CENTROIDS = 1024
+
+#: coarse cells probed per point on the two-level path — a seed/cell-
+#: QUALITY knob (a point landing in its 2nd-best cell still dedups/
+#: mines within a near-best cell), pinned to reproduce the flat
+#: assignment on the test fixtures.
+SIM_TWO_LEVEL_PROBES = 8
+
+
+def _probe_coarse_np(
+    src: DataFrame, coarse: Sequence[tuple[int, Sequence[float]]], probes: int
+) -> DataFrame:
+    """``(id, coarse)`` — each point's top-``probes`` coarse cells by
+    ``dot(v, unit_centroid)``, cid-asc ties (stable argsort over
+    cid-ascending columns), the :func:`ivf_assign_np` scoring."""
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(((int(cid), list(map(float, cv))) for cid, cv in coarse))
+    cids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    M = np.array([cv for _, cv in ordered], dtype=np.float64)
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    p = min(int(probes), len(ordered))
+    bc = src.sparkSession.sparkContext.broadcast((cids, M, p))
+
+    def _probe(batches):
+        bcids, bM, bp = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            top = np.argsort(-(V @ bM.T), axis=1, kind="stable")[:, :bp]
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), bp),
+                    "coarse": bcids[top].ravel(),
+                }
+            )
+
+    return src.select("id", "v").mapInPandas(_probe, "id long, coarse long")
+
+
+def scaled_tagged_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int,
+    probes: int = SIM_TWO_LEVEL_PROBES,
+) -> DataFrame:
+    """``(id, cell, v)`` with the centroid collect BOUNDED: the flat
+    :func:`ivf_centroids` + :func:`tagged_cells` path below
+    ``SIM_TWO_LEVEL_MIN_CENTROIDS``, the two-level coarse quantizer
+    above it — (1) collect only the ``⌈√nc⌉`` smallest-id vectors as
+    the coarse quantizer, (2) assign the nc fine centroids (a
+    DISTRIBUTED ``limit(nc)`` relation, never collected) to their
+    top-1 coarse cell via :func:`ivf_assign_np`, (3) probe each
+    point's top-``probes`` coarse cells, (4) score the point against
+    only the fine centroids in probed cells (unit-centroid dot, the
+    same rule) and keep the ``(dot DESC, cid ASC)`` argbest.
+
+    Per-point work drops from nc to ~probes·√nc scorings; the driver/
+    broadcast footprint drops from nc to √nc vectors. With ``probes``
+    covering every coarse cell the candidate set is complete and the
+    argmax rule is identical; the path-parity pin is empirical on the
+    fixtures (float summation order differs between the GEMM and the
+    expression dot at ulp level — real-embedding argmax gaps are far
+    wider; the provably-exact integer-state twin is
+    ``knn._cell_assign_two_level``)."""
+    if num_centroids < SIM_TWO_LEVEL_MIN_CENTROIDS:
+        cents = ivf_centroids(df, id_col, vec_col, num_centroids)
+        return tagged_cells(df, cents, id_col, vec_col)
+    src = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    ncc = max(1, math.isqrt(max(int(num_centroids) - 1, 0)) + 1)
+    coarse = ivf_centroids(src, "id", "v", ncc)
+    fines = src.orderBy("id").limit(int(num_centroids))
+    f2c = ivf_assign_np(fines, coarse, "id", "v").select(
+        F.col("id").alias("fid"),
+        F.col("cell").alias("coarse"),
+        F.col("v").alias("fv"),
+    )
+    cand = _probe_coarse_np(src, coarse, probes).join(f2c, "coarse")
+    fnorm = F.sqrt(
+        F.aggregate(
+            F.col("fv"), F.lit(0.0), lambda a, x: a + x * x
+        )
+    )
+    unit = F.transform(
+        F.col("fv"),
+        lambda x: x / F.greatest(F.col("_fn"), F.lit(1e-300)),
+    )
+    scored = (
+        cand.join(src, "id")
+        .withColumn("_fn", fnorm)
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with(F.col("v"), unit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        .select("id", "fid", "score")
+    )
+    from spark_ifs_spark.operators.topk import topk_per_key
+
+    best = topk_per_key(
+        scored, ["id"], "score", k=1, tiebreak_cols=["fid"]
+    ).select("id", F.col("fid").alias("cell"))
+    return best.join(src, "id").select("id", "cell", "v")
+
 
 def tagged_cells(
     df: DataFrame,
@@ -1527,19 +1648,19 @@ def semantic_dedup(
     import pandas as pd
 
     thr = float(threshold)
+    # one assignment evaluation: survivors join back to THIS relation
+    # (ivf_cells would re-evaluate the centroid argmax in a second
+    # scan for no reason). The corpus-scaled default routes through
+    # scaled_tagged_cells so the centroid collect stays bounded.
     if centroids is not None:
-        cents = list(centroids)
+        src = tagged_cells(df, list(centroids), id_col, vec_col)
     else:
         k = (
             int(num_centroids)
             if num_centroids is not None
             else scaled_num_centroids(df.count(), target_cell_size)
         )
-        cents = ivf_centroids(df, id_col, vec_col, k)
-    # one assignment evaluation: survivors join back to THIS relation
-    # (ivf_cells would re-evaluate the centroid argmax in a second
-    # scan for no reason)
-    src = tagged_cells(df, cents, id_col, vec_col)
+        src = scaled_tagged_cells(df, id_col, vec_col, k)
     cells = src.select("id", "cell")
 
     def _cell_drops(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1651,15 +1772,14 @@ def hard_negatives(
     import pandas as pd
 
     if centroids is not None:
-        cents = list(centroids)
+        src = tagged_cells(df, list(centroids), id_col, vec_col)
     else:
         kc = (
             int(num_centroids)
             if num_centroids is not None
             else scaled_num_centroids(df.count(), target_cell_size)
         )
-        cents = ivf_centroids(df, id_col, vec_col, kc)
-    src = tagged_cells(df, cents, id_col, vec_col)
+        src = scaled_tagged_cells(df, id_col, vec_col, kc)
     ceil_ = float(dup_ceiling)
     kk = int(k)
 

@@ -1726,6 +1726,147 @@ def q_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIVERSITY_SELECT_K = 5  # greedy farthest-point picks
+LABEL_PROP_ROUNDS = 3  # bounded vote-spread rounds
+LABEL_PROP_SEED_MOD = 10  # seeds: id % mod == 0
+LABEL_PROP_CLASSES = 4  # seed label = id % classes
+
+
+def _sql_kfin(rr: int, k: int) -> str:
+    """Final top-``k`` edge CTE body over the unrolled descent's
+    ``ke{rr}`` — shared by every graph-consumer oracle so the edge
+    relation definition cannot drift from ``sql_knn_graph``."""
+    return f"""(
+  SELECT id, nb, score FROM (
+    SELECT id, nb, score,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
+    FROM ke{rr})
+  WHERE rnk <= {k}
+)"""
+
+
+def q_graph_diversity_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (k-center) diversity selection over the
+    kNN graph — the embedding-space dual of ``coverage_select``'s term
+    set cover and the second named consumer of :func:`q_knn_graph`;
+    see :func:`~spark_ifs_spark.operators.knn.graph_diversity_select`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    edges = _knn.knn_graph(
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
+        work_degree=_KNN_WORK,
+    )
+    out = _knn.graph_diversity_select(
+        edges, emb.select("vec_id"), k=DIVERSITY_SELECT_K
+    )
+    return out.select("rank", "id", F.round("far_sim", 6).alias("far_sim"))
+
+
+def sql_graph_diversity_select_k5() -> str:
+    """Unrolled-greedy twin (`_sql_unrolled_greedy` discipline): the
+    symmetrized max-score edge relation, then round r picks the
+    (sim ASC, id ASC) argmin of the maintained sim-to-selected column
+    and folds the winner's incident edges in with greatest()."""
+    kd = DIVERSITY_SELECT_K
+    cte = [
+        _sql_knn_ctes(),
+        f"kfin AS {_sql_kfin(KNN_GRAPH_ROUNDS, KNN_GRAPH_K)}",
+        """gsym AS MATERIALIZED (
+  SELECT id, nb, max(score) AS score FROM (
+    SELECT id, nb, score FROM kfin
+    UNION ALL SELECT nb AS id, id AS nb, score FROM kfin)
+  GROUP BY id, nb
+)""",
+        "s1 AS (SELECT id, 0.0 AS far_sim FROM kq ORDER BY id LIMIT 1)",
+        """d1 AS MATERIALIZED (
+  SELECT q.id, coalesce(g.score, 0.0) AS sim
+  FROM kq q
+  LEFT JOIN (SELECT gsym.id, gsym.score FROM gsym JOIN s1 ON gsym.nb = s1.id) g
+         ON g.id = q.id
+  WHERE q.id NOT IN (SELECT id FROM s1)
+)""",
+    ]
+    for r in range(2, kd + 1):
+        cte.append(
+            f"s{r} AS (SELECT id, sim AS far_sim FROM d{r - 1} "
+            "ORDER BY sim ASC, id ASC LIMIT 1)"
+        )
+        cte.append(f"""d{r} AS MATERIALIZED (
+  SELECT d.id, greatest(d.sim, coalesce(g.score, 0.0)) AS sim
+  FROM d{r - 1} d
+  LEFT JOIN (SELECT gsym.id, gsym.score FROM gsym JOIN s{r} ON gsym.nb = s{r}.id) g
+         ON g.id = d.id
+  WHERE d.id NOT IN (SELECT id FROM s{r})
+)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, id, round(far_sim, 6) AS far_sim FROM s{r}"
+        for r in range(1, kd + 1)
+    )
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+{union}
+"""
+
+
+def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round label propagation over the kNN graph — the third
+    named consumer of :func:`q_knn_graph`: deterministic seeds
+    (``vec_id % LABEL_PROP_SEED_MOD == 0``, label ``vec_id %
+    LABEL_PROP_CLASSES``) spread by integer majority vote for
+    ``LABEL_PROP_ROUNDS`` rounds; see
+    :func:`~spark_ifs_spark.operators.knn.label_propagation`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    edges = _knn.knn_graph(
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
+        work_degree=_KNN_WORK,
+    ).select("id", "nb")
+    seeds = (
+        emb.select(F.col("vec_id").alias("id"))
+        .filter((F.col("id") % LABEL_PROP_SEED_MOD) == 0)
+        .select("id", (F.col("id") % LABEL_PROP_CLASSES).alias("label"))
+    )
+    return _knn.label_propagation(edges, seeds, rounds=LABEL_PROP_ROUNDS)
+
+
+def sql_knn_label_prop() -> str:
+    """Unrolled vote rounds: lp0 = seeds; round r labels the frontier
+    (unlabeled nodes with labeled neighbors) with the (votes DESC,
+    label ASC) winner, stamped round_converged = r."""
+    mod, cls, rr = LABEL_PROP_SEED_MOD, LABEL_PROP_CLASSES, LABEL_PROP_ROUNDS
+    cte = [
+        _sql_knn_ctes(),
+        f"kfin AS {_sql_kfin(KNN_GRAPH_ROUNDS, KNN_GRAPH_K)}",
+        """lsym AS MATERIALIZED (
+  SELECT DISTINCT id, nb FROM (
+    SELECT id, nb FROM kfin UNION ALL SELECT nb AS id, id AS nb FROM kfin)
+)""",
+        f"""lp0 AS MATERIALIZED (
+  SELECT id, id % {cls} AS label, 0 AS rc FROM kq WHERE id % {mod} = 0
+)""",
+    ]
+    for r in range(1, rr + 1):
+        cte.append(f"""n{r} AS (
+  SELECT id, label, {r} AS rc FROM (
+    SELECT e.id, l.label, count(*) AS c
+    FROM lsym e JOIN lp{r - 1} l ON e.nb = l.id
+    WHERE e.id NOT IN (SELECT id FROM lp{r - 1})
+    GROUP BY e.id, l.label)
+  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1
+)""")
+        cte.append(f"""lp{r} AS MATERIALIZED (
+  SELECT * FROM lp{r - 1} UNION ALL SELECT * FROM n{r}
+)""")
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+SELECT id, label, CAST(rc AS INTEGER) AS round_converged FROM lp{rr}
+"""
+
+
 def sql_knn_graph_components() -> str:
     rr, k = KNN_GRAPH_ROUNDS, KNN_GRAPH_K
     thr = repr(EMB_DEDUP_THRESHOLD)

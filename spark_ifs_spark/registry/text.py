@@ -3519,10 +3519,11 @@ def q_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_assign(sized, "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L)
 
 
-def sql_packing_assignment() -> str:
-    L = PACK_ASSIGN_L
-    return f"""
-WITH sized AS (
+def _sql_pack_ctes(L: int) -> str:
+    """The size-class shelf-packing WITH-body (sized → rn → caps →
+    offs), shared by ``packing_assignment`` and
+    ``epoch_shuffle_manifest`` so the bin arithmetic cannot drift."""
+    return f"""sized AS (
   SELECT doc_id,
          CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tok
   FROM documents
@@ -3544,12 +3545,69 @@ offs AS (
          CAST(coalesce(sum((cnt + cap - 1) // cap) OVER (ORDER BY cs DESC
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bin0
   FROM caps
-)
+)"""
+
+
+def sql_packing_assignment() -> str:
+    L = PACK_ASSIGN_L
+    return f"""
+WITH {_sql_pack_ctes(L)}
 SELECT r.doc_id, r.n_tok, CAST(r.cs AS BIGINT) AS seq_len,
        CAST(o.bin0 + r.rn // o.cap AS BIGINT) AS bin_id,
        CAST((r.rn % o.cap) * r.cs AS BIGINT) AS tok_offset,
        r.n_tok > {L} AS truncated
 FROM rn r JOIN offs o USING (cs)
+"""
+
+
+EPOCH_SHUFFLE_EPOCHS = 3
+EPOCH_SHUFFLE_SEED = 42
+
+
+def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle manifest over the packed bins —
+    the seeded, engine/run-invariant bin order a trainer's loader
+    consumes each epoch; see
+    :func:`~spark_ifs_spark.operators.chunking.epoch_shuffle`."""
+    from spark_ifs_spark.operators.chunking import epoch_shuffle, pack_assign
+
+    docs = _read(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tok"),
+    )
+    bins = pack_assign(sized, "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L)
+    return epoch_shuffle(
+        bins, "bin_id", n_epochs=EPOCH_SHUFFLE_EPOCHS, seed=EPOCH_SHUFFLE_SEED
+    )
+
+
+def sql_epoch_shuffle_manifest() -> str:
+    """md5-rank twin: position = row_number over (h, bin_id) within
+    the epoch — the oracle's global window equals the Spark side's
+    two-level spliced rank because the bucket key is the hash's own
+    prefix."""
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    L, E, seed = PACK_ASSIGN_L, EPOCH_SHUFFLE_EPOCHS, EPOCH_SHUFFLE_SEED
+    hexpr = sql_md5_int60(
+        f"'{seed}:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(b.bin_id AS VARCHAR)"
+    )
+    return f"""
+WITH {_sql_pack_ctes(L)},
+eb AS (
+  SELECT DISTINCT CAST(o.bin0 + r.rn // o.cap AS BIGINT) AS bin_id
+  FROM rn r JOIN offs o USING (cs)
+),
+eh AS (
+  SELECT CAST(e.epoch AS INTEGER) AS epoch, b.bin_id, {hexpr} AS h
+  FROM eb b CROSS JOIN (SELECT unnest(range(0, {E})) AS epoch) e
+)
+SELECT epoch, bin_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, bin_id) - 1 AS BIGINT) AS position
+FROM eh
 """
 
 

@@ -166,7 +166,15 @@ def compact_decontam_index(spark: SparkSession, index_path: str) -> None:
     directory (``batch=-1``) and swing the pointer in one atomic
     replace; watermark unchanged. Old version deleted only after the
     commit; orphan versions swept here — the segment-compaction shape
-    shared with ``compact_minhash_index``."""
+    shared with ``compact_minhash_index``.
+
+    SINGLE-WRITER assumption (the package's pointer-commit convention,
+    as in ``streaming/ann.py`` / ``streaming/minhash.py``): exactly
+    one compactor/writer at a time. The pre-commit orphan sweep
+    deletes every non-current ``corpus-v*`` directory, so a second
+    CONCURRENT compaction's in-flight (not-yet-committed) version
+    directory would be swept; readers are always safe (they only
+    follow the committed pointer), writers must be serialized."""
     root = index_path.rstrip("/")
     state = _read_state(index_path)
     if state is None:

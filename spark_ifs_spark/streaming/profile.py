@@ -76,11 +76,12 @@ def _batch_partial(
     # NULL text is folded as the empty string: without the coalesce,
     # size(split(NULL)) is -1 (DECREMENTING n_tokens) and the KMV
     # explode drops the row, so an all-NULL source would vanish from
-    # the inner-joined profile. An EMPTY string must then contribute
-    # zero tokens — split('', ' ') yields [''] (size 1), a phantom
-    # token that would also insert the empty term into the vocabulary
-    # sketch — so token counts gate on length and the term relation
-    # drops '' before sketching.
+    # the inner-joined profile. A token is a NON-EMPTY split element:
+    # split('', ' ') yields [''] and split('a  b', ' ') yields
+    # ['a', '', 'b'] — counting raw elements would admit phantom empty
+    # tokens the term relation (which drops '' before sketching)
+    # never sees, so n_tokens and the vocabulary would disagree on
+    # what a token is. Both sides share the x != '' convention.
     docs = batch.select(
         F.col(source_col).alias("source"),
         F.coalesce(F.col(text_col), F.lit("")).alias("text"),
@@ -89,9 +90,7 @@ def _batch_partial(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
         F.sum(
-            F.when(F.length("text") == 0, F.lit(0)).otherwise(
-                F.size(F.split(F.col("text"), " "))
-            )
+            F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
         ).cast("long").alias("n_tokens"),
     )
     terms = docs.select(

@@ -40,3 +40,72 @@ def test_packing_curve_regime_tradeoff(spark, sf_dir):
         assert r["packed_util_ppm"] >= r["single_util_ppm"]
         assert r["straddled_docs"] <= r["packed_bins"]
         assert 0 < r["packed_util_ppm"] <= 1_000_000
+
+
+def test_epoch_shuffle_is_a_seeded_permutation(spark):
+    """Each epoch's positions are exactly 0..n-1 (a permutation),
+    epochs order differently, the result is invariant under physical
+    repartitioning, and the seed reshuffles."""
+    from spark_ifs_spark.operators.chunking import epoch_shuffle
+
+    bins = spark.createDataFrame([(i,) for i in range(97)], "bin_id long")
+    out = epoch_shuffle(bins, "bin_id", n_epochs=3, seed=42).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["epoch"], {})[r["bin_id"]] = r["position"]
+    assert set(per) == {0, 1, 2}
+    for e, m in per.items():
+        assert sorted(m.values()) == list(range(97))
+    # epochs are genuinely different orders
+    assert per[0] != per[1] and per[1] != per[2]
+    # physical-partitioning invariance (the split_assign contract)
+    re = {
+        (r["epoch"], r["bin_id"]): r["position"]
+        for r in epoch_shuffle(
+            bins.repartition(7), "bin_id", n_epochs=3, seed=42
+        ).collect()
+    }
+    assert re == {(e, b): p for e, m in per.items() for b, p in m.items()}
+    # a different seed permutes differently
+    other = {
+        r["bin_id"]: r["position"]
+        for r in epoch_shuffle(bins, "bin_id", n_epochs=1, seed=7).collect()
+    }
+    assert other != per[0]
+
+
+def test_epoch_shuffle_two_level_rank_matches_plain_window(spark):
+    """The bucketed two-level rank must equal the naive global
+    row_number over (h, bin_id) per epoch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.functions.hashing import md5_int60
+    from spark_ifs_spark.operators.chunking import epoch_shuffle
+
+    bins = spark.createDataFrame([(i * 11 + 3,) for i in range(200)], "bin_id long")
+    got = {
+        (r["epoch"], r["bin_id"]): r["position"]
+        for r in epoch_shuffle(bins, "bin_id", n_epochs=2, seed=5).collect()
+    }
+    h = md5_int60(
+        F.concat(F.lit("5:"), F.col("epoch").cast("string"),
+                 F.lit(":"), F.col("bin_id").cast("string"))
+    )
+    naive = (
+        bins.select(
+            "bin_id",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+        )
+        .withColumn("h", h)
+        .withColumn(
+            "position",
+            F.row_number().over(
+                Window.partitionBy("epoch").orderBy("h", "bin_id")
+            ) - 1,
+        )
+    )
+    want = {
+        (r["epoch"], r["bin_id"]): r["position"] for r in naive.collect()
+    }
+    assert got == want

@@ -65,6 +65,29 @@ def test_chain_converges_fast(spark):
     assert set(got.values()) == {0}
 
 
+def test_pointer_jump_driver_syncs_are_bounded(spark):
+    """The inner pointer-jump loop must not pay one driver round-trip
+    per jump: sum-based convergence checks run every SECOND jump and
+    the jump count is capped at ceil(log2(n_active)) — on a deep chain
+    (the adversarial-depth case) the sync count stays ~half the jump
+    count and the result is still exact."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _union_find(edges)
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            df, incore_edge_budget=0
+        ).collect()
+    }
+    assert got == want
+    stats = connected_components.last_stats
+    assert stats["outer_rounds"] >= 1 and stats["jumps"] >= 1
+    # at most one sum check per two jumps (plus the per-round final
+    # verification aggregate, counted separately)
+    assert 2 * stats["sum_checks"] <= stats["jumps"] + stats["outer_rounds"]
+
+
 def test_random_graph_matches_union_find(spark):
     rng = random.Random(7)
     nodes = list(range(100))

@@ -103,3 +103,177 @@ def test_cell_assign_np_path_matches_expression_path(spark, sf_dir, monkeypatch)
         (r["id"], r["nb"]) for r in knn_mod._cell_seed(q, 24).collect()
     )
     assert expr_pairs == np_pairs and len(expr_pairs) > 0
+
+
+def test_graph_diversity_select_matches_brute_force(spark, sf_dir):
+    """Greedy farthest-point over the graph must equal a driver-side
+    brute-force greedy on the SAME symmetrized edge scores (max-score
+    per pair, missing edge = similarity 0, argmin ties by id)."""
+    from collections import defaultdict
+
+    from spark_ifs_spark.operators.knn import graph_diversity_select, knn_graph
+
+    df = _emb(spark, sf_dir, 150)
+    edges = knn_graph(df, "vec_id", "embedding", k=4, num_centroids=8,
+                      rounds=2, groups=8, work_degree=12)
+    nodes = sorted(r["vec_id"] for r in df.select("vec_id").collect())
+    sym = defaultdict(float)
+    for r in edges.collect():
+        a, b, s = r["id"], r["nb"], r["score"]
+        sym[(a, b)] = max(sym[(a, b)], s)
+        sym[(b, a)] = max(sym[(b, a)], s)
+    k = 6
+    best = {v: 0.0 for v in nodes}
+    want = []
+    for rank in range(1, k + 1):
+        w = min(best, key=lambda v: (best[v], v))
+        want.append((rank, w, best[w]))
+        del best[w]
+        for v in best:
+            best[v] = max(best[v], sym.get((v, w), 0.0))
+    got = [
+        (r["rank"], r["id"], r["far_sim"])
+        for r in graph_diversity_select(
+            edges, df.select("vec_id"), k=k
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+    # first pick is the min id at similarity zero; picks are distinct
+    assert got[0][1] == nodes[0] and got[0][2] == 0.0
+    assert len({i for _, i, _ in got}) == k
+
+
+def test_graph_diversity_select_early_stop_fewer_nodes_than_k(spark):
+    from spark_ifs_spark.operators.knn import graph_diversity_select
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9)], "id long, nb long, score double"
+    )
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    out = graph_diversity_select(edges, nodes, k=5).collect()
+    assert [(r["rank"], r["id"]) for r in out] == [(1, 1), (2, 2)]
+    assert out[1]["far_sim"] == 0.9
+
+
+def test_label_propagation_hand_case(spark):
+    """Majority vote with smallest-label ties, sticky labels, and
+    round_converged stamps — hand-checked on a 6-node path + hub."""
+    from spark_ifs_spark.operators.knn import label_propagation
+
+    # path 1-2-3-4, plus node 5 adjacent to BOTH seeds 1 and 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (4, 5)], "id long, nb long"
+    )
+    seeds = spark.createDataFrame([(1, 7), (4, 3)], "id long, label long")
+    got = {
+        r["id"]: (r["label"], r["round_converged"])
+        for r in label_propagation(edges, seeds, rounds=3).collect()
+    }
+    # node 5 sees both labels (1 vote each) -> smallest label 3, round 1
+    # nodes 2 and 3 each see one labeled neighbor in round 1
+    assert got == {
+        1: (7, 0), 4: (3, 0), 5: (3, 1), 2: (7, 1), 3: (3, 1),
+    }
+
+
+def test_label_propagation_planted_clusters_recovered(spark):
+    """Two well-separated embedding clusters, one seed each: every
+    reached node must adopt its own cluster's seed label."""
+    from spark_ifs_spark.operators.knn import knn_graph, label_propagation
+
+    # each cluster is a smooth CHAIN in embedding space (unique,
+    # slowly-varying vectors), so its kNN graph is connected and
+    # propagation must walk multiple hops from the seed at the end
+    rows = []
+    for i in range(60):
+        c = i % 2
+        t = (i // 2) * 0.03
+        vec = [1.0, t, 0.0, 0.0] if c == 0 else [0.0, 0.0, t, 1.0]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    edges = knn_graph(df, "vec_id", "embedding", k=4, num_centroids=4,
+                      rounds=2, groups=8, work_degree=12).select("id", "nb")
+    seeds = spark.createDataFrame([(0, 0), (1, 1)], "id long, label long")
+    got = label_propagation(edges, seeds, rounds=8).collect()
+    assert len(got) >= 24  # propagation spread well beyond the seeds
+    assert max(r["round_converged"] for r in got) >= 2  # multi-hop
+    for r in got:
+        assert r["label"] == r["id"] % 2, (r["id"], r["label"])
+
+
+def _flat_assign(knn_mod, q, nc):
+    cents = (
+        q.orderBy("id").limit(nc)
+        .select(F.col("id").alias("cid"), F.col("qv").alias("_cq"),
+                F.col("ssq").alias("_cs"))
+    )
+    rows = [(r["cid"], list(r["_cq"]), r["_cs"]) for r in cents.collect()]
+    return knn_mod._cell_assign_np(q, rows), cents
+
+
+def test_two_level_assign_with_full_probes_equals_flat(spark, sf_dir):
+    """probes >= coarse-cell count ⇒ the candidate set is complete, so
+    the two-level argmax EQUALS the flat path by construction (same
+    integer-exact scoring, same cid-asc tie-break) — the mathematical
+    pin behind the 100 TB swap."""
+    import spark_ifs_spark.operators.knn as knn_mod
+    from spark_ifs_spark.operators.knn import quantized_vectors
+
+    df = _emb(spark, sf_dir, 300)
+    q = quantized_vectors(df, "vec_id", "embedding", 1024).localCheckpoint(eager=True)
+    nc = 100  # coarse count = ceil(sqrt(100)) = 10
+    flat, cents = _flat_assign(knn_mod, q, nc)
+    want = {r["id"]: r["cell"] for r in flat.collect()}
+    got = {
+        r["id"]: r["cell"]
+        for r in knn_mod._cell_assign_two_level(
+            q, cents.localCheckpoint(eager=True), probes=10
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_two_level_assign_default_probes_high_agreement(spark, sf_dir):
+    """At the default probe count the probe set is a strict subset of
+    the coarse cells, so the assignment is the standard IVF
+    approximation — deterministic, and on this corpus it recovers the
+    flat argmax for ≥90% of points (the rest land in a probed
+    near-best cell; cell assignment only SEEDS the audited descent)."""
+    import spark_ifs_spark.operators.knn as knn_mod
+    from spark_ifs_spark.operators.knn import quantized_vectors
+
+    df = _emb(spark, sf_dir, 400)
+    q = quantized_vectors(df, "vec_id", "embedding", 1024).localCheckpoint(eager=True)
+    nc = 120
+    flat, cents = _flat_assign(knn_mod, q, nc)
+    want = {r["id"]: r["cell"] for r in flat.collect()}
+    got = {
+        r["id"]: r["cell"]
+        for r in knn_mod._cell_assign_two_level(
+            q, cents.localCheckpoint(eager=True)
+        ).collect()
+    }
+    assert set(got) == set(want)  # every point assigned exactly once
+    agree = sum(got[i] == want[i] for i in want)
+    assert agree >= 0.9 * len(want)
+
+
+def test_cell_seed_two_level_path_parity(spark, sf_dir, monkeypatch):
+    """Forcing _cell_seed onto the two-level path (threshold 1) at
+    FULL probe coverage must reproduce the flat path's seed pairs
+    exactly (complete candidate set ⇒ identical argmax ⇒ identical
+    cells ⇒ identical pairs)."""
+    import spark_ifs_spark.operators.knn as knn_mod
+    from spark_ifs_spark.operators.knn import quantized_vectors
+
+    df = _emb(spark, sf_dir, 300)
+    q = quantized_vectors(df, "vec_id", "embedding", 1024).localCheckpoint(eager=True)
+    flat_pairs = sorted(
+        (r["id"], r["nb"]) for r in knn_mod._cell_seed(q, 80).collect()
+    )
+    monkeypatch.setattr(knn_mod, "TWO_LEVEL_MIN_CENTROIDS", 1)
+    monkeypatch.setattr(knn_mod, "TWO_LEVEL_PROBES", 9)  # = all coarse cells
+    two_pairs = sorted(
+        (r["id"], r["nb"]) for r in knn_mod._cell_seed(q, 80).collect()
+    )
+    assert two_pairs == flat_pairs and len(two_pairs) > 0

@@ -641,3 +641,52 @@ def test_kmeans_train_q8_matches_float_path_when_no_ties(spark, sf_dir):
         .collect()
     }
     assert q8 == fl
+
+
+def test_scaled_tagged_cells_two_level_matches_flat(spark, sf_dir):
+    """Past the centroid budget the two-level coarse-quantizer path
+    must reproduce the flat assignment on the fixture — both at full
+    probe coverage (complete candidate set) and at the default probe
+    count; below the budget it IS the flat path."""
+    import spark_ifs_spark.operators.similarity as sim
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 400)
+    )
+    nc = 90  # ncc = ceil(sqrt(90)) = 10
+    cents = sim.ivf_centroids(df, "vec_id", "embedding", nc)
+    want = {
+        r["id"]: r["cell"]
+        for r in sim.tagged_cells(df, cents, "vec_id", "embedding").collect()
+    }
+    flat = {
+        r["id"]: r["cell"]
+        for r in sim.scaled_tagged_cells(df, "vec_id", "embedding", nc).collect()
+    }
+    assert flat == want  # below budget: identical code path
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(sim, "SIM_TWO_LEVEL_MIN_CENTROIDS", 1)
+        full = {
+            r["id"]: r["cell"]
+            for r in sim.scaled_tagged_cells(
+                df, "vec_id", "embedding", nc, probes=10
+            ).collect()
+        }
+        dflt = {
+            r["id"]: r["cell"]
+            for r in sim.scaled_tagged_cells(
+                df, "vec_id", "embedding", nc
+            ).collect()
+        }
+    finally:
+        mp.undo()
+    assert full == want  # complete probe coverage == flat argmax
+    # default probes (8 of 10 coarse cells here) is the standard IVF
+    # approximation: deterministic, near-total agreement on the fixture
+    assert set(dflt) == set(want)
+    agree = sum(dflt[i] == want[i] for i in want)
+    assert agree >= 0.9 * len(want)

@@ -76,9 +76,7 @@ def test_streamed_profile_matches_batch_computation(spark, tmp_path):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).cast("long").alias("n_chars"),
             F.sum(
-                F.when(F.length("text") == 0, F.lit(0)).otherwise(
-                    F.size(F.split(F.col("text"), " "))
-                )
+                F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
             )
             .cast("long")
             .alias("n_tokens"),
@@ -166,6 +164,24 @@ def test_parameter_mismatch_is_a_hard_error(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="built with"):
         q.awaitTermination(120)
+
+
+def test_whitespace_runs_count_no_phantom_tokens(spark, tmp_path):
+    """Consecutive/leading/trailing spaces split into '' elements;
+    n_tokens must count only non-empty tokens (the term-relation
+    convention), not raw split elements — 'a  b' is 2 tokens, not 3."""
+    src, store = tmp_path / "feed", tmp_path / "prof"
+    rows = [(0, "a  b", "srcA"), (1, " c ", "srcA"), (2, "   ", "srcB")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", df.schema)
+    prof = _profile_map(spark, store)
+    # srcA: 'a  b' -> 2 + ' c ' -> 1; srcB: all-space doc -> 0 tokens,
+    # empty vocabulary (matches the term relation, which drops '')
+    assert prof["srcA"][2] == 3
+    nd, nc, nt, nsk, kth, ev = prof["srcB"]
+    assert (nd, nc, nt) == (1, 3, 0)
+    assert (nsk, kth, ev) == (0, 0, 0)
 
 
 def test_null_text_is_folded_as_empty_not_dropped(spark, tmp_path):
