@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "knn_graph",
     "knn_graph_recall",
     "knn_graph_components",
+    "graph_diversity_select_k5",
+    "knn_label_prop",
+    "epoch_shuffle_manifest",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

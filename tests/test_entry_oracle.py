@@ -107,11 +107,10 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 9 rotated the window to: the five round-9 additions, then
-    the 45 least-recently-gated keys — the seventeen r4-era keys the
-    r8 window displaced, the nine r4-era keys from round 7's old
-    positions 51-59, and the oldest r5-era block — so after this gate
-    no key's freshest driver row is older than round 5. Any accidental
+    Round 10 rotated the window to: the three round-10 additions, then
+    the 47 least-recently-gated keys — the full r5-era backlog (22
+    keys) and the 25 oldest r6-gated keys — so after this gate no
+    key's freshest driver row is older than round 6. Any accidental
     reorder (new entries must APPEND once the window is final) fails
     here before it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
@@ -120,20 +119,24 @@ def test_driver_window_frozen():
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
-        # round-9 additions
-        "knn_graph", "knn_graph_recall", "knn_graph_components", "packing_assignment", "coverage_select_k5",
-        # r4-era backfill (the 26 keys displaced across r7/r8)
-        "docs_profile", "events_rollup", "docs_length_deciles", "events_type_pivot",
-        "corpus_diff", "events_props_json", "unconverted_views", "events_cube",
-        "session_journeys", "supplier_zscore", "monthly_growth", "events_daily_anomaly",
-        "customer_rfm", "forecast_revenue", "late_suppliers", "part_pair_counts",
-        "decontam_bloom", "pmi_top_pairs", "quality_lr_score", "market_share",
-        "custdist", "big_volume_customers", "widget_part_suppliers", "decontam_overlap",
-        "bm25_topk", "tfidf_cosine_pairs",
-        # oldest r5-era block
-        "boilerplate_shingles", "docs_novelty", "docs_temperature_mix", "gopher_filters",
-        "split_leakage", "cluster_size_stats", "ann_recall_audit", "events_hll_users",
-        "docs_profile_sketch", "source_quality_report", "user_streaks", "weighted_median_price",
-        "lineitem_corr", "part_pair_lift", "kwic_snippets", "events_interarrival",
-        "events_value_histogram", "lang_source_chisq", "source_token_entropy",
+        # round-10 additions
+        "graph_diversity_select_k5", "knn_label_prop", "epoch_shuffle_manifest",
+        # r5-era backfill (all 22 keys whose freshest row was round 5)
+        "user_value_twa", "orders_sla", "events_rolling_7d_users",
+        "events_autocorr7", "source_size_gini", "supplier_mad_outliers",
+        "langid_confusion", "funnel_latency", "events_imputed",
+        "events_value_pcts_hist", "cluster_representatives", "benford_first_digit",
+        "mi_pair_lineitem", "mi_relevance", "mi_matrix", "mrmr_top1",
+        "mrmr_select_k5", "mrmr_miq_k5", "row_select_k5", "dedup_exact",
+        "dedup_ngram_jaccard", "dedup_minhash",
+        # oldest r6-era block
+        "dedup_simhash", "dedup_embedding", "dedup_embedding_bucketed",
+        "dedup_spans", "dedup_incremental", "ann_topk", "ann_topk_ivf",
+        "ann_topk_lsh", "events_daily", "events_sessionize",
+        "dedup_embedding_lsh", "dedup_embedding_lsh_recall", "ann_topk_pq",
+        "semantic_dedup", "events_user_stats_tws", "ann_topk_ivfpq",
+        "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
+        "hard_negatives", "session_concurrency", "negative_samples",
+        "dedup_embedding_lsh_hi", "dedup_embedding_lsh_hi_audit",
+        "multimodal_png_features",
     ]

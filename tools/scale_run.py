@@ -196,6 +196,10 @@ def main() -> None:
         "knn_graph",
         "packing_assignment",
         "coverage_select_k5",
+        # round 10
+        "graph_diversity_select_k5",
+        "knn_label_prop",
+        "epoch_shuffle_manifest",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -226,6 +230,9 @@ def main() -> None:
         "knn_graph",
         "packing_assignment",
         "coverage_select_k5",
+        "graph_diversity_select_k5",
+        "knn_label_prop",
+        "epoch_shuffle_manifest",
     }
     if only:
         names = [n for n in names if n in only]
