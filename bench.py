@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "graph_diversity_select_k5",
     "knn_label_prop",
     "epoch_shuffle_manifest",
+    "facility_select_k5",
+    "ab_cuped",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

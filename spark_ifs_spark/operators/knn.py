@@ -615,6 +615,115 @@ def graph_diversity_select(
     return spark.createDataFrame(out, "rank int, id long, far_sim double")
 
 
+def facility_location_select(
+    edges: DataFrame, nodes: DataFrame, k: int = 5
+) -> DataFrame:
+    """``(rank, id, gain_ppm)`` — greedy facility-location selection
+    over a scored kNN edge relation: maximize the SUM of each node's
+    best similarity to the selected set, ``F(S) = Σ_v max_{s∈S}
+    sim(v, s)`` with ``sim(v, v) = 1`` once ``v ∈ S`` — the max-sum
+    *representativeness* counterpart of
+    :func:`graph_diversity_select`'s max-min k-center (which favors
+    outliers; facility location favors cluster centers). Greedy is the
+    classic (1 − 1/e) approximation for this monotone submodular
+    objective (Nemhauser, Wolsey & Fisher 1978); non-edges contribute
+    similarity 0, the standard sparse-graph truncation.
+
+    Determinism contract: similarities enter as INTEGER ppm
+    (``floor(score · 10⁶)`` of the IEEE-identical integer-state
+    cosine, self-coverage = 10⁶ exactly), so every marginal gain is an
+    int64 SUM — order-independent, engine-exact — and the greedy
+    ``(gain DESC, id ASC)`` argmax never diverges from the DuckDB
+    oracle (float gain sums would be summation-order-dependent across
+    engines; this is the ``lineitem_corr`` integer-sufficient-stats
+    convention applied to submodular greedy).
+
+    Round r: one edge-keyed join of the symmetrized relation against
+    the maintained ``best(id, best_ppm)`` coverage column, one
+    map-combined ``sum(greatest(sim − best, 0))`` per candidate, one
+    ``max(struct)`` argmax (no window), then the winner's incident
+    edges fold in via ``greatest`` and the winner pins to 10⁶.
+    Scale posture matches :func:`graph_diversity_select`: the n·k edge
+    relation is scanned k times off one localCheckpoint, ``best`` is
+    node-sized and truncated per round, driver state is k winners.
+
+    No counterpart in the reference; extension operator — the fourth
+    consumer of :func:`knn_graph` (dedup components, k-center
+    diversity, label propagation being the first three)."""
+    SELF = 1_000_000
+    spark = edges.sparkSession
+    sym = (
+        edges.select("id", "nb", "score")
+        .unionByName(
+            edges.select(
+                F.col("nb").alias("id"), F.col("id").alias("nb"), "score"
+            )
+        )
+        .groupBy("id", "nb")
+        .agg(
+            F.floor(F.max("score") * SELF).cast("long").alias("sim")
+        )
+        .localCheckpoint(eager=True)
+    )
+    best = (
+        nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
+        .distinct()
+        .withColumn("best", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    winners: list[int] = []
+    out = []
+    for r in range(1, k + 1):
+        # per-candidate covered-gain: edges grouped by their *candidate*
+        # endpoint (nb), each contributing its improvement over the
+        # covered endpoint's current best — selected nodes sit pinned at
+        # SELF so improvements over them are 0 without a filter
+        g1 = (
+            sym.join(best, "id")
+            .groupBy("nb")
+            .agg(
+                F.sum(
+                    F.greatest(F.col("sim") - F.col("best"), F.lit(0).cast("long"))
+                ).alias("_g")
+            )
+        )
+        cand = best.filter(~F.col("id").isin(winners)) if winners else best
+        gains = cand.join(
+            g1.select(F.col("nb").alias("id"), "_g"), "id", "left"
+        ).select(
+            "id",
+            (
+                F.coalesce(F.col("_g"), F.lit(0).cast("long"))
+                + (F.lit(SELF).cast("long") - F.col("best"))
+            ).alias("gain"),
+        )
+        w = gains.agg(F.max(F.struct(F.col("gain"), (-F.col("id")).alias("ni")))).first()[0]
+        if w is None:
+            break
+        win_gain, win_id = int(w["gain"]), int(-w["ni"])
+        winners.append(win_id)
+        out.append((r, win_id, win_gain))
+        upd = sym.filter(F.col("nb") == win_id).select(
+            "id", F.col("sim").alias("_ns")
+        )
+        best = (
+            best.join(upd, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("id") == win_id, F.lit(SELF).cast("long"))
+                .otherwise(
+                    F.greatest(
+                        F.col("best"),
+                        F.coalesce(F.col("_ns"), F.lit(0).cast("long")),
+                    )
+                )
+                .alias("best"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(out, "rank int, id long, gain_ppm long")
+
+
 def label_propagation(
     edges: DataFrame, seeds: DataFrame, rounds: int = 3
 ) -> DataFrame:

@@ -1421,3 +1421,154 @@ FROM sessions a JOIN sessions b
  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
 GROUP BY 1, 2
 """
+
+
+#: CUPED pre/post boundary: pre-period = first 15 generated days.
+#: Data-independent constant (the events generator spans 2024-01).
+AB_CUPED_SPLIT_DATE = "2024-01-15"
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): users hash into two arms (``user_id % 2`` — the
+    package's deterministic assignment stand-in), the experiment
+    metric is per-user post-period spend, and the pre-period spend is
+    the CUPED covariate — ``ŷ = y − θ·(x − x̄)`` with θ = cov(x, y)/
+    var(x) pooled across arms (the standard single-θ CUPED). Reports
+    per arm the raw and adjusted post-period means plus the variance
+    reduction CUPED bought.
+
+    Exactness: per-user pre/post spends quantize to integer cents
+    (``floor(value·100)``), all sufficient statistics (Σx, Σy, Σxy,
+    Σx², Σy²) accumulate as decimal(38,0)/HUGEINT — no float addition
+    anywhere — and θ, means and variances are single double
+    expressions over bit-identical integer inputs, structurally
+    identical in the oracle (the ``lineitem_corr`` convention). One
+    user-keyed aggregate + one 2-group aggregate + one broadcast of
+    the 1-row pooled stats; shuffle is |users| then 2 rows, and the
+    per-user combine absorbs event skew map-side. Scales as a plain
+    two-level aggregate at 100 TB.
+
+    No counterpart in the reference; extension operator (experiment
+    analytics over the event stream)."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    pre = F.to_date("ts") <= F.lit(AB_CUPED_SPLIT_DATE).cast("date")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(F.lit(0))).alias("y"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
+        )
+    )
+    sufficient = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    ]
+    pooled = per_user.agg(*sufficient).select(
+        F.col("n").alias("gn"), F.col("sx").alias("gsx"),
+        F.col("sy").alias("gsy"), F.col("sxy").alias("gsxy"),
+        F.col("sxx").alias("gsxx"),
+    )
+    arms = per_user.groupBy("arm").agg(*sufficient)
+    gn = F.col("gn").cast("double")
+    gsx = F.col("gsx").cast("double")
+    gsy = F.col("gsy").cast("double")
+    theta_den = gn * F.col("gsxx").cast("double") - gsx * gsx
+    theta = F.when(theta_den == 0, F.lit(0.0)).otherwise(
+        (gn * F.col("gsxy").cast("double") - gsx * gsy) / theta_den
+    )
+    na = F.col("n").cast("double")
+    sxa = F.col("sx").cast("double")
+    sya = F.col("sy").cast("double")
+    mean_post = sya / na / 100
+    mean_cuped = mean_post - F.col("_th") * (sxa / na - gsx / gn) / 100
+    var_y = (na * F.col("syy").cast("double") - sya * sya) / (na * na)
+    cov_a = (na * F.col("sxy").cast("double") - sxa * sya) / (na * na)
+    var_x = (na * F.col("sxx").cast("double") - sxa * sxa) / (na * na)
+    var_adj = var_y - 2 * F.col("_th") * cov_a + F.col("_th") * F.col("_th") * var_x
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .withColumn("_th", theta)
+        .select(
+            "arm",
+            F.col("n").alias("n_users"),
+            F.round(mean_post, 6).alias("mean_post"),
+            F.round(mean_cuped, 6).alias("mean_post_cuped"),
+            F.round(
+                F.when(var_y == 0, F.lit(0.0)).otherwise(1 - var_adj / var_y), 6
+            ).alias("var_reduction"),
+            F.round(F.col("_th"), 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )
+
+
+def sql_ab_cuped() -> str:
+    d = AB_CUPED_SPLIT_DATE
+    return f"""
+WITH per_user AS (
+  SELECT user_id % 2 AS arm,
+         sum(CASE WHEN CAST(ts AS DATE) <= DATE '{d}'
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
+         sum(CASE WHEN CAST(ts AS DATE) <= DATE '{d}'
+                  THEN 0 ELSE CAST(floor(value * 100) AS BIGINT) END) AS y
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT count(*) AS gn, sum(x) AS gsx, sum(y) AS gsy,
+         sum(CAST(x * y AS HUGEINT)) AS gsxy,
+         sum(CAST(x * x AS HUGEINT)) AS gsxx
+  FROM per_user
+),
+arms AS (
+  SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(CAST(x * y AS HUGEINT)) AS sxy,
+         sum(CAST(x * x AS HUGEINT)) AS sxx,
+         sum(CAST(y * y AS HUGEINT)) AS syy
+  FROM per_user GROUP BY arm
+),
+j AS (
+  SELECT a.*, p.gn, p.gsx, p.gsy, p.gsxy, p.gsxx,
+         CASE WHEN CAST(p.gn AS DOUBLE) * CAST(p.gsxx AS DOUBLE)
+                   - CAST(p.gsx AS DOUBLE) * CAST(p.gsx AS DOUBLE) = 0 THEN 0.0
+              ELSE (CAST(p.gn AS DOUBLE) * CAST(p.gsxy AS DOUBLE)
+                    - CAST(p.gsx AS DOUBLE) * CAST(p.gsy AS DOUBLE))
+                   / (CAST(p.gn AS DOUBLE) * CAST(p.gsxx AS DOUBLE)
+                      - CAST(p.gsx AS DOUBLE) * CAST(p.gsx AS DOUBLE)) END AS th
+  FROM arms a CROSS JOIN pooled p
+)
+SELECT CAST(arm AS INTEGER) AS arm,
+       CAST(n AS BIGINT) AS n_users,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_post,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100
+             - th * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                     - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)) / 100,
+             6) AS mean_post_cuped,
+       round(CASE WHEN (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 0 THEN 0.0
+                  ELSE 1 - ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                            - 2 * th * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                            + th * th * ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                           / ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END,
+             6) AS var_reduction,
+       round(th, 6) AS theta
+FROM j
+ORDER BY arm
+"""

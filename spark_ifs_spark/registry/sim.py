@@ -1893,3 +1893,81 @@ kwalk(node, reach) AS (
 SELECT node AS id, least(node, min(reach)) AS component
 FROM kwalk GROUP BY node
 """
+
+
+FACILITY_SELECT_K = 5  # greedy facility-location picks
+
+
+def q_facility_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location (max-sum representativeness) selection
+    over the kNN graph — the submodular counterpart of
+    ``graph_diversity_select_k5``'s max-min k-center and the fourth
+    consumer of :func:`q_knn_graph`; see
+    :func:`~spark_ifs_spark.operators.knn.facility_location_select`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    edges = _knn.knn_graph(
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
+        work_degree=_KNN_WORK,
+    )
+    return _knn.facility_location_select(
+        edges, emb.select("vec_id"), k=FACILITY_SELECT_K
+    )
+
+
+def sql_facility_select_k5() -> str:
+    """Unrolled-greedy twin (`_sql_unrolled_greedy` discipline) with
+    INTEGER-ppm gains: the symmetrized edge relation carries
+    ``floor(max(score)·10⁶)`` so every marginal-gain sum is an exact
+    BIGINT and the (gain DESC, id ASC) argmax matches Spark bit-for-bit
+    (float gain sums would be summation-order-dependent)."""
+    kd = FACILITY_SELECT_K
+    cte = [
+        _sql_knn_ctes(),
+        f"kfin AS {_sql_kfin(KNN_GRAPH_ROUNDS, KNN_GRAPH_K)}",
+        """fsym AS MATERIALIZED (
+  SELECT id, nb, CAST(floor(max(score) * 1000000) AS BIGINT) AS sim FROM (
+    SELECT id, nb, score FROM kfin
+    UNION ALL SELECT nb AS id, id AS nb, score FROM kfin)
+  GROUP BY id, nb
+)""",
+        "fb0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) AS best FROM kq)",
+    ]
+    sel_union = None
+    for r in range(1, kd + 1):
+        not_sel = f"WHERE b.id NOT IN ({sel_union})" if sel_union else ""
+        cte.append(f"""fg{r} AS (
+  SELECT b.id,
+         coalesce(s.g, 0) + (1000000 - b.best) AS gain
+  FROM fb{r - 1} b
+  LEFT JOIN (
+    SELECT fs.nb AS id, sum(greatest(fs.sim - bb.best, 0)) AS g
+    FROM fsym fs JOIN fb{r - 1} bb ON fs.id = bb.id
+    GROUP BY fs.nb) s ON s.id = b.id
+  {not_sel}
+)""")
+        cte.append(
+            f"fs{r} AS (SELECT id, gain FROM fg{r} "
+            "ORDER BY gain DESC, id ASC LIMIT 1)"
+        )
+        cte.append(f"""fb{r} AS MATERIALIZED (
+  SELECT f.id,
+         CASE WHEN f.id IN (SELECT id FROM fs{r}) THEN CAST(1000000 AS BIGINT)
+              ELSE greatest(f.best, coalesce(g.sim, 0)) END AS best
+  FROM fb{r - 1} f
+  LEFT JOIN (SELECT fsym.id, fsym.sim FROM fsym JOIN fs{r} ON fsym.nb = fs{r}.id) g
+         ON g.id = f.id
+)""")
+        sel_union = " UNION ALL ".join(
+            f"SELECT id FROM fs{i}" for i in range(1, r + 1)
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS rank, id, CAST(gain AS BIGINT) AS gain_ppm FROM fs{r}"
+        for r in range(1, kd + 1)
+    )
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+{union}
+"""

@@ -154,3 +154,39 @@ def test_gini_handcase(spark, tmp_path):
 
     got = q_source_size_gini(spark, str(tmp_path)).collect()[0]
     assert got["n_sources"] == 2 and got["gini"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ab_cuped_handcase(spark, tmp_path):
+    """CUPED on a fixture where post spend is exactly 2× pre spend plus
+    an arm offset: θ must be ≈2 (perfect covariate), the adjusted means
+    recover the arm offset around the pooled mean, and per-arm variance
+    reduction is ~100%. Worked by hand: users 0/2 (arm 0) pre 10, 20 →
+    post 20, 40; users 1/3 (arm 1) pre 10, 20 → post 30, 50 (offset
+    +10). Pooled: x̄ = 15, θ = cov/var = 2 exactly (integer cents).
+    Adjusted: arm0 ŷ = {20 − 2·(10−15), 40 − 2·(20−15)} = {30, 30};
+    arm1 = {40, 40} — zero within-arm variance after adjustment."""
+    pre = TS(2024, 1, 10, 0)
+    post = TS(2024, 1, 20, 0)
+    rows = []
+    eid = 0
+    for uid, (xv, yv) in {0: (10.0, 20.0), 2: (20.0, 40.0),
+                          1: (10.0, 30.0), 3: (20.0, 50.0)}.items():
+        eid += 1
+        rows.append((eid, pre, uid, "buy", xv, "{}"))
+        eid += 1
+        rows.append((eid, post, uid, "buy", yv, "{}"))
+    _stage(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    from spark_ifs_spark.registry import q_ab_cuped
+
+    got = {r["arm"]: r for r in q_ab_cuped(spark, str(tmp_path)).collect()}
+    assert got[0]["n_users"] == 2 and got[1]["n_users"] == 2
+    assert got[0]["theta"] == pytest.approx(2.0)
+    assert got[0]["mean_post"] == pytest.approx(30.0)
+    assert got[1]["mean_post"] == pytest.approx(40.0)
+    # perfect covariate: adjusted means equal raw arm means (pre-spend
+    # is balanced across arms here) and variance reduction is total
+    assert got[0]["mean_post_cuped"] == pytest.approx(30.0)
+    assert got[1]["mean_post_cuped"] == pytest.approx(40.0)
+    assert got[0]["var_reduction"] == pytest.approx(1.0)
+    assert got[1]["var_reduction"] == pytest.approx(1.0)

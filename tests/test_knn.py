@@ -277,3 +277,91 @@ def test_cell_seed_two_level_path_parity(spark, sf_dir, monkeypatch):
         (r["id"], r["nb"]) for r in knn_mod._cell_seed(q, 80).collect()
     )
     assert two_pairs == flat_pairs and len(two_pairs) > 0
+
+
+def test_facility_location_select_matches_brute_force(spark, sf_dir):
+    """Greedy facility location must equal a driver-side brute-force
+    greedy on the SAME integer-ppm similarities (floor(max-score·10⁶),
+    missing edge = 0, self-coverage = 10⁶, argmax ties by id ASC)."""
+    import math
+    from collections import defaultdict
+
+    from spark_ifs_spark.operators.knn import facility_location_select, knn_graph
+
+    df = _emb(spark, sf_dir, 150)
+    edges = knn_graph(df, "vec_id", "embedding", k=4, num_centroids=8,
+                      rounds=2, groups=8, work_degree=12)
+    nodes = sorted(r["vec_id"] for r in df.select("vec_id").collect())
+    SELF = 1_000_000
+    raw = defaultdict(float)
+    for r in edges.collect():
+        a, b, s = r["id"], r["nb"], r["score"]
+        raw[(a, b)] = max(raw[(a, b)], s)
+        raw[(b, a)] = max(raw[(b, a)], s)
+    sym = {p: int(math.floor(s * SELF)) for p, s in raw.items()}
+    k = 6
+    best = {v: 0 for v in nodes}
+    selected = set()
+    want = []
+    for rank in range(1, k + 1):
+        gains = {}
+        for c in nodes:
+            if c in selected:
+                continue
+            g = SELF - best[c]
+            for v in nodes:
+                if v != c:
+                    g += max(0, sym.get((v, c), 0) - best[v])
+            gains[c] = g
+        w = max(gains, key=lambda c: (gains[c], -c))
+        want.append((rank, w, gains[w]))
+        selected.add(w)
+        best[w] = SELF
+        for v in nodes:
+            if v not in selected:
+                best[v] = max(best[v], sym.get((v, w), 0))
+    got = [
+        (r["rank"], r["id"], r["gain_ppm"])
+        for r in facility_location_select(
+            edges, df.select("vec_id"), k=k
+        ).orderBy("rank").collect()
+    ]
+    assert got == want
+    # submodularity: greedy marginal gains never increase
+    g = [x[2] for x in got]
+    assert all(a >= b for a, b in zip(g, g[1:]))
+    assert len({i for _, i, _ in got}) == k
+
+
+def test_facility_location_select_early_stop_fewer_nodes_than_k(spark):
+    from spark_ifs_spark.operators.knn import facility_location_select
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5)], "id long, nb long, score double"
+    )
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    out = facility_location_select(edges, nodes, k=5).collect()
+    # pick 1 first: gain = self 1e6 + covers node 2 at 0.5e6; then 2
+    # adds only its remaining self-coverage
+    assert [(r["rank"], r["id"], r["gain_ppm"]) for r in out] == [
+        (1, 1, 1_500_000),
+        (2, 2, 500_000),
+    ]
+
+
+def test_facility_location_prefers_cluster_center(spark):
+    """A star hub covering many spokes must be picked before an
+    isolated outlier pair — the representativeness contract that
+    distinguishes facility location from k-center (which would pick
+    the outlier second)."""
+    from spark_ifs_spark.operators.knn import facility_location_select
+
+    # hub 1 with spokes 2..5 at 0.9; isolated pair (10, 11) at 0.8
+    rows = [(1, s, 0.9) for s in (2, 3, 4, 5)] + [(10, 11, 0.8)]
+    edges = spark.createDataFrame(rows, "id long, nb long, score double")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 10, 11)], "id long"
+    )
+    out = facility_location_select(edges, nodes, k=2).orderBy("rank").collect()
+    assert out[0]["id"] == 1  # hub first: 1e6 + 4·0.9e6
+    assert out[1]["id"] in (10, 11)  # then the uncovered pair

@@ -200,6 +200,11 @@ def main() -> None:
         "graph_diversity_select_k5",
         "knn_label_prop",
         "epoch_shuffle_manifest",
+        "facility_select_k5",
+        # ab_cuped is deliberately absent: it reads events, which the
+        # replicator does not scale (docs/embeddings/orders only); its
+        # shape is a plain two-level aggregate — user-keyed combine
+        # then a 2-group rollup — with no scale question to measure
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -233,6 +238,7 @@ def main() -> None:
         "graph_diversity_select_k5",
         "knn_label_prop",
         "epoch_shuffle_manifest",
+        "facility_select_k5",
     }
     if only:
         names = [n for n in names if n in only]
