@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "epoch_shuffle_manifest",
     "facility_select_k5",
     "ab_cuped",
+    "curriculum_manifest",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

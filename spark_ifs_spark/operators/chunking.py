@@ -461,3 +461,98 @@ def epoch_shuffle(
             .alias("position"),
         )
     )
+
+
+def curriculum_shuffle(
+    items: DataFrame,
+    id_col: str,
+    stage_col: str,
+    n_epochs: int,
+    seed: int = 42,
+) -> DataFrame:
+    """``(epoch, item_id, stage, position)`` — the curriculum variant
+    of :func:`epoch_shuffle`: a trainer-facing manifest where each
+    epoch presents the STAGES in ascending order (easy → hard,
+    curriculum learning per Bengio et al. 2009) but shuffles items
+    uniformly WITHIN each stage, with a fresh seeded permutation per
+    epoch. ``position`` is global within the epoch: every stage-s item
+    precedes every stage-(s+1) item, and within a stage the order is
+    the portable md5 rank ``md5_int60(seed:epoch:id)`` — identical
+    across engines, runs and partitionings (the ``split_assign``
+    reproducibility contract).
+
+    Scale shape, inherited from :func:`epoch_shuffle`'s two-level rank
+    decomposition with the stage dimension added: items bucket by the
+    hash's top 12 bits within (epoch, stage); per-(epoch, stage,
+    bucket) counts splice into within-stage ranks through an (epoch,
+    stage)-partitioned window over ≤4096 count rows; stage offsets
+    come from the per-(epoch, stage) count relation (|stages| rows per
+    epoch) cumulated by an epoch-partitioned window. No corpus-sized
+    window anywhere; the epoch fan-out is a zero-shuffle ``explode``
+    projection. Stages must be small integers (difficulty buckets),
+    the |classes|-bounded convention of ``pack_assign``.
+
+    No counterpart in the reference; extension operator."""
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    shift = 1 << 48  # 2^60 hash space / 2^12 buckets
+    fan = items.select(
+        F.col(id_col).cast("long").alias("item_id"),
+        F.col(stage_col).cast("int").alias("stage"),
+    ).select(
+        "item_id",
+        "stage",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_epochs) - 1))
+        ).alias("epoch"),
+    )
+    h = md5_int60(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col("item_id").cast("string"),
+        )
+    )
+    hb = fan.select("epoch", "stage", "item_id", h.alias("h")).withColumn(
+        "_bkt", F.expr(f"h DIV {shift}")
+    )
+    per = hb.groupBy("epoch", "stage", "_bkt").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    wb = (
+        Window.partitionBy("epoch", "stage")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = per.select(
+        "epoch", "stage", "_bkt",
+        F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_boff"),
+    )
+    stage_counts = per.groupBy("epoch", "stage").agg(
+        F.sum("_bc").alias("_sc")
+    )
+    ws = (
+        Window.partitionBy("epoch")
+        .orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    soff = stage_counts.select(
+        "epoch", "stage",
+        F.coalesce(F.sum("_sc").over(ws), F.lit(0)).alias("_soff"),
+    )
+    ww = Window.partitionBy("epoch", "stage", "_bkt").orderBy(
+        F.col("h").asc(), F.col("item_id").asc()
+    )
+    return (
+        hb.join(boff, ["epoch", "stage", "_bkt"])
+        .join(soff, ["epoch", "stage"])
+        .select(
+            "epoch",
+            "item_id",
+            "stage",
+            (F.col("_soff") + F.col("_boff") + F.row_number().over(ww) - 1)
+            .cast("long")
+            .alias("position"),
+        )
+    )

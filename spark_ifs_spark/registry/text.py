@@ -3660,3 +3660,58 @@ def sql_coverage_select_k5() -> str:
 WITH {body}
 {union}
 """
+
+
+CURRICULUM_EPOCHS = 3
+CURRICULUM_SEED = 271828
+CURRICULUM_STAGE_CHARS = 150  # fixed difficulty-bucket width (data-independent)
+CURRICULUM_MAX_STAGE = 3
+
+
+def q_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-staged epoch manifest over documents: difficulty
+    stage = length bucket (``least(3, n_chars // 150)`` — fixed,
+    data-independent boundaries so the stage is a scan-local
+    projection), stages ascend easy → hard within every epoch, items
+    shuffle per-epoch within their stage by the portable md5 rank; see
+    :func:`~spark_ifs_spark.operators.chunking.curriculum_shuffle`."""
+    from spark_ifs_spark.operators.chunking import curriculum_shuffle
+
+    docs = _read(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.least(
+            F.lit(CURRICULUM_MAX_STAGE).cast("long"),
+            F.expr(f"n_chars DIV {CURRICULUM_STAGE_CHARS}"),
+        ).cast("int").alias("stage"),
+    )
+    return curriculum_shuffle(
+        staged, "doc_id", "stage",
+        n_epochs=CURRICULUM_EPOCHS, seed=CURRICULUM_SEED,
+    )
+
+
+def sql_curriculum_manifest() -> str:
+    """md5-rank twin: position = row_number over (stage, h, id) within
+    the epoch — the oracle's global window equals the Spark side's
+    two-level spliced rank (bucket key = hash prefix) plus the stage
+    offsets (stage is the leading sort key)."""
+    from spark_ifs_spark.functions.hashing import sql_md5_int60
+
+    E, seed = CURRICULUM_EPOCHS, CURRICULUM_SEED
+    w, mx = CURRICULUM_STAGE_CHARS, CURRICULUM_MAX_STAGE
+    hexpr = sql_md5_int60(
+        f"'{seed}:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH ch AS (
+  SELECT CAST(e.epoch AS INTEGER) AS epoch,
+         d.doc_id AS item_id,
+         CAST(least({mx}, d.n_chars // {w}) AS INTEGER) AS stage,
+         {hexpr} AS h
+  FROM documents d CROSS JOIN (SELECT unnest(range(0, {E})) AS epoch) e
+)
+SELECT epoch, item_id, stage,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY stage, h, item_id) - 1 AS BIGINT) AS position
+FROM ch
+"""

@@ -109,3 +109,81 @@ def test_epoch_shuffle_two_level_rank_matches_plain_window(spark):
         (r["epoch"], r["bin_id"]): r["position"] for r in naive.collect()
     }
     assert got == want
+
+
+def test_curriculum_shuffle_stage_blocks_and_permutation(spark):
+    """Positions within an epoch are a permutation 0..n-1, every
+    stage-s item precedes every stage-(s+1) item (the curriculum
+    contract), within-stage order varies by epoch, and the result is
+    invariant under physical repartitioning."""
+    from spark_ifs_spark.operators.chunking import curriculum_shuffle
+
+    # 90 items over 3 stages (30 each), ids deliberately interleaved
+    rows = [(i * 7 + 1, i % 3) for i in range(90)]
+    items = spark.createDataFrame(rows, "item_id long, stage int")
+    out = curriculum_shuffle(items, "item_id", "stage", n_epochs=2, seed=9).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["epoch"], []).append((r["position"], r["stage"], r["item_id"]))
+    assert set(per) == {0, 1}
+    stage_of = dict((i, s) for i, s in rows)
+    for e, lst in per.items():
+        lst.sort()
+        assert [p for p, _, _ in lst] == list(range(90))
+        # stage-monotone positions: the sequence of stages along
+        # positions is non-decreasing
+        stages = [s for _, s, _ in lst]
+        assert stages == sorted(stages)
+        for _, s, i in lst:
+            assert stage_of[i] == s
+    # epochs shuffle differently within stages
+    assert per[0] != per[1]
+    # physical-partitioning invariance
+    re = curriculum_shuffle(
+        items.repartition(5), "item_id", "stage", n_epochs=2, seed=9
+    ).collect()
+    assert {(r["epoch"], r["item_id"], r["position"]) for r in re} == {
+        (e, i, p) for e, lst in per.items() for p, _, i in lst
+    }
+
+
+def test_curriculum_shuffle_two_level_rank_matches_plain_window(spark):
+    """The (epoch, stage, bucket) two-level rank plus stage offsets
+    must equal the naive global row_number over (stage, h, id) per
+    epoch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.functions.hashing import md5_int60
+    from spark_ifs_spark.operators.chunking import curriculum_shuffle
+
+    rows = [(i * 11 + 3, (i * i) % 4) for i in range(180)]
+    items = spark.createDataFrame(rows, "item_id long, stage int")
+    got = {
+        (r["epoch"], r["item_id"]): (r["stage"], r["position"])
+        for r in curriculum_shuffle(
+            items, "item_id", "stage", n_epochs=2, seed=5
+        ).collect()
+    }
+    h = md5_int60(
+        F.concat(F.lit("5:"), F.col("epoch").cast("string"),
+                 F.lit(":"), F.col("item_id").cast("string"))
+    )
+    naive = (
+        items.select(
+            "item_id", "stage",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("epoch"),
+        )
+        .withColumn("h", h)
+        .withColumn(
+            "position",
+            F.row_number().over(
+                Window.partitionBy("epoch").orderBy("stage", "h", "item_id")
+            ) - 1,
+        )
+    )
+    want = {
+        (r["epoch"], r["item_id"]): (r["stage"], r["position"])
+        for r in naive.collect()
+    }
+    assert got == want

@@ -201,6 +201,7 @@ def main() -> None:
         "knn_label_prop",
         "epoch_shuffle_manifest",
         "facility_select_k5",
+        "curriculum_manifest",
         # ab_cuped is deliberately absent: it reads events, which the
         # replicator does not scale (docs/embeddings/orders only); its
         # shape is a plain two-level aggregate — user-keyed combine
