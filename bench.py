@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "facility_select_k5",
     "ab_cuped",
     "curriculum_manifest",
+    "join_skew_plan",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

@@ -145,3 +145,46 @@ def zorder_scan_audit(
         "scan_ppm",
         F.expr("(rows_scanned * 1000000) DIV rows_total"),
     )
+
+
+def skew_salt_plan(df: DataFrame, key_col: str, cap: int) -> DataFrame:
+    """``(key, cnt, salt_factor, share_ppm)`` — the static salting plan
+    a skewed shuffle join runs from: every key whose row count exceeds
+    ``cap`` (the per-task row budget) is HEAVY and gets ``salt_factor
+    = ceil(cnt / cap)`` — the build side replicates each heavy key
+    ``salt_factor`` times and the probe side scatters uniformly over
+    the replicas, bounding every post-salt task at ≤ ``cap`` rows of
+    the hot key. This is the static (pre-computed, engine-agnostic)
+    cousin of AQE's runtime skew-join split — the form a pipeline
+    persists next to the data so EVERY downstream join of the relation
+    (including non-Spark readers) salts identically, and the
+    ``salted_topk_per_key`` discipline promoted from an internal
+    tactic to a queryable plan.
+
+    One map-combined count aggregate (the combine absorbs the skew
+    being measured — hot keys partial-aggregate map-side, so the
+    shuffle carries one row per (key, mapper)), one 1-row total
+    broadcast for the traffic share; output is the heavy-key set only,
+    |output| ≤ n_rows/cap by construction. Integer arithmetic
+    throughout (``ceil`` as ``(cnt + cap − 1) DIV cap``, share as
+    ``floor(cnt·10⁶/total)``), engine-exact.
+
+    No counterpart in the reference (single-node, no shuffle to
+    plan); extension operator."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return (
+        counts.filter(F.col("cnt") > cap)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.expr(f"(cnt + {cap} - 1) DIV {cap}").alias("salt_factor"),
+            F.expr("CAST(cnt * 1000000 DIV _total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key").asc())
+    )

@@ -1572,3 +1572,38 @@ SELECT CAST(arm AS INTEGER) AS arm,
 FROM j
 ORDER BY arm
 """
+
+
+#: per-task row budget for the static salting plan (events.user_id —
+#: the relation every sessionize/attribution join shuffles on)
+JOIN_SKEW_CAP = 80
+
+
+def q_join_skew_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static salting plan for joins keyed on ``events.user_id``: the
+    heavy keys (> ``JOIN_SKEW_CAP`` rows), their replication factors,
+    and their traffic share; see
+    :func:`~spark_ifs_spark.operators.layout.skew_salt_plan`."""
+    from spark_ifs_spark.operators.layout import skew_salt_plan
+
+    ev = _read(spark, sf_dir, "events")
+    return skew_salt_plan(ev, "user_id", cap=JOIN_SKEW_CAP).withColumnRenamed(
+        "key", "user_id"
+    )
+
+
+def sql_join_skew_plan() -> str:
+    cap = JOIN_SKEW_CAP
+    return f"""
+WITH counts AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(cnt) AS total FROM counts)
+SELECT key AS user_id, cnt,
+       CAST((cnt + {cap} - 1) // {cap} AS BIGINT) AS salt_factor,
+       CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+FROM counts CROSS JOIN tot
+WHERE cnt > {cap}
+ORDER BY cnt DESC, key ASC
+"""

@@ -190,3 +190,29 @@ def test_ab_cuped_handcase(spark, tmp_path):
     assert got[1]["mean_post_cuped"] == pytest.approx(40.0)
     assert got[0]["var_reduction"] == pytest.approx(1.0)
     assert got[1]["var_reduction"] == pytest.approx(1.0)
+
+
+def test_join_skew_plan_handcase(spark, tmp_path):
+    """Salt factors are exact ceilings of cnt/cap and only keys above
+    the cap appear: user 1 has 7 events (cap 3 → ceil(7/3) = 3 salts),
+    user 2 has 4 (→ 2), user 3 has 3 (= cap, NOT heavy)."""
+    rows = []
+    eid = 0
+    for uid, n in [(1, 7), (2, 4), (3, 3)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, TS(2024, 1, 5, 10), uid, "view", 1.0, "{}"))
+    _stage(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    from spark_ifs_spark.operators.layout import skew_salt_plan
+
+    ev = spark.read.parquet(str(tmp_path / "events.parquet"))
+    got = [
+        (r["key"], r["cnt"], r["salt_factor"], r["share_ppm"])
+        for r in skew_salt_plan(ev, "user_id", cap=3).collect()
+    ]
+    # ordered by cnt desc; shares are floor(cnt·1e6/14)
+    assert got == [
+        (1, 7, 3, 500_000),
+        (2, 4, 2, 285_714),
+    ]

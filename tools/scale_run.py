@@ -202,10 +202,9 @@ def main() -> None:
         "epoch_shuffle_manifest",
         "facility_select_k5",
         "curriculum_manifest",
-        # ab_cuped is deliberately absent: it reads events, which the
-        # replicator does not scale (docs/embeddings/orders only); its
-        # shape is a plain two-level aggregate — user-keyed combine
-        # then a 2-group rollup — with no scale question to measure
+        # join_skew_plan and ab_cuped read events, which the replicator
+        # does not scale (docs/embeddings/orders only); both are plain
+        # two-level aggregates with no scale question to measure
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -240,6 +239,7 @@ def main() -> None:
         "knn_label_prop",
         "epoch_shuffle_manifest",
         "facility_select_k5",
+        "curriculum_manifest",
     }
     if only:
         names = [n for n in names if n in only]
