@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "ab_cuped",
     "curriculum_manifest",
     "join_skew_plan",
+    "knn_centrality",
     "ann_ivfpq_trained_audit",
     "collapse_repeats",
     "ann_topk_pq",

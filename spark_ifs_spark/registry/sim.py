@@ -1971,3 +1971,73 @@ def sql_facility_select_k5() -> str:
 WITH {body}
 {union}
 """
+
+
+KNN_CENTRALITY_ITERS = 2  # power iterations (the textrank_keywords count)
+
+
+def q_knn_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank representativeness over the MUTUAL kNN graph — the
+    fifth consumer of :func:`q_knn_graph` (after dedup components,
+    k-center diversity, label propagation and facility location):
+    centrality in the similarity graph is the standard soft-dedup /
+    sampling weight — a document many near-neighbors point back to is
+    representative; an isolated one sits at the teleport floor. Reuses
+    :func:`~spark_ifs_spark.operators.graph.pagerank` (exact integer
+    micro-units, engine-identical) on the symmetrized mutual edge
+    relation; the mutuality filter is the same asymmetric-hub guard as
+    ``knn_graph_components``, so a hub nobody links back to gains no
+    centrality. Output is the full node relation ``(id, pr_micro)``."""
+    emb = _read(spark, sf_dir, "embeddings")
+    nc = similarity.scaled_num_centroids(emb.count())
+    e = _knn.knn_graph(
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
+        work_degree=_KNN_WORK,
+    ).select("id", "nb")
+    rev = e.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+    mutual = e.join(rev, ["id", "nb"], "left_semi")
+    edges = mutual.select(
+        F.col("id").alias("src"), F.col("nb").alias("dst")
+    )
+    from spark_ifs_spark.operators.graph import pagerank
+
+    return pagerank(
+        edges, emb.select("vec_id"), iters=KNN_CENTRALITY_ITERS,
+        damping=PAGERANK_DAMPING,
+    )
+
+
+def sql_knn_centrality() -> str:
+    """Shared `_sql_knn_ctes` edge relation + the unrolled integer
+    pagerank rounds of ``sql_textrank_keywords`` (same arithmetic:
+    truncating per-edge division, exact integer in-sums, one floored
+    double product per node per round)."""
+    teleport = int((1.0 - PAGERANK_DAMPING) * 1000000)
+    d = PAGERANK_DAMPING
+    cte = [
+        _sql_knn_ctes(),
+        f"kfin AS {_sql_kfin(KNN_GRAPH_ROUNDS, KNN_GRAPH_K)}",
+        """cmut AS MATERIALIZED (
+  SELECT e1.id AS src, e1.nb AS dst
+  FROM kfin e1 JOIN kfin e2 ON e1.id = e2.nb AND e1.nb = e2.id
+)""",
+        "cdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM cmut GROUP BY 1)",
+        "cr0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM kq)",
+    ]
+    for r in range(1, KNN_CENTRALITY_ITERS + 1):
+        cte.append(f"""cc{r} AS (
+  SELECT e.dst AS id, CAST(sum(cr{r - 1}.pr // d.deg) AS BIGINT) AS s
+  FROM cr{r - 1} JOIN cmut e ON e.src = cr{r - 1}.id JOIN cdeg d ON d.src = e.src
+  GROUP BY 1
+)""")
+        cte.append(f"""cr{r} AS (
+  SELECT kq.id,
+         CAST({teleport} + floor({d} * CAST(coalesce(cc{r}.s, 0) AS DOUBLE)) AS BIGINT) AS pr
+  FROM kq LEFT JOIN cc{r} USING (id)
+)""")
+    body = ",\n".join(cte)
+    return f"""
+WITH {body}
+SELECT id, pr AS pr_micro FROM cr{KNN_CENTRALITY_ITERS}
+"""

@@ -365,3 +365,21 @@ def test_facility_location_prefers_cluster_center(spark):
     out = facility_location_select(edges, nodes, k=2).orderBy("rank").collect()
     assert out[0]["id"] == 1  # hub first: 1e6 + 4·0.9e6
     assert out[1]["id"] in (10, 11)  # then the uncovered pair
+
+
+def test_knn_centrality_mutual_hub_outranks_isolated(spark, sf_dir):
+    """Centrality semantics on the real registry query shape: a
+    mutual-star center must outrank every spoke, and nodes with no
+    mutual edge sit exactly at the teleport floor (150000 micro)."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.graph import pagerank
+
+    # mutual star: center 1 <-> spokes 2..6; node 9 isolated
+    mut = [(1, s) for s in range(2, 7)] + [(s, 1) for s in range(2, 7)]
+    edges = spark.createDataFrame(mut, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 9]], "id long")
+    pr = {r["id"]: r["pr_micro"] for r in pagerank(edges, nodes, iters=2).collect()}
+    assert pr[9] == 150_000
+    assert all(pr[1] > pr[s] for s in range(2, 7))
+    assert all(pr[s] > pr[9] for s in range(2, 7))

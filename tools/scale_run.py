@@ -202,6 +202,7 @@ def main() -> None:
         "epoch_shuffle_manifest",
         "facility_select_k5",
         "curriculum_manifest",
+        "knn_centrality",
         # join_skew_plan and ab_cuped read events, which the replicator
         # does not scale (docs/embeddings/orders only); both are plain
         # two-level aggregates with no scale question to measure
@@ -240,6 +241,7 @@ def main() -> None:
         "epoch_shuffle_manifest",
         "facility_select_k5",
         "curriculum_manifest",
+        "knn_centrality",
     }
     if only:
         names = [n for n in names if n in only]
