@@ -835,3 +835,34 @@ def test_r8_session2_plan_shapes(spark, sf_dir):
     assert count_exchanges(kdf) <= 8
     kcols = set(read_schema_columns(kdf))
     assert "embedding" not in kcols, "kappa must not read the vector column"
+
+
+def test_curriculum_manifest_windows_are_bucket_bounded(spark, sf_dir):
+    """The corpus-sized row_number window must be (epoch, stage, _bkt)-
+    partitioned (the two-level rank decomposition) — never a global or
+    epoch-only window that funnels the corpus into ≤ n_epochs tasks —
+    and no exchange may collapse to a single partition."""
+    from spark_ifs_spark.registry import QUERIES
+
+    out = QUERIES["curriculum_manifest"](spark, str(sf_dir))
+    plan = explain_str(out)
+    assert "SinglePartition" not in plan, plan
+    # the item-level rank window carries the bucket key
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert any("_bkt" in s and "h#" in s for s in specs), specs
+    assert count_exchanges(out) <= 6, plan
+
+
+def test_join_skew_plan_combines_map_side(spark, sf_dir):
+    """The count aggregate must partial-aggregate map-side (the combine
+    absorbs the skew being measured: shuffle carries one row per (key,
+    mapper), not one per event) and the 1-row total must broadcast."""
+    from spark_ifs_spark.registry import QUERIES
+
+    out = QUERIES["join_skew_plan"](spark, str(sf_dir))
+    plan = explain_str(out)
+    assert plan.count("partial_count") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert count_exchanges(out) <= 4, plan
