@@ -417,7 +417,9 @@ def epoch_shuffle(
     manifest, the ``pack_assign`` follow-on)."""
     from spark_ifs_spark.functions.hashing import md5_int60
 
-    shift = 1 << 48  # 2^60 hash space / 2^12 buckets
+    if int(n_epochs) <= 0:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    shift = (1 << 60) // EPOCH_SHUFFLE_BUCKETS  # 2^60 hash space / buckets
     b = (
         bins.select(F.col(id_col).cast("long").alias("bin_id"))
         .distinct()
@@ -495,11 +497,13 @@ def curriculum_shuffle(
     No counterpart in the reference; extension operator."""
     from spark_ifs_spark.functions.hashing import md5_int60
 
-    shift = 1 << 48  # 2^60 hash space / 2^12 buckets
+    if int(n_epochs) <= 0:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    shift = (1 << 60) // EPOCH_SHUFFLE_BUCKETS  # 2^60 hash space / buckets
     fan = items.select(
         F.col(id_col).cast("long").alias("item_id"),
         F.col(stage_col).cast("int").alias("stage"),
-    ).select(
+    ).distinct().select(
         "item_id",
         "stage",
         F.explode(

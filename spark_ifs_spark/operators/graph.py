@@ -112,6 +112,13 @@ def connected_components(
         # the (possibly expensive) upstream pair graph twice
         head = e0.limit(incore_edge_budget + 1).collect()
         if len(head) <= incore_edge_budget:
+            # reset the accounting attribute so a reader after an
+            # in-core call never sees a PREVIOUS distributed call's
+            # stats (zeros = "no distributed rounds ran this call")
+            connected_components.last_stats = {
+                "outer_rounds": 0, "jumps": 0, "sum_checks": 0,
+                "verify_checks": 0,
+            }
             labels = _union_find_incore((r["a"], r["b"]) for r in head)
             return spark.createDataFrame(
                 sorted(labels.items()), "id long, component long"

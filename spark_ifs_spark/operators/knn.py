@@ -538,6 +538,30 @@ def knn_graph_components(
     )
 
 
+def _symmetrized(edges: DataFrame, agg=None) -> DataFrame:
+    """Undirected view of a directed ``(id, nb[, score])`` edge
+    relation, localCheckpoint'ed (every consumer scans it per round):
+    rows union with their swap, then either ``distinct`` (``agg is
+    None`` — unscored edges) or a per-(id, nb) ``groupBy`` applying
+    ``agg`` (a named aggregate Column, e.g. max-score). ONE definition
+    shared by the diversity / facility / label-propagation consumers
+    so the symmetrization rule (and any NULL handling added to it)
+    cannot drift between them."""
+    if agg is None:
+        both = edges.select("id", "nb").unionByName(
+            edges.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+        )
+        out = both.distinct()
+    else:
+        both = edges.select("id", "nb", "score").unionByName(
+            edges.select(
+                F.col("nb").alias("id"), F.col("id").alias("nb"), "score"
+            )
+        )
+        out = both.groupBy("id", "nb").agg(agg)
+    return out.localCheckpoint(eager=True)
+
+
 def graph_diversity_select(
     edges: DataFrame, nodes: DataFrame, k: int = 5
 ) -> DataFrame:
@@ -574,17 +598,7 @@ def graph_diversity_select(
     extension operator — the second named consumer of
     :func:`knn_graph` (graph dedup being the first)."""
     spark = edges.sparkSession
-    sym = (
-        edges.select("id", "nb", "score")
-        .unionByName(
-            edges.select(
-                F.col("nb").alias("id"), F.col("id").alias("nb"), "score"
-            )
-        )
-        .groupBy("id", "nb")
-        .agg(F.max("score").alias("score"))
-        .localCheckpoint(eager=True)
-    )
+    sym = _symmetrized(edges, F.max("score").alias("score"))
     best = (
         nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
         .distinct()
@@ -652,18 +666,8 @@ def facility_location_select(
     diversity, label propagation being the first three)."""
     SELF = 1_000_000
     spark = edges.sparkSession
-    sym = (
-        edges.select("id", "nb", "score")
-        .unionByName(
-            edges.select(
-                F.col("nb").alias("id"), F.col("id").alias("nb"), "score"
-            )
-        )
-        .groupBy("id", "nb")
-        .agg(
-            F.floor(F.max("score") * SELF).cast("long").alias("sim")
-        )
-        .localCheckpoint(eager=True)
+    sym = _symmetrized(
+        edges, F.floor(F.max("score") * SELF).cast("long").alias("sim")
     )
     best = (
         nodes.select(F.col(nodes.columns[0]).cast("long").alias("id"))
@@ -752,14 +756,7 @@ def label_propagation(
 
     No counterpart in the reference; extension operator — the third
     named consumer of :func:`knn_graph`."""
-    sym = (
-        edges.select("id", "nb")
-        .unionByName(
-            edges.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = _symmetrized(edges, None)
     sid, slab = seeds.columns[0], seeds.columns[1]
     labels = (
         seeds.select(

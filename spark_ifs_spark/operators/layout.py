@@ -161,18 +161,24 @@ def skew_salt_plan(df: DataFrame, key_col: str, cap: int) -> DataFrame:
     ``salted_topk_per_key`` discipline promoted from an internal
     tactic to a queryable plan.
 
-    One map-combined count aggregate (the combine absorbs the skew
-    being measured — hot keys partial-aggregate map-side, so the
-    shuffle carries one row per (key, mapper)), one 1-row total
-    broadcast for the traffic share; output is the heavy-key set only,
+    ONE map-combined count aggregate over the input (the combine
+    absorbs the skew being measured — hot keys partial-aggregate
+    map-side, so the shuffle carries one row per (key, mapper)); the
+    ≤|keys|-row count relation is localCheckpoint'ed so the heavy-key
+    filter and the 1-row total broadcast both read the materialized
+    counts instead of re-scanning the input (at cluster scale:
+    ``checkpoint()``/cache — the input is touched exactly once either
+    way). Output is the heavy-key set only,
     |output| ≤ n_rows/cap by construction. Integer arithmetic
     throughout (``ceil`` as ``(cnt + cap − 1) DIV cap``, share as
     ``floor(cnt·10⁶/total)``), engine-exact.
 
     No counterpart in the reference (single-node, no shuffle to
     plan); extension operator."""
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("cnt").alias("_total"))
     return (

@@ -1518,8 +1518,8 @@ WITH per_user AS (
   SELECT user_id % 2 AS arm,
          sum(CASE WHEN CAST(ts AS DATE) <= DATE '{d}'
                   THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS x,
-         sum(CASE WHEN CAST(ts AS DATE) <= DATE '{d}'
-                  THEN 0 ELSE CAST(floor(value * 100) AS BIGINT) END) AS y
+         sum(CASE WHEN NOT (CAST(ts AS DATE) <= DATE '{d}')
+                  THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS y
   FROM events GROUP BY user_id
 ),
 pooled AS (

@@ -1679,10 +1679,7 @@ def sql_knn_graph() -> str:
     return f"""
 WITH {_sql_knn_ctes()}
 SELECT id, nb, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
-FROM (
-  SELECT id, nb, score,
-         row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
-  FROM ke{rr})
+FROM {_sql_kranked(rr)}
 WHERE rnk <= {KNN_GRAPH_K}
 """
 
@@ -1692,12 +1689,7 @@ def sql_knn_graph_recall() -> str:
     truth_pairs = f"(SELECT a.id, b.id AS nb FROM kq a JOIN kq b ON a.id % {mod} = 0 AND a.id <> b.id)"
     return f"""
 WITH {_sql_knn_ctes()},
-kfin AS (
-  SELECT id, nb FROM (
-    SELECT id, nb, row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
-    FROM ke{rr})
-  WHERE rnk <= {k}
-),
+kfin AS {_sql_kfin(rr, k)},
 ktruth AS MATERIALIZED (
   SELECT id, nb FROM ({_sql_knn_score(truth_pairs, k)})
 )
@@ -1732,16 +1724,24 @@ LABEL_PROP_SEED_MOD = 10  # seeds: id % mod == 0
 LABEL_PROP_CLASSES = 4  # seed label = id % classes
 
 
-def _sql_kfin(rr: int, k: int) -> str:
-    """Final top-``k`` edge CTE body over the unrolled descent's
-    ``ke{rr}`` — shared by every graph-consumer oracle so the edge
-    relation definition cannot drift from ``sql_knn_graph``."""
+def _sql_kranked(rr: int) -> str:
+    """The ranked working-degree edge body over the unrolled descent's
+    ``ke{rr}`` — ONE definition of the (score DESC, nb ASC) rank rule,
+    shared by ``sql_knn_graph`` itself and every consumer oracle so the
+    tie-break can never drift between the graph and its consumers."""
     return f"""(
-  SELECT id, nb, score FROM (
     SELECT id, nb, score,
            row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
-    FROM ke{rr})
-  WHERE rnk <= {k}
+    FROM ke{rr})"""
+
+
+def _sql_kfin(rr: int, k: int, extra_where: str = "") -> str:
+    """Final top-``k`` edge CTE body (``id, nb, score``) over
+    :func:`_sql_kranked`; ``extra_where`` appends a conjunct (e.g. the
+    components oracle's score threshold)."""
+    return f"""(
+  SELECT id, nb, score FROM {_sql_kranked(rr)}
+  WHERE rnk <= {k}{extra_where}
 )"""
 
 
@@ -1872,13 +1872,7 @@ def sql_knn_graph_components() -> str:
     thr = repr(EMB_DEDUP_THRESHOLD)
     return f"""
 WITH RECURSIVE {_sql_knn_ctes()},
-kfe AS (
-  SELECT id, nb, score FROM (
-    SELECT id, nb, score,
-           row_number() OVER (PARTITION BY id ORDER BY score DESC, nb ASC) AS rnk
-    FROM ke{rr})
-  WHERE rnk <= {k} AND score >= {thr}
-),
+kfe AS {_sql_kfin(rr, k, extra_where=f" AND score >= {thr}")},
 kmut AS (
   SELECT e1.id AS a, e1.nb AS b
   FROM kfe e1 JOIN kfe e2 ON e1.id = e2.nb AND e1.nb = e2.id

@@ -3169,16 +3169,10 @@ def q_packing_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     see :func:`~spark_ifs_spark.operators.chunking.packing_waste_curve`."""
     from spark_ifs_spark.operators.chunking import packing_waste_curve
 
-    docs = _read(spark, sf_dir, "documents")
     # NULL text: size(split(NULL)) is -1 in Spark but NULL in DuckDB —
-    # the size(split) trap from the r8 profile fix; count 0 explicitly
-    sized = docs.select(
-        "doc_id",
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(F.size(F.split("text", " ")))
-        .alias("n_tok"),
-    )
-    return packing_waste_curve(sized, "doc_id", "n_tok")
+    # _sized_docs (defined below) counts 0 explicitly, one rule for all
+    # packing consumers
+    return packing_waste_curve(_sized_docs(spark, sf_dir), "doc_id", "n_tok")
 
 
 def sql_packing_waste_curve() -> str:
@@ -3501,6 +3495,20 @@ FROM one, pe
 PACK_ASSIGN_L = 64  # exercises both truncation (max len 100) and multi-doc bins
 
 
+def _sized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, n_tok)`` with the NULL-text guard (the size(split)
+    trap from the r8 profile fix) — the Spark-side twin of
+    ``_sql_pack_ctes``'s ``sized`` CTE, shared by every packing
+    consumer so the token rule cannot drift between them."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .alias("n_tok"),
+    )
+
+
 def q_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Realized whole-document packing assignment (size-class shelf,
     the distributed closed form of first-fit-decreasing) — the
@@ -3508,15 +3516,9 @@ def q_packing_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes; see :func:`~spark_ifs_spark.operators.chunking.pack_assign`."""
     from spark_ifs_spark.operators.chunking import pack_assign
 
-    docs = _read(spark, sf_dir, "documents")
-    # same NULL-text guard as q_packing_waste_curve (size(split) trap)
-    sized = docs.select(
-        "doc_id",
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(F.size(F.split("text", " ")))
-        .alias("n_tok"),
+    return pack_assign(
+        _sized_docs(spark, sf_dir), "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L
     )
-    return pack_assign(sized, "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L)
 
 
 def _sql_pack_ctes(L: int) -> str:
@@ -3571,14 +3573,9 @@ def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~spark_ifs_spark.operators.chunking.epoch_shuffle`."""
     from spark_ifs_spark.operators.chunking import epoch_shuffle, pack_assign
 
-    docs = _read(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        F.when(F.col("text").isNull(), F.lit(0))
-        .otherwise(F.size(F.split("text", " ")))
-        .alias("n_tok"),
+    bins = pack_assign(
+        _sized_docs(spark, sf_dir), "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L
     )
-    bins = pack_assign(sized, "doc_id", "n_tok", ctx_len=PACK_ASSIGN_L)
     return epoch_shuffle(
         bins, "bin_id", n_epochs=EPOCH_SHUFFLE_EPOCHS, seed=EPOCH_SHUFFLE_SEED
     )

