@@ -500,10 +500,17 @@ def curriculum_shuffle(
     if int(n_epochs) <= 0:
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     shift = (1 << 60) // EPOCH_SHUFFLE_BUCKETS  # 2^60 hash space / buckets
-    fan = items.select(
-        F.col(id_col).cast("long").alias("item_id"),
-        F.col(stage_col).cast("int").alias("stage"),
-    ).distinct().select(
+    # dedup on item_id ALONE with a deterministic min-stage pick: a
+    # (item_id, stage)-pair distinct would emit two manifest rows per
+    # epoch for an item arriving under two stage values, silently
+    # breaking the one-position-per-id contract inherited from
+    # epoch_shuffle (a no-op when stage is functional in item_id, as in
+    # the registry fixture)
+    fan = items.groupBy(
+        F.col(id_col).cast("long").alias("item_id")
+    ).agg(
+        F.min(F.col(stage_col).cast("int")).alias("stage")
+    ).select(
         "item_id",
         "stage",
         F.explode(

@@ -175,6 +175,8 @@ def skew_salt_plan(df: DataFrame, key_col: str, cap: int) -> DataFrame:
 
     No counterpart in the reference (single-node, no shuffle to
     plan); extension operator."""
+    if cap <= 0:
+        raise ValueError(f"cap must be >= 1, got {cap}")
     counts = (
         df.groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).alias("cnt"))

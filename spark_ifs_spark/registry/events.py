@@ -1464,13 +1464,19 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") % 2).cast("int").alias("arm"), "x", "y"
         )
     )
+    # cast an OPERAND to decimal before the multiply (not the int64
+    # product after it): per-user cent sums >= ~3.04e9 would wrap the
+    # int64 product silently under non-ANSI Spark while DuckDB raises —
+    # pre-widening keeps both engines exact and identical at any spend
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     sufficient = [
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
     ]
     pooled = per_user.agg(*sufficient).select(
         F.col("n").alias("gn"), F.col("sx").alias("gsx"),
@@ -1524,15 +1530,15 @@ WITH per_user AS (
 ),
 pooled AS (
   SELECT count(*) AS gn, sum(x) AS gsx, sum(y) AS gsy,
-         sum(CAST(x * y AS HUGEINT)) AS gsxy,
-         sum(CAST(x * x AS HUGEINT)) AS gsxx
+         sum(CAST(x AS HUGEINT) * y) AS gsxy,
+         sum(CAST(x AS HUGEINT) * x) AS gsxx
   FROM per_user
 ),
 arms AS (
   SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(CAST(x * y AS HUGEINT)) AS sxy,
-         sum(CAST(x * x AS HUGEINT)) AS sxx,
-         sum(CAST(y * y AS HUGEINT)) AS syy
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
   FROM per_user GROUP BY arm
 ),
 j AS (

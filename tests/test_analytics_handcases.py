@@ -248,3 +248,17 @@ def test_ab_cuped_null_ts_oracle_mirror(spark, tmp_path):
     assert got.astype(str).equals(want.astype(str)), (got, want)
     # and the NULL-ts row really was excluded: arm-0 post mean is 20
     assert float(got.loc[got["arm"] == 0, "mean_post"].iloc[0]) == 20.0
+
+
+def test_skew_salt_plan_rejects_nonpositive_cap(spark):
+    """cap=0 would divide by zero in the ceil expression and cap<0
+    would yield negative salt factors — guarded at entry, mirroring
+    the n_epochs guard in chunking.py."""
+    import pytest as _pytest
+
+    from spark_ifs_spark.operators.layout import skew_salt_plan
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="cap"):
+            skew_salt_plan(df, "user_id", cap=bad)

@@ -187,3 +187,22 @@ def test_curriculum_shuffle_two_level_rank_matches_plain_window(spark):
         for r in naive.collect()
     }
     assert got == want
+
+
+def test_curriculum_shuffle_conflicting_stage_dedups_to_min(spark):
+    """An item arriving under TWO distinct stage values still gets ONE
+    manifest row per epoch (the one-position-per-id contract inherited
+    from epoch_shuffle), at the deterministic MIN stage — the r10
+    review's library-user trap, pinned."""
+    from spark_ifs_spark.operators.chunking import curriculum_shuffle
+
+    rows = [(1, 0), (1, 2), (2, 1), (3, 0)]  # item 1 claims stages 0 and 2
+    items = spark.createDataFrame(rows, "item_id long, stage int")
+    out = curriculum_shuffle(items, "item_id", "stage", n_epochs=2, seed=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["epoch"], []).append((r["item_id"], r["stage"], r["position"]))
+    for e, lst in per.items():
+        assert sorted(i for i, _, _ in lst) == [1, 2, 3]  # one row per id
+        assert dict((i, s) for i, s, _ in lst)[1] == 0  # min stage wins
+        assert sorted(p for _, _, p in lst) == [0, 1, 2]

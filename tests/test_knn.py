@@ -293,7 +293,10 @@ def test_facility_location_select_matches_brute_force(spark, sf_dir):
                       rounds=2, groups=8, work_degree=12)
     nodes = sorted(r["vec_id"] for r in df.select("vec_id").collect())
     SELF = 1_000_000
-    raw = defaultdict(float)
+    # seed with -inf, not 0.0: a 0 default would clamp negative-score
+    # edges upward and mask a parity divergence on graphs that carry
+    # negative cosines (the operator keeps them via F.max unclamped)
+    raw = defaultdict(lambda: float("-inf"))
     for r in edges.collect():
         a, b, s = r["id"], r["nb"], r["score"]
         raw[(a, b)] = max(raw[(a, b)], s)
