@@ -438,6 +438,7 @@ def knn_graph_recall(
     scale: int = 1024,
     sample_mod: int = 20,
     work_degree: int | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """One row ``(n_nodes, k, n_sample, hits, possible, recall_ppm)``
     — graph edges vs EXACT top-k (same quantized metric) on the
@@ -451,11 +452,19 @@ def knn_graph_recall(
     (mirrored in the oracle). A graph edge score-tied with a kept
     truth edge therefore counts as a miss, so on heavily quantized
     (tie-prone) vectors recall can UNDER-report — a conservative
-    metric quirk, never an over-report."""
-    edges = knn_graph(
-        df, id_col, vec_col, k=k, num_centroids=num_centroids,
-        rounds=rounds, groups=groups, scale=scale, work_degree=work_degree,
-    ).select("id", "nb")
+    metric quirk, never an over-report.
+
+    ``edges`` (optional) is a prebuilt :func:`knn_graph` edge relation
+    (e.g. read back from a ``write_knn_graph`` sink) audited as-is —
+    build once, audit and consume many times; when omitted the graph
+    is built fresh with the given knobs (parity between the two paths
+    is pytest-pinned)."""
+    if edges is None:
+        edges = knn_graph(
+            df, id_col, vec_col, k=k, num_centroids=num_centroids,
+            rounds=rounds, groups=groups, scale=scale, work_degree=work_degree,
+        )
+    edges = edges.filter(F.col("rank") <= k).select("id", "nb")
     q = quantized_vectors(df, id_col, vec_col, scale)
     sq = q.filter((F.col("id") % sample_mod) == 0).select("id")
     # truth scoring goes through the SAME _scored builder as the
@@ -492,6 +501,39 @@ def knn_graph_recall(
     )
 
 
+def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
+    """``(id, nb)`` rows of a directed ``(id, nb, ...)`` edge relation
+    that survive the MUTUAL filter (i lists j AND j lists i) — the
+    standard asymmetric-hub guard, ONE definition shared by the
+    components and centrality consumers so the mutuality rule cannot
+    drift between them. Output keeps both directions; callers wanting
+    canonical pairs filter ``id < nb``."""
+    e = edges.select("id", "nb")
+    rev = e.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+    return e.join(rev, ["id", "nb"], "left_semi")
+
+
+def knn_components_from_edges(edges: DataFrame, threshold: float) -> DataFrame:
+    """``(id, component)`` — connected components of the MUTUAL kNN
+    graph thresholded at ``threshold``, over a PREBUILT ``(id, nb,
+    score, ...)`` edge relation (fresh :func:`knn_graph` output or a
+    ``write_knn_graph`` sink read back): the consumer half of
+    :func:`knn_graph_components`, split out so a persisted graph fans
+    out to components / centrality / selection without rebuilding the
+    descent."""
+    e = edges.filter(F.col("score") >= threshold)
+    mutual = (
+        mutual_knn_pairs(e)
+        .filter(F.col("id") < F.col("nb"))
+        .select(F.col("id").alias("id_a"), F.col("nb").alias("id_b"))
+    )
+    from spark_ifs_spark.operators.graph import connected_components
+
+    return connected_components(mutual, "id_a", "id_b").select(
+        "id", "component"
+    )
+
+
 def knn_graph_components(
     df: DataFrame,
     id_col: str,
@@ -503,6 +545,7 @@ def knn_graph_components(
     groups: int = 8,
     scale: int = 1024,
     work_degree: int | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, component)`` — graph-based near-duplicate clusters: the
     connected components of the MUTUAL kNN graph thresholded at
@@ -519,23 +562,17 @@ def knn_graph_components(
     missing edges here — approximate by construction, audited, never
     silently all-pairs. Component ids are minimum member ids
     (:func:`~spark_ifs_spark.operators.graph.connected_components`
-    contract); only nodes with ≥1 mutual edge appear.
+    contract); only nodes with ≥1 mutual edge appear. ``edges``
+    (optional) short-circuits the build with a prebuilt edge relation
+    — see :func:`knn_components_from_edges`.
     """
-    e = knn_graph(
-        df, id_col, vec_col, k=k, num_centroids=num_centroids, rounds=rounds,
-        groups=groups, scale=scale, work_degree=work_degree,
-    ).filter(F.col("score") >= threshold).select("id", "nb")
-    rev = e.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
-    mutual = (
-        e.join(rev, ["id", "nb"], "left_semi")
-        .filter(F.col("id") < F.col("nb"))
-        .select(F.col("id").alias("id_a"), F.col("nb").alias("id_b"))
-    )
-    from spark_ifs_spark.operators.graph import connected_components
-
-    return connected_components(mutual, "id_a", "id_b").select(
-        "id", "component"
-    )
+    if edges is None:
+        edges = knn_graph(
+            df, id_col, vec_col, k=k, num_centroids=num_centroids,
+            rounds=rounds, groups=groups, scale=scale,
+            work_degree=work_degree,
+        )
+    return knn_components_from_edges(edges, threshold)
 
 
 def _symmetrized(edges: DataFrame, agg=None) -> DataFrame:
@@ -792,3 +829,204 @@ def label_propagation(
             break
         labels = labels.unionByName(new).localCheckpoint(eager=True)
     return labels
+
+
+def _scored_vs_queries(
+    pairs: DataFrame, q: DataFrame, qq: DataFrame
+) -> DataFrame:
+    """``(qid, id, score)`` for a ``(qid, id)`` candidate relation:
+    the query-side twin of :func:`_scored` — exact integer dot of the
+    quantized corpus vector against the quantized QUERY vector, then
+    the IEEE-exact cosine. The query relation is tiny (a handful of
+    rows) and broadcasts; corpus vectors ride the id-keyed hash join."""
+    qa = q.select("id", F.col("qv").alias("_qa"), F.col("ssq").alias("_sa"))
+    qb = qq.select(
+        F.col("id").alias("qid"),
+        F.col("qv").alias("_qb"),
+        F.col("ssq").alias("_sb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    score = F.when(
+        (F.col("_sa") == 0) | (F.col("_sb") == 0), F.lit(0.0)
+    ).otherwise(
+        F.col("_dot").cast("double")
+        / (F.sqrt(F.col("_sa").cast("double")) * F.sqrt(F.col("_sb").cast("double")))
+    )
+    return (
+        pairs.join(qa, "id")
+        .join(F.broadcast(qb), "qid")
+        .withColumn("_dot", dot)
+        .select("qid", "id", score.alias("score"))
+    )
+
+
+def graph_search(
+    edges: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    ef: int = 16,
+    hops: int = 3,
+    n_entry: int = 8,
+    scale: int = 1024,
+    entry_seed: int = 7,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """``(qid, id, score, rank)`` — batch greedy beam search over a
+    prebuilt kNN graph: the SERVING-side consumer that turns the
+    :func:`knn_graph` artifact (typically read back from a
+    ``write_knn_graph`` sink) into an ANN index, the batch analogue of
+    an HNSW ``ef``-walk (Malkov & Yashunin 2016) restricted to the
+    single graph layer the engine materializes.
+
+    Every query advances simultaneously — a hop is ONE edge join + one
+    bounded per-query top-``ef``, so a batch of Q queries costs the
+    same number of Spark jobs as one:
+
+    - **entry points**: rendezvous-seeded — each query's ``n_entry``
+      highest ``md5(seed:qid:id)`` nodes (the ``shard_manifest``
+      rendezvous convention), so entry placement is deterministic,
+      per-query diversified, and independent of any node's popularity.
+      One scan of the node-ID relation per batch (ids only, no
+      vectors); the per-query top-``n_entry`` is salted (corpus-wide
+      per-key input, the one unbounded window here).
+    - **hops**: candidates = current beam ⋈ the symmetrized edge
+      relation (each beam node proposes its graph neighbors);
+      beam′ = top-``ef`` of beam ∪ scored candidates per query —
+      monotone best-``ef`` pool refinement (a node dropped from the
+      beam may re-enter later; no visited set to maintain, which a
+      batch engine would pay a growing anti-join for). Fixed
+      ``hops`` rounds keep the loop engine-deterministic and the
+      oracle unrollable.
+    - **scores** are the package's integer-state cosine
+      (:func:`quantized_vectors` + exact int64 dot) — bit-identical
+      across engines, so beam evolution and final ranks never diverge
+      from the DuckDB oracle.
+
+    Per-hop work is Q·ef·deg candidate scorings; the corpus is touched
+    only through id-keyed hash joins of the beam against the vector
+    relation — never scanned whole after entry seeding. Approximate by
+    construction: pair with :func:`graph_search_recall` (the
+    ``minhash_recall_audit`` discipline), never unchecked.
+
+    No counterpart in the reference; extension operator — the serving
+    consumer of :func:`knn_graph`."""
+    from spark_ifs_spark.functions.hashing import md5_int60
+
+    nav = (
+        edges.select("id", "nb")
+        .unionByName(
+            edges.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    q = quantized_vectors(vectors, id_col, vec_col, scale).localCheckpoint(
+        eager=True
+    )
+    qq = quantized_vectors(queries, qid_col, qvec_col, scale)
+    h = md5_int60(
+        F.concat(
+            F.lit(f"{entry_seed}:"),
+            F.col("qid").cast("string"),
+            F.lit(":"),
+            F.col("id").cast("string"),
+        )
+    )
+    ids = q.select("id")
+    qids = qq.select(F.col("id").alias("qid"))
+    entry = salted_topk_per_key(
+        ids.crossJoin(F.broadcast(qids)).select("qid", "id", h.alias("score")),
+        ["qid"], "score", k=n_entry, tiebreak_cols=["id"],
+    ).select("qid", "id")
+    beam = topk_per_key(
+        _scored_vs_queries(entry, q, qq),
+        ["qid"], "score", k=ef, tiebreak_cols=["id"],
+    ).select("qid", "id", "score").localCheckpoint(eager=True)
+    for _ in range(hops):
+        cand = (
+            beam.select("qid", "id")
+            .join(nav, "id")
+            .select("qid", F.col("nb").alias("id"))
+            .distinct()
+        )
+        pool = beam.unionByName(
+            _scored_vs_queries(cand, q, qq)
+        ).distinct()  # same (qid, id) scores are bit-identical
+        beam = topk_per_key(
+            pool, ["qid"], "score", k=ef, tiebreak_cols=["id"]
+        ).select("qid", "id", "score").localCheckpoint(eager=True)
+    if exclude_self:
+        beam = beam.filter(F.col("qid") != F.col("id"))
+    return topk_per_key(
+        beam, ["qid"], "score", k=k, tiebreak_cols=["id"]
+    ).select("qid", "id", "score", "rank")
+
+
+def graph_search_recall(
+    edges: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    ef: int = 16,
+    hops: int = 3,
+    n_entry: int = 8,
+    scale: int = 1024,
+    entry_seed: int = 7,
+) -> DataFrame:
+    """One row ``(n_queries, k, hits, possible, recall_ppm)`` —
+    :func:`graph_search` results vs EXACT top-``k`` (same quantized
+    metric, self excluded) for the same query set: the measured-recall
+    audit every approximate path in this package ships. Truth keeps
+    exactly k rows per query (score DESC, id ASC tie-cut, the
+    :func:`knn_graph_recall` convention — boundary ties count as
+    misses, recall only ever under-reports)."""
+    got = graph_search(
+        edges, vectors, id_col, vec_col, queries, qid_col, qvec_col,
+        k=k, ef=ef, hops=hops, n_entry=n_entry, scale=scale,
+        entry_seed=entry_seed, exclude_self=True,
+    ).select("qid", "id")
+    q = quantized_vectors(vectors, id_col, vec_col, scale)
+    qq = quantized_vectors(queries, qid_col, qvec_col, scale)
+    qids = qq.select(F.col("id").alias("qid"))
+    pairs = (
+        q.select("id")
+        .crossJoin(F.broadcast(qids))
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id")
+    )
+    truth = salted_topk_per_key(
+        _scored_vs_queries(pairs, q, qq),
+        ["qid"], "score", k=k, tiebreak_cols=["id"],
+    ).select("qid", "id")
+    hits = truth.join(got, ["qid", "id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    poss = truth.agg(F.count(F.lit(1)).alias("possible"))
+    nq = qq.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        nq.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(poss))
+        .select(
+            "n_queries",
+            F.lit(k).cast("int").alias("k"),
+            "hits",
+            "possible",
+            F.when(F.col("possible") == 0, F.lit(1_000_000))
+            .otherwise(F.floor(F.col("hits") * 1_000_000 / F.col("possible")))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -1567,31 +1567,77 @@ KNN_GRAPH_SCALE = 1024  # integer-state quantization (power of two)
 KNN_GRAPH_SAMPLE_MOD = 20  # recall-audit node sample (id % mod == 0)
 _KNN_WORK = 5 * KNN_GRAPH_K  # internal working degree (K = 5k)
 
+#: staged kNN-graph edge relations, keyed (sf_dir, embeddings mtime) —
+#: the registry-side build-once/consume-many contract the
+#: ``write_knn_graph`` sink provides to pipelines: the NN-descent is
+#: the family's dominant cost and every consumer reads the SAME edge
+#: relation, so the first consumer in a session builds + stages it as
+#: parquet and the other six read it back (the ``_USER_STATS_STAGED``
+#: memoization discipline; parquet round-trips long/double columns
+#: bit-exactly, so consumer-over-staged ≡ consumer-over-fresh —
+#: pytest-pinned). Each ORACLE still rebuilds the graph from scratch
+#: in SQL, so the value-hash gate keeps auditing the full build.
+_KNN_GRAPH_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_knn_staged() -> None:
+    import shutil
+
+    for src in _KNN_GRAPH_STAGED.values():
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    _KNN_GRAPH_STAGED.clear()
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's kNN-graph edge relation ``(id, nb, score, rank)``
+    for ``sf_dir`` — built once per (corpus, session) with the gate
+    knobs and staged to parquet; see ``_KNN_GRAPH_STAGED``."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "embeddings"))
+    key = (sf_dir, mtime)
+    src = _KNN_GRAPH_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        for old_key in [k for k in _KNN_GRAPH_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_KNN_GRAPH_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        emb = _read(spark, sf_dir, "embeddings")
+        nc = similarity.scaled_num_centroids(emb.count())
+        edges = _knn.knn_graph(
+            emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
+            rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS,
+            scale=KNN_GRAPH_SCALE, work_degree=_KNN_WORK,
+        )
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_knn_graph_"), "edges")
+        edges.write.mode("overwrite").parquet(src)
+        _KNN_GRAPH_STAGED[key] = src
+    return spark.read.parquet(src)
+
 
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate directed kNN graph via IVF-seeded NN-descent — see
     :func:`~spark_ifs_spark.operators.knn.knn_graph`. Centroid count is
-    corpus-scaled (constant ~128-vector cells) so seed cost stays linear."""
-    emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
-    out = _knn.knn_graph(
-        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
-        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
-        work_degree=_KNN_WORK,
-    )
+    corpus-scaled (constant ~128-vector cells) so seed cost stays
+    linear; the edge relation comes from the session-staged build
+    (:func:`_knn_edges`) shared by all seven graph consumers."""
+    out = _knn_edges(spark, sf_dir)
     return out.select("id", "nb", F.round("score", 6).alias("score"), "rank")
 
 
 def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of :func:`q_knn_graph` against EXACT top-k (same
     quantized metric) on the deterministic node sample — the
-    ``minhash_recall_audit`` discipline for the graph family."""
+    ``minhash_recall_audit`` discipline for the graph family, run over
+    the staged edge relation (audit-what-you-serve)."""
     emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
     return _knn.knn_graph_recall(
-        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
-        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
-        sample_mod=KNN_GRAPH_SAMPLE_MOD, work_degree=_KNN_WORK,
+        emb, "vec_id", "embedding", k=KNN_GRAPH_K,
+        scale=KNN_GRAPH_SCALE, sample_mod=KNN_GRAPH_SAMPLE_MOD,
+        edges=_knn_edges(spark, sf_dir),
     )
 
 
@@ -1709,12 +1755,8 @@ def q_knn_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation of the exact ``dedup_embedding`` pipeline and the
     consumer the graph family exists for. See
     :func:`~spark_ifs_spark.operators.knn.knn_graph_components`."""
-    emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
-    return _knn.knn_graph_components(
-        emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD,
-        k=KNN_GRAPH_K, num_centroids=nc, rounds=KNN_GRAPH_ROUNDS,
-        groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE, work_degree=_KNN_WORK,
+    return _knn.knn_components_from_edges(
+        _knn_edges(spark, sf_dir), threshold=EMB_DEDUP_THRESHOLD
     )
 
 
@@ -1751,14 +1793,8 @@ def q_graph_diversity_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     set cover and the second named consumer of :func:`q_knn_graph`;
     see :func:`~spark_ifs_spark.operators.knn.graph_diversity_select`."""
     emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
-    edges = _knn.knn_graph(
-        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
-        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
-        work_degree=_KNN_WORK,
-    )
     out = _knn.graph_diversity_select(
-        edges, emb.select("vec_id"), k=DIVERSITY_SELECT_K
+        _knn_edges(spark, sf_dir), emb.select("vec_id"), k=DIVERSITY_SELECT_K
     )
     return out.select("rank", "id", F.round("far_sim", 6).alias("far_sim"))
 
@@ -1818,12 +1854,7 @@ def q_knn_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``LABEL_PROP_ROUNDS`` rounds; see
     :func:`~spark_ifs_spark.operators.knn.label_propagation`."""
     emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
-    edges = _knn.knn_graph(
-        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
-        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
-        work_degree=_KNN_WORK,
-    ).select("id", "nb")
+    edges = _knn_edges(spark, sf_dir).select("id", "nb")
     seeds = (
         emb.select(F.col("vec_id").alias("id"))
         .filter((F.col("id") % LABEL_PROP_SEED_MOD) == 0)
@@ -1899,14 +1930,8 @@ def q_facility_select_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer of :func:`q_knn_graph`; see
     :func:`~spark_ifs_spark.operators.knn.facility_location_select`."""
     emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
-    edges = _knn.knn_graph(
-        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
-        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
-        work_degree=_KNN_WORK,
-    )
     return _knn.facility_location_select(
-        edges, emb.select("vec_id"), k=FACILITY_SELECT_K
+        _knn_edges(spark, sf_dir), emb.select("vec_id"), k=FACILITY_SELECT_K
     )
 
 
@@ -1983,14 +2008,7 @@ def q_knn_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``knn_graph_components``, so a hub nobody links back to gains no
     centrality. Output is the full node relation ``(id, pr_micro)``."""
     emb = _read(spark, sf_dir, "embeddings")
-    nc = similarity.scaled_num_centroids(emb.count())
-    e = _knn.knn_graph(
-        emb, "vec_id", "embedding", k=KNN_GRAPH_K, num_centroids=nc,
-        rounds=KNN_GRAPH_ROUNDS, groups=KNN_GRAPH_GROUPS, scale=KNN_GRAPH_SCALE,
-        work_degree=_KNN_WORK,
-    ).select("id", "nb")
-    rev = e.select(F.col("nb").alias("id"), F.col("id").alias("nb"))
-    mutual = e.join(rev, ["id", "nb"], "left_semi")
+    mutual = _knn.mutual_knn_pairs(_knn_edges(spark, sf_dir))
     edges = mutual.select(
         F.col("id").alias("src"), F.col("nb").alias("dst")
     )
@@ -2034,4 +2052,148 @@ def sql_knn_centrality() -> str:
     return f"""
 WITH {body}
 SELECT id, pr AS pr_micro FROM cr{KNN_CENTRALITY_ITERS}
+"""
+
+
+# graph-serving ANN (ann_topk_graph / ann_graph_recall_audit)
+GRAPH_SEARCH_QIDS = [0, 41, 97]  # deterministic query rows (vec_ids)
+GRAPH_SEARCH_EF = 32  # beam width
+GRAPH_SEARCH_HOPS = 4  # expansion rounds
+GRAPH_SEARCH_ENTRY = 16  # rendezvous entry points per query
+# (measured recall@10 at the gate fixture: 37% at ef16/h3/e8, 90% at
+# ef32/h4/e16, 97% at ef64/h5/e32 — the middle point is the gate)
+GRAPH_SEARCH_SEED = 7  # rendezvous seed
+
+
+def q_ann_topk_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving over the persisted kNN graph: batch greedy beam
+    search (``ef``-walk) from rendezvous-seeded entry points — the
+    consumer that turns the staged :func:`_knn_edges` artifact into a
+    query-side index; see
+    :func:`~spark_ifs_spark.operators.knn.graph_search`. Queries are
+    the ``GRAPH_SEARCH_QIDS`` corpus rows (the ``ann_topk``
+    vec_id-as-query convention, batched)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(GRAPH_SEARCH_QIDS))
+    out = _knn.graph_search(
+        _knn_edges(spark, sf_dir), emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        k=ANN_K, ef=GRAPH_SEARCH_EF, hops=GRAPH_SEARCH_HOPS,
+        n_entry=GRAPH_SEARCH_ENTRY, scale=KNN_GRAPH_SCALE,
+        entry_seed=GRAPH_SEARCH_SEED,
+    )
+    return out.select(
+        "qid", "id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def q_ann_graph_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of :func:`q_ann_topk_graph` against EXACT
+    top-k (same quantized metric, same query set) — every approximate
+    path in this package ships its audit; see
+    :func:`~spark_ifs_spark.operators.knn.graph_search_recall`."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(GRAPH_SEARCH_QIDS))
+    return _knn.graph_search_recall(
+        _knn_edges(spark, sf_dir), emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        k=ANN_K, ef=GRAPH_SEARCH_EF, hops=GRAPH_SEARCH_HOPS,
+        n_entry=GRAPH_SEARCH_ENTRY, scale=KNN_GRAPH_SCALE,
+        entry_seed=GRAPH_SEARCH_SEED,
+    )
+
+
+def _sql_gscore(pairs: str) -> str:
+    """Score a ``(qid, id)`` candidate relation against the ``gq``
+    query vectors with the exact integer-state cosine — the SQL twin
+    of ``knn._scored_vs_queries`` (corpus vectors from ``kq``)."""
+    return f"""
+  SELECT qid, id,
+         CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+              ELSE CAST(list_sum([qa[i + 1] * qb[i + 1] FOR i IN range({EMB_DIMS})]) AS DOUBLE)
+                   / (sqrt(CAST(sa AS DOUBLE)) * sqrt(CAST(sb AS DOUBLE))) END AS score
+  FROM (
+    SELECT c.qid, c.id, a.qv AS qa, a.ssq AS sa, g.qv AS qb, g.ssq AS sb
+    FROM {pairs} c JOIN kq a ON a.id = c.id JOIN gq g ON g.qid = c.qid)"""
+
+
+def _sql_graph_search_ctes() -> str:
+    """WITH-body shared by the two graph-serving oracles: the full
+    graph-build chain (`_sql_knn_ctes` + `kfin`), the symmetrized
+    navigation relation, query vectors, rendezvous entries, then
+    ``GRAPH_SEARCH_HOPS`` unrolled beam refinements ending at
+    ``gb{H}`` (qid, id, score)."""
+    ef, ne = GRAPH_SEARCH_EF, GRAPH_SEARCH_ENTRY
+    qids = ",".join(str(q) for q in GRAPH_SEARCH_QIDS)
+    h = sql_md5_int60(
+        f"concat('{GRAPH_SEARCH_SEED}:', CAST(g.qid AS VARCHAR), ':', "
+        "CAST(k.id AS VARCHAR))"
+    )
+    cte = [
+        _sql_knn_ctes(),
+        f"kfin AS {_sql_kfin(KNN_GRAPH_ROUNDS, KNN_GRAPH_K)}",
+        """gnav AS MATERIALIZED (
+  SELECT DISTINCT id, nb FROM (
+    SELECT id, nb FROM kfin UNION ALL SELECT nb AS id, id AS nb FROM kfin)
+)""",
+        f"gq AS MATERIALIZED (SELECT id AS qid, qv, ssq FROM kq WHERE id IN ({qids}))",
+        f"""gent AS (
+  SELECT qid, id FROM (
+    SELECT g.qid, k.id, {h} AS h FROM kq k CROSS JOIN gq g)
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY h DESC, id ASC) <= {ne}
+)""",
+        f"""gb0 AS MATERIALIZED (
+  SELECT qid, id, score FROM ({_sql_gscore('gent')})
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) <= {ef}
+)""",
+    ]
+    for r in range(1, GRAPH_SEARCH_HOPS + 1):
+        cte.append(f"""gc{r} AS (
+  SELECT DISTINCT b.qid, e.nb AS id FROM gb{r - 1} b JOIN gnav e ON e.id = b.id
+)""")
+        cte.append(f"""gb{r} AS MATERIALIZED (
+  SELECT qid, id, score FROM (
+    SELECT DISTINCT qid, id, score FROM (
+      SELECT qid, id, score FROM gb{r - 1}
+      UNION ALL SELECT qid, id, score FROM ({_sql_gscore(f'gc{r}')})))
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) <= {ef}
+)""")
+    return ",\n".join(cte)
+
+
+def sql_ann_topk_graph() -> str:
+    hh, k = GRAPH_SEARCH_HOPS, ANN_K
+    return f"""
+WITH {_sql_graph_search_ctes()}
+SELECT qid, id, round(score, 6) AS score, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT qid, id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+  FROM gb{hh} WHERE qid <> id)
+WHERE rnk <= {k}
+"""
+
+
+def sql_ann_graph_recall_audit() -> str:
+    hh, k = GRAPH_SEARCH_HOPS, ANN_K
+    truth_pairs = "(SELECT g.qid, k.id FROM kq k CROSS JOIN gq g WHERE k.id <> g.qid)"
+    return f"""
+WITH {_sql_graph_search_ctes()},
+gtruth AS MATERIALIZED (
+  SELECT qid, id FROM ({_sql_gscore(truth_pairs)})
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) <= {k}
+),
+ggot AS (
+  SELECT qid, id FROM (
+    SELECT qid, id,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+    FROM gb{hh} WHERE qid <> id)
+  WHERE rnk <= {k}
+)
+SELECT n.n_queries, CAST({k} AS INTEGER) AS k, h.hits, p.possible,
+       CASE WHEN p.possible = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(floor(h.hits * 1000000 / p.possible) AS BIGINT) END AS recall_ppm
+FROM (SELECT count(*) AS n_queries FROM gq) n,
+     (SELECT count(*) AS hits FROM gtruth t JOIN ggot e ON e.qid = t.qid AND e.id = t.id) h,
+     (SELECT count(*) AS possible FROM gtruth) p
 """

@@ -386,3 +386,66 @@ def test_knn_centrality_mutual_hub_outranks_isolated(spark, sf_dir):
     assert pr[9] == 150_000
     assert all(pr[1] > pr[s] for s in range(2, 7))
     assert all(pr[s] > pr[9] for s in range(2, 7))
+
+
+def test_graph_search_wellformed_and_beats_entry_seeding(spark, sf_dir):
+    """Beam results: ≤ k rows per query, rank-ordered (score DESC, id
+    ASC), self excluded; and the walk must genuinely NAVIGATE — recall
+    after hops strictly exceeds hops=0 (entry-scoring only) on the
+    real fixture, the knn_graph 'descent actually descends' discipline
+    applied to serving."""
+    from spark_ifs_spark.operators.knn import (
+        graph_search,
+        graph_search_recall,
+        knn_graph,
+    )
+
+    df = _emb(spark, sf_dir, 300)
+    edges = knn_graph(df, "vec_id", "embedding", k=4, num_centroids=8,
+                      rounds=2, groups=8, work_degree=16)
+    queries = df.filter(F.col("vec_id").isin([0, 41, 97]))
+    out = graph_search(
+        edges, df, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k=5, ef=16, hops=3, n_entry=8,
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["qid"], []).append((r["rank"], r["id"], r["score"]))
+        assert r["qid"] != r["id"]
+    assert set(per) == {0, 41, 97}
+    for qid, lst in per.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) <= 5
+        scores = [s for _, _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+    r_walk = graph_search_recall(
+        edges, df, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k=5, ef=16, hops=3, n_entry=8,
+    ).collect()[0]["recall_ppm"]
+    r_entry = graph_search_recall(
+        edges, df, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k=5, ef=16, hops=0, n_entry=8,
+    ).collect()[0]["recall_ppm"]
+    assert r_walk > r_entry
+
+
+def test_graph_search_partitioning_invariant(spark, sf_dir):
+    """Same results under physical repartitioning of every input (the
+    md5 rendezvous entries and integer-state scores are partition-
+    independent by construction)."""
+    from spark_ifs_spark.operators.knn import graph_search, knn_graph
+
+    df = _emb(spark, sf_dir, 200)
+    edges = knn_graph(df, "vec_id", "embedding", k=4, num_centroids=8,
+                      rounds=2, groups=8, work_degree=12)
+    queries = df.filter(F.col("vec_id").isin([0, 41]))
+    kw = dict(k=5, ef=12, hops=2, n_entry=6)
+    a = sorted(map(tuple, graph_search(
+        edges, df, "vec_id", "embedding", queries, "vec_id", "embedding", **kw
+    ).collect()))
+    b = sorted(map(tuple, graph_search(
+        edges.repartition(7), df.repartition(5), "vec_id", "embedding",
+        queries.repartition(2), "vec_id", "embedding", **kw
+    ).collect()))
+    assert a == b and len(a) > 0

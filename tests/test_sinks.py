@@ -164,3 +164,53 @@ def test_zorder_layout_skips_files_on_both_columns(spark, tmp_path):
     assert touched("b", 10.0, 20.0) <= len(files) // 2
     # and the data survives intact
     assert spark.read.parquet(path).count() == n
+
+
+def test_write_knn_graph_roundtrip_parity_and_bucketed_join(spark, sf_dir):
+    """The persisted graph is the build-once artifact every consumer
+    fans out from: (1) read-back ≡ fresh edges exactly (parquet
+    round-trips long/double bit-exactly); (2) a consumer over the
+    persisted relation equals the same consumer over fresh edges
+    (components here — the dedup consumer); (3) an id-keyed join
+    against the bucketed table plans with NO Exchange on the graph
+    side (the write_bucketed contract that makes repeated consumer
+    joins exchange-free)."""
+    from spark_ifs_spark.operators.knn import (
+        knn_components_from_edges,
+        knn_graph,
+        knn_graph_components,
+    )
+    from spark_ifs_spark.sources.sinks import read_knn_graph, write_knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    fresh = knn_graph(emb, "vec_id", "embedding", k=4, num_centroids=8,
+                      rounds=2, groups=8, work_degree=12)
+    try:
+        write_knn_graph(fresh, "knn_edges_t", num_buckets=8)
+        back = read_knn_graph(spark, "knn_edges_t")
+        a = sorted(map(tuple, fresh.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b and len(a) > 0
+        got = sorted(
+            map(tuple, knn_components_from_edges(back, 0.2).collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                knn_graph_components(
+                    emb, "vec_id", "embedding", 0.2, k=4, num_centroids=8,
+                    rounds=2, groups=8, work_degree=12,
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+        # id-keyed aggregation over the bucketed table: no Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            agg = back.groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+            n_ex = count_exchanges(agg)
+            assert n_ex == 0, explain_str(agg, "simple")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS knn_edges_t")
