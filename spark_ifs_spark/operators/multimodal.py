@@ -525,3 +525,137 @@ def repartition_for_payloads(
     task inside executor memory at 100 TB)."""
     parts = max(1, int(approx_total_mb / target_partition_mb))
     return df.repartition(parts)
+
+
+def attach_phash_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """``(id, payload)`` — REAL grayscale PNG payloads with PLANTED
+    near-duplicate groups, the image-dedup fixture: images come in
+    groups of three (``g = id // 3``, variant ``v = id % 3``) sharing
+    one base pattern; variants ``v > 0`` perturb ~1/23 of the pixels
+    by +1 (mod 256) — the "recompressed/retouched copy" stand-in. The
+    base pattern varies per group in GRADIENT, not just offset
+    (``(x//2)·(17 + g%11) + (y//2)·(29 + g%13)`` plus a ``g·37``
+    level), because a difference hash is level-invariant by
+    construction — offset-only groups would all collide. Dimensions
+    vary per group (``w = 20 + g%7``, ``h = 16 + g%5``) so the
+    9×8-style floor grid is exercised on non-divisible sizes. Pixels
+    are a pure function of the id (the ``attach_png_payloads``
+    oracle-recomputability contract) while the payload round-trips
+    the real encoder. ``mapInPandas``; payloads never shuffle."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            for i in ids:
+                i = int(i)
+                g, v = i // 3, i % 3
+                w, h = 20 + g % 7, 16 + g % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                p = (
+                    g * 37
+                    + (x // 2) * (17 + g % 11)
+                    + (y // 2) * (29 + g % 13)
+                ) % 256
+                if v > 0:
+                    p = (p + (((x + y + v) % 23) == 0).astype(np.int64)) % 256
+                payloads.append(
+                    codecs.encode_png(
+                        w, h, p.astype(np.uint8).tobytes(), channels=1
+                    )
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        _gen, "id long, payload binary"
+    )
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    grid: int = 8,
+) -> DataFrame:
+    """``(id, dhash)`` — difference-hash perceptual fingerprints from
+    DECODED pixels (real ``codecs.decode_png``), the image-content
+    analogue of :func:`~spark_ifs_spark.operators.dedup.simhash_fingerprints`:
+
+    - brightness = integer per-pixel channel sum (decoded bytes, so a
+      content-level decode error changes the hash, not just metadata);
+    - the image partitions into a ``grid × grid`` cell lattice by the
+      digital-line rule ``cell_x = (x·grid) DIV w`` (size-invariant —
+      no resampling step, so the hash is integer-exact for ANY w ≥
+      grid, h ≥ grid, and an engine-independent oracle can replay it);
+    - bit ``(r, c)`` = 1 iff cell ``(r, c+1)``'s mean brightness
+      exceeds cell ``(r, c)``'s — compared as the exact cross-product
+      ``s₂·n₁ > s₁·n₂`` (cells have unequal pixel counts on
+      non-divisible sizes; float means would round);
+    - ``grid·(grid−1)`` bits pack little-endian into one signed int64
+      (56 bits at the default grid 8 — inside the sign bit, the
+      package's ≤60-bit hash convention; grids up to 9×8 = 64 bits
+      wrap to two's complement, matching BIGINT semantics in both
+      engines).
+
+    Pair with :func:`~spark_ifs_spark.operators.dedup.simhash_near_pairs`
+    (``bits = grid·(grid−1)``) for the Hamming-banded near-dup join —
+    hashes are one long per image, so the pair stage never touches
+    pixels. ``mapInPandas``, Arrow batches; the per-payload codec call
+    is the only Python loop.
+
+    No counterpart in the reference; extension operator (the image
+    modality of the dedup family — dHash per Krawetz's kind-of-like-
+    that construction, public domain technique)."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    nbits = grid * (grid - 1)
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col].tolist():
+                w, h, c, px = codecs.decode_png(bytes(p))
+                if w < grid or h < grid:
+                    raise ValueError(
+                        f"image {w}x{h} smaller than the {grid}x{grid} grid"
+                    )
+                a = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .reshape(h, w, c)
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                cx = (np.arange(w) * grid) // w
+                cy = (np.arange(h) * grid) // h
+                cell = (cy[:, None] * grid + cx[None, :]).ravel()
+                s = np.bincount(
+                    cell, weights=a.ravel().astype(np.float64),
+                    minlength=grid * grid,
+                ).astype(np.int64)  # integer-valued (< 2^53), exact
+                n = np.bincount(cell, minlength=grid * grid)
+                dh = 0
+                for r in range(grid):
+                    for cc in range(grid - 1):
+                        i1, i2 = r * grid + cc, r * grid + cc + 1
+                        if s[i2] * n[i1] > s[i1] * n[i2]:
+                            dh |= 1 << (r * (grid - 1) + cc)
+                if dh >= 1 << 63:
+                    dh -= 1 << 64  # two's complement for int64 grids
+                out.append(dh)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "dhash": np.array(out, dtype=np.int64),
+                }
+            )
+
+    assert nbits <= 64
+    return df.select(id_col, payload_col).mapInPandas(
+        _proc, "id long, dhash long"
+    )

@@ -1564,3 +1564,90 @@ SELECT n_sources,
          AS majority_ppm
 FROM cl GROUP BY 1
 """
+
+
+# image perceptual-hash near-dup dedup (dedup_phash)
+PHASH_GRID = 8  # 8x8 cell lattice -> 56-bit difference hash
+PHASH_MAX_HAMMING = 3  # lossless under 4-band blocking (pigeonhole)
+
+
+def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-content near-duplicate pairs — the IMAGE modality of the
+    dedup family (text shingles ✓, embeddings ✓, now pixels): real
+    grayscale PNG payloads with planted near-identical groups
+    (``attach_phash_payloads``) are DECODED by the real codec, reduced
+    to 56-bit difference hashes
+    (:func:`~spark_ifs_spark.operators.multimodal.image_dhash`), and
+    paired by the SimHash Hamming-banded self-join (4 blocks — any
+    pair within Hamming ≤ 3 collides on ≥1 block, pigeonhole-lossless,
+    never all-pairs). The oracle replays pixel synthesis → cell sums →
+    bit packing → banding → exact Hamming verify in pure SQL, so the
+    decode path is content-hash-gated end-to-end."""
+    from spark_ifs_spark.operators.multimodal import (
+        attach_phash_payloads,
+        image_dhash,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_phash_payloads(docs, "doc_id")
+    fp = image_dhash(payloads, "id", "payload", grid=PHASH_GRID).select(
+        "id", F.col("dhash").alias("simhash")
+    )
+    return dedup.simhash_near_pairs(
+        fp,
+        max_hamming=PHASH_MAX_HAMMING,
+        bits=PHASH_GRID * (PHASH_GRID - 1),
+    )
+
+
+def sql_dedup_phash() -> str:
+    g, mh = PHASH_GRID, PHASH_MAX_HAMMING
+    nbits = g * (g - 1)
+    per = nbits // 4
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS id, doc_id // 3 AS grp, doc_id % 3 AS v,
+         20 + (doc_id // 3) % 7 AS w, 16 + (doc_id // 3) % 5 AS h
+  FROM documents
+),
+px AS (
+  SELECT id, w, h, t.k % w AS x, t.k // w AS y,
+         (grp * 37 + ((t.k % w) // 2) * (17 + grp % 11)
+          + ((t.k // w) // 2) * (29 + grp % 13)
+          + CASE WHEN v > 0 AND ((t.k % w) + (t.k // w) + v) % 23 = 0
+                 THEN 1 ELSE 0 END) % 256 AS p
+  -- range() rejects lateral column bounds: over-generate to the max
+  -- image area (w <= 26, h <= 20) and filter to this row's w*h
+  FROM dims, range(26 * 20) t(k)
+  WHERE t.k < w * h
+),
+cells AS (
+  SELECT id, (y * {g}) // h AS r, (x * {g}) // w AS c,
+         sum(p) AS s, count(*) AS n
+  FROM px GROUP BY 1, 2, 3
+),
+bits AS (
+  SELECT a.id, a.r, a.c,
+         CASE WHEN b.s * a.n > a.s * b.n THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM cells a JOIN cells b ON b.id = a.id AND b.r = a.r AND b.c = a.c + 1
+),
+fp AS MATERIALIZED (
+  SELECT id, CAST(sum(bit << CAST(r * {g - 1} + c AS INT)) AS BIGINT) AS dhash
+  FROM bits GROUP BY id
+),
+ex AS (
+  SELECT f.id, b.blk, (f.dhash >> CAST(b.blk * {per} AS INT)) & {(1 << per) - 1} AS bkey
+  FROM fp f, range(4) b(blk)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.dhash, fb.dhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.id = c.id_a
+JOIN fp fb ON fb.id = c.id_b
+WHERE bit_count(xor(fa.dhash, fb.dhash)) <= {mh}
+"""

@@ -465,3 +465,94 @@ def test_mulaw_features_end_to_end(spark):
             codecs.mulaw_decode_byte((i * 31 + k * 7) % 256) for k in range(n)
         )
         assert r["sample_sum"] == expect
+
+
+def test_image_dhash_planted_near_dups_recovered(spark, sf_dir):
+    """The image-dedup pipeline end-to-end on the planted fixture:
+    every within-group pair (the three variants share a base image)
+    must come back from the Hamming-banded join at distance <= 3,
+    hashes must be a pure function of the id (deterministic across
+    runs/partitionings), and hashes come from DECODED pixels — a
+    brightness-only offset leaves the hash unchanged (difference
+    hashes are level-invariant)."""
+    from pyspark.sql import functions as F
+
+    from spark_ifs_spark.operators.dedup import simhash_near_pairs
+    from spark_ifs_spark.operators.multimodal import (
+        attach_phash_payloads,
+        image_dhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 90
+    )
+    payloads = attach_phash_payloads(docs, "doc_id")
+    fp = image_dhash(payloads, "id", "payload", grid=8)
+    hashes = {r["id"]: r["dhash"] for r in fp.collect()}
+    assert len(hashes) == 90
+    # determinism under physical repartitioning
+    re = {
+        r["id"]: r["dhash"]
+        for r in image_dhash(
+            attach_phash_payloads(docs.repartition(7), "doc_id"),
+            "id", "payload", grid=8,
+        ).collect()
+    }
+    assert re == hashes
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            fp.select("id", F.col("dhash").alias("simhash")),
+            max_hamming=3, bits=56,
+        ).collect()
+    }
+    for g in range(30):
+        ids = [3 * g, 3 * g + 1, 3 * g + 2]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert (a, b) in pairs, f"planted pair {(a, b)} missed"
+                assert pairs[(a, b)] <= 3
+
+
+def test_image_dhash_level_invariant_and_rgb(spark):
+    """+10 brightness on every pixel leaves the dhash unchanged
+    (difference hash compares ADJACENT cells); the channel-sum
+    brightness path handles RGB payloads."""
+    import pandas as pd
+
+    from spark_ifs_spark.operators.multimodal import image_dhash
+
+    w, h = 24, 16
+    base = (
+        (np.arange(w)[None, :] // 2 * 19 + np.arange(h)[:, None] // 2 * 31)
+        % 200
+    ).astype(np.uint8)
+    lifted = (base + 10).astype(np.uint8)  # no wrap: base < 200
+    rgb = np.repeat(base[:, :, None], 3, axis=2).astype(np.uint8)
+    rows = [
+        (0, codecs.encode_png(w, h, base.tobytes(), channels=1)),
+        (1, codecs.encode_png(w, h, lifted.tobytes(), channels=1)),
+        (2, codecs.encode_png(w, h, rgb.tobytes(), channels=3)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "payload"])
+    )
+    got = {r["id"]: r["dhash"] for r in image_dhash(df, "id", "payload").collect()}
+    assert got[0] == got[1]  # level shift invisible
+    assert got[0] == got[2]  # 3x channel sum preserves every comparison
+
+
+def test_image_dhash_rejects_too_small(spark):
+    import pandas as pd
+
+    from spark_ifs_spark.operators.multimodal import image_dhash
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, codecs.encode_png(4, 4, px.tobytes(), channels=1))],
+            columns=["id", "payload"],
+        )
+    )
+    with pytest.raises(Exception, match="smaller than"):
+        image_dhash(df, "id", "payload", grid=8).collect()
