@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "events_value_pcts_hist",
     "cluster_representatives",
     "benford_first_digit",
+    "ann_topk_graph",
+    "ann_graph_recall_audit",
+    "dedup_phash",
 ]
 
 

@@ -107,36 +107,38 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 10 rotated the window to: the three round-10 additions, then
-    the 47 least-recently-gated keys — the full r5-era backlog (22
-    keys) and the 25 oldest r6-gated keys — so after this gate no
-    key's freshest driver row is older than round 6. Any accidental
-    reorder (new entries must APPEND once the window is final) fails
-    here before it silently changes what the driver verifies."""
+    Round 11 rotated the window to: the five never-driver-gated
+    round-10 additions, then the 23 keys whose freshest driver row
+    was round 6, then the 22 least-recently-gated r7 keys — after
+    this gate every registered key has a driver row and none is
+    fresher-bounded below round 7. Any accidental reorder (new
+    entries must APPEND once the window is final) fails here before
+    it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
     from spark_ifs_spark.registry._order import ORDER
 
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
-        # round-10 additions
-        "graph_diversity_select_k5", "knn_label_prop", "epoch_shuffle_manifest",
-        # r5-era backfill (all 22 keys whose freshest row was round 5)
-        "user_value_twa", "orders_sla", "events_rolling_7d_users",
-        "events_autocorr7", "source_size_gini", "supplier_mad_outliers",
-        "langid_confusion", "funnel_latency", "events_imputed",
-        "events_value_pcts_hist", "cluster_representatives", "benford_first_digit",
-        "mi_pair_lineitem", "mi_relevance", "mi_matrix", "mrmr_top1",
-        "mrmr_select_k5", "mrmr_miq_k5", "row_select_k5", "dedup_exact",
-        "dedup_ngram_jaccard", "dedup_minhash",
-        # oldest r6-era block
-        "dedup_simhash", "dedup_embedding", "dedup_embedding_bucketed",
-        "dedup_spans", "dedup_incremental", "ann_topk", "ann_topk_ivf",
-        "ann_topk_lsh", "events_daily", "events_sessionize",
-        "dedup_embedding_lsh", "dedup_embedding_lsh_recall", "ann_topk_pq",
-        "semantic_dedup", "events_user_stats_tws", "ann_topk_ivfpq",
-        "cluster_aware_split", "doc_chunks_udtf", "ann_pq_recall_audit",
-        "hard_negatives", "session_concurrency", "negative_samples",
-        "dedup_embedding_lsh_hi", "dedup_embedding_lsh_hi_audit",
-        "multimodal_png_features",
+        # never-gated round-10 additions
+        "facility_select_k5", "ab_cuped", "curriculum_manifest",
+        "join_skew_plan", "knn_centrality",
+        # r6-era backfill (all 23 keys whose freshest row was round 6)
+        "ann_ivfpq_trained_audit", "collapse_repeats", "multimodal_jpeg_features",
+        "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
+        "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
+        "dsir_select", "dedup_containment", "shard_manifest",
+        "maxsim_topk", "hybrid_rrf", "ppl_buckets",
+        "token_budget_alloc", "doc_novelty", "zipf_fit",
+        "embedding_effective_dim", "retrieval_eval_rrf", "corpus_report",
+        "ccnet_mix", "knn_label_accuracy",
+        # oldest r7-era block (22 keys)
+        "unigram_lm_vocab", "doremi_weights", "url_dedup",
+        "mrmr_k10_synthetic", "unigram_token_counts", "doremi_mix",
+        "tokenizer_fertility", "unigram_doc_tokens", "pref_bt_ratings",
+        "split_psi", "bootstrap_doclen_ci", "lm_kn_logprob",
+        "dedup_substring_removal", "events_user_stats", "pipeline_end_to_end",
+        "dup_clusters", "kmeans_step", "embedding_top_pairs",
+        "text_token_counts", "text_quality", "text_repetition",
+        "corpus_clean",
     ]

@@ -206,6 +206,13 @@ def main() -> None:
         # join_skew_plan and ab_cuped read events, which the replicator
         # does not scale (docs/embeddings/orders only); both are plain
         # two-level aggregates with no scale question to measure
+        # round 11: the registry now stages ONE kNN-graph build per
+        # (corpus, session) — the family rows above measure build-once
+        # + consumer fan-out; the serving walk and its audit ride the
+        # same staged graph
+        "ann_topk_graph",
+        "ann_graph_recall_audit",
+        "dedup_phash",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -242,6 +249,9 @@ def main() -> None:
         "facility_select_k5",
         "curriculum_manifest",
         "knn_centrality",
+        "ann_topk_graph",
+        "ann_graph_recall_audit",
+        "dedup_phash",
     }
     if only:
         names = [n for n in names if n in only]
