@@ -262,6 +262,9 @@ BENCH_QUERIES = [
     "ann_topk_graph",
     "ann_graph_recall_audit",
     "dedup_phash",
+    "cms_heavy_hitters",
+    "quantile_sample_audit",
+    "multimodal_frame_sample",
 ]
 
 

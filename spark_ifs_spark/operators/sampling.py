@@ -598,3 +598,80 @@ def priority_sample_estimate(
         )
         .withColumn("err_ppm", err)
     )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    qs_pct: Sequence[int] = (25, 50, 75, 90, 99),
+    sample_mod: int = 20,
+) -> DataFrame:
+    """``(q_pct, v_est, n_sample, n_le, rank_ppm, err_ppm)`` — quantile
+    estimates from a deterministic hash sample, audited against the
+    FULL relation without ever sorting it.
+
+    Estimating quantiles of a 100 TB column exactly needs a global sort
+    (or an order-dependent mergeable sketch like t-digest/KLL, which no
+    independent engine can replay value-for-value). This operator takes
+    the order-INDEPENDENT route: a fixed-rate Bernoulli sample selected
+    by ``md5(key) % sample_mod == 0`` — reproducible across runs,
+    engines, partitionings and input orderings, and mergeable across
+    shards by construction (a shard union's sample IS the union of
+    shard samples) — then reads the discrete quantile at rank
+    ``ceil(q·n_sample/100)`` off the sample (ties broken by key, so
+    both engines pick the same row). Only the sample is ever sorted —
+    ``1/sample_mod`` of the relation, a bounded single window.
+
+    The audit side never sorts: for each estimate ``v`` the true rank
+    is ``count(val ≤ v)`` — one scan with the 5-row estimate relation
+    broadcast, folded map-side into per-quantile conditional counts.
+    ``rank_ppm`` is the estimate's TRUE rank in ppm (integer division,
+    exact) and ``err_ppm = |rank_ppm − q·10⁴|`` is the rank error the
+    sample rate bought — the measured-not-asserted audit every other
+    estimator in this engine ships (KMV, HLL, recall audits).
+    """
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    if not qs_pct or any(q < 1 or q > 100 for q in qs_pct):
+        raise ValueError(f"qs_pct must be percentages in [1, 100], got {qs_pct}")
+    spark = df.sparkSession
+    samp = df.filter(
+        md5_int60(F.col(key_col).cast("string")) % F.lit(sample_mod) == 0
+    ).select(F.col(val_col).alias("v"), F.col(key_col).alias("k"))
+    ranked = samp.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc(), F.col("k").asc()))
+        .alias("rn"),
+    )
+    n_samp = samp.agg(F.count(F.lit(1)).alias("n_sample"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs_pct], "q_pct int")
+    targets = qdf.crossJoin(F.broadcast(n_samp)).select(
+        "q_pct",
+        "n_sample",
+        F.expr("(q_pct * n_sample + 99) DIV 100").alias("target_rn"),
+    )
+    est = targets.join(ranked, F.col("target_rn") == F.col("rn")).select(
+        "q_pct", F.col("v").alias("v_est"), "n_sample"
+    )
+    audit = (
+        df.select(F.col(val_col).alias("fv"))
+        .crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "v_est", "n_sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("fv") <= F.col("v_est"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+        )
+    )
+    return audit.select(
+        "q_pct",
+        "v_est",
+        "n_sample",
+        "n_le",
+        F.expr("(n_le * 1000000) DIV n_total").alias("rank_ppm"),
+    ).withColumn(
+        "err_ppm", F.abs(F.col("rank_ppm") - F.col("q_pct").cast("long") * F.lit(10_000))
+    )

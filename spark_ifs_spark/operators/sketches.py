@@ -98,6 +98,89 @@ def cms_estimate(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi_ppm: int = 20_000,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 101,
+) -> DataFrame:
+    """``(term, est, n_exact, over_ppm)`` — every value whose TRUE count
+    is ≥ ``phi_ppm`` parts-per-million of the stream (the classic
+    φ-heavy-hitter query), found with a CMS-prefiltered two-pass plan
+    instead of an exact count of the full key space.
+
+    Pass 1 builds the Count-Min grid (``cms_build`` — shuffle bounded by
+    ``depth·width`` cells). "Hot" cells are those whose count clears the
+    threshold; because CMS never undercounts, a true heavy hitter's
+    cells are ALL hot — the shortlist has no false negatives. Candidates
+    are the distinct values whose ``depth`` cells are all hot (one pass
+    over the vocabulary relation — the bounded key-space work BPE /
+    unigram training already do), with ``est`` = min over their cells.
+    Pass 2 exact-counts ONLY the shortlist (broadcast semi-join, so the
+    verify shuffle carries candidate occurrences, not the corpus key
+    space) and drops CMS false positives. ``over_ppm`` is the CMS
+    overcount, ``(est − n_exact)·1e6 DIV n_exact`` — integer, exact.
+
+    At 100 TB the exact-count-everything alternative shuffles one cell
+    per distinct key (URLs, n-grams: billions); here the grid is
+    ``depth·width`` regardless, the hot-cell relation is a subset of it
+    (broadcast), and the verify pass is proportional to how heavy the
+    hitters actually are. All hashing is the portable md5/universal
+    family, so the DuckDB oracle replays the grid bit-for-bit.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = cms_build(df, col, depth=depth, width=width, seed=seed)
+    hot = (
+        grid.crossJoin(F.broadcast(total))
+        .filter(F.col("c") * F.lit(1_000_000) >= F.col("n_total") * F.lit(phi_ppm))
+        .select("r", "bucket", "c")
+    )
+    params = minhash_params(depth, seed)
+    vh = md5_int60(F.col("term"))
+    vocab = df.select(F.col(col).alias("term")).distinct()
+    vcells = vocab.select(
+        "term",
+        F.posexplode(
+            F.array(*[universal_hash(vh, a, b) % F.lit(width) for a, b in params])
+        ).alias("r", "bucket"),
+    )
+    cand = (
+        vcells.join(F.broadcast(hot), ["r", "bucket"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_hot"), F.min("c").alias("est"))
+        .filter(F.col("n_hot") == F.lit(depth))
+        .select("term", "est")
+    )
+    exact = (
+        df.select(F.col(col).alias("term"))
+        .join(F.broadcast(cand), "term")
+        .groupBy("term", "est")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_exact") * F.lit(1_000_000) >= F.col("n_total") * F.lit(phi_ppm)
+        )
+        .select(
+            "term",
+            "est",
+            "n_exact",
+            ((F.col("est") - F.col("n_exact")) * F.lit(1_000_000))
+            .cast("long")
+            .alias("_num"),
+        )
+        .select(
+            "term",
+            "est",
+            "n_exact",
+            F.expr("_num DIV n_exact").alias("over_ppm"),
+        )
+    )
+
+
 #: HLL bias-correction constant for m >= 128 buckets
 def _hll_alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)

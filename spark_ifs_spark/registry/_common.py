@@ -29,7 +29,9 @@ from spark_ifs_spark.operators.multimodal import (
     extract_jpeg_features,
     extract_mulaw_features,
     extract_png_features,
+    fake_frame_splitter,
     fake_image_decoder,
+    sample_frames,
 )
 from spark_ifs_spark.streaming.events import sessionize, windowed_event_counts
 QUANT_SCALE = 8          # floor(x * 8) — exact in IEEE-754

@@ -249,6 +249,48 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing end-to-end: per-document payloads
+    go through :func:`~spark_ifs_spark.operators.multimodal.sample_frames`
+    (the 1→N expansion happens INSIDE ``mapInPandas`` — frames are
+    emitted straight into the output Arrow batches, no array-of-binaries
+    intermediate and no explode shuffle) and each frame reduces to
+    JVM-side features (byte length + md5). The splitter is the
+    deterministic fake (contiguous ``len//4`` byte slices — the codec
+    injection seam; production swaps in a real demuxer via
+    ``split_fn=``), so the oracle replays the exact slicing with
+    ``substr`` and the value-hash gate audits the batch shapes, the
+    frame boundaries and the payload bytes."""
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_fake_payloads(docs, "doc_id", "text")
+    frames = sample_frames(
+        payloads, "doc_id", "payload", num_frames=4, split_fn=fake_frame_splitter
+    )
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("frame_hash"),
+    )
+
+
+def sql_multimodal_frame_sample() -> str:
+    # the fake splitter slices payload (= ASCII text bytes) into 4
+    # contiguous step-byte frames, step = max(len // 4, 1); bytes past
+    # 4*step are dropped, frames past the payload end are empty
+    return """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, coalesce(text, '') AS t,
+         greatest(length(coalesce(text, '')) // 4, 1) AS step
+  FROM documents
+), idx(frame_idx) AS (VALUES (0), (1), (2), (3))
+SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length(substr(t, frame_idx * step + 1, step)) AS INT) AS n_bytes,
+       md5(substr(t, frame_idx * step + 1, step)) AS frame_hash
+FROM dims CROSS JOIN idx
+"""
+
+
 def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-codec multimodal gate: deterministic PNG payloads are
     encoded (zlib deflate) per document id, then decoded by the real

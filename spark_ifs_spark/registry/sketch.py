@@ -113,6 +113,127 @@ GROUP BY 1
 """
 
 
+HH_PHI_PPM = 33_000  # φ: a word is "heavy" at ≥ 3.3% of the token stream
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitters over the corpus token stream via the two-pass
+    CMS-prefiltered plan (see
+    :func:`~spark_ifs_spark.operators.sketches.cms_heavy_hitters`):
+    grid build → hot-cell shortlist (no false negatives — CMS never
+    undercounts) → exact verify of the shortlist only. Every output row
+    carries the sketch estimate AND the exact count, so the driver gate
+    audits both the grid arithmetic and the verify pass; ``over_ppm``
+    is the measured CMS overcount."""
+    from spark_ifs_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    return sketches.cms_heavy_hitters(
+        toks, "w", phi_ppm=HH_PHI_PPM, depth=CMS_DEPTH, width=CMS_WIDTH,
+        seed=CMS_SEED,
+    )
+
+
+def sql_cms_heavy_hitters() -> str:
+    params = minhash_params(CMS_DEPTH, CMS_SEED)
+    param_rows = ", ".join(f"({r}, {a}, {b})" for r, (a, b) in enumerate(params))
+    h = sql_md5_int60("w")
+    vh = sql_md5_int60("term")
+    P = MINHASH_P
+    return f"""
+WITH params(r, a, b) AS (VALUES {param_rows}),
+toks AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+total AS (SELECT count(*) AS n_total FROM toks),
+cms AS (
+  SELECT p.r, ((p.a * (h % {P}) + p.b) % {P}) % {CMS_WIDTH} AS bucket,
+         count(*) AS c
+  FROM (SELECT {h} AS h FROM toks) hs CROSS JOIN params p
+  GROUP BY 1, 2
+),
+hot AS (
+  SELECT r, bucket, c FROM cms, total
+  WHERE c * 1000000 >= n_total * {HH_PHI_PPM}
+),
+vocab AS (SELECT DISTINCT w AS term FROM toks),
+vcells AS (
+  SELECT term, p.r, ((p.a * ({vh} % {P}) + p.b) % {P}) % {CMS_WIDTH} AS bucket
+  FROM vocab CROSS JOIN params p
+),
+cand AS (
+  SELECT term, min(c) AS est
+  FROM vcells JOIN hot USING (r, bucket)
+  GROUP BY 1
+  HAVING count(*) = {CMS_DEPTH}
+),
+exact AS (
+  SELECT term, est, count(*) AS n_exact
+  FROM toks JOIN cand ON toks.w = cand.term
+  GROUP BY 1, 2
+)
+SELECT term, est, CAST(n_exact AS BIGINT) AS n_exact,
+       ((est - CAST(n_exact AS BIGINT)) * 1000000) // CAST(n_exact AS BIGINT)
+         AS over_ppm
+FROM exact, total
+WHERE n_exact * 1000000 >= n_total * {HH_PHI_PPM}
+"""
+
+
+QSAMPLE_MOD = 20  # 5% deterministic hash sample
+QSAMPLE_QS = (25, 50, 75, 90, 99)
+
+
+def q_quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length quantiles estimated from a 5% deterministic hash
+    sample and rank-audited against the full table WITHOUT a global
+    sort (see
+    :func:`~spark_ifs_spark.operators.sampling.hash_sample_quantiles`)
+    — the scale path ``doc_length_quantiles``'s exact ``percentile``
+    defers to, with the estimator error measured, not asserted."""
+    from spark_ifs_spark.operators.sampling import hash_sample_quantiles
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample_quantiles(
+        docs, "doc_id", "n_chars", qs_pct=QSAMPLE_QS, sample_mod=QSAMPLE_MOD
+    )
+
+
+def sql_quantile_sample_audit() -> str:
+    h = sql_md5_int60("CAST(doc_id AS VARCHAR)")
+    q_rows = ", ".join(f"({q})" for q in QSAMPLE_QS)
+    return f"""
+WITH samp AS (
+  SELECT n_chars AS v, doc_id AS k FROM documents
+  WHERE {h} % {QSAMPLE_MOD} = 0
+),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM samp),
+ns AS (SELECT count(*) AS n_sample FROM samp),
+qs(q_pct) AS (VALUES {q_rows}),
+targets AS (
+  SELECT q_pct, n_sample, (q_pct * n_sample + 99) // 100 AS target_rn
+  FROM qs, ns
+),
+est AS (
+  SELECT q_pct, v AS v_est, n_sample
+  FROM targets JOIN ranked ON target_rn = rn
+),
+audit AS (
+  SELECT q_pct, v_est, n_sample, count(*) AS n_total,
+         CAST(sum(CASE WHEN d.n_chars <= v_est THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_le
+  FROM documents d CROSS JOIN est
+  GROUP BY 1, 2, 3
+)
+SELECT q_pct, v_est, CAST(n_sample AS BIGINT) AS n_sample, n_le,
+       (n_le * 1000000) // n_total AS rank_ppm,
+       abs((n_le * 1000000) // n_total - q_pct * CAST(10000 AS BIGINT))
+         AS err_ppm
+FROM audit
+"""
+
+
 def q_docs_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``docs_profile`` distinct counts as a TRUE single-pass plan:
     all five columns stack into (col, value) pairs map-side and feed

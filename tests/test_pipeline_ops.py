@@ -444,3 +444,52 @@ def test_priority_sample_estimate_small_exact(spark):
     assert r["tau"] == 0.0
     assert r["est_total"] == float(r["exact_total"]) == 60.0
     assert r["err_ppm"] == 0
+
+
+# -- hash_sample_quantiles ----------------------------------------------------
+
+def test_hash_sample_quantiles_exhaustive_sample_is_exact(spark):
+    # sample_mod=1 keeps every row, so the "estimate" is the exact
+    # discrete quantile and the rank audit is tautologically tight:
+    # n_le/n >= q by construction of rank ceil(q*n/100)
+    from spark_ifs_spark.operators.sampling import hash_sample_quantiles
+
+    rows = [(i, i * 10) for i in range(1, 101)]  # values 10..1000
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = hash_sample_quantiles(df, "id", "v", qs_pct=(25, 50, 99), sample_mod=1)
+    got = {r["q_pct"]: r for r in out.collect()}
+    assert got[25]["v_est"] == 250 and got[50]["v_est"] == 500
+    assert got[99]["v_est"] == 990
+    for q, r in got.items():
+        assert r["n_sample"] == 100
+        assert r["rank_ppm"] == q * 10_000
+        assert r["err_ppm"] == 0
+
+
+def test_hash_sample_quantiles_deterministic_and_order_invariant(spark):
+    from spark_ifs_spark.operators.sampling import hash_sample_quantiles
+
+    rows = [(i, (i * 37) % 1000) for i in range(500)]
+    a = hash_sample_quantiles(
+        spark.createDataFrame(rows, ["id", "v"]), "id", "v", sample_mod=10
+    ).collect()
+    b = hash_sample_quantiles(
+        spark.createDataFrame(rows[::-1], ["id", "v"]).repartition(7), "id", "v",
+        sample_mod=10,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # rank error of a 10% sample on 500 rows should be well under 10%
+    for r in a:
+        assert r["err_ppm"] <= 100_000
+
+
+def test_hash_sample_quantiles_validates_args(spark):
+    from spark_ifs_spark.operators.sampling import hash_sample_quantiles
+
+    df = spark.createDataFrame([(1, 1)], ["id", "v"])
+    with pytest.raises(ValueError):
+        hash_sample_quantiles(df, "id", "v", sample_mod=0)
+    with pytest.raises(ValueError):
+        hash_sample_quantiles(df, "id", "v", qs_pct=())
+    with pytest.raises(ValueError):
+        hash_sample_quantiles(df, "id", "v", qs_pct=(0, 50))

@@ -193,3 +193,41 @@ def test_kmv_sketch_merge_equals_direct_sketch(spark, sf_dir):
     # and the estimate is sane: within 30% of the exact distinct count
     exact = terms.select("term").distinct().count()
     assert abs(m["est_distinct"] - exact) / exact < 0.30
+
+
+def test_heavy_hitters_finds_planted_keys_exactly(spark):
+    # 1000 tokens: 'hot' 300 (300000 ppm), 'warm' 100 (100000 ppm),
+    # 600 singletons — phi at 150000 ppm keeps exactly 'hot'
+    words = ["hot"] * 300 + ["warm"] * 100 + [f"u{i}" for i in range(600)]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    out = sketches.cms_heavy_hitters(df, "w", phi_ppm=150_000, depth=4, width=64, seed=9)
+    rows = {r["term"]: r for r in out.collect()}
+    assert set(rows) == {"hot"}
+    assert rows["hot"]["n_exact"] == 300
+    # CMS never undercounts, so est >= exact and over_ppm >= 0
+    assert rows["hot"]["est"] >= 300
+    assert rows["hot"]["over_ppm"] >= 0
+
+
+def test_heavy_hitters_no_false_negatives_under_collisions(spark):
+    # tiny width forces heavy collisions: the shortlist may include
+    # false positives, but every true heavy hitter MUST survive (the
+    # exact verify pass then reports its true count)
+    words = ["a"] * 80 + ["b"] * 60 + [f"u{i}" for i in range(200)] * 2
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    out = sketches.cms_heavy_hitters(df, "w", phi_ppm=100_000, depth=2, width=4, seed=3)
+    rows = {r["term"]: r["n_exact"] for r in out.collect()}
+    n = len(words)
+    assert rows.get("a") == 80 and rows.get("b") == 60
+    # the output is EXACTLY the true heavy set (verify kills CMS FPs)
+    for term, cnt in rows.items():
+        assert cnt * 1_000_000 >= n * 100_000
+
+
+def test_heavy_hitters_verify_join_is_broadcast(spark):
+    words = ["x"] * 10 + ["y"] * 2
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    out = sketches.cms_heavy_hitters(df, "w", phi_ppm=500_000, depth=2, width=8, seed=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -213,6 +213,9 @@ def main() -> None:
         "ann_topk_graph",
         "ann_graph_recall_audit",
         "dedup_phash",
+        "cms_heavy_hitters",
+        "quantile_sample_audit",
+        "multimodal_frame_sample",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -252,6 +255,9 @@ def main() -> None:
         "ann_topk_graph",
         "ann_graph_recall_audit",
         "dedup_phash",
+        "cms_heavy_hitters",
+        "quantile_sample_audit",
+        "multimodal_frame_sample",
     }
     if only:
         names = [n for n in names if n in only]
