@@ -878,3 +878,42 @@ def test_join_skew_plan_single_input_scan(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
     assert "partial_count" in explain_str(agg), explain_str(agg)
+
+
+def test_frame_sample_is_shuffle_free(spark, sf_dir):
+    """The 1→N frame expansion happens inside mapInPandas and the
+    per-frame features are projections — the whole query must plan
+    with ZERO exchanges and read only (doc_id, text)."""
+    from spark_ifs_spark.registry import QUERIES
+
+    out = QUERIES["multimodal_frame_sample"](spark, str(sf_dir))
+    assert count_exchanges(out) == 0, explain_str(out)
+    assert set(read_schema_columns(out)) == {"doc_id", "text"}
+
+
+def test_heavy_hitters_scan_prunes_to_text_and_joins_broadcast(spark, sf_dir):
+    """Both corpus passes (grid build, exact verify) read only `text`;
+    the shortlist and the 1-row total ride broadcast joins — no
+    sort-merge join anywhere (the verify side must never shuffle the
+    corpus on the candidate key)."""
+    from spark_ifs_spark.registry import QUERIES
+
+    out = QUERIES["cms_heavy_hitters"](spark, str(sf_dir))
+    plan = explain_str(out)
+    assert set(read_schema_columns(out)) == {"text"}
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quantile_audit_sorts_only_the_sample(spark, sf_dir):
+    """The single global window runs over the md5-filtered SAMPLE, not
+    the corpus: the Sort's child subtree must contain the sample-mod
+    filter, and the audit branch is a map-side conditional fold (no
+    Sort above the full-table scan)."""
+    from spark_ifs_spark.registry import QUERIES
+
+    out = QUERIES["quantile_sample_audit"](spark, str(sf_dir))
+    plan = explain_str(out)
+    assert plan.count("Sort ") <= 2, plan  # the one window's local+global sort
+    # the full-table audit join broadcasts the 5-row estimate relation
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
