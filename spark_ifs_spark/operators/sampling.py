@@ -630,6 +630,11 @@ def hash_sample_quantiles(
     exact) and ``err_ppm = |rank_ppm − q·10⁴|`` is the rank error the
     sample rate bought — the measured-not-asserted audit every other
     estimator in this engine ships (KMV, HLL, recall audits).
+
+    The ppm numerator ``n_le·1e6`` is computed in decimal(38,0)
+    (HUGEINT on the oracle side) before the integer division, so the
+    audit stays exact past the int64 wrap point (~9.2e12 rows) — the
+    CUPED decimal-before-multiply rule.
     """
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
@@ -671,7 +676,10 @@ def hash_sample_quantiles(
         "v_est",
         "n_sample",
         "n_le",
-        F.expr("(n_le * 1000000) DIV n_total").alias("rank_ppm"),
+        F.expr(
+            "CAST((CAST(n_le AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_total AS BIGINT)"
+        ).alias("rank_ppm"),
     ).withColumn(
         "err_ppm", F.abs(F.col("rank_ppm") - F.col("q_pct").cast("long") * F.lit(10_000))
     )

@@ -129,12 +129,27 @@ def cms_heavy_hitters(
     (broadcast), and the verify pass is proportional to how heavy the
     hitters actually are. All hashing is the portable md5/universal
     family, so the DuckDB oracle replays the grid bit-for-bit.
+
+    Threshold arithmetic is overflow-safe past int64: the count cut is
+    ``ceil(n_total·phi_ppm / 1e6)`` computed ONCE in decimal(38,0)
+    (HUGEINT on the oracle side) — comparing ``c ≥ thresh`` instead of
+    ``c·1e6 ≥ n_total·phi_ppm`` keeps every per-row comparison inside
+    int64 even at 10^14-token streams, where the naive product wraps
+    (the CUPED decimal-before-multiply rule).
     """
-    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    if not 1 <= phi_ppm <= 1_000_000:
+        raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
+    total = df.agg(F.count(F.lit(1)).alias("n_total")).select(
+        "n_total",
+        F.expr(
+            f"CAST((CAST(n_total AS DECIMAL(38,0)) * {phi_ppm} + 999999)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("thresh"),
+    )
     grid = cms_build(df, col, depth=depth, width=width, seed=seed)
     hot = (
         grid.crossJoin(F.broadcast(total))
-        .filter(F.col("c") * F.lit(1_000_000) >= F.col("n_total") * F.lit(phi_ppm))
+        .filter(F.col("c") >= F.col("thresh"))
         .select("r", "bucket", "c")
     )
     params = minhash_params(depth, seed)
@@ -161,22 +176,15 @@ def cms_heavy_hitters(
     )
     return (
         exact.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("n_exact") * F.lit(1_000_000) >= F.col("n_total") * F.lit(phi_ppm)
-        )
+        .filter(F.col("n_exact") >= F.col("thresh"))
         .select(
             "term",
             "est",
             "n_exact",
-            ((F.col("est") - F.col("n_exact")) * F.lit(1_000_000))
-            .cast("long")
-            .alias("_num"),
-        )
-        .select(
-            "term",
-            "est",
-            "n_exact",
-            F.expr("_num DIV n_exact").alias("over_ppm"),
+            F.expr(
+                "CAST((CAST(est - n_exact AS DECIMAL(38,0)) * 1000000)"
+                " DIV n_exact AS BIGINT)"
+            ).alias("over_ppm"),
         )
     )
 

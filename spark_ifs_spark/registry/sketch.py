@@ -146,7 +146,12 @@ WITH params(r, a, b) AS (VALUES {param_rows}),
 toks AS MATERIALIZED (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
 ),
-total AS (SELECT count(*) AS n_total FROM toks),
+total AS (
+  SELECT n_total,
+         CAST((CAST(n_total AS HUGEINT) * {HH_PHI_PPM} + 999999) // 1000000
+              AS BIGINT) AS thresh
+  FROM (SELECT count(*) AS n_total FROM toks)
+),
 cms AS (
   SELECT p.r, ((p.a * (h % {P}) + p.b) % {P}) % {CMS_WIDTH} AS bucket,
          count(*) AS c
@@ -155,7 +160,7 @@ cms AS (
 ),
 hot AS (
   SELECT r, bucket, c FROM cms, total
-  WHERE c * 1000000 >= n_total * {HH_PHI_PPM}
+  WHERE c >= thresh
 ),
 vocab AS (SELECT DISTINCT w AS term FROM toks),
 vcells AS (
@@ -174,10 +179,10 @@ exact AS (
   GROUP BY 1, 2
 )
 SELECT term, est, CAST(n_exact AS BIGINT) AS n_exact,
-       ((est - CAST(n_exact AS BIGINT)) * 1000000) // CAST(n_exact AS BIGINT)
+       CAST((CAST(est - n_exact AS HUGEINT) * 1000000) // n_exact AS BIGINT)
          AS over_ppm
 FROM exact, total
-WHERE n_exact * 1000000 >= n_total * {HH_PHI_PPM}
+WHERE n_exact >= thresh
 """
 
 
@@ -227,9 +232,10 @@ audit AS (
   GROUP BY 1, 2, 3
 )
 SELECT q_pct, v_est, CAST(n_sample AS BIGINT) AS n_sample, n_le,
-       (n_le * 1000000) // n_total AS rank_ppm,
-       abs((n_le * 1000000) // n_total - q_pct * CAST(10000 AS BIGINT))
-         AS err_ppm
+       CAST((CAST(n_le AS HUGEINT) * 1000000) // n_total AS BIGINT)
+         AS rank_ppm,
+       abs(CAST((CAST(n_le AS HUGEINT) * 1000000) // n_total AS BIGINT)
+           - q_pct * CAST(10000 AS BIGINT)) AS err_ppm
 FROM audit
 """
 
