@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "quantile_sample_audit",
     "multimodal_frame_sample",
+    "sft_pack",
 ]
 
 

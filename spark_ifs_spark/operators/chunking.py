@@ -567,3 +567,105 @@ def curriculum_shuffle(
             .alias("position"),
         )
     )
+
+
+def sft_pack(
+    df: DataFrame,
+    conv_col: str,
+    order_col: str,
+    role_col: str,
+    tok_col: str,
+    ctx_len: int = PACK_ASSIGN_CTX,
+    loss_role: str = "assistant",
+    quantum: int = 64,
+    bucket: int = 4096,
+) -> DataFrame:
+    """``(conv_id, turn_idx, role, n_tok, seq_id, start_offset,
+    clipped, loss_mask)`` — SFT-style multi-turn conversation packing:
+    whole conversations pack into fixed-``ctx_len`` training sequences
+    with per-turn token offsets and the loss mask a supervised
+    fine-tuning loader consumes (train only on ``loss_role`` turns;
+    everything else is context).
+
+    Conversations pad up to a ``quantum``-token slot before packing —
+    the standard loader move (pad-to-multiple), and what makes the
+    size-class shelf scheme effective here: conversation totals are
+    near-unique, so EXACT-size classes would be singletons and nothing
+    would ever share a sequence; quantized slots collapse them into
+    populated classes, at a bounded padding cost of < ``quantum``
+    tokens per conversation (visible as gaps in the slot-strided
+    ``start_offset``s). ``ctx_len`` must be a multiple of ``quantum``
+    so a quantized slot never straddles the sequence boundary.
+
+    Semantics: turns order by ``order_col`` within a conversation
+    (pass a total order — e.g. a unique event id; ties would make the
+    manifest nondeterministic, so the within-conversation rank uses
+    ``order_col`` alone). Conversations place as ATOMIC items via
+    :func:`pack_assign` (size-class shelf packing — the closed-form
+    distributed FFD), so no sequence ever splits a conversation across
+    sequences; a conversation longer than ``ctx_len`` truncates into
+    its own sequence and the turns past the budget come back
+    ``clipped`` (kept in the manifest for auditability — their
+    ``start_offset`` is the nominal cumulative offset — but
+    ``loss_mask`` is forced false; a loader drops them). ``loss_mask``
+    = (role == loss_role) AND NOT clipped.
+
+    Scale shape: one conversation-partitioned window pair (rank +
+    exclusive token cumsum — bounded by the longest conversation, the
+    same per-key window class as every doc-keyed operator here), one
+    conversation-keyed aggregate for totals, the :func:`pack_assign`
+    machinery (no corpus-sized window, |classes|-bounded broadcast),
+    and one id-keyed join back to the turns. Everything downstream of
+    the window is integer arithmetic both engines replay exactly.
+
+    No counterpart in the reference; extension operator (the SFT-era
+    member of the packing family: ``pack_assign`` packs documents,
+    this packs role-alternating conversations with mask boundaries).
+    """
+    if quantum < 1:
+        raise ValueError(f"quantum must be >= 1, got {quantum}")
+    if ctx_len % quantum != 0:
+        raise ValueError(
+            f"ctx_len must be a multiple of quantum, got {ctx_len} % {quantum}"
+        )
+    t = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(order_col).alias("_ord"),
+        F.col(role_col).alias("role"),
+        F.col(tok_col).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("_ord").asc())
+    turns = (
+        t.withColumn("turn_idx", F.row_number().over(w) - 1)
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum("n_tok").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .drop("_ord")
+    )
+    totals = t.groupBy("conv_id").agg(F.sum("n_tok").alias("conv_tok"))
+    q = int(quantum)
+    slots = totals.withColumn(
+        "slot_tok", F.expr(f"((conv_tok + {q - 1}) DIV {q}) * {q}")
+    )
+    bins = pack_assign(
+        slots, "conv_id", "slot_tok", ctx_len=ctx_len, bucket=bucket
+    ).select(
+        F.col("doc_id").alias("conv_id"), "seq_len", "bin_id", "tok_offset"
+    )
+    clipped = (F.col("cum") + F.col("n_tok")) > F.col("seq_len")
+    return turns.join(bins, "conv_id").select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_tok",
+        F.col("bin_id").alias("seq_id"),
+        (F.col("tok_offset") + F.col("cum")).cast("long").alias("start_offset"),
+        clipped.alias("clipped"),
+        ((F.col("role") == F.lit(loss_role)) & ~clipped).alias("loss_mask"),
+    )

@@ -1613,3 +1613,92 @@ FROM counts CROSS JOIN tot
 WHERE cnt > {cap}
 ORDER BY cnt DESC, key ASC
 """
+
+
+SFT_CTX = 8192          # training sequence length for the SFT packing demo
+SFT_QUANTUM = 512       # pad-to-slot quantum (SFT_CTX must be a multiple)
+SFT_LOSS_ROLE = "purchase"  # the "assistant" role stand-in on the events table
+
+
+def q_sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT multi-turn conversation packing over the events table:
+    user_id = conversation, event_id = total turn order, event_type =
+    role, with a deterministic per-turn token count (``1 + (event_id %
+    97)·(1 + user_id % 3)`` — the user_id factor spreads conversation
+    totals so the one gate row exercises BOTH behaviors: short
+    conversations co-pack into shared sequences AND long ones truncate
+    with clipped turns); see
+    :func:`~spark_ifs_spark.operators.chunking.sft_pack`. Turns past a
+    truncated conversation's budget come back clipped with the loss
+    mask forced false."""
+    from spark_ifs_spark.operators.chunking import sft_pack
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "CAST(1 + (event_id % 97) * (1 + user_id % 3) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    return sft_pack(
+        ev, "user_id", "event_id", "event_type", "n_tok",
+        ctx_len=SFT_CTX, loss_role=SFT_LOSS_ROLE, quantum=SFT_QUANTUM,
+    )
+
+
+def sql_sft_pack() -> str:
+    L, Q, role = SFT_CTX, SFT_QUANTUM, SFT_LOSS_ROLE
+    return f"""
+WITH t AS (
+  SELECT user_id AS conv_id, event_id AS ord, event_type AS role,
+         CAST(1 + (event_id % 97) * (1 + user_id % 3) AS BIGINT) AS n_tok
+  FROM events
+),
+turns AS (
+  SELECT conv_id, role, n_tok,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord) - 1
+              AS INTEGER) AS turn_idx,
+         CAST(coalesce(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM t
+),
+totals AS (
+  SELECT conv_id, CAST(sum(n_tok) AS BIGINT) AS conv_tok FROM t GROUP BY 1
+),
+cl AS (
+  SELECT conv_id,
+         GREATEST(LEAST(((conv_tok + {Q} - 1) // {Q}) * {Q}, {L}), 1) AS cs
+  FROM totals
+),
+rn AS (
+  SELECT conv_id, cs,
+         row_number() OVER (PARTITION BY cs ORDER BY conv_id) - 1 AS rn
+  FROM cl
+),
+caps AS (
+  SELECT cs, CAST(count(*) AS BIGINT) AS cnt, GREATEST({L} // cs, 1) AS cap
+  FROM rn GROUP BY cs
+),
+offs AS (
+  SELECT cs, cap,
+         CAST(coalesce(sum((cnt + cap - 1) // cap) OVER (ORDER BY cs DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bin0
+  FROM caps
+),
+bins AS (
+  SELECT r.conv_id, CAST(r.cs AS BIGINT) AS seq_len,
+         CAST(o.bin0 + r.rn // o.cap AS BIGINT) AS bin_id,
+         CAST((r.rn % o.cap) * r.cs AS BIGINT) AS tok_offset
+  FROM rn r JOIN offs o USING (cs)
+)
+SELECT tu.conv_id, tu.turn_idx, tu.role, tu.n_tok,
+       b.bin_id AS seq_id,
+       CAST(b.tok_offset + tu.cum AS BIGINT) AS start_offset,
+       (tu.cum + tu.n_tok) > b.seq_len AS clipped,
+       (tu.role = '{role}' AND NOT ((tu.cum + tu.n_tok) > b.seq_len))
+         AS loss_mask
+FROM turns tu JOIN bins b USING (conv_id)
+"""

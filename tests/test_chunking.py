@@ -206,3 +206,63 @@ def test_curriculum_shuffle_conflicting_stage_dedups_to_min(spark):
         assert sorted(i for i, _, _ in lst) == [1, 2, 3]  # one row per id
         assert dict((i, s) for i, s, _ in lst)[1] == 0  # min stage wins
         assert sorted(p for _, _, p in lst) == [0, 1, 2]
+
+
+# -- sft_pack -----------------------------------------------------------------
+
+def test_sft_pack_hand_case(spark):
+    """Four conversations, quantum 4, ctx 8: conv 1 fills its own slot,
+    convs 2+3 co-pack into one sequence at quantized offsets, conv 4
+    truncates with its last turn clipped and mask forced false."""
+    from spark_ifs_spark.operators.chunking import sft_pack
+
+    rows = [
+        (1, 1, "u", 3), (1, 2, "a", 2),
+        (2, 1, "u", 2), (2, 2, "a", 1),
+        (3, 1, "u", 4),
+        (4, 1, "u", 5), (4, 2, "a", 3), (4, 3, "a", 3),
+    ]
+    df = spark.createDataFrame(rows, ["conv", "ord", "role", "tok"])
+    out = sft_pack(df, "conv", "ord", "role", "tok",
+                   ctx_len=8, loss_role="a", quantum=4)
+    got = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert len(got) == 8
+    # conv 1: own class-8 slot, first bin
+    assert got[(1, 0)]["seq_id"] == got[(1, 1)]["seq_id"] == 0
+    assert got[(1, 1)]["start_offset"] == 3
+    assert got[(1, 1)]["loss_mask"] and not got[(1, 1)]["clipped"]
+    # conv 4: truncated into its own sequence; last turn clipped
+    assert got[(4, 0)]["seq_id"] == 1
+    assert got[(4, 2)]["start_offset"] == 8
+    assert got[(4, 2)]["clipped"] and not got[(4, 2)]["loss_mask"]
+    assert got[(4, 1)]["loss_mask"]  # ends exactly at the budget
+    # convs 2+3 co-pack: same sequence, slot-strided offsets
+    assert got[(2, 0)]["seq_id"] == got[(3, 0)]["seq_id"] == 2
+    assert got[(2, 0)]["start_offset"] == 0
+    assert got[(3, 0)]["start_offset"] == 4
+    assert not got[(3, 0)]["loss_mask"]  # role 'u'
+
+
+def test_sft_pack_deterministic_under_repartition(spark):
+    from spark_ifs_spark.operators.chunking import sft_pack
+
+    rows = [(c, t, "ua"[t % 2], 1 + (c * 7 + t * 3) % 9)
+            for c in range(20) for t in range(c % 6 + 1)]
+    a = sft_pack(spark.createDataFrame(rows, ["c", "o", "r", "n"]),
+                 "c", "o", "r", "n", ctx_len=16, loss_role="a", quantum=4)
+    b = sft_pack(
+        spark.createDataFrame(rows[::-1], ["c", "o", "r", "n"]).repartition(7),
+        "c", "o", "r", "n", ctx_len=16, loss_role="a", quantum=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sft_pack_validates_args(spark):
+    import pytest
+
+    from spark_ifs_spark.operators.chunking import sft_pack
+
+    df = spark.createDataFrame([(1, 1, "a", 1)], ["c", "o", "r", "n"])
+    with pytest.raises(ValueError):
+        sft_pack(df, "c", "o", "r", "n", ctx_len=8, quantum=0)
+    with pytest.raises(ValueError):
+        sft_pack(df, "c", "o", "r", "n", ctx_len=10, quantum=4)

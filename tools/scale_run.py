@@ -216,6 +216,9 @@ def main() -> None:
         "cms_heavy_hitters",
         "quantile_sample_audit",
         "multimodal_frame_sample",
+        # sft_pack reads events, which the replicator does not scale;
+        # design posture is stated in SCALE.md (conversation-bounded
+        # windows + the pack_assign class machinery)
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
