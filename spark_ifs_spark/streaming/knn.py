@@ -65,8 +65,21 @@ def _vectors_root(index_path: str) -> str:
 
 
 def read_knn_vectors(spark: SparkSession, index_path: str) -> DataFrame:
-    """``(id, vec)`` — every vector the maintained graph covers."""
-    return spark.read.parquet(_vectors_root(index_path)).select("id", "vec")
+    """``(id, vec)`` — every vector the maintained graph covers, one
+    row per id: like :func:`read_knn_edges`, the highest delta batch
+    wins, so an id re-delivered under a NEW checkpoint (at-least-once
+    across checkpoint resets — the same-checkpoint replay is already
+    absorbed by the ``last_batch_id`` guard) updates its vector instead
+    of feeding the insertion walk two copies."""
+    from pyspark.sql import Window
+
+    rows = spark.read.parquet(_vectors_root(index_path))
+    latest = F.max("batch").over(Window.partitionBy("id"))
+    return (
+        rows.withColumn("_mx", latest)
+        .filter(F.col("batch") == F.col("_mx"))
+        .select("id", "vec")
+    )
 
 
 def read_knn_edges(spark: SparkSession, index_path: str) -> DataFrame:

@@ -149,3 +149,20 @@ def test_streaming_knn_orphan_version_swept(spark, tmp_path):
     assert _edges(spark, store) == before
     assert not (orphan / "batch=-1" / "junk").exists()
     assert json.load(open(_pointer_path(str(store))))["edges"] == "edges-v1"
+
+
+def test_vector_redelivery_updates_not_duplicates(spark, tmp_path):
+    """An id re-delivered in a LATER batch (at-least-once across a
+    checkpoint reset) must UPDATE its vector — read_knn_vectors returns
+    one row per id, the highest batch winning, so the insertion walk
+    never scores two copies of the same corpus node."""
+    store = tmp_path / "store"
+    _insert_batch(spark, str(store), _mk_batch(spark, range(10)), 0, **KNOBS)
+    redelivered = spark.createDataFrame(
+        [(3, _vec(23))], "vec_id long, embedding array<double>"
+    )
+    _insert_batch(spark, str(store), redelivered, 1, **KNOBS)
+    vecs = read_knn_vectors(spark, str(store)).collect()
+    assert len(vecs) == 10
+    by_id = {r["id"]: r["vec"] for r in vecs}
+    assert by_id[3] == _vec(23)  # the re-delivered vector won
