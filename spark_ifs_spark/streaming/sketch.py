@@ -1,0 +1,179 @@
+"""Streaming Count-Min maintenance: fold an arriving token/key stream
+into a persisted CMS grid — frequency estimation over an unbounded
+key space whose maintained state is ``depth × width`` cells, under the
+SAME pointer-commit consistency design as ``streaming/profile.py`` /
+``streaming/ann.py``.
+
+Why this is the cleanest possible maintained index: a Count-Min grid
+is mergeable by plain CELL ADDITION (``operators/sketches.py`` — the
+partial aggregate already IS the merge), so the APPEND step never
+reads accumulated state at all: each micro-batch writes only its own
+``depth × width``-bounded grid partial into ``cells/batch=<id>``, and
+the READ step sums the committed partials. The estimate for any probe
+term over a 100 TB stream is maintained by touching only the arriving
+tokens, with reads over (batches × depth × width) rows — which
+``compact_cms`` periodically folds back to one grid.
+
+Consistency contract (identical to the sibling modules):
+
+- ``current.json`` is the only commit point (atomic ``os.replace``),
+  carrying the live version directory, the append high-watermark, and
+  the hash parameters (mismatched depth/width/seed is a hard error —
+  grids under different hash families must never add).
+- per-batch directories are written ``mode("overwrite")`` — a replayed
+  batch rewrites the same bytes, idempotent by construction; the
+  ``batch_id <= last_batch_id`` skip is valid under the same
+  checkpoint (cross-checkpoint scope caveat as in ``streaming/ann.py``).
+- readers partition-prune to ``batch <= watermark``, so a crash
+  between data write and pointer update leaves an invisible orphan.
+- ``compact_cms`` folds the partials into a ``batch=-1`` base inside a
+  new version directory (cell addition IS the compaction) and swings
+  the pointer atomically; the old version is removed after the commit.
+
+Estimates from the maintained grid are identical to a one-shot
+``cms_build`` over the concatenated stream — exact mergeability, so
+batch ≡ stream parity is EQUALITY, pinned with replay / crash-window /
+compaction tests in ``tests/test_streaming_sketch.py``. No oracle
+entry — streaming-only surface (the package convention).
+
+No counterpart in the reference; extension operator.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.streaming._pointer import (  # noqa: F401
+    _commit_state,
+    _pointer_path,
+    _read_state,
+)
+
+_CELLS_SCHEMA = "r int, bucket long, c long, batch int"
+
+
+def streaming_cms(
+    stream: DataFrame,
+    col: str,
+    index_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 101,
+):
+    """Maintain a Count-Min grid over a string-key stream. Append-only:
+    each batch writes its own ``depth × width``-bounded grid partial;
+    nothing reads the accumulated state. Returns the StreamingQuery."""
+    from spark_ifs_spark.operators.sketches import cms_build
+
+    root = index_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    params = {"depth": depth, "width": width, "seed": seed}
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        state = _read_state(index_path)
+        if state is not None:
+            if state["params"] != params:
+                raise ValueError(
+                    f"cms at {index_path} was built with {state['params']}, "
+                    f"appender configured with {params} — grids under "
+                    "different hash families must not add; rebuild or match"
+                )
+            if batch_id <= state["last_batch_id"]:
+                return  # same-checkpoint replay — already absorbed
+        if state is None:
+            if batch.isEmpty():
+                return
+            state = {
+                "version": 0,
+                "dir": "cms-v0",
+                "last_batch_id": -1,
+                "params": params,
+            }
+        cells = cms_build(batch, col, depth=depth, width=width, seed=seed)
+        cells.write.mode("overwrite").parquet(
+            os.path.join(root, state["dir"], "cells", f"batch={batch_id}")
+        )
+        state["last_batch_id"] = batch_id
+        _commit_state(index_path, state)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(r, bucket, c)`` — the live grid, summed from one consistent
+    (version, watermark) snapshot of the committed batch partials.
+    Bounded by ``depth × width`` cells regardless of stream size."""
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed cms at {index_path}")
+    path = os.path.join(index_path.rstrip("/"), state["dir"], "cells")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _CELLS_SCHEMA).select(
+            "r", "bucket", "c"
+        )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("batch") <= state["last_batch_id"])
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_index_estimate(
+    spark: SparkSession, index_path: str, terms: list[str]
+) -> DataFrame:
+    """``(term, est)`` — point estimates for a probe list against the
+    maintained grid, with the grid's own committed hash parameters (so
+    a caller cannot probe with mismatched arithmetic)."""
+    from spark_ifs_spark.operators.sketches import cms_estimate
+
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed cms at {index_path}")
+    p = state["params"]
+    return cms_estimate(
+        read_cms(spark, index_path), terms,
+        depth=p["depth"], width=p["width"], seed=p["seed"],
+    )
+
+
+def compact_cms(spark: SparkSession, index_path: str) -> None:
+    """Fold the committed batch partials into a single ``batch=-1``
+    base inside a NEW version directory and commit it atomically —
+    cell addition IS the compaction, so the folded grid is exactly the
+    pre-compaction read. Crash-safe like the sibling modules: the
+    pointer names only complete versions; orphans are swept here."""
+    root = index_path.rstrip("/")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed cms at {index_path}")
+    for d in os.listdir(root):
+        if d.startswith("cms-v") and d != state["dir"]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    live = read_cms(spark, index_path).localCheckpoint(eager=True)
+    new_version = state["version"] + 1
+    new_dir = f"cms-v{new_version}"
+    live.write.mode("overwrite").parquet(
+        os.path.join(root, new_dir, "cells", "batch=-1")
+    )
+    old = state["dir"]
+    _commit_state(
+        index_path,
+        {
+            "version": new_version,
+            "dir": new_dir,
+            "last_batch_id": state["last_batch_id"],
+            "params": state["params"],
+        },
+    )
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)

@@ -1,0 +1,155 @@
+"""Streaming Count-Min maintenance (streaming/sketch.py): exact
+batch ≡ stream parity (cell addition is the merge), replay absorption,
+crash-window recovery (pointer-commit semantics), compaction
+equivalence, parameter guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_ifs_spark.streaming.sketch import (
+    _pointer_path,
+    cms_index_estimate,
+    compact_cms,
+    read_cms,
+    streaming_cms,
+)
+
+PARAMS = dict(depth=3, width=32, seed=7)
+PROBES = ["hot", "warm", "w5", "zz_absent"]
+
+
+def _df(spark, lo, hi):
+    rows = []
+    for i in range(lo, hi):
+        rows.append((i, "hot" if i % 2 == 0 else f"w{i % 11}"))
+        if i % 5 == 0:
+            rows.append((i, "warm"))
+    return spark.createDataFrame(rows, "row_id long, w string")
+
+
+def _run(spark, src, store, ckpt, schema, **kw):
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = streaming_cms(stream, "w", str(store), str(ckpt), **(PARAMS | kw))
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _grid(spark, store):
+    return {
+        (r["r"], r["bucket"]): r["c"]
+        for r in read_cms(spark, str(store)).collect()
+    }
+
+
+def _feed_all(spark, tmp_path, ck="ck"):
+    src, store = tmp_path / "feed", tmp_path / "cms"
+    b1, b2 = _df(spark, 0, 60), _df(spark, 60, 100)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / ck, b1.schema)
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run(spark, src, store, tmp_path / ck, b1.schema)
+    return src, store, b1.unionByName(b2)
+
+
+def test_streamed_grid_matches_batch_computation(spark, tmp_path):
+    """EXACT equality with the one-shot cms_build over the concatenated
+    stream — cell addition is the merge, so the same integers come
+    out, and the point estimates agree cell-for-cell."""
+    from spark_ifs_spark.operators.sketches import cms_build, cms_estimate
+
+    _, store, all_rows = _feed_all(spark, tmp_path)
+    want = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_build(all_rows, "w", **PARAMS).collect()
+    }
+    assert _grid(spark, store) == want
+    got_est = {
+        r["term"]: r["est"]
+        for r in cms_index_estimate(spark, str(store), PROBES).collect()
+    }
+    want_est = {
+        r["term"]: r["est"]
+        for r in cms_estimate(
+            cms_build(all_rows, "w", **PARAMS), PROBES, **PARAMS
+        ).collect()
+    }
+    assert got_est == want_est
+    # the maintained sketch still never undercounts the true frequency
+    true_hot = all_rows.where(F.col("w") == "hot").count()
+    assert got_est["hot"] >= true_hot
+
+
+def test_replay_identical_feed_absorbed(spark, tmp_path):
+    src, store, _ = _feed_all(spark, tmp_path)
+    before = _grid(spark, store)
+    _run(spark, src, store, tmp_path / "ck_replay", _df(spark, 0, 1).schema)
+    assert _grid(spark, store) == before
+
+
+def test_lost_pointer_update_recovered_idempotently(spark, tmp_path):
+    """Crash window: batch 1's cells written but pointer commit lost —
+    orphans invisible to readers; replay from the pre-crash checkpoint
+    rewrites the same bytes and restores the watermark."""
+    import shutil
+
+    src, store = tmp_path / "feed", tmp_path / "cms"
+    b1, b2 = _df(spark, 0, 60), _df(spark, 60, 100)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema)
+    shutil.copytree(tmp_path / "ck", tmp_path / "ck_crash")
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run(spark, src, store, tmp_path / "ck", b1.schema)
+    before = _grid(spark, store)
+    p = _pointer_path(str(store))
+    state = json.load(open(p))
+    assert state["last_batch_id"] == 1
+    state["last_batch_id"] = 0
+    json.dump(state, open(p, "w"))
+    assert _grid(spark, store) != before  # batch 1 invisible
+    _run(spark, src, store, tmp_path / "ck_crash", b1.schema)
+    assert _grid(spark, store) == before
+    assert json.load(open(p))["last_batch_id"] == 1
+
+
+def test_compaction_is_answer_preserving(spark, tmp_path):
+    src, store, _ = _feed_all(spark, tmp_path)
+    before = _grid(spark, store)
+    compact_cms(spark, str(store))
+    assert _grid(spark, store) == before
+    vdirs = [d for d in os.listdir(store) if d.startswith("cms-v")]
+    assert vdirs == ["cms-v1"]
+    # later appends (same checkpoint — batch ids continue past the
+    # compacted watermark) keep folding onto the compacted base
+    b3 = _df(spark, 100, 120)
+    b3.write.parquet(str(src / "f3.parquet"))
+    _run(spark, src, store, store.parent / "ck", b3.schema)
+    from spark_ifs_spark.operators.sketches import cms_build
+
+    all_rows = _df(spark, 0, 100).unionByName(b3)
+    want = {
+        (r["r"], r["bucket"]): r["c"]
+        for r in cms_build(all_rows, "w", **PARAMS).collect()
+    }
+    assert _grid(spark, store) == want
+
+
+def test_parameter_mismatch_is_a_hard_error(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src, store, _ = _feed_all(spark, tmp_path)
+    src2 = store.parent / "feed_bad"
+    _df(spark, 100, 105).write.parquet(str(src2 / "f.parquet"))
+    stream = spark.readStream.schema(_df(spark, 0, 1).schema).parquet(
+        str(src2) + "/*"
+    )
+    q = streaming_cms(
+        stream, "w", str(store), str(tmp_path / "ck_bad"),
+        **(PARAMS | {"width": 64}),
+    )
+    with pytest.raises(StreamingQueryException, match="was built with"):
+        q.awaitTermination(120)
