@@ -55,6 +55,11 @@ def cms_build(
     carries at most ``depth·width`` cells per partition no matter the
     corpus size.
     """
+    if depth < 1 or width < 1:
+        raise ValueError(
+            f"depth and width must be >= 1, got depth={depth} width={width}"
+            " (a zero-dimension grid would silently count nothing)"
+        )
     params = minhash_params(depth, seed)
     h = md5_int60(F.col(col))
     cells = F.array(

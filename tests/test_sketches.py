@@ -231,3 +231,10 @@ def test_heavy_hitters_verify_join_is_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cms_build_rejects_degenerate_grid(spark, tokens):
+    with pytest.raises(ValueError):
+        sketches.cms_build(tokens, "w", depth=0, width=64)
+    with pytest.raises(ValueError):
+        sketches.cms_build(tokens, "w", depth=4, width=0)
