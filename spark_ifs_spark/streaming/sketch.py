@@ -177,3 +177,38 @@ def compact_cms(spark: SparkSession, index_path: str) -> None:
         },
     )
     shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
+
+def cms_index_heavy_cells(
+    spark: SparkSession, index_path: str, phi_ppm: int
+) -> DataFrame:
+    """``(r, bucket, c, n_total)`` — the maintained grid's hot cells at
+    threshold ``phi_ppm``: the shortlist stage of
+    :func:`~spark_ifs_spark.operators.sketches.cms_heavy_hitters`
+    served straight from the index, no corpus access at all. The
+    stream length is recovered FROM the grid — every update increments
+    exactly one cell per depth row, so each row's cell sum is the
+    total count (row 0 is used); the threshold is the same
+    decimal-ceil arithmetic as the batch operator, overflow-safe past
+    int64. Because CMS never undercounts, a candidate key is heavy
+    only if ALL its cells are hot — callers verify the shortlist
+    against their key relation exactly as the batch two-pass does."""
+    if not 1 <= phi_ppm <= 1_000_000:
+        raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
+    grid = read_cms(spark, index_path)
+    total = (
+        grid.where(F.col("r") == 0)
+        .agg(F.sum("c").alias("n_total"))
+        .select(
+            "n_total",
+            F.expr(
+                f"CAST((CAST(n_total AS DECIMAL(38,0)) * {phi_ppm} + 999999)"
+                " DIV 1000000 AS BIGINT)"
+            ).alias("thresh"),
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(total))
+        .filter(F.col("c") >= F.col("thresh"))
+        .select("r", "bucket", "c", "n_total")
+    )

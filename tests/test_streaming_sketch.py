@@ -153,3 +153,27 @@ def test_parameter_mismatch_is_a_hard_error(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="was built with"):
         q.awaitTermination(120)
+
+
+def test_heavy_cells_from_maintained_grid(spark, tmp_path):
+    """The index-served hot-cell shortlist equals the batch operator's
+    hot set on the concatenated stream, and recovers the exact stream
+    length from the grid (each depth row sums to N)."""
+    from spark_ifs_spark.operators.sketches import cms_build
+    from spark_ifs_spark.streaming.sketch import cms_index_heavy_cells
+
+    _, store, all_rows = _feed_all(spark, tmp_path)
+    n = all_rows.count()
+    phi = 200_000  # 20% — 'hot' is ~half the stream, w* keys are not
+    got = {
+        (r["r"], r["bucket"]): (r["c"], r["n_total"])
+        for r in cms_index_heavy_cells(spark, str(store), phi).collect()
+    }
+    assert got, "expected at least the 'hot' cells to clear 20%"
+    thresh = -(-n * phi // 1_000_000)
+    want = {
+        (r["r"], r["bucket"]): (r["c"], n)
+        for r in cms_build(all_rows, "w", **PARAMS).collect()
+        if r["c"] >= thresh
+    }
+    assert got == want
