@@ -620,8 +620,17 @@ def hash_sample_quantiles(
     shards by construction (a shard union's sample IS the union of
     shard samples) — then reads the discrete quantile at rank
     ``ceil(q·n_sample/100)`` off the sample (ties broken by key, so
-    both engines pick the same row). Only the sample is ever sorted —
-    ``1/sample_mod`` of the relation, a bounded single window.
+    both engines pick the same row). Only the sample is ever ranked —
+    ``1/sample_mod`` of the relation — and the rank itself is a
+    TWO-LEVEL SPLICE, not an unpartitioned window (which would funnel
+    the whole sample, which grows with the corpus, through one task):
+    ``percentile_approx`` supplies ~128 balanced value boundaries (a
+    mergeable JVM sketch, corpus-parallel; boundary error only skews
+    bucket BALANCE, never the exact rank), rows bucket by boundary
+    count — monotone in ``v``, so bucket order is value order — bucket
+    counts roll up into offsets via a window over ≤128 rows, and the
+    within-bucket ``row_number`` runs partitioned. Exact global ranks,
+    every sample-sized step partition-parallel.
 
     The audit side never sorts: for each estimate ``v`` the true rank
     is ``count(val ≤ v)`` — one scan with the 5-row estimate relation
@@ -644,11 +653,34 @@ def hash_sample_quantiles(
     samp = df.filter(
         md5_int60(F.col(key_col).cast("string")) % F.lit(sample_mod) == 0
     ).select(F.col(val_col).alias("v"), F.col(key_col).alias("k"))
-    ranked = samp.select(
+    # two-level spliced rank (see docstring): approx boundaries define
+    # monotone value buckets; exact rank = bucket offset + within-bucket
+    # row_number. Boundary quality affects balance only, never ranks.
+    n_buckets = 128
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = samp.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(f) for f in fracs]), 10_000
+        ).alias("_bs")
+    )
+    bk = samp.crossJoin(F.broadcast(bounds)).select(
         "v",
-        F.row_number()
-        .over(Window.orderBy(F.col("v").asc(), F.col("k").asc()))
-        .alias("rn"),
+        "k",
+        F.when(F.col("_bs").isNull(), F.lit(0))
+        .otherwise(F.size(F.filter(F.col("_bs"), lambda b: b < F.col("v"))))
+        .alias("_bkt"),
+    )
+    per = bk.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bc"))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select(
+        "_bkt", F.coalesce(F.sum("_bc").over(woff), F.lit(0)).alias("_off")
+    )
+    wrn = Window.partitionBy("_bkt").orderBy(
+        F.col("v").asc(), F.col("k").asc()
+    )
+    ranked = (
+        bk.join(F.broadcast(off), "_bkt")
+        .select("v", (F.col("_off") + F.row_number().over(wrn)).alias("rn"))
     )
     n_samp = samp.agg(F.count(F.lit(1)).alias("n_sample"))
     qdf = spark.createDataFrame([(int(q),) for q in qs_pct], "q_pct int")

@@ -119,10 +119,18 @@ def cms_heavy_hitters(
     Pass 1 builds the Count-Min grid (``cms_build`` — shuffle bounded by
     ``depth·width`` cells). "Hot" cells are those whose count clears the
     threshold; because CMS never undercounts, a true heavy hitter's
-    cells are ALL hot — the shortlist has no false negatives. Candidates
-    are the distinct values whose ``depth`` cells are all hot (one pass
-    over the vocabulary relation — the bounded key-space work BPE /
-    unigram training already do), with ``est`` = min over their cells.
+    cells are ALL hot — the shortlist has no false negatives. The hot
+    set is tiny by arithmetic, not luck: each grid row's cells sum to
+    the stream length, so at most ``1e6/phi_ppm`` cells per row can
+    clear a ``phi_ppm`` threshold (50 at the default) — it is collected
+    driver-side (grid-bounded, like the k×d centroid collects) and
+    compiled into per-row map LITERALS. Candidate rows are then found
+    MAP-SIDE: a token row survives only if all ``depth`` of its cells
+    hit the hot maps, with ``est`` = least over the lookups — so the
+    only distinct aggregate runs over candidate OCCURRENCES, never the
+    corpus key space (the earlier shape paid a one-cell-per-distinct-key
+    shuffle in the vocabulary pass; billions of cells for URLs/n-grams
+    at 100 TB).
     Pass 2 exact-counts ONLY the shortlist (broadcast semi-join, so the
     verify shuffle carries candidate occurrences, not the corpus key
     space) and drops CMS false positives. ``over_ppm`` is the CMS
@@ -130,10 +138,11 @@ def cms_heavy_hitters(
 
     At 100 TB the exact-count-everything alternative shuffles one cell
     per distinct key (URLs, n-grams: billions); here the grid is
-    ``depth·width`` regardless, the hot-cell relation is a subset of it
-    (broadcast), and the verify pass is proportional to how heavy the
-    hitters actually are. All hashing is the portable md5/universal
-    family, so the DuckDB oracle replays the grid bit-for-bit.
+    ``depth·width`` regardless, the hot-cell maps are
+    ``depth·1e6/phi_ppm``-bounded expressions, and the verify pass is
+    proportional to how heavy the hitters actually are. All hashing is
+    the portable md5/universal family, so the DuckDB oracle replays the
+    grid bit-for-bit.
 
     Threshold arithmetic is overflow-safe past int64: the count cut is
     ``ceil(n_total·phi_ppm / 1e6)`` computed ONCE in decimal(38,0)
@@ -157,21 +166,45 @@ def cms_heavy_hitters(
         .filter(F.col("c") >= F.col("thresh"))
         .select("r", "bucket", "c")
     )
+    # Bounded driver materialization: ≤ depth·1e6/phi_ppm cells (each
+    # grid row's counts sum to the stream length, so at most 1e6/phi_ppm
+    # of them can clear the threshold).
+    hot_by_r: dict[int, dict[int, int]] = {}
+    for row in hot.collect():
+        hot_by_r.setdefault(row["r"], {})[row["bucket"]] = row["c"]
     params = minhash_params(depth, seed)
-    vh = md5_int60(F.col("term"))
-    vocab = df.select(F.col(col).alias("term")).distinct()
-    vcells = vocab.select(
-        "term",
-        F.posexplode(
-            F.array(*[universal_hash(vh, a, b) % F.lit(width) for a, b in params])
-        ).alias("r", "bucket"),
-    )
+    th = md5_int60(F.col("term"))
+    lookups = []
+    for r, (a, b) in enumerate(params):
+        cell = universal_hash(th, a, b) % F.lit(width)
+        entries = hot_by_r.get(r, {})
+        if not entries:
+            # some grid row has no hot cell at all ⇒ no key can be heavy
+            lookups = []
+            break
+        m = F.create_map(
+            *[
+                F.lit(int(x)).cast("bigint")
+                for kv in sorted(entries.items())
+                for x in kv
+            ]
+        )
+        lookups.append(m[cell.cast("bigint")])
+    if not lookups:
+        term_type = df.schema[col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [],
+            f"term {term_type}, est bigint, n_exact bigint, over_ppm bigint",
+        )
+    all_hot = lookups[0].isNotNull()
+    for lk in lookups[1:]:
+        all_hot = all_hot & lk.isNotNull()
+    est_expr = lookups[0] if len(lookups) == 1 else F.least(*lookups)
     cand = (
-        vcells.join(F.broadcast(hot), ["r", "bucket"])
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n_hot"), F.min("c").alias("est"))
-        .filter(F.col("n_hot") == F.lit(depth))
-        .select("term", "est")
+        df.select(F.col(col).alias("term"))
+        .filter(all_hot)
+        .select("term", est_expr.alias("est"))
+        .distinct()
     )
     exact = (
         df.select(F.col(col).alias("term"))

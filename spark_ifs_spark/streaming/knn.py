@@ -66,14 +66,22 @@ def _vectors_root(index_path: str) -> str:
 
 def read_knn_vectors(spark: SparkSession, index_path: str) -> DataFrame:
     """``(id, vec)`` — every vector the maintained graph covers, one
-    row per id: like :func:`read_knn_edges`, the highest delta batch
-    wins, so an id re-delivered under a NEW checkpoint (at-least-once
-    across checkpoint resets — the same-checkpoint replay is already
-    absorbed by the ``last_batch_id`` guard) updates its vector instead
-    of feeding the insertion walk two copies."""
+    row per id: like :func:`read_knn_edges`, the highest COMMITTED
+    delta batch wins, so an id re-delivered under a NEW checkpoint
+    (at-least-once across checkpoint resets — the same-checkpoint
+    replay is already absorbed by the ``last_batch_id`` guard) updates
+    its vector instead of feeding the insertion walk two copies.
+    Batches above the pointer watermark are pruned BEFORE the per-id
+    window: in the crash gap between a vectors write and its pointer
+    commit, the orphan batch must not shadow the committed vector."""
     from pyspark.sql import Window
 
-    rows = spark.read.parquet(_vectors_root(index_path))
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed graph at {index_path}")
+    rows = spark.read.parquet(_vectors_root(index_path)).filter(
+        F.col("batch") <= F.lit(state["last_batch_id"])
+    )
     latest = F.max("batch").over(Window.partitionBy("id"))
     return (
         rows.withColumn("_mx", latest)
@@ -91,7 +99,12 @@ def read_knn_edges(spark: SparkSession, index_path: str) -> DataFrame:
     state = _read_state(index_path)
     if state is None:
         raise FileNotFoundError(f"no committed graph at {index_path}")
-    rows = spark.read.parquet(_edges_root(index_path, state))
+    # Prune uncommitted deltas (crash gap between delta write and
+    # pointer commit) before the last-writer-wins window, matching
+    # read_cms / the pointer-commit contract.
+    rows = spark.read.parquet(_edges_root(index_path, state)).filter(
+        F.col("batch") <= F.lit(state["last_batch_id"])
+    )
     from pyspark.sql import Window
 
     latest = F.max("batch").over(Window.partitionBy("id"))

@@ -85,9 +85,13 @@ def streaming_cms(
                 )
             if batch_id <= state["last_batch_id"]:
                 return  # same-checkpoint replay — already absorbed
+        # An empty batch adds nothing to any cell: never write an empty
+        # partial or churn the pointer for it (the watermark advances
+        # lazily with the next non-empty batch) — otherwise idle streams
+        # grow read-side batch fan-in until compaction for no content.
+        if batch.isEmpty():
+            return
         if state is None:
-            if batch.isEmpty():
-                return
             state = {
                 "version": 0,
                 "dir": "cms-v0",
