@@ -813,7 +813,9 @@ def q_user_value_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spans.groupBy("user_id")
         .agg(
-            F.sum((F.col("vc") * F.col("dt")).cast("decimal(38,0)")).alias("_num"),
+            # operand cast BEFORE the multiply (ab_cuped convention):
+            # the int64 product vc*dt would wrap silently at large spans
+            F.sum(F.col("vc").cast("decimal(38,0)") * F.col("dt")).alias("_num"),
             F.sum("dt").alias("_den"),
         )
         .select(
@@ -981,13 +983,17 @@ def q_events_autocorr7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_sub(F.col("dy"), 7).alias("dy"), F.col("x").alias("y")
     )
     pairs = daily.join(lead, "dy").select("x", "y")
+    # operand cast BEFORE the multiply (ab_cuped convention): decimal
+    # products never pass through a wrappable int64 intermediate
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     stats = pairs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -1052,6 +1052,10 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    # operand cast BEFORE the multiply (ab_cuped convention): decimal
+    # products never pass through a wrappable int64 intermediate
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     stats = (
         li.select("l_returnflag", x.alias("x"), y.alias("y"))
         .groupBy("l_returnflag")
@@ -1059,9 +1063,9 @@ def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("x").alias("sx"),
             F.sum("y").alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+            F.sum(dx * F.col("y")).alias("sxy"),
+            F.sum(dx * F.col("x")).alias("sxx"),
+            F.sum(dy * F.col("y")).alias("syy"),
         )
     )
     n = F.col("n").cast("double")
