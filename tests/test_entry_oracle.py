@@ -107,38 +107,37 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 11 rotated the window to: the five never-driver-gated
-    round-10 additions, then the 23 keys whose freshest driver row
-    was round 6, then the 22 least-recently-gated r7 keys — after
-    this gate every registered key has a driver row and none is
-    fresher-bounded below round 7. Any accidental reorder (new
-    entries must APPEND once the window is final) fails here before
-    it silently changes what the driver verifies."""
+    Round 12 rotated the window to: the seven never-driver-gated
+    round-11 additions, then the 43 least-recently-gated keys
+    (freshest driver row = round 7) — after this gate every
+    registered key has a driver row and none is fresher-bounded
+    below round 8. Any accidental reorder (new entries must APPEND
+    once the window is final) fails here before it silently changes
+    what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
     from spark_ifs_spark.registry._order import ORDER
 
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
-        # never-gated round-10 additions
-        "facility_select_k5", "ab_cuped", "curriculum_manifest",
-        "join_skew_plan", "knn_centrality",
-        # r6-era backfill (all 23 keys whose freshest row was round 6)
-        "ann_ivfpq_trained_audit", "collapse_repeats", "multimodal_jpeg_features",
-        "audio_mulaw_features", "dedup_substring_runs", "jmi_select_k5",
-        "cmim_select_k5", "word_triangles", "dedup_jaccard_prefix",
-        "dsir_select", "dedup_containment", "shard_manifest",
-        "maxsim_topk", "hybrid_rrf", "ppl_buckets",
-        "token_budget_alloc", "doc_novelty", "zipf_fit",
-        "embedding_effective_dim", "retrieval_eval_rrf", "corpus_report",
-        "ccnet_mix", "knn_label_accuracy",
-        # oldest r7-era block (22 keys)
-        "unigram_lm_vocab", "doremi_weights", "url_dedup",
-        "mrmr_k10_synthetic", "unigram_token_counts", "doremi_mix",
-        "tokenizer_fertility", "unigram_doc_tokens", "pref_bt_ratings",
-        "split_psi", "bootstrap_doclen_ci", "lm_kn_logprob",
-        "dedup_substring_removal", "events_user_stats", "pipeline_end_to_end",
-        "dup_clusters", "kmeans_step", "embedding_top_pairs",
-        "text_token_counts", "text_quality", "text_repetition",
-        "corpus_clean",
+        # never-gated round-11 additions
+        "ann_topk_graph", "ann_graph_recall_audit", "dedup_phash",
+        "cms_heavy_hitters", "quantile_sample_audit", "multimodal_frame_sample",
+        "sft_pack",
+        # least-recently-gated backlog (freshest driver row = round 7)
+        "vocab_top50", "lang_id",
+        "doc_fingerprint", "multimodal_features", "lineitem_pricing",
+        "nation_revenue", "priority_orders", "events_topk_per_type",
+        "events_asof_signup", "events_attribution", "events_rolling_7d",
+        "supplier_diversity", "split_counts", "docs_cap_per_source",
+        "scrub_pii", "doc_chunks", "packed_bins",
+        "decontam_ids", "tfidf_top3", "doc_length_quantiles",
+        "mix_by_source", "textrank_keywords", "event_transitions",
+        "docs_weighted_sample", "events_funnel", "events_cohorts",
+        "events_scd2", "cms_term_counts", "join_size_estimate",
+        "quality_calibration", "label_agreement_kappa", "ngram_coverage_curve",
+        "dedup_cluster_purity", "packing_waste_curve", "heaps_law_fit",
+        "quality_threshold_sweep", "dedup_retention", "readability_scores",
+        "source_centroid_sim", "zorder_layout", "priority_sample",
+        "kmv_distinct_sources", "winnow_pairs",
     ]

@@ -89,6 +89,29 @@ def gen(spark: SparkSession, factor: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/orders.parquet")
     )
+    # events: user_id (and event_id) shifted per replica — the user
+    # POPULATION grows N× inside the same 30-day span, like real
+    # product growth: per-user event counts, session shapes and
+    # conversation lengths stay fixed while row counts scale linearly,
+    # so user-keyed operators (sft_pack, sessionization, CUPED) face
+    # N× more groups of unchanged size — the shape they must scale on
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+    n_usr = ev.agg(F.max("user_id")).first()[0] + 1
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * n_usr).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
     return out
 
 
@@ -203,9 +226,8 @@ def main() -> None:
         "facility_select_k5",
         "curriculum_manifest",
         "knn_centrality",
-        # join_skew_plan and ab_cuped read events, which the replicator
-        # does not scale (docs/embeddings/orders only); both are plain
-        # two-level aggregates with no scale question to measure
+        # join_skew_plan and ab_cuped are plain two-level aggregates
+        # with no scale question to measure
         # round 11: the registry now stages ONE kNN-graph build per
         # (corpus, session) — the family rows above measure build-once
         # + consumer fan-out; the serving walk and its audit ride the
@@ -216,9 +238,10 @@ def main() -> None:
         "cms_heavy_hitters",
         "quantile_sample_audit",
         "multimodal_frame_sample",
-        # sft_pack reads events, which the replicator does not scale;
-        # design posture is stated in SCALE.md (conversation-bounded
-        # windows + the pack_assign class machinery)
+        # round 12: the events replicator (user population grows N×,
+        # per-conversation shape fixed) gives the events-table packers
+        # measured rows
+        "sft_pack",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -261,6 +284,7 @@ def main() -> None:
         "cms_heavy_hitters",
         "quantile_sample_audit",
         "multimodal_frame_sample",
+        "sft_pack",
     }
     if only:
         names = [n for n in names if n in only]
