@@ -266,6 +266,10 @@ BENCH_QUERIES = [
     "quantile_sample_audit",
     "multimodal_frame_sample",
     "sft_pack",
+    "rank_sketch_quantiles",
+    "mg_heavy_hitters",
+    "heavy_hitter_cross_audit",
+    "cross_modal_dedup",
 ]
 
 

@@ -428,3 +428,193 @@ def kmv_estimate(sketch: DataFrame, key_cols: list[str], k: int = 128) -> DataFr
         F.floor(F.lit(num) / F.col("kth_h").cast("double")).cast("long")
     )
     return agg.select(*key_cols, "n_sketch", "kth_h", est.alias("est_distinct"))
+
+
+def rank_sketch(
+    df: DataFrame, key_col: str, val_col: str, k: int = 512
+) -> DataFrame:
+    """``(h, v)`` — the bottom-k-by-hash RANK sketch: the ``k`` rows
+    whose md5(key) hashes are smallest, carrying their values. A
+    fixed-size, order-independent, mergeable rank summary (the KMV law
+    applied to rank queries): the k smallest hashes of a union are
+    contained in the union of each part's k smallest, so re-sketching
+    concatenated sketch rows IS the union's sketch —
+    :func:`rank_sketch_merge` is exact, pinned in ``test_sketches.py``.
+
+    Why this and not KLL / t-digest: their compaction decisions depend
+    on arrival and merge-tree order, so the sketch is not a function of
+    the row set — no independent engine can replay it value-for-value,
+    and batch ≡ stream equality would hold only for one fixed fold
+    order. Bottom-k-by-hash is a pure function of the rows: DuckDB
+    reproduces it bit-for-bit (``ORDER BY hash LIMIT k``), merges are
+    exactly associative/commutative, and the estimator's price is rank
+    error ``O(sqrt(ln(1/δ)/k))`` instead of KLL's ``O(1/k)`` — the
+    engine-portability trade this package takes everywhere (portable
+    HLL over HLL++, md5 MinHash over Spark's). The error is MEASURED,
+    not asserted, by the registry's rank audit.
+
+    Plan: one map-side hash projection + the salted two-stage top-k —
+    no task ever holds more than ``k × buckets`` rows, no global sort.
+    ``key_col`` must be unique per row (doc ids), making the kept rows
+    a uniform simple random sample of size k.
+    """
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = df.select(
+        F.lit(0).alias("_g"),
+        md5_int60(F.col(key_col).cast("string")).alias("h"),
+        F.col(val_col).alias("v"),
+    )
+    return salted_topk_per_key(
+        d, ["_g"], "h", k=k, descending=False
+    ).select("h", "v")
+
+
+def rank_sketch_merge(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    """Union two rank sketches — keep the k smallest hashes of the
+    concatenation (``sketch(A ∪ B)`` exactly, the KMV merge law)."""
+    from spark_ifs_spark.operators.topk import topk_per_key
+
+    u = a.unionByName(b).select(F.lit(0).alias("_g"), "h", "v")
+    # ≤ 2k input rows: the plain window top-k is the right tool
+    return topk_per_key(u, ["_g"], "h", k=k, descending=False).select("h", "v")
+
+
+def rank_sketch_quantiles(
+    sketch: DataFrame, qs_pct: list[int] | tuple[int, ...]
+) -> DataFrame:
+    """``(q_pct, v_est, n_sketch)`` — discrete quantile estimates read
+    off a rank sketch: the value at rank ``ceil(q·n_sketch/100)`` under
+    ``(v, h)`` order (hash tiebreak, so both engines pick the same
+    row). Every step is k-bounded — the rank window runs over sketch
+    rows only."""
+    if not qs_pct or any(q < 1 or q > 100 for q in qs_pct):
+        raise ValueError(f"qs_pct must be percentages in [1, 100], got {qs_pct}")
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    ranked = sketch.select(
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc(), F.col("h").asc()))
+        .alias("rn"),
+    )
+    n_df = sketch.agg(F.count(F.lit(1)).alias("n_sketch"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs_pct], "q_pct int")
+    targets = qdf.crossJoin(F.broadcast(n_df)).select(
+        "q_pct",
+        "n_sketch",
+        F.expr("(q_pct * n_sketch + 99) DIV 100").alias("target_rn"),
+    )
+    return targets.join(F.broadcast(ranked), F.col("target_rn") == F.col("rn")).select(
+        "q_pct", F.col("v").alias("v_est"), "n_sketch"
+    )
+
+
+def mg_summary(
+    df: DataFrame, col: str, k: int = 64, batch_rows: int = 65_536
+) -> DataFrame:
+    """``(term, c_low)`` — a merged Misra-Gries (SpaceSaving-style)
+    frequency summary of a key stream: per Spark partition, a
+    ``k``-counter MG summary built by folding Arrow batches (exact
+    in-batch counts, then the canonical COMPRESS: subtract the
+    (k+1)-th largest counter, drop non-positives — Agarwal et al.'s
+    mergeable-summaries rule), then one global counter-ADD across
+    partition summaries. The deficit telescopes: every compress
+    decrements all counters by its pivot, and the pivots' total is ≤
+    (rows folded so far)/(k+1) per partition, so after the global add
+
+        c(x) − n/(k+1)  ≤  c_low(x)  ≤  c(x)
+
+    — the MG undercount law (CMS overcounts, MG undercounts; the two
+    estimators bracket the truth, which is what the cross-audit query
+    exercises). State: ≤ k counters per partition summary, ≤ k·P rows
+    after the union — corpus-size-independent, like the CMS grid.
+
+    The summary's CONTENT below the guarantee line depends on partition
+    and batch boundaries (inherent to MG — it is not a pure function of
+    the multiset), so ``c_low`` is never exposed through an oracle-gated
+    column; the no-false-negative GUARANTEE is what downstream plans
+    rely on (:func:`mg_heavy_hitters` exact-verifies its shortlist),
+    and the bound itself is property-tested under random repartitioning
+    in ``test_sketches.py``.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _fold(it):
+        counters: dict = {}
+        for pdf in it:
+            vc = pdf[col].value_counts()
+            for term, c in vc.items():
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > k:
+                pivot = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - pivot for t, c in counters.items() if c > pivot
+                }
+        if counters:
+            yield pd.DataFrame(
+                {"term": list(counters.keys()), "c_low": list(counters.values())}
+            )
+
+    term_type = df.schema[col].dataType.simpleString()
+    parts = df.select(F.col(col)).mapInPandas(
+        _fold, schema=f"term {term_type}, c_low long"
+    )
+    return parts.groupBy("term").agg(F.sum("c_low").alias("c_low"))
+
+
+def mg_heavy_hitters(
+    df: DataFrame, col: str, phi_ppm: int = 20_000, k: int = 64
+) -> DataFrame:
+    """``(term, n_exact)`` — the exact φ-heavy-hitter set found via a
+    Misra-Gries-prefiltered two-pass plan: the deterministic UNDERcount
+    twin of :func:`cms_heavy_hitters`. Shortlist = keys whose merged MG
+    counter clears ``thresh − ceil(n/(k+1))`` (a true heavy hitter's
+    counter can undercount by at most n/(k+1) — no false negatives,
+    provided ``k+1 > 1e6/phi_ppm`` so the slack stays below the
+    threshold; enforced). Pass 2 exact-counts the shortlist only
+    (broadcast semi-join) and keeps rows ≥ thresh.
+
+    Output columns are exact (the MG counter itself is partition-order-
+    dependent and never surfaces); the sketch's role is pruning the key
+    space, same as the CMS route. Threshold arithmetic is the shared
+    decimal-ceil convention, overflow-safe past int64."""
+    if not 1 <= phi_ppm <= 1_000_000:
+        raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
+    if (k + 1) * phi_ppm <= 1_000_000:
+        raise ValueError(
+            f"k+1 = {k + 1} counters cannot guarantee φ = {phi_ppm} ppm "
+            f"heavy hitters (need k+1 > 1e6/phi_ppm = {1_000_000 / phi_ppm:.0f}"
+            " so the MG undercount stays below the threshold)"
+        )
+    total = df.agg(F.count(F.lit(1)).alias("n_total")).select(
+        "n_total",
+        F.expr(
+            f"CAST((CAST(n_total AS DECIMAL(38,0)) * {phi_ppm} + 999999)"
+            " DIV 1000000 AS BIGINT)"
+        ).alias("thresh"),
+        F.expr(f"CAST((n_total + {k}) DIV {k + 1} AS BIGINT)").alias("slack"),
+    )
+    summary = mg_summary(df, col, k=k)
+    cand = (
+        summary.crossJoin(F.broadcast(total))
+        .filter(F.col("c_low") >= F.col("thresh") - F.col("slack"))
+        .select("term")
+    )
+    exact = (
+        df.select(F.col(col).alias("term"))
+        .join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n_exact") >= F.col("thresh"))
+        .select("term", "n_exact")
+    )

@@ -31,7 +31,7 @@ from spark_ifs_spark.registry.text import *  # noqa: F401,F403
 from spark_ifs_spark.registry._order import ORDER
 
 _Q_ALIASES = {'bpe_train_merges': 'q_bpe_train'}
-_O_ALIASES = {'bpe_train_merges': 'sql_bpe_train', 'docs_length_deciles': 'sql_docs_length_deciles_full', 'row_select_k5': 'sql_mrmr_select_k5', 'dedup_embedding_bucketed': 'sql_dedup_embedding'}
+_O_ALIASES = {'bpe_train_merges': 'sql_bpe_train', 'docs_length_deciles': 'sql_docs_length_deciles_full', 'row_select_k5': 'sql_mrmr_select_k5', 'dedup_embedding_bucketed': 'sql_dedup_embedding', 'heavy_hitter_cross_audit': 'sql_cms_heavy_hitters'}
 
 _NS = globals()
 QUERIES = {k: _NS[_Q_ALIASES.get(k, f"q_{k}")] for k in ORDER}

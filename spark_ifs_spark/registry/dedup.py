@@ -1651,3 +1651,83 @@ JOIN fp fa ON fa.id = c.id_a
 JOIN fp fb ON fb.id = c.id_b
 WHERE bit_count(xor(fa.dhash, fb.dhash)) <= {mh}
 """
+
+
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate triage — the curation query the two
+    single-modality dedup families exist to serve: documents whose TEXT
+    is unique but whose IMAGE is a known near-duplicate (syndicated
+    artwork under fresh prose — keepable text, droppable asset) and the
+    reverse (rewritten boilerplate around a unique image — the text
+    dedup would drop a doc whose image modality is novel). Composition:
+    the minhash-LSH text-pair relation and the dHash image-pair
+    relation each reduce to their distinct member-id sets; one
+    id-keyed pass over the corpus flags the symmetric difference.
+    Bodies and pixels never move — both modalities travel as ids after
+    their banded self-joins, so the compose step adds two id-keyed
+    joins and nothing corpus-shaped."""
+    from spark_ifs_spark.operators.multimodal import (
+        attach_phash_payloads,
+        image_dhash,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    tpairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    )
+    tdup = (
+        tpairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(tpairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    payloads = attach_phash_payloads(docs, "doc_id")
+    fp = image_dhash(payloads, "id", "payload", grid=PHASH_GRID).select(
+        "id", F.col("dhash").alias("simhash")
+    )
+    ipairs = dedup.simhash_near_pairs(
+        fp, max_hamming=PHASH_MAX_HAMMING, bits=PHASH_GRID * (PHASH_GRID - 1)
+    )
+    idup = (
+        ipairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(ipairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_i", F.lit(1))
+    )
+    j = (
+        docs.select("doc_id")
+        .join(tdup, "doc_id", "left")
+        .join(idup, "doc_id", "left")
+    )
+    return j.filter(F.col("_t").isNull() != F.col("_i").isNull()).select(
+        "doc_id",
+        F.when(F.col("_i").isNotNull(), F.lit("image_only"))
+        .otherwise(F.lit("text_only"))
+        .alias("dup_modality"),
+    )
+
+
+def sql_cross_modal_dedup() -> str:
+    return f"""
+WITH tpairs AS MATERIALIZED (SELECT * FROM ({sql_dedup_minhash()}) tp),
+ipairs AS MATERIALIZED (SELECT * FROM ({sql_dedup_phash()}) ip),
+tdup AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM tpairs UNION ALL SELECT id_b FROM tpairs
+  )
+),
+idup AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM ipairs UNION ALL SELECT id_b FROM ipairs
+  )
+)
+SELECT d.doc_id,
+       CASE WHEN i.id IS NOT NULL THEN 'image_only' ELSE 'text_only' END
+         AS dup_modality
+FROM documents d
+LEFT JOIN tdup t ON t.id = d.doc_id
+LEFT JOIN idup i ON i.id = d.doc_id
+WHERE (t.id IS NULL) <> (i.id IS NULL)
+"""

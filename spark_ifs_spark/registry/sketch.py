@@ -240,6 +240,162 @@ FROM audit
 """
 
 
+RKS_K = 256  # rank-sketch size: fixed state, whatever the corpus
+RKS_QS = (25, 50, 75, 90, 99)
+
+
+def q_rank_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length quantiles from the MERGEABLE bottom-k-by-hash
+    rank sketch (:func:`~spark_ifs_spark.operators.sketches.
+    rank_sketch`) — the fixed-state counterpart of
+    ``quantile_sample_audit``'s linear-growth Bernoulli sample: state
+    is k rows whatever the corpus, shards fold by the exact KMV merge
+    law, and the streaming twin (``streaming/sketch.py:
+    streaming_rank_sketch``) maintains the identical sketch
+    incrementally. The estimate's TRUE rank is audited against the
+    full relation without a global sort (one conditional-count scan
+    with the 5-row estimate broadcast); ``err_ppm`` is the measured
+    rank error the k bought."""
+    from spark_ifs_spark.operators.sketches import (
+        rank_sketch,
+        rank_sketch_quantiles,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = rank_sketch(docs, "doc_id", "n_chars", k=RKS_K)
+    est = rank_sketch_quantiles(sk, RKS_QS)
+    audit = (
+        docs.select(F.col("n_chars").alias("fv"))
+        .crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "v_est", "n_sketch")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("fv") <= F.col("v_est"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+        )
+    )
+    return audit.select(
+        "q_pct",
+        "v_est",
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        "n_le",
+        F.expr(
+            "CAST((CAST(n_le AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_total AS BIGINT)"
+        ).alias("rank_ppm"),
+    ).withColumn(
+        "err_ppm",
+        F.abs(F.col("rank_ppm") - F.col("q_pct").cast("long") * F.lit(10_000)),
+    )
+
+
+def sql_rank_sketch_quantiles() -> str:
+    h = sql_md5_int60("CAST(doc_id AS VARCHAR)")
+    q_rows = ", ".join(f"({q})" for q in RKS_QS)
+    return f"""
+WITH sk AS (
+  SELECT n_chars AS v, {h} AS h FROM documents
+  ORDER BY h LIMIT {RKS_K}
+),
+ranked AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn FROM sk),
+ns AS (SELECT count(*) AS n_sketch FROM sk),
+qs(q_pct) AS (VALUES {q_rows}),
+targets AS (
+  SELECT q_pct, n_sketch, (q_pct * n_sketch + 99) // 100 AS target_rn
+  FROM qs, ns
+),
+est AS (
+  SELECT q_pct, v AS v_est, n_sketch
+  FROM targets JOIN ranked ON target_rn = rn
+),
+audit AS (
+  SELECT q_pct, v_est, n_sketch, count(*) AS n_total,
+         CAST(sum(CASE WHEN d.n_chars <= v_est THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_le
+  FROM documents d CROSS JOIN est
+  GROUP BY 1, 2, 3
+)
+SELECT q_pct, v_est, CAST(n_sketch AS BIGINT) AS n_sketch, n_le,
+       CAST((CAST(n_le AS HUGEINT) * 1000000) // n_total AS BIGINT)
+         AS rank_ppm,
+       abs(CAST((CAST(n_le AS HUGEINT) * 1000000) // n_total AS BIGINT)
+           - q_pct * CAST(10000 AS BIGINT)) AS err_ppm
+FROM audit
+"""
+
+
+MG_K = 48  # MG counters: undercount slack n/49 << φn at φ = 3.3%
+
+
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitters over the corpus token stream via the
+    Misra-Gries-prefiltered two-pass plan
+    (:func:`~spark_ifs_spark.operators.sketches.mg_heavy_hitters`) —
+    the deterministic UNDERcount twin of ``cms_heavy_hitters``: per-
+    partition k-counter summaries fold by counter addition, a true
+    heavy hitter's merged counter can undercount by at most n/(k+1)
+    (< the threshold by construction), so the shortlist has no false
+    negatives and the exact verify pass drops the rest. Output is the
+    exact heavy-hitter set with exact counts; the sketch's bounded
+    state and undercount law are property-tested under random
+    repartitioning in ``test_sketches.py``."""
+    from spark_ifs_spark.operators.sketches import mg_heavy_hitters
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    return mg_heavy_hitters(toks, "w", phi_ppm=HH_PHI_PPM, k=MG_K)
+
+
+def sql_mg_heavy_hitters() -> str:
+    return f"""
+WITH toks AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+total AS (
+  SELECT CAST((CAST(count(*) AS HUGEINT) * {HH_PHI_PPM} + 999999) // 1000000
+              AS BIGINT) AS thresh
+  FROM toks
+)
+SELECT w AS term, CAST(count(*) AS BIGINT) AS n_exact
+FROM toks, total
+GROUP BY w, thresh
+HAVING count(*) >= thresh
+"""
+
+
+def q_heavy_hitter_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS route and the MG route run INDEPENDENTLY over the same
+    token stream at the same φ and must agree exactly — the sketch
+    cross-audit the ANN family's recall audits model: CMS shortlists by
+    overcounting (no false negatives from above), MG by undercounting
+    (no false negatives from below), both exact-verify, so any
+    disagreement is a bug in one of the two sketch paths and surfaces
+    here as a dropped row. Output = the agreed heavy-hitter rows with
+    the CMS estimate (``cms_heavy_hitters`` schema); the oracle is the
+    CMS body — a term either route misses never reaches the output, so
+    the gate fails loudly rather than silently."""
+    from spark_ifs_spark.operators.sketches import (
+        cms_heavy_hitters,
+        mg_heavy_hitters,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    via_cms = cms_heavy_hitters(
+        toks, "w", phi_ppm=HH_PHI_PPM, depth=CMS_DEPTH, width=CMS_WIDTH,
+        seed=CMS_SEED,
+    )
+    via_mg = mg_heavy_hitters(toks, "w", phi_ppm=HH_PHI_PPM, k=MG_K).select(
+        "term", F.col("n_exact").alias("_n_mg")
+    )
+    return (
+        via_cms.join(via_mg, "term")
+        .filter(F.col("n_exact") == F.col("_n_mg"))
+        .select("term", "est", "n_exact", "over_ppm")
+    )
+
+
 def q_docs_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``docs_profile`` distinct counts as a TRUE single-pass plan:
     all five columns stack into (col, value) pairs map-side and feed

@@ -183,6 +183,135 @@ def compact_cms(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(os.path.join(root, old), ignore_errors=True)
 
 
+_RANK_SCHEMA = "h long, v long, batch int"
+
+
+def streaming_rank_sketch(
+    stream: DataFrame,
+    key_col: str,
+    val_col: str,
+    index_path: str,
+    checkpoint: str,
+    k: int = 512,
+):
+    """Maintain a bottom-k-by-hash rank sketch
+    (:func:`~spark_ifs_spark.operators.sketches.rank_sketch`) over a
+    keyed value stream — quantile estimation whose maintained state is
+    ``k`` rows regardless of stream size, under the same pointer-commit
+    contract as :func:`streaming_cms`. Append-only like the CMS: each
+    micro-batch writes its OWN k-bounded bottom-k partial (the batch's
+    sketch), never reading accumulated state; the KMV merge law — the k
+    smallest hashes of a union are contained in the union of each
+    part's k smallest — makes the read-side fold EXACTLY the one-shot
+    sketch of the concatenated stream, so batch ≡ stream parity is
+    equality (pinned in ``tests/test_streaming_sketch.py``). Returns
+    the StreamingQuery."""
+    from spark_ifs_spark.operators.sketches import rank_sketch
+
+    root = index_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    params = {"k": k}
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        state = _read_state(index_path)
+        if state is not None:
+            if state["params"] != params:
+                raise ValueError(
+                    f"rank sketch at {index_path} was built with "
+                    f"{state['params']}, appender configured with {params} — "
+                    "sketches under different k must not fold; rebuild or match"
+                )
+            if batch_id <= state["last_batch_id"]:
+                return  # same-checkpoint replay — already absorbed
+        if batch.isEmpty():
+            return  # nothing to sketch: no empty partial, no pointer churn
+        if state is None:
+            state = {
+                "version": 0,
+                "dir": "rks-v0",
+                "last_batch_id": -1,
+                "params": params,
+            }
+        part = rank_sketch(batch, key_col, val_col, k=k)
+        part.write.mode("overwrite").parquet(
+            os.path.join(root, state["dir"], "rows", f"batch={batch_id}")
+        )
+        state["last_batch_id"] = batch_id
+        _commit_state(index_path, state)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rank_sketch(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(h, v)`` — the live rank sketch: bottom-k over one consistent
+    (version, watermark) snapshot of the committed k-bounded partials.
+    The fold window runs over ≤ batches·k rows (``compact_rank_sketch``
+    folds that back to k), never the stream."""
+    from spark_ifs_spark.operators.topk import topk_per_key
+
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed rank sketch at {index_path}")
+    path = os.path.join(index_path.rstrip("/"), state["dir"], "rows")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _RANK_SCHEMA).select("h", "v")
+    rows = (
+        spark.read.parquet(path)
+        .where(F.col("batch") <= state["last_batch_id"])
+        .select(F.lit(0).alias("_g"), "h", "v")
+    )
+    return topk_per_key(
+        rows, ["_g"], "h", k=state["params"]["k"], descending=False
+    ).select("h", "v")
+
+
+def compact_rank_sketch(spark: SparkSession, index_path: str) -> None:
+    """Fold the committed partials into a single ``batch=-1`` base in a
+    NEW version directory and swing the pointer atomically — the KMV
+    merge is exact, so the folded sketch equals the pre-compaction
+    read. Crash-safe like the sibling modules."""
+    root = index_path.rstrip("/")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed rank sketch at {index_path}")
+    for d in os.listdir(root):
+        if d.startswith("rks-v") and d != state["dir"]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    live = read_rank_sketch(spark, index_path).localCheckpoint(eager=True)
+    new_version = state["version"] + 1
+    new_dir = f"rks-v{new_version}"
+    live.write.mode("overwrite").parquet(
+        os.path.join(root, new_dir, "rows", "batch=-1")
+    )
+    old = state["dir"]
+    _commit_state(
+        index_path,
+        {
+            "version": new_version,
+            "dir": new_dir,
+            "last_batch_id": state["last_batch_id"],
+            "params": state["params"],
+        },
+    )
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
+
+def rank_sketch_index_quantiles(
+    spark: SparkSession, index_path: str, qs_pct
+) -> DataFrame:
+    """``(q_pct, v_est, n_sketch)`` — quantile estimates served
+    straight from the maintained sketch (k-bounded work, no stream
+    access), with the index's own committed k."""
+    from spark_ifs_spark.operators.sketches import rank_sketch_quantiles
+
+    return rank_sketch_quantiles(read_rank_sketch(spark, index_path), qs_pct)
+
+
 def cms_index_heavy_cells(
     spark: SparkSession, index_path: str, phi_ppm: int
 ) -> DataFrame:

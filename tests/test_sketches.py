@@ -238,3 +238,140 @@ def test_cms_build_rejects_degenerate_grid(spark, tokens):
         sketches.cms_build(tokens, "w", depth=0, width=64)
     with pytest.raises(ValueError):
         sketches.cms_build(tokens, "w", depth=4, width=0)
+
+
+# -- rank sketch (bottom-k-by-hash) -------------------------------------------
+
+
+def test_rank_sketch_exhaustive_is_exact(spark):
+    """k >= n keeps every row, so the sketch quantile IS the exact
+    discrete quantile of the full relation."""
+    rows = [(i, (i * 37) % 100) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    sk = sketches.rank_sketch(df, "id", "v", k=500)
+    assert sk.count() == 80
+    got = {
+        r["q_pct"]: r["v_est"]
+        for r in sketches.rank_sketch_quantiles(sk, (25, 50, 100)).collect()
+    }
+    vals = sorted(v for _, v in rows)
+    assert got[25] == vals[-(-25 * 80 // 100) - 1]
+    assert got[50] == vals[-(-50 * 80 // 100) - 1]
+    assert got[100] == vals[-1]
+
+
+def test_rank_sketch_merge_equals_direct_sketch(spark):
+    """The KMV merge law applied to rank sketches: merging two shard
+    sketches equals sketching the union directly — exact equality,
+    the property the streaming maintenance relies on."""
+    rows = [(i, (i * 13) % 57) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    a = df.where(F.col("id") % 2 == 0)
+    b = df.where(F.col("id") % 2 == 1)
+    merged = sketches.rank_sketch_merge(
+        sketches.rank_sketch(a, "id", "v", k=64),
+        sketches.rank_sketch(b, "id", "v", k=64),
+        k=64,
+    )
+    direct = sketches.rank_sketch(df, "id", "v", k=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert merged.count() == 64
+
+
+def test_rank_sketch_validates_args(spark):
+    df = spark.createDataFrame([(1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.rank_sketch(df, "id", "v", k=0)
+    sk = sketches.rank_sketch(df, "id", "v", k=4)
+    with pytest.raises(ValueError, match="percentages"):
+        sketches.rank_sketch_quantiles(sk, (0, 50))
+
+
+def test_rank_sketch_error_shrinks_with_k(spark):
+    """Measured rank error of the median estimate tightens as k grows
+    (the audit every estimator ships, as a property)."""
+    n = 4000
+    df = spark.createDataFrame(
+        [(i, i) for i in range(n)], "id long, v long"
+    )
+
+    def median_rank_err(k):
+        sk = sketches.rank_sketch(df, "id", "v", k=k)
+        est = sketches.rank_sketch_quantiles(sk, (50,)).collect()[0]["v_est"]
+        true_rank = (est + 1) / n  # v = rank in this fixture
+        return abs(true_rank - 0.50)
+
+    assert median_rank_err(1024) < 0.05
+    assert median_rank_err(16) >= median_rank_err(1024)
+
+
+# -- Misra-Gries summary / heavy hitters --------------------------------------
+
+
+def _mg_fixture(spark, seed=0):
+    # 'hot' 300, 'warm' 100, 600 distinct singletons -> n = 1000
+    words = (
+        ["hot"] * 300 + ["warm"] * 100 + [f"s{seed}_{i}" for i in range(600)]
+    )
+    return spark.createDataFrame([(w,) for w in words], ["w"])
+
+
+def test_mg_summary_undercount_law_under_repartition(spark):
+    """c(x) - n/(k+1) <= c_low(x) <= c(x) for every surviving key, and
+    the summary stays k-bounded per partition — under several random
+    partitionings (MG content is partition-dependent; the LAW is not)."""
+    df = _mg_fixture(spark)
+    n = df.count()
+    k = 16
+    exact = {r["w"]: r["cnt"] for r in df.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for parts in (1, 3, 8):
+        summ = sketches.mg_summary(df.repartition(parts), "w", k=k)
+        rows = summ.collect()
+        assert len(rows) <= k * parts
+        slack = -(-n // (k + 1))
+        for r in rows:
+            assert r["c_low"] <= exact[r["term"]]
+        # the heavy key must survive with a counter above its bound
+        got = {r["term"]: r["c_low"] for r in rows}
+        assert got.get("hot", 0) >= exact["hot"] - slack
+        assert got.get("warm", 0) >= exact["warm"] - slack
+
+
+def test_mg_heavy_hitters_exact_set(spark):
+    """phi at 15% keeps exactly 'hot' (30%); the output count is exact."""
+    df = _mg_fixture(spark)
+    out = sketches.mg_heavy_hitters(df, "w", phi_ppm=150_000, k=16).collect()
+    assert [(r["term"], r["n_exact"]) for r in out] == [("hot", 300)]
+
+
+def test_mg_heavy_hitters_agrees_with_cms_route(spark):
+    """The two-estimator cross-audit: CMS (overcount shortlist) and MG
+    (undercount shortlist) verify to the identical exact set."""
+    df = _mg_fixture(spark, seed=1)
+    via_mg = sorted(
+        (r["term"], r["n_exact"])
+        for r in sketches.mg_heavy_hitters(
+            df, "w", phi_ppm=90_000, k=16
+        ).collect()
+    )
+    via_cms = sorted(
+        (r["term"], r["n_exact"])
+        for r in sketches.cms_heavy_hitters(
+            df, "w", phi_ppm=90_000, depth=4, width=64, seed=9
+        ).collect()
+    )
+    assert via_mg == via_cms == [("hot", 300), ("warm", 100)]
+
+
+def test_mg_heavy_hitters_validates_args(spark):
+    df = spark.createDataFrame([("x",)], ["w"])
+    with pytest.raises(ValueError, match="phi_ppm"):
+        sketches.mg_heavy_hitters(df, "w", phi_ppm=0, k=16)
+    with pytest.raises(ValueError, match="cannot guarantee"):
+        # k+1 = 5 counters, phi = 10%: slack n/5 = 20% > threshold
+        sketches.mg_heavy_hitters(df, "w", phi_ppm=100_000, k=4)
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.mg_summary(df, "w", k=0)

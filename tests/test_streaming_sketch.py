@@ -177,3 +177,161 @@ def test_heavy_cells_from_maintained_grid(spark, tmp_path):
         if r["c"] >= thresh
     }
     assert got == want
+
+
+# -- streaming rank sketch (bottom-k-by-hash) ---------------------------------
+
+RK = 32
+
+
+def _vdf(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, (i * 37) % 211) for i in range(lo, hi)], "doc_id long, v long"
+    )
+
+
+def _run_rks(spark, src, store, ckpt, schema, k=RK):
+    from spark_ifs_spark.streaming.sketch import streaming_rank_sketch
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = streaming_rank_sketch(
+        stream, "doc_id", "v", str(store), str(ckpt), k=k
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _rks_rows(spark, store):
+    from spark_ifs_spark.streaming.sketch import read_rank_sketch
+
+    return sorted(map(tuple, read_rank_sketch(spark, str(store)).collect()))
+
+
+def _feed_rks(spark, tmp_path, ck="ck"):
+    src, store = tmp_path / "feed", tmp_path / "rks"
+    b1, b2 = _vdf(spark, 0, 60), _vdf(spark, 60, 150)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run_rks(spark, src, store, tmp_path / ck, b1.schema)
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run_rks(spark, src, store, tmp_path / ck, b1.schema)
+    return src, store, b1.unionByName(b2)
+
+
+def test_streamed_rank_sketch_matches_batch(spark, tmp_path):
+    """EXACT equality with the one-shot rank_sketch over the
+    concatenated stream (the KMV merge law), and the served quantiles
+    equal the batch operator's."""
+    from spark_ifs_spark.operators.sketches import (
+        rank_sketch,
+        rank_sketch_quantiles,
+    )
+    from spark_ifs_spark.streaming.sketch import rank_sketch_index_quantiles
+
+    _, store, all_rows = _feed_rks(spark, tmp_path)
+    want = sorted(
+        map(tuple, rank_sketch(all_rows, "doc_id", "v", k=RK).collect())
+    )
+    got = _rks_rows(spark, store)
+    assert got == want
+    assert len(got) == RK
+    served = sorted(
+        map(
+            tuple,
+            rank_sketch_index_quantiles(spark, str(store), (25, 50, 99)).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            rank_sketch_quantiles(
+                rank_sketch(all_rows, "doc_id", "v", k=RK), (25, 50, 99)
+            ).collect(),
+        )
+    )
+    assert served == batch
+
+
+def test_rank_sketch_replay_absorbed(spark, tmp_path):
+    src, store, _ = _feed_rks(spark, tmp_path)
+    before = _rks_rows(spark, store)
+    _run_rks(spark, src, store, tmp_path / "ck_replay", _vdf(spark, 0, 1).schema)
+    assert _rks_rows(spark, store) == before
+
+
+def test_rank_sketch_crash_window_recovered(spark, tmp_path):
+    """Pointer lost after batch 1's rows were written: the orphan is
+    invisible; replay from the pre-crash checkpoint restores it."""
+    import shutil
+
+    src, store = tmp_path / "feed", tmp_path / "rks"
+    b1, b2 = _vdf(spark, 0, 60), _vdf(spark, 60, 150)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run_rks(spark, src, store, tmp_path / "ck", b1.schema)
+    shutil.copytree(tmp_path / "ck", tmp_path / "ck_crash")
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run_rks(spark, src, store, tmp_path / "ck", b1.schema)
+    before = _rks_rows(spark, store)
+    p = _pointer_path(str(store))
+    state = json.load(open(p))
+    assert state["last_batch_id"] == 1
+    state["last_batch_id"] = 0
+    json.dump(state, open(p, "w"))
+    assert _rks_rows(spark, store) != before  # batch 1 pruned by watermark
+    _run_rks(spark, src, store, tmp_path / "ck_crash", b1.schema)
+    assert _rks_rows(spark, store) == before
+    assert json.load(open(p))["last_batch_id"] == 1
+
+
+def test_rank_sketch_compaction_preserving(spark, tmp_path):
+    from spark_ifs_spark.operators.sketches import rank_sketch
+    from spark_ifs_spark.streaming.sketch import compact_rank_sketch
+
+    src, store, _ = _feed_rks(spark, tmp_path)
+    before = _rks_rows(spark, store)
+    compact_rank_sketch(spark, str(store))
+    assert _rks_rows(spark, store) == before
+    vdirs = [d for d in os.listdir(store) if d.startswith("rks-v")]
+    assert vdirs == ["rks-v1"]
+    b3 = _vdf(spark, 150, 200)
+    b3.write.parquet(str(src / "f3.parquet"))
+    _run_rks(spark, src, store, store.parent / "ck", b3.schema)
+    all_rows = _vdf(spark, 0, 150).unionByName(b3)
+    want = sorted(
+        map(tuple, rank_sketch(all_rows, "doc_id", "v", k=RK).collect())
+    )
+    assert _rks_rows(spark, store) == want
+
+
+def test_rank_sketch_k_mismatch_is_hard_error(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from spark_ifs_spark.streaming.sketch import streaming_rank_sketch
+
+    src, store, _ = _feed_rks(spark, tmp_path)
+    src2 = store.parent / "feed_bad"
+    _vdf(spark, 200, 205).write.parquet(str(src2 / "f.parquet"))
+    stream = spark.readStream.schema(_vdf(spark, 0, 1).schema).parquet(
+        str(src2) + "/*"
+    )
+    q = streaming_rank_sketch(
+        stream, "doc_id", "v", str(store), str(tmp_path / "ck_bad"), k=RK + 1
+    )
+    with pytest.raises(StreamingQueryException, match="was built with"):
+        q.awaitTermination(120)
+
+
+def test_empty_batch_never_writes_or_commits(spark, tmp_path):
+    """An empty micro-batch must not write an empty partial or churn
+    the pointer once the index exists (both the CMS and the rank
+    sketch hoist the isEmpty early-return above state handling)."""
+    src, store, _ = _feed_all(spark, tmp_path)
+    p = _pointer_path(str(store))
+    before_state = json.load(open(p))
+    before_grid = _grid(spark, store)
+    empty = _df(spark, 0, 0)
+    empty.write.parquet(str(src / "f_empty.parquet"))
+    _run(spark, src, store, store.parent / "ck", empty.schema)
+    assert json.load(open(p)) == before_state
+    assert _grid(spark, store) == before_grid
+    cells = store / "cms-v0" / "cells"
+    batches = sorted(d for d in os.listdir(cells) if d.startswith("batch="))
+    assert batches == ["batch=0", "batch=1"]

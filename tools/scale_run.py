@@ -242,6 +242,10 @@ def main() -> None:
         # per-conversation shape fixed) gives the events-table packers
         # measured rows
         "sft_pack",
+        "rank_sketch_quantiles",
+        "mg_heavy_hitters",
+        "heavy_hitter_cross_audit",
+        "cross_modal_dedup",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -285,6 +289,10 @@ def main() -> None:
         "quantile_sample_audit",
         "multimodal_frame_sample",
         "sft_pack",
+        "rank_sketch_quantiles",
+        "mg_heavy_hitters",
+        "heavy_hitter_cross_audit",
+        "cross_modal_dedup",
     }
     if only:
         names = [n for n in names if n in only]
