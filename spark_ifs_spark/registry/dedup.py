@@ -1665,7 +1665,18 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed pass over the corpus flags the symmetric difference.
     Bodies and pixels never move — both modalities travel as ids after
     their banded self-joins, so the compose step adds two id-keyed
-    joins and nothing corpus-shaped."""
+    joins and nothing corpus-shaped.
+
+    The image side needs MEMBERSHIP, not the pair relation, so it
+    never enumerates the quadratic pair classes ``dedup_phash``
+    rightly outputs: docs sharing a dhash are dup by one hash-grouped
+    count (a class of m identical fingerprints is m rows here, m²
+    pairs there), and the Hamming-banded join runs over ONE
+    representative per DISTINCT dhash — equivalent because a class
+    member's neighbors are exactly its representative's neighbors.
+    Measured (SCALE.md): pair-enumeration 170 s / 525 s at 10× / 100×;
+    compressed 63 s / 72 s — near-flat, because the representative
+    relation grows with DISTINCT fingerprints, not corpus size."""
     from spark_ifs_spark.operators.multimodal import (
         attach_phash_payloads,
         image_dhash,
@@ -1687,14 +1698,22 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = image_dhash(payloads, "id", "payload", grid=PHASH_GRID).select(
         "id", F.col("dhash").alias("simhash")
     )
-    ipairs = dedup.simhash_near_pairs(
-        fp, max_hamming=PHASH_MAX_HAMMING, bits=PHASH_GRID * (PHASH_GRID - 1)
+    cls = fp.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("_m"), F.min("id").alias("_rep")
+    )
+    exact_members = fp.join(
+        cls.filter(F.col("_m") > 1).select("simhash"), "simhash", "left_semi"
+    ).select(F.col("id").alias("doc_id"))
+    reps = cls.select(F.col("_rep").alias("id"), "simhash")
+    rpairs = dedup.simhash_near_pairs(
+        reps, max_hamming=PHASH_MAX_HAMMING, bits=PHASH_GRID * (PHASH_GRID - 1)
+    )
+    near_reps = (
+        rpairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(rpairs.select(F.col("id_b").alias("doc_id")))
     )
     idup = (
-        ipairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(ipairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-        .withColumn("_i", F.lit(1))
+        exact_members.unionByName(near_reps).distinct().withColumn("_i", F.lit(1))
     )
     j = (
         docs.select("doc_id")

@@ -301,6 +301,170 @@ def compact_rank_sketch(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(os.path.join(root, old), ignore_errors=True)
 
 
+def streaming_mg(
+    stream: DataFrame,
+    col: str,
+    index_path: str,
+    checkpoint: str,
+    k: int = 64,
+):
+    """Maintain a Misra-Gries frequency summary over a key stream —
+    the UNDERcount member of the maintained-sketch family (CMS
+    overcounts, the rank sketch samples): each micro-batch writes its
+    own k·P-bounded MG summary partial
+    (:func:`~spark_ifs_spark.operators.sketches.mg_summary`) plus its
+    row count; the read side folds partials by counter ADDITION (the
+    mergeable-summaries law). Stream length accumulates in the pointer
+    (``n_rows``), so heavy-hitter shortlists come straight off the
+    index with the exact slack bound.
+
+    Parity contract, stated honestly: unlike the CMS grid and the rank
+    sketch, an MG summary is NOT a pure function of the multiset —
+    its sub-bound content depends on partition/batch boundaries — so
+    batch ≡ stream parity here is the LAW, not row equality: the
+    folded read obeys ``c(x) − n/(k+1) ≤ c_low(x) ≤ c(x)`` for the
+    concatenated stream (per-batch deficits ≤ n_b/(k+1) telescope),
+    pinned by the undercount-law pytest. Returns the StreamingQuery."""
+    from spark_ifs_spark.operators.sketches import mg_summary
+
+    root = index_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    params = {"k": k}
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        state = _read_state(index_path)
+        if state is not None:
+            if state["params"] != params:
+                raise ValueError(
+                    f"mg summary at {index_path} was built with "
+                    f"{state['params']}, appender configured with {params} — "
+                    "summaries under different k must not add; rebuild or match"
+                )
+            if batch_id <= state["last_batch_id"]:
+                return  # same-checkpoint replay — already absorbed
+        if batch.isEmpty():
+            return  # no empty partial, no pointer churn
+        if state is None:
+            state = {
+                "version": 0,
+                "dir": "mg-v0",
+                "last_batch_id": -1,
+                "params": params,
+                "n_rows": 0,
+            }
+        rows = batch.select(F.col(col)).localCheckpoint(eager=True)
+        n_b = rows.count()
+        part = mg_summary(rows, col, k=k)
+        part.write.mode("overwrite").parquet(
+            os.path.join(root, state["dir"], "counters", f"batch={batch_id}")
+        )
+        # replay rewrites the same bytes AND must not double-count n:
+        # n_rows advances only with the watermark, in the same commit
+        state["last_batch_id"] = batch_id
+        state["n_rows"] = state["n_rows"] + n_b
+        _commit_state(index_path, state)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_mg(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(term, c_low)`` — the live folded summary: counter addition
+    over one consistent (version, watermark) snapshot of the committed
+    partials. Bounded by batches·k·P rows (``compact_mg`` folds that
+    back to k)."""
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed mg summary at {index_path}")
+    path = os.path.join(index_path.rstrip("/"), state["dir"], "counters")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], "term string, c_low long").select(
+            "term", "c_low"
+        )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("batch") <= state["last_batch_id"])
+        .groupBy("term")
+        .agg(F.sum("c_low").alias("c_low"))
+    )
+
+
+def mg_index_candidates(
+    spark: SparkSession, index_path: str, phi_ppm: int
+) -> DataFrame:
+    """``(term, c_low)`` — the heavy-hitter SHORTLIST served straight
+    from the maintained summary: keys whose folded counter clears
+    ``thresh − ceil(n/(k+1))``, with n and k from the pointer itself.
+    No false negatives (the MG undercount law); callers exact-verify
+    against their key relation, as :func:`~spark_ifs_spark.operators.
+    sketches.mg_heavy_hitters` does in batch. Requires
+    ``k+1 > 1e6/phi_ppm`` (else the slack swallows the threshold)."""
+    if not 1 <= phi_ppm <= 1_000_000:
+        raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed mg summary at {index_path}")
+    k = state["params"]["k"]
+    if (k + 1) * phi_ppm <= 1_000_000:
+        raise ValueError(
+            f"k+1 = {k + 1} counters cannot guarantee φ = {phi_ppm} ppm"
+        )
+    n = state["n_rows"]
+    thresh = -(-n * phi_ppm // 1_000_000)
+    slack = -(-n // (k + 1))
+    return read_mg(spark, index_path).filter(
+        F.col("c_low") >= F.lit(max(thresh - slack, 1))
+    )
+
+
+def compact_mg(spark: SparkSession, index_path: str) -> None:
+    """Fold the committed partials into a single ``batch=-1`` base of
+    ≤ k counters in a NEW version directory: counter addition then the
+    canonical compress (subtract the (k+1)-th largest, drop
+    non-positives). NOT value-preserving — compression spends more of
+    the deficit budget — but LAW-preserving: the total deficit stays
+    ≤ n/(k+1) (the mergeable-summaries theorem), which is the only
+    property readers rely on. Crash-safe like the sibling modules."""
+    root = index_path.rstrip("/")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed mg summary at {index_path}")
+    for d in os.listdir(root):
+        if d.startswith("mg-v") and d != state["dir"]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    k = state["params"]["k"]
+    live = read_mg(spark, index_path).collect()  # ≤ batches·k·P rows
+    counters = {r["term"]: r["c_low"] for r in live}
+    if len(counters) > k:
+        pivot = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - pivot for t, c in counters.items() if c > pivot}
+    folded = spark.createDataFrame(
+        [(t, int(c)) for t, c in sorted(counters.items())],
+        "term string, c_low long",
+    )
+    new_version = state["version"] + 1
+    new_dir = f"mg-v{new_version}"
+    folded.write.mode("overwrite").parquet(
+        os.path.join(root, new_dir, "counters", "batch=-1")
+    )
+    old = state["dir"]
+    _commit_state(
+        index_path,
+        {
+            "version": new_version,
+            "dir": new_dir,
+            "last_batch_id": state["last_batch_id"],
+            "params": state["params"],
+            "n_rows": state["n_rows"],
+        },
+    )
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
+
 def rank_sketch_index_quantiles(
     spark: SparkSession, index_path: str, qs_pct
 ) -> DataFrame:

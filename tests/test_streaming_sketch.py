@@ -335,3 +335,136 @@ def test_empty_batch_never_writes_or_commits(spark, tmp_path):
     cells = store / "cms-v0" / "cells"
     batches = sorted(d for d in os.listdir(cells) if d.startswith("batch="))
     assert batches == ["batch=0", "batch=1"]
+
+
+# -- streaming Misra-Gries maintenance ----------------------------------------
+
+MGK = 16
+
+
+def _run_mg(spark, src, store, ckpt, schema, k=MGK):
+    from spark_ifs_spark.streaming.sketch import streaming_mg
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = streaming_mg(stream, "w", str(store), str(ckpt), k=k)
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _mg_counters(spark, store):
+    from spark_ifs_spark.streaming.sketch import read_mg
+
+    return {r["term"]: r["c_low"] for r in read_mg(spark, str(store)).collect()}
+
+
+def _feed_mg(spark, tmp_path, ck="ck"):
+    src, store = tmp_path / "feed", tmp_path / "mg"
+    b1, b2 = _df(spark, 0, 60), _df(spark, 60, 100)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run_mg(spark, src, store, tmp_path / ck, b1.schema)
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run_mg(spark, src, store, tmp_path / ck, b1.schema)
+    return src, store, b1.unionByName(b2)
+
+
+def test_streamed_mg_obeys_undercount_law(spark, tmp_path):
+    """Batch ≡ stream parity for MG is the LAW, not row equality (the
+    summary is not a pure function of the multiset): the folded read
+    obeys c(x) − n/(k+1) ≤ c_low(x) ≤ c(x) on the concatenated stream,
+    and the pointer's n_rows is the exact stream length."""
+    from spark_ifs_spark.streaming.sketch import _read_state
+
+    _, store, all_rows = _feed_mg(spark, tmp_path)
+    n = all_rows.count()
+    exact = {
+        r["w"]: r["cnt"]
+        for r in all_rows.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got = _mg_counters(spark, store)
+    slack = -(-n // (MGK + 1))
+    for term, c_low in got.items():
+        assert c_low <= exact[term]
+    # the dominant key survives above its lower bound
+    assert got.get("hot", 0) >= exact["hot"] - slack
+    assert _read_state(str(store))["n_rows"] == n
+
+
+def test_mg_index_candidates_no_false_negatives(spark, tmp_path):
+    from spark_ifs_spark.streaming.sketch import mg_index_candidates
+
+    _, store, all_rows = _feed_mg(spark, tmp_path)
+    n = all_rows.count()
+    exact = {
+        r["w"]: r["cnt"]
+        for r in all_rows.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    phi = 200_000  # 'hot' is ~half the stream
+    heavy = {t for t, c in exact.items() if c * 1_000_000 >= n * phi}
+    assert heavy
+    shortlist = {
+        r["term"] for r in mg_index_candidates(spark, str(store), phi).collect()
+    }
+    assert heavy <= shortlist
+
+
+def test_mg_replay_absorbed_and_n_not_double_counted(spark, tmp_path):
+    from spark_ifs_spark.streaming.sketch import _read_state
+
+    src, store, all_rows = _feed_mg(spark, tmp_path)
+    before = _mg_counters(spark, store)
+    n_before = _read_state(str(store))["n_rows"]
+    _run_mg(spark, src, store, store.parent / "ck_replay", _df(spark, 0, 1).schema)
+    assert _mg_counters(spark, store) == before
+    assert _read_state(str(store))["n_rows"] == n_before == all_rows.count()
+
+
+def test_mg_compaction_preserves_the_law(spark, tmp_path):
+    """Compaction folds to ≤ k counters and spends more deficit budget
+    but keeps every key's counter a valid lower bound with total slack
+    ≤ n/(k+1) for the dominant keys."""
+    from spark_ifs_spark.streaming.sketch import compact_mg
+
+    src, store, all_rows = _feed_mg(spark, tmp_path)
+    n = all_rows.count()
+    exact = {
+        r["w"]: r["cnt"]
+        for r in all_rows.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    compact_mg(spark, str(store))
+    got = _mg_counters(spark, store)
+    assert len(got) <= MGK
+    slack = -(-n // (MGK + 1))
+    for term, c_low in got.items():
+        assert c_low <= exact[term]
+    assert got.get("hot", 0) >= exact["hot"] - slack
+    vdirs = [d for d in os.listdir(store) if d.startswith("mg-v")]
+    assert vdirs == ["mg-v1"]
+    # appends keep folding onto the compacted base, law intact
+    b3 = _df(spark, 100, 140)
+    b3.write.parquet(str(src / "f3.parquet"))
+    _run_mg(spark, src, store, store.parent / "ck", b3.schema)
+    all2 = all_rows.unionByName(b3)
+    n2 = all2.count()
+    exact2 = {
+        r["w"]: r["cnt"]
+        for r in all2.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    got2 = _mg_counters(spark, store)
+    for term, c_low in got2.items():
+        assert c_low <= exact2[term]
+    assert got2.get("hot", 0) >= exact2["hot"] - (-(-n2 // (MGK + 1)))
+
+
+def test_mg_k_mismatch_is_hard_error(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from spark_ifs_spark.streaming.sketch import streaming_mg
+
+    src, store, _ = _feed_mg(spark, tmp_path)
+    src2 = store.parent / "feed_bad"
+    _df(spark, 100, 105).write.parquet(str(src2 / "f.parquet"))
+    stream = spark.readStream.schema(_df(spark, 0, 1).schema).parquet(
+        str(src2) + "/*"
+    )
+    q = streaming_mg(stream, "w", str(store), str(tmp_path / "ck_bad"), k=MGK + 1)
+    with pytest.raises(StreamingQueryException, match="was built with"):
+        q.awaitTermination(120)
