@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "mg_heavy_hitters",
     "heavy_hitter_cross_audit",
     "cross_modal_dedup",
+    "kmv_source_overlap",
 ]
 
 

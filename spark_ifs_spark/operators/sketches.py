@@ -430,6 +430,63 @@ def kmv_estimate(sketch: DataFrame, key_cols: list[str], k: int = 128) -> DataFr
     return agg.select(*key_cols, "n_sketch", "kth_h", est.alias("est_distinct"))
 
 
+def kmv_overlap(
+    df: DataFrame, key_col: str, value_col: str, k: int = 256
+) -> DataFrame:
+    """``(key_a, key_b, n_kept, n_both, jaccard_est)`` — pairwise
+    set-overlap estimation from per-key KMV sketches (the theta-sketch
+    set operation on the bottom-k representation): for each key pair,
+    the bottom-k of the two sketches' union IS the union's sketch (the
+    KMV law), a uniform sample of the union's distinct values — so the
+    fraction of kept hashes present in BOTH sides estimates Jaccard,
+    exactly (not approximately) when the union is smaller than k.
+
+    Scale shape: the corpus is touched once by the per-key digest
+    distinct (``kmv_sketch``); everything pairwise runs on the keys·k
+    sketch relation — pair fan-out is keys²·2k rows, windows bounded
+    per pair, nothing corpus-shaped. The estimator is a pure function
+    of the row set (md5 bottom-k), so the DuckDB oracle replays it
+    bit-for-bit and the registry row audits it against the exact
+    Jaccard. Sketch-union mergeability is the same KMV law pinned in
+    ``test_sketches.py``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sk = kmv_sketch(df, [key_col], value_col, k=k).select(
+        F.col(key_col).alias("key"), "h"
+    )
+    keys = sk.select("key").distinct()
+    pairs = (
+        keys.select(F.col("key").alias("key_a"))
+        .crossJoin(keys.select(F.col("key").alias("key_b")))
+        .filter(F.col("key_a") < F.col("key_b"))
+    )
+    rows = (
+        pairs.join(F.broadcast(sk), F.col("key_a") == F.col("key"))
+        .select("key_a", "key_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(F.broadcast(sk), F.col("key_b") == F.col("key"))
+            .select("key_a", "key_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+    )
+    both = rows.groupBy("key_a", "key_b", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy(F.col("h").asc())
+    kept = both.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return kept.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_both"),
+    ).withColumn(
+        "jaccard_est",
+        F.round(F.col("n_both").cast("double") / F.col("n_kept").cast("double"), 6),
+    )
+
+
 def rank_sketch(
     df: DataFrame, key_col: str, val_col: str, k: int = 512
 ) -> DataFrame:

@@ -240,6 +240,131 @@ FROM audit
 """
 
 
+KMV_OV_K = 256
+
+
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard ESTIMATED from per-source
+    KMV sketches (:func:`~spark_ifs_spark.operators.sketches.
+    kmv_overlap` — the theta-sketch set operation on the bottom-k
+    representation), with the exact Jaccard alongside as the measured
+    audit: the sketch path's corpus work is one digest-distinct
+    aggregate and everything pairwise runs on the sources·k sketch
+    relation, while the exact path (``source_overlap``'s inverted-index
+    plan) pays a vocabulary self-join — at 100 TB the exact columns
+    are the audit you drop, exactly the ``kmv_distinct_sources``
+    posture applied to set INTERSECTION instead of cardinality."""
+    from spark_ifs_spark.operators.sketches import kmv_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    est = kmv_overlap(terms, "source", "term", k=KMV_OV_K).select(
+        F.col("key_a").alias("src_a"),
+        F.col("key_b").alias("src_b"),
+        "n_kept",
+        "n_both",
+        "jaccard_est",
+    )
+    toks = terms.select(F.col("source").alias("src"), "term").distinct()
+    sizes = toks.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("src").alias("src_a"), "term")
+    tb = toks.select(F.col("src").alias("src_b"), "term")
+    inter = (
+        ta.join(tb, "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        inter.join(sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"]).withColumn(
+        "err_ppm",
+        F.floor(
+            F.abs(F.col("jaccard_est") - F.col("jaccard_exact"))
+            * 1e6
+            / F.col("jaccard_exact")
+        ).cast("long"),
+    )
+
+
+def sql_kmv_source_overlap() -> str:
+    k = KMV_OV_K
+    h = sql_md5_int60("w")
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT source, w, {h} AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+d AS MATERIALIZED (SELECT DISTINCT source, h FROM terms),
+sk AS MATERIALIZED (
+  SELECT source AS key, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM d
+  ) WHERE rn <= {k}
+),
+ks AS (SELECT DISTINCT key FROM sk),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b FROM ks a JOIN ks b ON a.key < b.key
+),
+rws AS (
+  SELECT p.key_a, p.key_b, s.h,
+         CASE WHEN s.key = p.key_a THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN s.key = p.key_b THEN 1 ELSE 0 END AS in_b
+  FROM pairs p JOIN sk s ON s.key = p.key_a OR s.key = p.key_b
+),
+uboth AS (
+  SELECT key_a, key_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM rws GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
+    FROM uboth
+  ) WHERE rn <= {k}
+),
+est AS (
+  SELECT key_a AS src_a, key_b AS src_b,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM kept GROUP BY 1, 2
+),
+toks AS MATERIALIZED (SELECT DISTINCT source AS src, w FROM terms),
+sizes AS (SELECT src, count(*) AS n FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM toks a JOIN toks b ON a.w = b.w AND a.src < b.src
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.src_a, i.src_b,
+         round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+           AS jaccard_exact
+  FROM inter i
+  JOIN sizes sa ON sa.src = i.src_a
+  JOIN sizes sb ON sb.src = i.src_b
+)
+SELECT e.src_a, e.src_b, e.n_kept, e.n_both,
+       round(e.n_both * 1.0 / e.n_kept, 6) AS jaccard_est,
+       x.jaccard_exact,
+       CAST(floor(abs(round(e.n_both * 1.0 / e.n_kept, 6) - x.jaccard_exact)
+                  * 1e6 / x.jaccard_exact) AS BIGINT) AS err_ppm
+FROM est e JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+"""
+
+
 RKS_K = 256  # rank-sketch size: fixed state, whatever the corpus
 RKS_QS = (25, 50, 75, 90, 99)
 

@@ -301,6 +301,130 @@ def compact_rank_sketch(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(os.path.join(root, old), ignore_errors=True)
 
 
+def streaming_hll(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    index_path: str,
+    checkpoint: str,
+    p: int = 9,
+):
+    """Maintain per-key portable-HLL register files over a keyed value
+    stream — incremental distinct counting whose maintained state is
+    ``keys × 2^p`` register cells: each micro-batch writes its OWN
+    register-file partial (:func:`~spark_ifs_spark.operators.sketches.
+    hll_registers`), never reading accumulated state; registers merge
+    by bucket-MAX (associative, commutative, idempotent), so the
+    read-side fold is EXACTLY the one-shot register file of the
+    concatenated stream — batch ≡ stream parity is equality, like the
+    CMS grid and the rank sketch (idempotence even makes double-counted
+    rows harmless, the property neither of those has). Same
+    pointer-commit contract as the sibling indexes. Returns the
+    StreamingQuery."""
+    from spark_ifs_spark.operators.sketches import hll_registers
+
+    root = index_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    params = {"p": p, "keys": list(key_cols), "value": value_col}
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        state = _read_state(index_path)
+        if state is not None:
+            if state["params"] != params:
+                raise ValueError(
+                    f"hll at {index_path} was built with {state['params']}, "
+                    f"appender configured with {params} — register files "
+                    "under different p/keys must not merge; rebuild or match"
+                )
+            if batch_id <= state["last_batch_id"]:
+                return  # same-checkpoint replay — already absorbed
+        if batch.isEmpty():
+            return  # no empty partial, no pointer churn
+        if state is None:
+            state = {
+                "version": 0,
+                "dir": "hll-v0",
+                "last_batch_id": -1,
+                "params": params,
+            }
+        part = hll_registers(batch, list(key_cols), value_col, p=p)
+        part.write.mode("overwrite").parquet(
+            os.path.join(root, state["dir"], "regs", f"batch={batch_id}")
+        )
+        state["last_batch_id"] = batch_id
+        _commit_state(index_path, state)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(key…, _b, _M)`` — the live register file: bucket-max over one
+    consistent (version, watermark) snapshot of the committed partials.
+    Bounded by keys × 2^p cells (× batch fan-in until ``compact_hll``)."""
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed hll at {index_path}")
+    keys = state["params"]["keys"]
+    path = os.path.join(index_path.rstrip("/"), state["dir"], "regs")
+    return (
+        spark.read.parquet(path)
+        .where(F.col("batch") <= state["last_batch_id"])
+        .groupBy(*keys, "_b")
+        .agg(F.max("_M").alias("_M"))
+    )
+
+
+def hll_index_estimate(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(key…, est_distinct)`` served straight from the maintained
+    register file, with the index's own committed p."""
+    from spark_ifs_spark.operators.sketches import hll_estimate
+
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed hll at {index_path}")
+    return hll_estimate(
+        read_hll_registers(spark, index_path),
+        state["params"]["keys"],
+        p=state["params"]["p"],
+    )
+
+
+def compact_hll(spark: SparkSession, index_path: str) -> None:
+    """Fold the committed partials into a single ``batch=-1`` base in a
+    NEW version directory — bucket-max IS the compaction, so the folded
+    register file equals the pre-compaction read. Crash-safe like the
+    sibling modules."""
+    root = index_path.rstrip("/")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed hll at {index_path}")
+    for d in os.listdir(root):
+        if d.startswith("hll-v") and d != state["dir"]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    live = read_hll_registers(spark, index_path).localCheckpoint(eager=True)
+    new_version = state["version"] + 1
+    new_dir = f"hll-v{new_version}"
+    live.write.mode("overwrite").parquet(
+        os.path.join(root, new_dir, "regs", "batch=-1")
+    )
+    old = state["dir"]
+    _commit_state(
+        index_path,
+        {
+            "version": new_version,
+            "dir": new_dir,
+            "last_batch_id": state["last_batch_id"],
+            "params": state["params"],
+        },
+    )
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+
+
 def streaming_mg(
     stream: DataFrame,
     col: str,

@@ -375,3 +375,64 @@ def test_mg_heavy_hitters_validates_args(spark):
         sketches.mg_heavy_hitters(df, "w", phi_ppm=100_000, k=4)
     with pytest.raises(ValueError, match="k must be"):
         sketches.mg_summary(df, "w", k=0)
+
+
+# -- KMV overlap (theta-sketch set operation) ---------------------------------
+
+
+def test_kmv_overlap_exhaustive_is_exact(spark):
+    """When every pairwise union fits in k, the kept rows ARE the
+    union and the estimate IS the exact Jaccard."""
+    rows = (
+        [("a", f"w{i}") for i in range(40)]          # A = w0..w39
+        + [("b", f"w{i}") for i in range(20, 60)]    # B = w20..w59
+        + [("c", f"w{i}") for i in range(100, 110)]  # C disjoint from A
+    )
+    df = spark.createDataFrame(rows, "src string, term string")
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_kept"], r["n_both"], r["jaccard_est"])
+        for r in sketches.kmv_overlap(df, "src", "term", k=512).collect()
+    }
+    assert got[("a", "b")] == (60, 20, round(20 / 60, 6))
+    assert got[("a", "c")] == (50, 0, 0.0)
+    assert got[("b", "c")] == (50, 0, 0.0)
+
+
+def test_kmv_overlap_estimate_within_error(spark, sf_dir):
+    """At k << union size the estimate lands within the ~2/sqrt(k)
+    band of the exact Jaccard on real corpus vocabulary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    est = {
+        (r["key_a"], r["key_b"]): r["jaccard_est"]
+        for r in sketches.kmv_overlap(terms, "source", "term", k=128).collect()
+    }
+    toks = terms.distinct()
+    sizes = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    ta = toks.select(F.col("source").alias("a"), "term")
+    tb = toks.select(F.col("source").alias("b"), "term")
+    inter = {
+        (r["a"], r["b"]): r["n"]
+        for r in ta.join(tb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    checked = 0
+    for (a, b), n_common in inter.items():
+        exact = n_common / (sizes[a] + sizes[b] - n_common)
+        assert abs(est[(a, b)] - exact) < 2 / (128 ** 0.5) + 1e-9, (a, b)
+        checked += 1
+    assert checked >= 3
+
+
+def test_kmv_overlap_validates_args(spark):
+    df = spark.createDataFrame([("a", "x")], "src string, term string")
+    with pytest.raises(ValueError, match="k must be"):
+        sketches.kmv_overlap(df, "src", "term", k=0)

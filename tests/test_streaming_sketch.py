@@ -468,3 +468,144 @@ def test_mg_k_mismatch_is_hard_error(spark, tmp_path):
     q = streaming_mg(stream, "w", str(store), str(tmp_path / "ck_bad"), k=MGK + 1)
     with pytest.raises(StreamingQueryException, match="was built with"):
         q.awaitTermination(120)
+
+
+# -- streaming HLL maintenance ------------------------------------------------
+
+HP = 6
+
+
+def _udf(spark, lo, hi):
+    # (event_type, user_id): 'view' users keep arriving fresh (so later
+    # batches genuinely move the register file), 'click' users repeat
+    # (exercising bucket-max idempotence)
+    rows = []
+    for i in range(lo, hi):
+        rows.append(("view", i))
+        if i % 3 == 0:
+            rows.append(("click", i % 11))
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def _run_hll(spark, src, store, ckpt, schema, p=HP):
+    from spark_ifs_spark.streaming.sketch import streaming_hll
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = streaming_hll(
+        stream, ["event_type"], "user_id", str(store), str(ckpt), p=p
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
+def _hll_regs(spark, store):
+    from spark_ifs_spark.streaming.sketch import read_hll_registers
+
+    return sorted(
+        map(tuple, read_hll_registers(spark, str(store)).collect())
+    )
+
+
+def _feed_hll(spark, tmp_path, ck="ck"):
+    src, store = tmp_path / "feed", tmp_path / "hll"
+    b1, b2 = _udf(spark, 0, 60), _udf(spark, 60, 100)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run_hll(spark, src, store, tmp_path / ck, b1.schema)
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run_hll(spark, src, store, tmp_path / ck, b1.schema)
+    return src, store, b1.unionByName(b2)
+
+
+def test_streamed_hll_matches_batch_registers_and_estimate(spark, tmp_path):
+    """EXACT register-file equality with the one-shot hll_registers
+    over the concatenated stream (bucket-max is the merge), and the
+    served estimates equal the batch operator's to the bit."""
+    from spark_ifs_spark.operators.sketches import hll_distinct, hll_registers
+    from spark_ifs_spark.streaming.sketch import hll_index_estimate
+
+    _, store, all_rows = _feed_hll(spark, tmp_path)
+    want = sorted(
+        map(
+            tuple,
+            hll_registers(all_rows, ["event_type"], "user_id", p=HP).collect(),
+        )
+    )
+    assert _hll_regs(spark, store) == want
+    served = sorted(
+        map(tuple, hll_index_estimate(spark, str(store)).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            hll_distinct(all_rows, ["event_type"], "user_id", p=HP).collect(),
+        )
+    )
+    assert served == batch
+
+
+def test_hll_replay_absorbed_and_idempotent(spark, tmp_path):
+    src, store, _ = _feed_hll(spark, tmp_path)
+    before = _hll_regs(spark, store)
+    _run_hll(spark, src, store, store.parent / "ck_replay", _udf(spark, 0, 1).schema)
+    assert _hll_regs(spark, store) == before
+
+
+def test_hll_crash_window_recovered(spark, tmp_path):
+    import shutil
+
+    src, store = tmp_path / "feed", tmp_path / "hll"
+    b1, b2 = _udf(spark, 0, 60), _udf(spark, 60, 100)
+    b1.write.parquet(str(src / "f1.parquet"))
+    _run_hll(spark, src, store, tmp_path / "ck", b1.schema)
+    shutil.copytree(tmp_path / "ck", tmp_path / "ck_crash")
+    b2.write.parquet(str(src / "f2.parquet"))
+    _run_hll(spark, src, store, tmp_path / "ck", b1.schema)
+    before = _hll_regs(spark, store)
+    p = _pointer_path(str(store))
+    state = json.load(open(p))
+    state["last_batch_id"] = 0
+    json.dump(state, open(p, "w"))
+    assert _hll_regs(spark, store) != before
+    _run_hll(spark, src, store, tmp_path / "ck_crash", b1.schema)
+    assert _hll_regs(spark, store) == before
+
+
+def test_hll_compaction_preserving(spark, tmp_path):
+    from spark_ifs_spark.operators.sketches import hll_registers
+    from spark_ifs_spark.streaming.sketch import compact_hll
+
+    src, store, _ = _feed_hll(spark, tmp_path)
+    before = _hll_regs(spark, store)
+    compact_hll(spark, str(store))
+    assert _hll_regs(spark, store) == before
+    vdirs = [d for d in os.listdir(store) if d.startswith("hll-v")]
+    assert vdirs == ["hll-v1"]
+    b3 = _udf(spark, 100, 140)
+    b3.write.parquet(str(src / "f3.parquet"))
+    _run_hll(spark, src, store, store.parent / "ck", b3.schema)
+    all_rows = _udf(spark, 0, 100).unionByName(b3)
+    want = sorted(
+        map(
+            tuple,
+            hll_registers(all_rows, ["event_type"], "user_id", p=HP).collect(),
+        )
+    )
+    assert _hll_regs(spark, store) == want
+
+
+def test_hll_param_mismatch_is_hard_error(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from spark_ifs_spark.streaming.sketch import streaming_hll
+
+    src, store, _ = _feed_hll(spark, tmp_path)
+    src2 = store.parent / "feed_bad"
+    _udf(spark, 200, 205).write.parquet(str(src2 / "f.parquet"))
+    stream = spark.readStream.schema(_udf(spark, 0, 1).schema).parquet(
+        str(src2) + "/*"
+    )
+    q = streaming_hll(
+        stream, ["event_type"], "user_id", str(store),
+        str(tmp_path / "ck_bad"), p=HP + 1,
+    )
+    with pytest.raises(StreamingQueryException, match="was built with"):
+        q.awaitTermination(120)

@@ -246,6 +246,7 @@ def main() -> None:
         "mg_heavy_hitters",
         "heavy_hitter_cross_audit",
         "cross_modal_dedup",
+        "kmv_source_overlap",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -293,6 +294,7 @@ def main() -> None:
         "mg_heavy_hitters",
         "heavy_hitter_cross_audit",
         "cross_modal_dedup",
+        "kmv_source_overlap",
     }
     if only:
         names = [n for n in names if n in only]
