@@ -116,25 +116,27 @@ def cms_heavy_hitters(
     φ-heavy-hitter query), found with a CMS-prefiltered two-pass plan
     instead of an exact count of the full key space.
 
-    Pass 1 builds the Count-Min grid (``cms_build`` — shuffle bounded by
-    ``depth·width`` cells). "Hot" cells are those whose count clears the
-    threshold; because CMS never undercounts, a true heavy hitter's
-    cells are ALL hot — the shortlist has no false negatives. The hot
-    set is tiny by arithmetic, not luck: each grid row's cells sum to
-    the stream length, so at most ``1e6/phi_ppm`` cells per row can
-    clear a ``phi_ppm`` threshold (50 at the default) — it is collected
-    driver-side (grid-bounded, like the k×d centroid collects) and
-    compiled into per-row map LITERALS. Candidate rows are then found
-    MAP-SIDE: a token row survives only if all ``depth`` of its cells
-    hit the hot maps, with ``est`` = least over the lookups — so the
-    only distinct aggregate runs over candidate OCCURRENCES, never the
-    corpus key space (the earlier shape paid a one-cell-per-distinct-key
-    shuffle in the vocabulary pass; billions of cells for URLs/n-grams
-    at 100 TB).
-    Pass 2 exact-counts ONLY the shortlist (broadcast semi-join, so the
-    verify shuffle carries candidate occurrences, not the corpus key
-    space) and drops CMS false positives. ``over_ppm`` is the CMS
-    overcount, ``(est − n_exact)·1e6 DIV n_exact`` — integer, exact.
+    Pass 1 (one corpus scan) builds the Count-Min grid (``cms_build`` —
+    shuffle bounded by ``depth·width`` cells) and collects it whole
+    (grid-bounded driver materialization, the k×d centroid convention);
+    the stream length is recovered FROM the grid — every update
+    increments exactly one cell per depth row, so each row's cell sum
+    is N — and no separate count job runs. "Hot" cells are those
+    clearing the threshold; because CMS never undercounts, a true heavy
+    hitter's cells are ALL hot — no false negatives. The hot set is
+    tiny by arithmetic, not luck: each grid row's cells sum to N, so at
+    most ``1e6/phi_ppm`` cells per row can clear a ``phi_ppm``
+    threshold (50 at the default); it compiles into per-row map
+    LITERALS.
+    Pass 2 (one corpus scan) finds and verifies candidates MAP-SIDE: a
+    token row survives only if all ``depth`` of its cells hit the hot
+    maps, with ``est`` = least over the lookups; surviving occurrences
+    hash-aggregate by term (map-side combined — the shuffle carries
+    candidate occurrences, never the corpus key space; the earlier
+    shape paid a one-cell-per-distinct-key vocabulary shuffle, billions
+    of cells for URLs/n-grams at 100 TB) and rows below the threshold —
+    CMS false positives — drop. ``over_ppm`` is the CMS overcount,
+    ``(est − n_exact)·1e6 DIV n_exact`` — integer, exact.
 
     At 100 TB the exact-count-everything alternative shuffles one cell
     per distinct key (URLs, n-grams: billions); here the grid is
@@ -145,33 +147,26 @@ def cms_heavy_hitters(
     grid bit-for-bit.
 
     Threshold arithmetic is overflow-safe past int64: the count cut is
-    ``ceil(n_total·phi_ppm / 1e6)`` computed ONCE in decimal(38,0)
-    (HUGEINT on the oracle side) — comparing ``c ≥ thresh`` instead of
-    ``c·1e6 ≥ n_total·phi_ppm`` keeps every per-row comparison inside
-    int64 even at 10^14-token streams, where the naive product wraps
-    (the CUPED decimal-before-multiply rule).
+    ``ceil(n_total·phi_ppm / 1e6)`` computed ONCE, driver-side in
+    arbitrary-precision Python (HUGEINT on the oracle side) — comparing
+    ``c ≥ thresh`` instead of ``c·1e6 ≥ n_total·phi_ppm`` keeps every
+    per-row comparison inside int64 even at 10^14-token streams, where
+    the naive product wraps (the CUPED decimal-before-multiply rule).
     """
     if not 1 <= phi_ppm <= 1_000_000:
         raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
-    total = df.agg(F.count(F.lit(1)).alias("n_total")).select(
-        "n_total",
-        F.expr(
-            f"CAST((CAST(n_total AS DECIMAL(38,0)) * {phi_ppm} + 999999)"
-            " DIV 1000000 AS BIGINT)"
-        ).alias("thresh"),
-    )
-    grid = cms_build(df, col, depth=depth, width=width, seed=seed)
-    hot = (
-        grid.crossJoin(F.broadcast(total))
-        .filter(F.col("c") >= F.col("thresh"))
-        .select("r", "bucket", "c")
-    )
-    # Bounded driver materialization: ≤ depth·1e6/phi_ppm cells (each
-    # grid row's counts sum to the stream length, so at most 1e6/phi_ppm
-    # of them can clear the threshold).
+    # ONE corpus pass builds the grid; the grid is collected whole —
+    # bounded driver materialization of depth·width cells, the k×d
+    # centroid convention — and the stream length is recovered FROM it
+    # (every update increments exactly one cell per depth row, so each
+    # row's cell sum is N; row 0 is used), saving a separate count job.
+    cells = cms_build(df, col, depth=depth, width=width, seed=seed).collect()
+    n_total = sum(row["c"] for row in cells if row["r"] == 0)
+    thresh = (n_total * phi_ppm + 999_999) // 1_000_000
     hot_by_r: dict[int, dict[int, int]] = {}
-    for row in hot.collect():
-        hot_by_r.setdefault(row["r"], {})[row["bucket"]] = row["c"]
+    for row in cells:
+        if row["c"] >= thresh:
+            hot_by_r.setdefault(row["r"], {})[row["bucket"]] = row["c"]
     params = minhash_params(depth, seed)
     th = md5_int60(F.col("term"))
     lookups = []
@@ -200,30 +195,25 @@ def cms_heavy_hitters(
     for lk in lookups[1:]:
         all_hot = all_hot & lk.isNotNull()
     est_expr = lookups[0] if len(lookups) == 1 else F.least(*lookups)
-    cand = (
+    # pass 2, ONE scan: candidate rows survive the map-side hot filter
+    # (est is a pure function of term, so grouping by both adds no
+    # keys), count exactly, keep rows clearing the threshold — the
+    # shuffle carries candidate occurrences only, map-side combined
+    exact = (
         df.select(F.col(col).alias("term"))
         .filter(all_hot)
         .select("term", est_expr.alias("est"))
-        .distinct()
-    )
-    exact = (
-        df.select(F.col(col).alias("term"))
-        .join(F.broadcast(cand), "term")
         .groupBy("term", "est")
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("n_exact") >= F.col("thresh"))
-        .select(
-            "term",
-            "est",
-            "n_exact",
-            F.expr(
-                "CAST((CAST(est - n_exact AS DECIMAL(38,0)) * 1000000)"
-                " DIV n_exact AS BIGINT)"
-            ).alias("over_ppm"),
-        )
+    return exact.filter(F.col("n_exact") >= F.lit(int(thresh))).select(
+        "term",
+        "est",
+        "n_exact",
+        F.expr(
+            "CAST((CAST(est - n_exact AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_exact AS BIGINT)"
+        ).alias("over_ppm"),
     )
 
 

@@ -224,13 +224,19 @@ def test_heavy_hitters_no_false_negatives_under_collisions(spark):
         assert cnt * 1_000_000 >= n * 100_000
 
 
-def test_heavy_hitters_verify_join_is_broadcast(spark):
+def test_heavy_hitters_verify_pass_has_no_join(spark):
+    """The verify pass detects candidates MAP-SIDE against the
+    collected hot-cell map literals and hash-aggregates the survivors
+    directly — no join of any kind, and no distinct over the corpus
+    key space (grid collection is a separate bounded job)."""
     words = ["x"] * 10 + ["y"] * 2
     df = spark.createDataFrame([(w,) for w in words], ["w"])
     out = sketches.cms_heavy_hitters(df, "w", phi_ppm=500_000, depth=2, width=8, seed=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    # exactly one aggregate pair (partial + final) — the term count;
+    # the old shape's extra vocabulary-distinct aggregate is gone
+    assert plan.count("HashAggregate") == 2
 
 
 def test_cms_build_rejects_degenerate_grid(spark, tokens):
