@@ -1,5 +1,7 @@
-"""Sketch operators: Count-Min frequency estimation over unbounded key
-spaces.
+"""Sketch operators: Count-Min frequency estimation, portable HLL and
+KMV distinct counting, KMV set-overlap, bottom-k rank sketches, and
+Misra-Gries heavy hitters — all deterministic, engine-portable, and
+mergeable, over unbounded key spaces.
 
 Exact per-key counts (``groupBy(key).count()``) shuffle and hold one
 cell per DISTINCT key — fine for vocabularies, fatal for web-scale key

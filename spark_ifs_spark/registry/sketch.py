@@ -1,4 +1,6 @@
-"""Sketches: HLL, CMS, mergeable histograms, profile summaries."""
+"""Sketches: HLL, CMS, KMV (cardinality + set overlap), bottom-k rank
+sketch, Misra-Gries, heavy-hitter cross-audits, mergeable histograms,
+profile summaries."""
 
 from spark_ifs_spark.registry._common import *  # noqa: F401,F403
 from spark_ifs_spark.registry._common import (  # noqa: F401

@@ -1,8 +1,25 @@
-"""Streaming Count-Min maintenance: fold an arriving token/key stream
-into a persisted CMS grid — frequency estimation over an unbounded
-key space whose maintained state is ``depth × width`` cells, under the
-SAME pointer-commit consistency design as ``streaming/profile.py`` /
-``streaming/ann.py``.
+"""Streaming sketch maintenance — the maintained-index family over
+unbounded streams, all under the SAME pointer-commit consistency
+design as ``streaming/profile.py`` / ``streaming/ann.py``:
+
+- :func:`streaming_cms` — Count-Min grid (frequency, OVERcounts);
+  state ``depth × width`` cells, merge = cell addition, parity =
+  exact equality.
+- :func:`streaming_rank_sketch` — bottom-k-by-hash rank sketch
+  (quantiles); state k rows, merge = KMV bottom-k, parity = exact
+  equality.
+- :func:`streaming_hll` — portable HLL register files (distinct
+  counts); state keys × 2^p cells, merge = bucket-max (idempotent:
+  even double-counted rows are harmless), parity = exact equality.
+- :func:`streaming_mg` — Misra-Gries counters (frequency,
+  UNDERcounts); state ≤ k·P counters, merge = counter addition,
+  parity = the undercount LAW (MG is not a pure function of the
+  multiset; stated honestly, pinned by pytest).
+
+The original module narrative, kept because the design generalizes to
+every member above: fold an arriving token/key stream into a persisted
+CMS grid — frequency estimation over an unbounded key space whose
+maintained state is ``depth × width`` cells.
 
 Why this is the cleanest possible maintained index: a Count-Min grid
 is mergeable by plain CELL ADDITION (``operators/sketches.py`` — the
