@@ -562,6 +562,24 @@ def rank_sketch_quantiles(
     )
 
 
+def mg_fold_counts(counters: dict, batch_counts, k: int) -> dict:
+    """One Misra-Gries fold step, exposed as a pure function so the
+    undercount law is hypothesis-testable without Spark: add a batch's
+    exact (term, count) pairs into the running counters, then — if more
+    than ``k`` survive — apply the canonical COMPRESS (subtract the
+    (k+1)-th largest counter, drop non-positives; Agarwal et al.'s
+    mergeable-summaries rule). Each compress decrements every remaining
+    counter by its pivot and the pivots' total is ≤ (mass folded so
+    far)/(k+1), so ``c(x) − n/(k+1) ≤ counters[x] ≤ c(x)`` always."""
+    counters = dict(counters)
+    for term, c in batch_counts:
+        counters[term] = counters.get(term, 0) + int(c)
+    if len(counters) > k:
+        pivot = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - pivot for t, c in counters.items() if c > pivot}
+    return counters
+
+
 def mg_summary(
     df: DataFrame, col: str, k: int = 64, batch_rows: int = 65_536
 ) -> DataFrame:
@@ -598,14 +616,9 @@ def mg_summary(
     def _fold(it):
         counters: dict = {}
         for pdf in it:
-            vc = pdf[col].value_counts()
-            for term, c in vc.items():
-                counters[term] = counters.get(term, 0) + int(c)
-            if len(counters) > k:
-                pivot = sorted(counters.values(), reverse=True)[k]
-                counters = {
-                    t: c - pivot for t, c in counters.items() if c > pivot
-                }
+            counters = mg_fold_counts(
+                counters, pdf[col].value_counts().items(), k
+            )
         if counters:
             yield pd.DataFrame(
                 {"term": list(counters.keys()), "c_low": list(counters.values())}

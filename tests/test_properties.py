@@ -320,3 +320,75 @@ def test_kmv_merge_property(parts, k):
     direct = sorted(union)[:k]
     merged_rows = set().union(*[set(sorted(set(p))[:k]) for p in parts])
     assert sorted(merged_rows)[:k] == direct
+
+
+# -- sketch-family laws (round 12), driver-side kernels -----------------------
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    k=st.integers(min_value=1, max_value=12),
+    splits=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_mg_fold_undercount_law_any_batching(tokens, k, splits):
+    """Misra-Gries undercount law under ARBITRARY batch boundaries:
+    c(x) − n/(k+1) ≤ counters[x] ≤ c(x), size ≤ k after every fold —
+    the guarantee mg_summary's per-partition fold and streaming_mg's
+    cross-batch counter addition both stand on."""
+    from collections import Counter
+
+    from spark_ifs_spark.operators.sketches import mg_fold_counts
+
+    counters: dict = {}
+    i = 0
+    folded = 0
+    for w in splits:
+        batch = tokens[i : i + w]
+        i += w
+        if not batch:
+            continue
+        counters = mg_fold_counts(counters, Counter(batch).items(), k)
+        folded += len(batch)
+        assert len(counters) <= k
+        exact = Counter(tokens[:folded])
+        slack = folded // (k + 1) + 1
+        for t, c_low in counters.items():
+            assert c_low <= exact[t]
+        for t, c in exact.items():
+            assert counters.get(t, 0) >= c - slack
+
+
+@given(
+    a=st.sets(st.integers(min_value=0, max_value=10_000), max_size=120),
+    b=st.sets(st.integers(min_value=0, max_value=10_000), max_size=120),
+    k=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_bottomk_merge_law(a, b, k):
+    """The KMV law the rank sketch, KMV cardinality and KMV overlap all
+    stand on: bottom-k of a union == bottom-k of the union of each
+    side's bottom-k — exactly, for any k and any overlap."""
+    bk = lambda s: set(sorted(s)[:k])
+    assert bk(a | b) == bk(bk(a) | bk(b))
+
+
+@given(
+    vals=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
+    k=st.integers(min_value=1, max_value=60),
+    q=st.integers(min_value=1, max_value=100),
+)
+@settings(max_examples=300, deadline=None)
+def test_bottomk_rank_selection_exact_when_exhaustive(vals, k, q):
+    """When the population fits in k, the rank-sketch quantile rule
+    (value at rank ceil(q·n/100) under sorted order) equals the
+    DEFINITIONAL discrete quantile: the smallest v whose inclusive
+    rank count(x ≤ v) reaches ceil(q·n/100)."""
+    if len(vals) > k:
+        return
+    ordered = sorted(vals)
+    n = len(ordered)
+    target = -(-q * n // 100)
+    by_rule = ordered[target - 1]
+    by_definition = min(v for v in vals if sum(x <= v for x in vals) >= target)
+    assert by_rule == by_definition
