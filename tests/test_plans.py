@@ -891,18 +891,22 @@ def test_frame_sample_is_shuffle_free(spark, sf_dir):
     assert set(read_schema_columns(out)) == {"doc_id", "text"}
 
 
-def test_heavy_hitters_scan_prunes_to_text_and_joins_broadcast(spark, sf_dir):
-    """Both corpus passes (grid build, exact verify) read only `text`;
-    the shortlist and the 1-row total ride broadcast joins — no
-    sort-merge join anywhere (the verify side must never shuffle the
-    corpus on the candidate key)."""
+def test_heavy_hitters_scan_prunes_to_text_and_verify_is_join_free(spark, sf_dir):
+    """The verify pass reads only `text` and contains NO join of any
+    kind: candidates are detected map-side against the collected
+    hot-cell map literals and hash-aggregated directly, so the corpus
+    never shuffles on the candidate key (the grid collection is a
+    separate depth×width-bounded job)."""
     from spark_ifs_spark.registry import QUERIES
 
     out = QUERIES["cms_heavy_hitters"](spark, str(sf_dir))
     plan = explain_str(out)
     assert set(read_schema_columns(out)) == {"text"}
-    assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "Join" not in plan, plan
+    # exactly one aggregate pair (partial + final) in the plan TREE —
+    # formatted explain repeats each operator in the detail section,
+    # so count the "HashAggregate (<id>)" tree form
+    assert plan.count("HashAggregate (") == 2, plan
 
 
 def test_quantile_audit_sorts_only_the_sample(spark, sf_dir):
