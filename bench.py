@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "heavy_hitter_cross_audit",
     "cross_modal_dedup",
     "kmv_source_overlap",
+    "source_length_quantiles_sketch",
 ]
 
 

@@ -521,6 +521,67 @@ def rank_sketch(
     ).select("h", "v")
 
 
+def rank_sketch_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 512,
+) -> DataFrame:
+    """``(key…, h, v)`` — one bottom-k-by-hash rank sketch PER KEY
+    GROUP (the :func:`rank_sketch` law applied group-wise): fixed
+    ``k``-row state per key however the group sizes skew, merges exact
+    per key by the same KMV law, and the salted two-stage top-k keeps
+    any single task under ``k × buckets`` rows even when one key owns
+    most of the corpus — the per-domain/per-source profile shape a
+    curation pipeline actually runs at 100 TB."""
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = df.select(
+        *key_cols,
+        md5_int60(F.col(id_col).cast("string")).alias("h"),
+        F.col(val_col).alias("v"),
+    )
+    return salted_topk_per_key(
+        d, list(key_cols), "h", k=k, descending=False
+    ).select(*key_cols, "h", "v")
+
+
+def rank_sketch_quantiles_by_key(
+    sketch: DataFrame, key_cols: list[str], qs_pct
+) -> DataFrame:
+    """``(key…, q_pct, v_est, n_sketch)`` — per-key discrete quantile
+    estimates off a keyed rank sketch: rank ``ceil(q·n_sketch/100)``
+    under ``(v, h)`` order within each key. The rank window is
+    partitioned by key and k-bounded per key."""
+    if not qs_pct or any(q < 1 or q > 100 for q in qs_pct):
+        raise ValueError(f"qs_pct must be percentages in [1, 100], got {qs_pct}")
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col("v").asc(), F.col("h").asc())
+    ranked = sketch.select(*keys, "v", F.row_number().over(w).alias("rn"))
+    n_df = sketch.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_sketch"))
+    qdf = spark.createDataFrame([(int(q),) for q in qs_pct], "q_pct int")
+    targets = n_df.crossJoin(F.broadcast(qdf)).select(
+        *keys,
+        "q_pct",
+        "n_sketch",
+        F.expr("(q_pct * n_sketch + 99) DIV 100").alias("target_rn"),
+    )
+    cond = [targets[c] == ranked[c] for c in keys]
+    cond.append(targets["target_rn"] == ranked["rn"])
+    return targets.join(ranked, cond).select(
+        *[targets[c] for c in keys],
+        "q_pct",
+        F.col("v").alias("v_est"),
+        "n_sketch",
+    )
+
+
 def rank_sketch_merge(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
     """Union two rank sketches — keep the k smallest hashes of the
     concatenation (``sketch(A ∪ B)`` exactly, the KMV merge law)."""

@@ -452,6 +452,97 @@ FROM audit
 """
 
 
+RKSK_K = 128  # per-key rank-sketch size
+RKSK_QS = (50, 90)
+
+
+def q_source_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE document-length quantiles from keyed rank sketches
+    (:func:`~spark_ifs_spark.operators.sketches.rank_sketch_by_key`) —
+    the per-domain length profile a curation pipeline runs at 100 TB,
+    with fixed k-row state per source however the domain sizes skew
+    (the salted top-k keeps any task under k×buckets rows even when
+    one domain owns most of the corpus). Every estimate's TRUE
+    within-source rank is audited against the full relation in one
+    conditional-count pass; ``err_ppm`` is the measured per-source
+    rank error."""
+    from spark_ifs_spark.operators.sketches import (
+        rank_sketch_by_key,
+        rank_sketch_quantiles_by_key,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sk = rank_sketch_by_key(docs, ["source"], "doc_id", "n_chars", k=RKSK_K)
+    est = rank_sketch_quantiles_by_key(sk, ["source"], RKSK_QS)
+    audit = (
+        docs.select("source", F.col("n_chars").alias("fv"))
+        .join(F.broadcast(est), "source")
+        .groupBy("source", "q_pct", "v_est", "n_sketch")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("fv") <= F.col("v_est"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+        )
+    )
+    return audit.select(
+        "source",
+        "q_pct",
+        "v_est",
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        "n_le",
+        F.expr(
+            "CAST((CAST(n_le AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_total AS BIGINT)"
+        ).alias("rank_ppm"),
+    ).withColumn(
+        "err_ppm",
+        F.abs(F.col("rank_ppm") - F.col("q_pct").cast("long") * F.lit(10_000)),
+    )
+
+
+def sql_source_length_quantiles_sketch() -> str:
+    h = sql_md5_int60("CAST(doc_id AS VARCHAR)")
+    q_rows = ", ".join(f"({q})" for q in RKSK_QS)
+    return f"""
+WITH sk AS (
+  SELECT source, v, h FROM (
+    SELECT source, n_chars AS v, {h} AS h,
+           row_number() OVER (PARTITION BY source ORDER BY {h}) AS srn
+    FROM documents
+  ) WHERE srn <= {RKSK_K}
+),
+ranked AS (
+  SELECT source, v, h,
+         row_number() OVER (PARTITION BY source ORDER BY v, h) AS rn
+  FROM sk
+),
+ns AS (SELECT source, count(*) AS n_sketch FROM sk GROUP BY 1),
+qs(q_pct) AS (VALUES {q_rows}),
+targets AS (
+  SELECT source, q_pct, n_sketch, (q_pct * n_sketch + 99) // 100 AS target_rn
+  FROM ns, qs
+),
+est AS (
+  SELECT t.source, t.q_pct, r.v AS v_est, t.n_sketch
+  FROM targets t JOIN ranked r ON r.source = t.source AND r.rn = t.target_rn
+),
+audit AS (
+  SELECT e.source, e.q_pct, e.v_est, e.n_sketch, count(*) AS n_total,
+         CAST(sum(CASE WHEN d.n_chars <= e.v_est THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_le
+  FROM documents d JOIN est e ON e.source = d.source
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source, q_pct, v_est, CAST(n_sketch AS BIGINT) AS n_sketch, n_le,
+       CAST((CAST(n_le AS HUGEINT) * 1000000) // n_total AS BIGINT)
+         AS rank_ppm,
+       abs(CAST((CAST(n_le AS HUGEINT) * 1000000) // n_total AS BIGINT)
+           - q_pct * CAST(10000 AS BIGINT)) AS err_ppm
+FROM audit
+"""
+
+
 MG_K = 48  # MG counters: undercount slack n/49 << φn at φ = 3.3%
 
 

@@ -442,3 +442,29 @@ def test_kmv_overlap_validates_args(spark):
     df = spark.createDataFrame([("a", "x")], "src string, term string")
     with pytest.raises(ValueError, match="k must be"):
         sketches.kmv_overlap(df, "src", "term", k=0)
+
+
+def test_rank_sketch_by_key_skew_and_exactness(spark):
+    """Keyed rank sketches: a small group (fits in k — sketch IS the
+    group, median exact) and a large skewed group (state capped at k)
+    coexist; per-key medians come from per-key sketches."""
+    rows = [("small", i, i) for i in range(9)] + [
+        ("big", 100 + i, (i * 7) % 1000) for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, v long")
+    sk = sketches.rank_sketch_by_key(df, ["src"], "id", "v", k=64)
+    sizes = {r["src"]: r["n"] for r in sk.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"small": 9, "big": 64}
+    est = {
+        (r["src"], r["q_pct"]): r["v_est"]
+        for r in sketches.rank_sketch_quantiles_by_key(
+            sk, ["src"], (50,)
+        ).collect()
+    }
+    # small group: exhaustive -> exact discrete median (rank ceil(.5*9)=5)
+    assert est[("small", 50)] == sorted(range(9))[4]
+    # big group: estimate is a value from the group with a sane rank
+    big_vals = sorted((i * 7) % 1000 for i in range(800))
+    pos = big_vals.index(est[("big", 50)])
+    assert abs(pos / 800 - 0.5) < 0.25

@@ -247,6 +247,7 @@ def main() -> None:
         "heavy_hitter_cross_audit",
         "cross_modal_dedup",
         "kmv_source_overlap",
+        "source_length_quantiles_sketch",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -295,6 +296,7 @@ def main() -> None:
         "heavy_hitter_cross_audit",
         "cross_modal_dedup",
         "kmv_source_overlap",
+        "source_length_quantiles_sketch",
     }
     if only:
         names = [n for n in names if n in only]
