@@ -450,9 +450,11 @@ def kmv_overlap(
         F.col(key_col).alias("key"), "h"
     )
     keys = sk.select("key").distinct()
+    # keys × keys is key-cardinality-bounded; broadcast keeps it off
+    # the shuffle path entirely
     pairs = (
         keys.select(F.col("key").alias("key_a"))
-        .crossJoin(keys.select(F.col("key").alias("key_b")))
+        .crossJoin(F.broadcast(keys.select(F.col("key").alias("key_b"))))
         .filter(F.col("key_a") < F.col("key_b"))
     )
     rows = (
