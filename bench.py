@@ -3,7 +3,9 @@
 full JSON report line {"metric", "value", "unit", "queries", "sf"} followed
 by a compact summary line (total/n/errors/config) that survives the
 driver's 2000-char tail truncation; the full report is also written to
-bench_full.json so per-query history persists in git.
+the untracked bench_out.json (or to the canonical, committed
+bench_full.json when SPARK_GRAFT_BENCH_CANONICAL=1 — builder round-end
+runs only, so driver verify reruns never dirty the committed vector).
 
 Mirrors BASELINE.md's protocol: B1 round-1 relevance, B2/B3 full greedy
 mRMR in both encodings (+ the reference CLI's cross-encoding identity
@@ -391,8 +393,20 @@ def main() -> int:
     if errors:
         summary["error_names"] = sorted(errors)[:20]
     print(json.dumps(summary))
+    # The committed bench_full.json is the CANONICAL per-round vector —
+    # the next round's ratio denominator. Driver verify reruns used to
+    # clobber it in the working tree (flagged by the r11 and r12
+    # verdicts), so by default the full report now goes to the
+    # untracked bench_out.json; only an explicit
+    # SPARK_GRAFT_BENCH_CANONICAL=1 run (the builder producing the
+    # round-end canonical commit) writes bench_full.json.
+    out_name = (
+        "bench_full.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_CANONICAL") == "1"
+        else "bench_out.json"
+    )
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"), "w") as f:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
             json.dump(report, f, indent=1)
     except OSError:
         pass  # read-only checkout must not fail the bench

@@ -643,9 +643,47 @@ def mg_fold_counts(counters: dict, batch_counts, k: int) -> dict:
     return counters
 
 
-def mg_summary(
-    df: DataFrame, col: str, k: int = 64, batch_rows: int = 65_536
-) -> DataFrame:
+def _mg_parts(df: DataFrame, col: str, k: int) -> DataFrame:
+    """``(term, c_low, rows)`` — per-partition MG summaries WITH the
+    stream length folded in: counter rows carry ``rows = 0``; each
+    partition additionally emits one NULL-term row whose ``rows`` is
+    the partition's row count (NULL is a safe sentinel — the fold's
+    ``value_counts`` drops nulls, so no data term is ever NULL here).
+    One corpus scan produces both the summary and n_total, which is
+    how :func:`mg_heavy_hitters` matches the CMS route's two-scan
+    budget instead of paying a third scan for a separate count job.
+    Arrow batch sizing follows ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` (the fold has no say — a per-call knob here
+    would be decorative)."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _fold(it):
+        counters: dict = {}
+        n_part = 0
+        for pdf in it:
+            n_part += len(pdf)
+            counters = mg_fold_counts(
+                counters, pdf[col].value_counts().items(), k
+            )
+        if n_part:
+            yield pd.DataFrame(
+                {
+                    "term": list(counters.keys()) + [None],
+                    "c_low": list(counters.values()) + [0],
+                    "rows": [0] * len(counters) + [n_part],
+                }
+            )
+
+    term_type = df.schema[col].dataType.simpleString()
+    return df.select(F.col(col)).mapInPandas(
+        _fold, schema=f"term {term_type}, c_low long, rows long"
+    )
+
+
+def mg_summary(df: DataFrame, col: str, k: int = 64) -> DataFrame:
     """``(term, c_low)`` — a merged Misra-Gries (SpaceSaving-style)
     frequency summary of a key stream: per Spark partition, a
     ``k``-counter MG summary built by folding Arrow batches (exact
@@ -671,27 +709,12 @@ def mg_summary(
     and the bound itself is property-tested under random repartitioning
     in ``test_sketches.py``.
     """
-    import pandas as pd
-
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-
-    def _fold(it):
-        counters: dict = {}
-        for pdf in it:
-            counters = mg_fold_counts(
-                counters, pdf[col].value_counts().items(), k
-            )
-        if counters:
-            yield pd.DataFrame(
-                {"term": list(counters.keys()), "c_low": list(counters.values())}
-            )
-
-    term_type = df.schema[col].dataType.simpleString()
-    parts = df.select(F.col(col)).mapInPandas(
-        _fold, schema=f"term {term_type}, c_low long"
+    return (
+        _mg_parts(df, col, k)
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("c_low").alias("c_low"))
     )
-    return parts.groupBy("term").agg(F.sum("c_low").alias("c_low"))
 
 
 def mg_heavy_hitters(
@@ -708,8 +731,25 @@ def mg_heavy_hitters(
 
     Output columns are exact (the MG counter itself is partition-order-
     dependent and never surfaces); the sketch's role is pruning the key
-    space, same as the CMS route. Threshold arithmetic is the shared
-    decimal-ceil convention, overflow-safe past int64."""
+    space, same as the CMS route. Threshold arithmetic is driver-side
+    arbitrary-precision Python, the CMS convention.
+
+    Two corpus scans, matching the CMS route's scan budget. Pass 1 is
+    EAGER (one Spark job at call time, the cms_heavy_hitters
+    convention — the input must be deterministic across jobs): the
+    per-partition fold emits counters AND per-partition row counts
+    (:func:`_mg_parts` — no separate count job), a tiny shuffle merges
+    by counter addition, a second fold compresses each reduce
+    partition back to ≤ k counters (merge = ADD then COMPRESS, the
+    Agarwal et al. mergeable-summaries rule, so the undercount law
+    still holds for the merged summary), and the driver collects
+    ≤ k·shuffle-partitions rows — config-bounded, never
+    corpus-size-bounded. A true heavy hitter's merged counter clears
+    ``thresh − slack``, so the shortlist (≤ k terms) compiles into a
+    map-side ``isin`` LITERAL and pass 2 exact-counts candidate
+    occurrences only — no broadcast join, no key-space shuffle."""
+    import pandas as pd
+
     if not 1 <= phi_ppm <= 1_000_000:
         raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
     if (k + 1) * phi_ppm <= 1_000_000:
@@ -718,28 +758,51 @@ def mg_heavy_hitters(
             f"heavy hitters (need k+1 > 1e6/phi_ppm = {1_000_000 / phi_ppm:.0f}"
             " so the MG undercount stays below the threshold)"
         )
-    total = df.agg(F.count(F.lit(1)).alias("n_total")).select(
-        "n_total",
-        F.expr(
-            f"CAST((CAST(n_total AS DECIMAL(38,0)) * {phi_ppm} + 999999)"
-            " DIV 1000000 AS BIGINT)"
-        ).alias("thresh"),
-        F.expr(f"CAST((n_total + {k}) DIV {k + 1} AS BIGINT)").alias("slack"),
+    parts = _mg_parts(df, col, k)
+    merged = parts.groupBy("term").agg(
+        F.sum("c_low").alias("c_low"), F.sum("rows").alias("rows")
     )
-    summary = mg_summary(df, col, k=k)
-    cand = (
-        summary.crossJoin(F.broadcast(total))
-        .filter(F.col("c_low") >= F.col("thresh") - F.col("slack"))
-        .select("term")
-    )
+
+    def _compress(it):
+        counters: dict = {}
+        n_rows = 0
+        for pdf in it:
+            nulls = pdf["term"].isna()
+            n_rows += int(pdf.loc[nulls, "rows"].sum())
+            kept = pdf.loc[~nulls]
+            counters = mg_fold_counts(
+                counters, zip(kept["term"], kept["c_low"]), k
+            )
+        if counters or n_rows:
+            yield pd.DataFrame(
+                {
+                    "term": list(counters.keys()) + [None],
+                    "c_low": list(counters.values()) + [0],
+                    "rows": [0] * len(counters) + [n_rows],
+                }
+            )
+
+    # pass 1, ONE corpus scan, EAGER: fold → merge → compress →
+    # bounded collect (≤ k rows per reduce partition + count rows)
+    rows = merged.mapInPandas(_compress, schema=merged.schema).collect()
+    n_total = sum(r["rows"] for r in rows if r["term"] is None)
+    thresh = (n_total * phi_ppm + 999_999) // 1_000_000
+    slack = (n_total + k) // (k + 1)
+    cand = [r["term"] for r in rows if r["term"] is not None and r["c_low"] >= thresh - slack]
+    term_type = df.schema[col].dataType.simpleString()
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], f"term {term_type}, n_exact bigint"
+        )
+    # pass 2, ONE corpus scan: map-side shortlist literal filter, exact
+    # count of candidate occurrences only (map-side combined), keep
+    # rows clearing the threshold
     exact = (
         df.select(F.col(col).alias("term"))
-        .join(F.broadcast(cand), "term")
+        .filter(F.col("term").isin(cand))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_exact"))
     )
-    return (
-        exact.crossJoin(F.broadcast(total))
-        .filter(F.col("n_exact") >= F.col("thresh"))
-        .select("term", "n_exact")
+    return exact.filter(F.col("n_exact") >= F.lit(int(thresh))).select(
+        "term", "n_exact"
     )

@@ -107,37 +107,37 @@ def test_query_matches_oracle(spark, sf_dir, duck, entry_mod, name):
 
 def test_driver_window_frozen():
     """The driver's CORRECTNESS gate reads the FIRST 50 QUERIES keys.
-    Round 12 rotated the window to: the seven never-driver-gated
-    round-11 additions, then the 43 least-recently-gated keys
-    (freshest driver row = round 7) — after this gate every
-    registered key has a driver row and none is fresher-bounded
-    below round 8. Any accidental reorder (new entries must APPEND
-    once the window is final) fails here before it silently changes
-    what the driver verifies."""
+    Round 13 rotated the window to: the six never-driver-gated
+    round-12 additions, then the 35 keys whose freshest driver row
+    was round 8, then the 9 oldest round-9 keys — after this gate
+    every registered key has a driver row and none is
+    fresher-bounded below round 9. Any accidental reorder (new
+    entries must APPEND once the window is final) fails here before
+    it silently changes what the driver verifies."""
     from spark_ifs_spark.registry import ORACLES, QUERIES
     from spark_ifs_spark.registry._order import ORDER
 
     assert list(QUERIES) == ORDER
     assert list(ORACLES) == ORDER
     assert list(QUERIES)[:50] == [
-        # never-gated round-11 additions
-        "ann_topk_graph", "ann_graph_recall_audit", "dedup_phash",
-        "cms_heavy_hitters", "quantile_sample_audit", "multimodal_frame_sample",
-        "sft_pack",
-        # least-recently-gated backlog (freshest driver row = round 7)
-        "vocab_top50", "lang_id",
-        "doc_fingerprint", "multimodal_features", "lineitem_pricing",
-        "nation_revenue", "priority_orders", "events_topk_per_type",
-        "events_asof_signup", "events_attribution", "events_rolling_7d",
-        "supplier_diversity", "split_counts", "docs_cap_per_source",
-        "scrub_pii", "doc_chunks", "packed_bins",
-        "decontam_ids", "tfidf_top3", "doc_length_quantiles",
-        "mix_by_source", "textrank_keywords", "event_transitions",
-        "docs_weighted_sample", "events_funnel", "events_cohorts",
-        "events_scd2", "cms_term_counts", "join_size_estimate",
-        "quality_calibration", "label_agreement_kappa", "ngram_coverage_curve",
-        "dedup_cluster_purity", "packing_waste_curve", "heaps_law_fit",
-        "quality_threshold_sweep", "dedup_retention", "readability_scores",
-        "source_centroid_sim", "zorder_layout", "priority_sample",
-        "kmv_distinct_sources", "winnow_pairs",
+        # never-gated round-12 additions
+        "rank_sketch_quantiles", "mg_heavy_hitters", "heavy_hitter_cross_audit",
+        "cross_modal_dedup", "kmv_source_overlap", "source_length_quantiles_sketch",
+        # least-recently-gated backlog (freshest driver row = round 8)
+        "winnow_fingerprints", "shard_dup_coverage", "minhash_recall_audit",
+        "c4_line_filters", "c4_line_dedup", "kmeans_train",
+        "tokenizer_compare", "dedup_source_matrix", "pref_pl_ratings",
+        "ann_topk_sq8", "dedup_exact_normalized", "pipeline_audit",
+        "dedup_fuzzy_edit", "ann_topk_ivf_trained", "nation_trade_volume",
+        "bracket_revenue", "top_supplier", "bpe_pairs_top50",
+        "bpe_train_merges", "bpe_token_counts", "embedding_gram",
+        "pca_power_step", "pca_power_iter2", "shipping_priority",
+        "returned_revenue", "order_priority_mix", "promo_revenue",
+        "small_order_revenue", "idle_customers", "lm_bigram_logprob",
+        "embedding_project", "source_overlap", "events_latest_state",
+        "docs_sample_n", "events_winsorized",
+        # oldest round-9 keys
+        "knn_graph", "knn_graph_recall", "knn_graph_components",
+        "packing_assignment", "coverage_select_k5", "docs_profile",
+        "events_rollup", "docs_length_deciles", "events_type_pivot",
     ]

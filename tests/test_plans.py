@@ -921,3 +921,21 @@ def test_quantile_audit_sorts_only_the_sample(spark, sf_dir):
     assert plan.count("Sort ") <= 2, plan  # the one window's local+global sort
     # the full-table audit join broadcasts the 5-row estimate relation
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_mg_heavy_hitters_two_scans_and_join_free_verify(spark, sf_dir):
+    """The MG route matches the CMS route's scan budget: pass 1 (the
+    fold → merge → compress → bounded collect, run eagerly at call
+    time) already carries the per-partition row counts, so there is no
+    third count job, and the returned verify plan is a map-side
+    ``isin`` shortlist literal over `text` only — NO join of any kind
+    and exactly one aggregate pair (candidate occurrences hash-
+    aggregate directly)."""
+    from spark_ifs_spark.registry import QUERIES
+
+    out = QUERIES["mg_heavy_hitters"](spark, str(sf_dir))
+    plan = explain_str(out)
+    assert set(read_schema_columns(out)) == {"text"}
+    assert "Join" not in plan, plan
+    assert "mapInPandas" not in plan.lower(), plan  # fold ran in pass 1, not here
+    assert plan.count("HashAggregate (") == 2, plan
