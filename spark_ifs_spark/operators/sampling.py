@@ -658,18 +658,27 @@ def hash_sample_quantiles(
     # row_number. Boundary quality affects balance only, never ranks.
     n_buckets = 128
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = samp.agg(
+    # The ~127 boundaries are collected driver-side ONCE (an EAGER,
+    # 127-value-bounded job at call time, the cms_heavy_hitters grid
+    # convention) and embedded as LITERALS. An earlier shape broadcast
+    # the percentile_approx result and let both the offset branch and
+    # the bucket-probe branch reference it; percentile_approx's merge
+    # is order-dependent, so if the exchange were ever recomputed
+    # instead of reused the two branches could bucket against
+    # DIFFERENT boundary vectors — silently wrong ranks. Literals
+    # make the boundary vector a plan constant: correct under exchange
+    # recompute, disabled reuse, or canonicalization mismatch.
+    bs = samp.agg(
         F.percentile_approx(
             "v", F.array(*[F.lit(f) for f in fracs]), 10_000
         ).alias("_bs")
-    )
-    bk = samp.crossJoin(F.broadcast(bounds)).select(
-        "v",
-        "k",
-        F.when(F.col("_bs").isNull(), F.lit(0))
-        .otherwise(F.size(F.filter(F.col("_bs"), lambda b: b < F.col("v"))))
-        .alias("_bkt"),
-    )
+    ).collect()[0]["_bs"]
+    if bs:
+        blit = F.array(*[F.lit(b) for b in bs])
+        bkt_expr = F.size(F.filter(blit, lambda b: b < F.col("v")))
+    else:  # empty sample: one bucket, ranks still exact
+        bkt_expr = F.lit(0)
+    bk = samp.select("v", "k", bkt_expr.alias("_bkt"))
     per = bk.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bc"))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     off = per.select(

@@ -154,6 +154,18 @@ def cms_heavy_hitters(
     ``c ≥ thresh`` instead of ``c·1e6 ≥ n_total·phi_ppm`` keeps every
     per-row comparison inside int64 even at 10^14-token streams, where
     the naive product wraps (the CUPED decimal-before-multiply rule).
+
+    EAGER: pass 1 runs as a Spark job at CALL time (the grid collect),
+    not at action time — so the input must be deterministic across
+    jobs (a nondeterministic lineage, e.g. an unseeded sample, could
+    give pass 2 a different view of the data than the grid saw, with
+    no error raised; ``localCheckpoint`` such inputs first). NULL
+    values hash to NULL and land in a NULL-bucket grid cell; they are
+    counted by ``n_total`` (the oracle convention) but can never match
+    a term's lookup, so NULL cells are skipped when compiling the hot
+    maps. The hot maps are arithmetic-bounded at ``depth·1e6/phi_ppm``
+    entries, but a tiny ``phi_ppm`` would still compile a huge literal
+    — the actual entry count is guarded at 50k.
     """
     if not 1 <= phi_ppm <= 1_000_000:
         raise ValueError(f"phi_ppm must be in [1, 1e6], got {phi_ppm}")
@@ -167,8 +179,19 @@ def cms_heavy_hitters(
     thresh = (n_total * phi_ppm + 999_999) // 1_000_000
     hot_by_r: dict[int, dict[int, int]] = {}
     for row in cells:
-        if row["c"] >= thresh:
+        # NULL-bucket cells come from NULL input values (md5(NULL) is
+        # NULL); a term's hash lookup can never match them, and
+        # F.lit(None-key) would fail — skip them in the hot maps.
+        if row["bucket"] is not None and row["c"] >= thresh:
             hot_by_r.setdefault(row["r"], {})[row["bucket"]] = row["c"]
+    n_hot = sum(len(v) for v in hot_by_r.values())
+    if n_hot > 50_000:
+        raise ValueError(
+            f"hot-cell maps would hold {n_hot} entries (phi_ppm="
+            f"{phi_ppm} admits up to {depth}*{1_000_000 // phi_ppm}) — "
+            "too large to compile as map literals; raise phi_ppm or "
+            "use an exact groupBy for such low thresholds"
+        )
     params = minhash_params(depth, seed)
     th = md5_int60(F.col("term"))
     lookups = []

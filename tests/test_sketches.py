@@ -468,3 +468,41 @@ def test_rank_sketch_by_key_skew_and_exactness(spark):
     big_vals = sorted((i * 7) % 1000 for i in range(800))
     pos = big_vals.index(est[("big", 50)])
     assert abs(pos / 800 - 0.5) < 0.25
+
+
+def test_cms_heavy_hitters_tolerates_null_values(spark):
+    """NULL input values hash to a NULL-bucket grid cell; the hot maps
+    skip those cells (a term lookup can never match NULL) instead of
+    crashing on F.lit(None), and NULLs never surface as heavy terms."""
+    words = ["a"] * 40 + [None] * 40 + ["b"] * 2
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = {
+        r["term"]: r["n_exact"]
+        for r in sketches.cms_heavy_hitters(
+            df, "w", phi_ppm=300_000, depth=2, width=8, seed=1
+        ).collect()
+    }
+    # n_total counts NULL rows (oracle convention): thresh = ceil(82*.3)=25
+    assert rows == {"a": 40}
+
+
+def test_cms_heavy_hitters_guards_map_literal_size(spark):
+    """A pathologically small phi over a wide grid would compile a
+    multi-thousand-entry map literal per depth row; the entry-count
+    guard raises instead of building an unplannable expression."""
+    df = spark.range(60_000).select(F.col("id").cast("string").alias("w"))
+    with pytest.raises(ValueError, match="hot-cell maps"):
+        sketches.cms_heavy_hitters(df, "w", phi_ppm=1, depth=4, width=20_000, seed=1)
+
+
+def test_mg_heavy_hitters_tolerates_null_values(spark):
+    """The fold's value_counts drops NULLs from counters but the
+    NULL-term sentinel row still counts them in n_total, matching the
+    CMS route's convention."""
+    words = ["a"] * 40 + [None] * 40 + ["b"] * 2
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = {
+        r["term"]: r["n_exact"]
+        for r in sketches.mg_heavy_hitters(df, "w", phi_ppm=300_000, k=16).collect()
+    }
+    assert rows == {"a": 40}
