@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     "cross_modal_dedup",
     "kmv_source_overlap",
     "source_length_quantiles_sketch",
+    "dedup_audio_fp",
+    "audio_fp_recall_audit",
 ]
 
 

@@ -659,3 +659,133 @@ def image_dhash(
     return df.select(id_col, payload_col).mapInPandas(
         _proc, "id long, dhash long"
     )
+
+
+def attach_audio_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """``(id, payload)`` — REAL RIFF/WAVE PCM16 payloads with PLANTED
+    near-duplicate groups, the audio-dedup fixture completing the
+    modality triple (text shingles ✓, image pixels ✓, now samples):
+    clips come in groups of three (``g = id // 3``, variant
+    ``v = id % 3``) sharing one base signal of 128 mono 16 kHz
+    samples, ``s[k] = ((g·31+7)·k² + (g%13+3)·k·57) % 30011 − 15005``;
+    variants ``v > 0`` nudge the ~2 samples where ``(k+v) % 53 == 0``
+    by +1 — the "re-encoded/resampled copy" stand-in. Samples are a
+    pure function of the id (the ``attach_png_payloads``
+    oracle-recomputability contract) while the payload round-trips the
+    real WAV encoder, so a downstream ``decode_wav_samples`` is
+    exercised end-to-end. ``mapInPandas``; payloads never shuffle."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            payloads = []
+            k = np.arange(128, dtype=np.int64)
+            for i in ids:
+                i = int(i)
+                g, v = i // 3, i % 3
+                s = ((g * 31 + 7) * k * k + (g % 13 + 3) * k * 57) % 30011 - 15005
+                if v > 0:
+                    s = s + ((k + v) % 53 == 0).astype(np.int64)
+                payloads.append(
+                    codecs.encode_wav(
+                        s.astype("<i2").tobytes(), sample_rate=16_000
+                    )
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(F.col(id_col).alias("id")).mapInPandas(
+        _gen, "id long, payload binary"
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frames: int = 8,
+    frame_len: int = 16,
+) -> DataFrame:
+    """``(id, afp)`` — spectral-band energy fingerprints from DECODED
+    PCM samples (real ``codecs.decode_wav_samples``), the audio-content
+    analogue of :func:`image_dhash` — chromaprint-shaped (Chromaprint /
+    AcoustID's public construction: frame the signal, take per-frame
+    spectral band energies, difference-code adjacent frames into bits):
+
+    - the first ``frames·frame_len`` samples split into ``frames``
+      frames (shorter clips raise — a fingerprint of silence padding
+      would collide everything);
+    - per frame, the WALSH-HADAMARD transform (±1 weights by
+      ``popcount(j & t)`` parity) supplies the sequency spectrum —
+      chosen over the FFT because it is INTEGER-exact, so an
+      engine-independent oracle replays every coefficient bit-for-bit
+      where float trig would drift on near-tie comparisons;
+    - coefficients pair into ``frame_len/2`` bands; band energy =
+      ``Σ|c|`` (integer);
+    - bit ``(f, b)`` = 1 iff band ``b``'s energy RISES from frame ``f``
+      to ``f+1`` — temporal difference coding, level-invariant like the
+      image dHash — giving ``(frames−1)·frame_len/2`` bits packed
+      little-endian (56 bits at the defaults, inside the sign bit).
+
+    Pair with :func:`~spark_ifs_spark.operators.dedup.simhash_near_pairs`
+    (``bits = (frames−1)·frame_len/2``) for the Hamming-banded near-dup
+    join — hashes are one long per clip, so the pair stage never
+    touches samples. ``mapInPandas``, Arrow batches; the per-payload
+    codec call is the only Python loop.
+
+    No counterpart in the reference; extension operator (the audio
+    modality of the dedup family)."""
+    import numpy as np
+
+    from spark_ifs_spark.functions import codecs
+
+    bands = frame_len // 2
+    nbits = (frames - 1) * bands
+    if nbits > 64 or frame_len & (frame_len - 1):
+        raise ValueError(
+            f"frames={frames}, frame_len={frame_len}: need a power-of-2 "
+            f"frame and (frames-1)*frame_len/2 <= 64 bits, got {nbits}"
+        )
+    need = frames * frame_len
+    wht = np.array(
+        [
+            [1 - 2 * (bin(j & t).count("1") % 2) for t in range(frame_len)]
+            for j in range(frame_len)
+        ],
+        dtype=np.int64,
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col].tolist():
+                _, vals = codecs.decode_wav_samples(bytes(p))
+                if len(vals) < need:
+                    raise ValueError(
+                        f"clip has {len(vals)} samples, fingerprint needs {need}"
+                    )
+                s = np.asarray(vals[:need], dtype=np.int64).reshape(
+                    frames, frame_len
+                )
+                c = s @ wht.T
+                e = np.abs(c).reshape(frames, bands, 2).sum(axis=2)
+                afp = 0
+                for f in range(frames - 1):
+                    for b in range(bands):
+                        if e[f + 1][b] > e[f][b]:
+                            afp |= 1 << (f * bands + b)
+                if afp >= 1 << 63:
+                    afp -= 1 << 64  # two's complement for 64-bit layouts
+                out.append(afp)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "afp": np.array(out, dtype=np.int64),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _proc, "id long, afp long"
+    )

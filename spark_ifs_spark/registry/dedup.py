@@ -1750,3 +1750,156 @@ LEFT JOIN tdup t ON t.id = d.doc_id
 LEFT JOIN idup i ON i.id = d.doc_id
 WHERE (t.id IS NULL) <> (i.id IS NULL)
 """
+
+
+# audio fingerprint near-dup dedup (dedup_audio_fp)
+AFP_FRAMES = 8       # 8 frames x 16 samples = 128-sample clips
+AFP_FRAME_LEN = 16   # power of 2 (Walsh-Hadamard block)
+AFP_BITS = (AFP_FRAMES - 1) * (AFP_FRAME_LEN // 2)  # 56
+AFP_MAX_HAMMING = 3  # lossless under 4-band blocking (pigeonhole)
+
+
+def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-content near-duplicate pairs — the AUDIO modality of the
+    dedup family, completing the triple (text shingles ✓, image
+    pixels ✓, now PCM samples): real RIFF/WAVE PCM16 payloads with
+    planted near-identical groups (``attach_audio_payloads``) are
+    DECODED by the real codec, reduced to 56-bit spectral-band energy
+    fingerprints (:func:`~spark_ifs_spark.operators.multimodal.
+    audio_fingerprint` — chromaprint-shaped temporal difference coding
+    over Walsh-Hadamard sequency bands, integer-exact by design), and
+    paired by the SimHash Hamming-banded self-join (4 blocks — any
+    pair within Hamming ≤ 3 collides on ≥1 block,
+    pigeonhole-lossless, never all-pairs). The oracle replays sample
+    synthesis → WHT coefficients → band energies → difference bits →
+    banding → exact Hamming verify in pure SQL, so the decode path is
+    content-hash-gated end-to-end."""
+    from spark_ifs_spark.operators.multimodal import (
+        attach_audio_payloads,
+        audio_fingerprint,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_audio_payloads(docs, "doc_id")
+    fp = audio_fingerprint(
+        payloads, "id", "payload", frames=AFP_FRAMES, frame_len=AFP_FRAME_LEN
+    ).select("id", F.col("afp").alias("simhash"))
+    return dedup.simhash_near_pairs(
+        fp, max_hamming=AFP_MAX_HAMMING, bits=AFP_BITS
+    )
+
+
+def _sql_afp_fingerprints() -> str:
+    """Shared CTE chain: documents → synthesized samples → WHT
+    coefficients → band energies → difference bits → packed 56-bit
+    fingerprints (table ``fp(id, afp)``)."""
+    fl, fr = AFP_FRAME_LEN, AFP_FRAMES
+    bands = fl // 2
+    return f"""
+dims AS (SELECT doc_id AS id, doc_id // 3 AS g, doc_id % 3 AS v FROM documents),
+samples AS (
+  SELECT id, t.k AS k,
+         ((g*31+7)*t.k*t.k + (g%13+3)*t.k*57) % 30011 - 15005
+         + CASE WHEN v > 0 AND (t.k + v) % 53 = 0 THEN 1 ELSE 0 END AS s
+  FROM dims, range({fr * fl}) t(k)
+),
+coef AS (
+  SELECT id, k // {fl} AS f, rj.j AS j,
+         sum(s * CASE WHEN bit_count(rj.j & (k % {fl})) % 2 = 0
+                 THEN 1 ELSE -1 END) AS c
+  FROM samples, range({fl}) rj(j) GROUP BY 1, 2, 3
+),
+band AS (SELECT id, f, j // 2 AS b, sum(abs(c)) AS e FROM coef GROUP BY 1, 2, 3),
+bits AS (
+  SELECT a.id, a.f, a.b,
+         CASE WHEN nx.e > a.e THEN CAST(1 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM band a JOIN band nx ON nx.id = a.id AND nx.b = a.b AND nx.f = a.f + 1
+),
+fp AS MATERIALIZED (
+  SELECT id, CAST(sum(bit << CAST(f * {bands} + b AS INT)) AS BIGINT) AS afp
+  FROM bits GROUP BY id
+)"""
+
+
+def sql_dedup_audio_fp() -> str:
+    per = AFP_BITS // 4
+    return f"""
+WITH {_sql_afp_fingerprints()},
+ex AS (
+  SELECT f.id, b.blk,
+         (f.afp >> CAST(b.blk * {per} AS INT)) & {(1 << per) - 1} AS bkey
+  FROM fp f, range(4) b(blk)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.bkey = b.bkey AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.afp, fb.afp)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.id = c.id_a
+JOIN fp fb ON fb.id = c.id_b
+WHERE bit_count(xor(fa.afp, fb.afp)) <= {AFP_MAX_HAMMING}
+"""
+
+
+def q_audio_fp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio near-dup path's MEASURED recall — the
+    measured-not-asserted audit every approximate route in this engine
+    ships (MinHash, ANN, LSH): the fixture PLANTS the truth (clips in
+    the same ``doc_id DIV 3`` group are near-identical by
+    construction), the banded join is pigeonhole-LOSSLESS at Hamming
+    ≤ 3, so what the audit actually measures is the FINGERPRINT's
+    recall — the fraction of planted duplicate pairs whose 56-bit
+    spectral fingerprints land within the Hamming threshold (the ±1
+    sample nudge occasionally flips a near-tie band comparison; that
+    loss is the honest cost of a 56-bit sketch of a 2048-bit signal).
+    One row: (n_planted, n_detected, recall_ppm). The same-group pair
+    join keys on ``g`` — groups are ≤ 3 clips by construction, so the
+    join is bounded and skew-free at any corpus size."""
+    from spark_ifs_spark.operators.multimodal import (
+        attach_audio_payloads,
+        audio_fingerprint,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    payloads = attach_audio_payloads(docs, "doc_id")
+    fp = audio_fingerprint(
+        payloads, "id", "payload", frames=AFP_FRAMES, frame_len=AFP_FRAME_LEN
+    ).withColumn("g", F.expr("id DIV 3"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp"))).alias("hamming")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_planted"),
+        F.sum(
+            F.when(F.col("hamming") <= AFP_MAX_HAMMING, 1).otherwise(0)
+        ).alias("n_detected"),
+    ).select(
+        "n_planted",
+        F.col("n_detected").cast("long").alias("n_detected"),
+        F.expr(
+            "CAST((CAST(n_detected AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_planted AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+def sql_audio_fp_recall_audit() -> str:
+    return f"""
+WITH {_sql_afp_fingerprints()},
+pairs AS (
+  SELECT bit_count(xor(a.afp, b.afp)) AS hamming
+  FROM fp a JOIN fp b ON a.id // 3 = b.id // 3 AND a.id < b.id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(sum(CASE WHEN hamming <= {AFP_MAX_HAMMING} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_detected,
+       CAST((CAST(sum(CASE WHEN hamming <= {AFP_MAX_HAMMING} THEN 1 ELSE 0 END)
+                  AS HUGEINT) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+FROM pairs
+"""

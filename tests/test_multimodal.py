@@ -4,6 +4,7 @@ import hashlib
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from spark_ifs_spark.functions import codecs, jpeg
 from spark_ifs_spark.operators import multimodal
@@ -556,3 +557,81 @@ def test_image_dhash_rejects_too_small(spark):
     )
     with pytest.raises(Exception, match="smaller than"):
         image_dhash(df, "id", "payload", grid=8).collect()
+
+def test_audio_fingerprint_planted_near_dups_recovered(spark):
+    """Planted same-group WAV clips fingerprint within Hamming ≤ 3 for
+    the overwhelming majority of pairs, and distinct groups never
+    collide — the fixture contract dedup_audio_fp's banded join and its
+    recall audit both rely on."""
+    from spark_ifs_spark.operators import dedup
+    from spark_ifs_spark.operators.multimodal import (
+        attach_audio_payloads,
+        audio_fingerprint,
+    )
+
+    ids = spark.range(60).select(F.col("id").alias("doc_id"))
+    fp = audio_fingerprint(
+        attach_audio_payloads(ids, "doc_id"), "id", "payload"
+    ).select("id", F.col("afp").alias("simhash"))
+    pairs = dedup.simhash_near_pairs(fp, max_hamming=3, bits=56).collect()
+    assert pairs, "planted near-dups must surface"
+    for r in pairs:  # no cross-group false positives at this threshold
+        assert r["id_a"] // 3 == r["id_b"] // 3
+    # recall over planted pairs is high but honestly < 1 (near-tie flips)
+    n_groups = 20
+    n_planted = n_groups * 3  # 3 pairs per full group of 3
+    assert len(pairs) >= int(0.8 * n_planted)
+
+
+def test_audio_fingerprint_decodes_real_wav(spark):
+    """The fingerprint consumes the REAL decoded PCM: hand-encoding the
+    same samples through codecs.encode_wav yields the identical
+    fingerprint, and a content change flips it."""
+    import pandas as pd
+
+    k = np.arange(128, dtype=np.int64)
+    s = (7 * k * k + 3 * k * 57) % 30011 - 15005  # group 0 base signal
+    wav_same = codecs.encode_wav(s.astype("<i2").tobytes(), 16_000)
+    s2 = s.copy()
+    s2[:64] = 0  # gross content change (a sign flip would be invisible:
+    # band ENERGY is phase-blind, like any energy fingerprint)
+    wav_diff = codecs.encode_wav(s2.astype("<i2").tobytes(), 16_000)
+    from spark_ifs_spark.operators.multimodal import (
+        attach_audio_payloads,
+        audio_fingerprint,
+    )
+
+    fixture = audio_fingerprint(
+        attach_audio_payloads(
+            spark.range(1).select(F.col("id").alias("doc_id")), "doc_id"
+        ),
+        "id",
+        "payload",
+    ).collect()[0]["afp"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1], "payload": [wav_same, wav_diff]})
+    )
+    got = {r["id"]: r["afp"] for r in audio_fingerprint(df, "id", "payload").collect()}
+    assert got[0] == fixture
+    assert got[1] != fixture
+
+
+def test_audio_fingerprint_rejects_short_clips(spark):
+    import pandas as pd
+
+    wav = codecs.encode_wav(b"\x00\x00" * 64, 16_000)  # 64 < 128 samples
+    df = spark.createDataFrame(pd.DataFrame({"id": [0], "payload": [wav]}))
+    from spark_ifs_spark.operators.multimodal import audio_fingerprint
+
+    with pytest.raises(Exception, match="fingerprint needs"):
+        audio_fingerprint(df, "id", "payload").collect()
+
+
+def test_audio_fingerprint_validates_geometry(spark):
+    from spark_ifs_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.range(1).select(
+        F.col("id"), F.lit(b"").cast("binary").alias("payload")
+    )
+    with pytest.raises(ValueError, match="power-of-2|<= 64"):
+        audio_fingerprint(df, "id", "payload", frames=10, frame_len=15)

@@ -248,6 +248,9 @@ def main() -> None:
         "cross_modal_dedup",
         "kmv_source_overlap",
         "source_length_quantiles_sketch",
+        # round 13: audio modality joins the dedup family
+        "dedup_audio_fp",
+        "audio_fp_recall_audit",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -297,6 +300,8 @@ def main() -> None:
         "cross_modal_dedup",
         "kmv_source_overlap",
         "source_length_quantiles_sketch",
+        "dedup_audio_fp",
+        "audio_fp_recall_audit",
     }
     if only:
         names = [n for n in names if n in only]
