@@ -650,3 +650,137 @@ def cms_index_heavy_cells(
         .filter(F.col("c") >= F.col("thresh"))
         .select("r", "bucket", "c", "n_total")
     )
+
+
+def streaming_kmv(
+    stream: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    index_path: str,
+    checkpoint: str,
+    k: int = 128,
+):
+    """Maintain per-key K-Minimum-Values distinct sketches
+    (:func:`~spark_ifs_spark.operators.sketches.kmv_sketch`) over a
+    keyed value stream — the one sketch in the maintained family that
+    had no streaming index (CMS, rank, HLL, MG do). Each micro-batch
+    writes its OWN k-bounded-per-key partial (the batch's sketch),
+    never reading accumulated state; the KMV merge law — the k
+    smallest distinct hashes of a union are contained in the union of
+    each part's k smallest — makes the read-side fold EXACTLY the
+    one-shot sketch of the concatenated stream, so batch ≡ stream
+    parity is row equality (like the rank sketch; the hash-distinct
+    additionally makes replayed VALUES harmless — only a replayed
+    BATCH pointer needs the watermark guard). Same pointer-commit
+    contract as the sibling indexes. Returns the StreamingQuery."""
+    from spark_ifs_spark.operators.sketches import kmv_sketch
+
+    root = index_path.rstrip("/")
+    os.makedirs(root, exist_ok=True)
+    params = {"k": k, "keys": list(key_cols), "value": value_col}
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        state = _read_state(index_path)
+        if state is not None:
+            if state["params"] != params:
+                raise ValueError(
+                    f"kmv at {index_path} was built with {state['params']}, "
+                    f"appender configured with {params} — sketches under "
+                    "different k/keys must not fold; rebuild or match"
+                )
+            if batch_id <= state["last_batch_id"]:
+                return  # same-checkpoint replay — already absorbed
+        if batch.isEmpty():
+            return  # no empty partial, no pointer churn
+        if state is None:
+            state = {
+                "version": 0,
+                "dir": "kmv-v0",
+                "last_batch_id": -1,
+                "params": params,
+            }
+        part = kmv_sketch(batch, list(key_cols), value_col, k=k).select(
+            *key_cols, "h"
+        )
+        part.write.mode("overwrite").parquet(
+            os.path.join(root, state["dir"], "rows", f"batch={batch_id}")
+        )
+        state["last_batch_id"] = batch_id
+        _commit_state(index_path, state)
+
+    return (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmv(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(key…, h)`` — the live per-key sketch: hash-distinct then
+    bottom-k over one consistent (version, watermark) snapshot of the
+    committed partials. The fold runs over ≤ batches·keys·k rows
+    (``compact_kmv`` folds that back to keys·k), never the stream."""
+    from spark_ifs_spark.operators.topk import salted_topk_per_key
+
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed kmv at {index_path}")
+    keys = state["params"]["keys"]
+    path = os.path.join(index_path.rstrip("/"), state["dir"], "rows")
+    rows = (
+        spark.read.parquet(path)
+        .where(F.col("batch") <= state["last_batch_id"])
+        .select(*keys, "h")
+        .distinct()  # the same hash may survive in several partials
+    )
+    return salted_topk_per_key(
+        rows, keys, "h", k=state["params"]["k"], descending=False
+    ).select(*keys, "h")
+
+
+def kmv_index_estimate(spark: SparkSession, index_path: str) -> DataFrame:
+    """``(key…, n_sketch, kth_h, est_distinct)`` served straight from
+    the maintained sketch with the index's own committed k — the KMV
+    mirror of :func:`hll_index_estimate`."""
+    from spark_ifs_spark.operators.sketches import kmv_estimate
+
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed kmv at {index_path}")
+    return kmv_estimate(
+        read_kmv(spark, index_path),
+        state["params"]["keys"],
+        k=state["params"]["k"],
+    )
+
+
+def compact_kmv(spark: SparkSession, index_path: str) -> None:
+    """Fold the committed partials into a single ``batch=-1`` base in a
+    NEW version directory and swing the pointer atomically — the KMV
+    merge is exact, so the folded sketch equals the pre-compaction
+    read. Crash-safe like the sibling modules."""
+    root = index_path.rstrip("/")
+    state = _read_state(index_path)
+    if state is None:
+        raise FileNotFoundError(f"no committed kmv at {index_path}")
+    for d in os.listdir(root):
+        if d.startswith("kmv-v") and d != state["dir"]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    live = read_kmv(spark, index_path).localCheckpoint(eager=True)
+    new_version = state["version"] + 1
+    new_dir = f"kmv-v{new_version}"
+    live.write.mode("overwrite").parquet(
+        os.path.join(root, new_dir, "rows", "batch=-1")
+    )
+    old = state["dir"]
+    _commit_state(
+        index_path,
+        {
+            "version": new_version,
+            "dir": new_dir,
+            "last_batch_id": state["last_batch_id"],
+            "params": state["params"],
+        },
+    )
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
