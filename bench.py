@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "source_length_quantiles_sketch",
     "dedup_audio_fp",
     "audio_fp_recall_audit",
+    "quantile_cross_audit",
 ]
 
 

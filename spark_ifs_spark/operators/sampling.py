@@ -645,6 +645,48 @@ def hash_sample_quantiles(
     audit stays exact past the int64 wrap point (~9.2e12 rows) — the
     CUPED decimal-before-multiply rule.
     """
+    est = hash_sample_quantile_estimates(
+        df, key_col, val_col, qs_pct=qs_pct, sample_mod=sample_mod
+    )
+    audit = (
+        df.select(F.col(val_col).alias("fv"))
+        .crossJoin(F.broadcast(est))
+        .groupBy("q_pct", "v_est", "n_sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("fv") <= F.col("v_est"), 1).otherwise(0)).alias(
+                "n_le"
+            ),
+        )
+    )
+    return audit.select(
+        "q_pct",
+        "v_est",
+        "n_sample",
+        "n_le",
+        F.expr(
+            "CAST((CAST(n_le AS DECIMAL(38,0)) * 1000000)"
+            " DIV n_total AS BIGINT)"
+        ).alias("rank_ppm"),
+    ).withColumn(
+        "err_ppm", F.abs(F.col("rank_ppm") - F.col("q_pct").cast("long") * F.lit(10_000))
+    )
+
+
+def hash_sample_quantile_estimates(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    qs_pct: Sequence[int] = (25, 50, 75, 90, 99),
+    sample_mod: int = 20,
+) -> DataFrame:
+    """``(q_pct, v_est, n_sample)`` — the ESTIMATE stage of
+    :func:`hash_sample_quantiles` (deterministic hash sample →
+    two-level spliced rank → discrete quantile read-off) without the
+    full-relation audit pass, so composite audits (e.g. the
+    cross-estimator quantile audit, which compares this route against
+    the rank sketch) can attach ONE shared audit scan to several
+    estimators instead of paying one scan each."""
     if sample_mod < 1:
         raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     if not qs_pct or any(q < 1 or q > 100 for q in qs_pct):
@@ -698,29 +740,6 @@ def hash_sample_quantiles(
         "n_sample",
         F.expr("(q_pct * n_sample + 99) DIV 100").alias("target_rn"),
     )
-    est = targets.join(ranked, F.col("target_rn") == F.col("rn")).select(
+    return targets.join(ranked, F.col("target_rn") == F.col("rn")).select(
         "q_pct", F.col("v").alias("v_est"), "n_sample"
-    )
-    audit = (
-        df.select(F.col(val_col).alias("fv"))
-        .crossJoin(F.broadcast(est))
-        .groupBy("q_pct", "v_est", "n_sample")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.when(F.col("fv") <= F.col("v_est"), 1).otherwise(0)).alias(
-                "n_le"
-            ),
-        )
-    )
-    return audit.select(
-        "q_pct",
-        "v_est",
-        "n_sample",
-        "n_le",
-        F.expr(
-            "CAST((CAST(n_le AS DECIMAL(38,0)) * 1000000)"
-            " DIV n_total AS BIGINT)"
-        ).alias("rank_ppm"),
-    ).withColumn(
-        "err_ppm", F.abs(F.col("rank_ppm") - F.col("q_pct").cast("long") * F.lit(10_000))
     )

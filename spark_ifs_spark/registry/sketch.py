@@ -800,3 +800,106 @@ SELECT source, CAST(n_exact AS BIGINT) AS n_exact, n_sketch, kth_h,
                   / CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
 FROM unioned
 """
+
+
+def q_quantile_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-sketch route and the hash-sample route estimate the
+    SAME document-length quantiles INDEPENDENTLY and are rank-audited
+    against the full relation in ONE shared conditional-count scan —
+    the heavy-hitter cross-audit pattern applied to the quantile
+    family: two estimators with unrelated randomness (bottom-k by
+    doc_id hash vs a 5% doc_id-hash Bernoulli sample) must both land
+    their true ranks near q·10⁴ ppm, and ``gap_ppm`` (the rank gap
+    BETWEEN the two estimates) bounds how far either can be from the
+    truth — if the routes ever drift apart, the gap blows up and the
+    hash gate fails loudly. Output per q: both estimates, both
+    measured rank errors, and the inter-estimator gap. Cost shape: two
+    sketch-sized estimate stages plus ONE full scan (the single-route
+    keys pay one scan each; the composite pays one, not two —
+    ``hash_sample_quantile_estimates`` exists for exactly this)."""
+    from spark_ifs_spark.operators.sampling import (
+        hash_sample_quantile_estimates,
+    )
+    from spark_ifs_spark.operators.sketches import (
+        rank_sketch,
+        rank_sketch_quantiles,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    est_sk = rank_sketch_quantiles(
+        rank_sketch(docs, "doc_id", "n_chars", k=RKS_K), RKS_QS
+    ).select("q_pct", F.col("v_est").alias("v_sketch"))
+    est_sm = hash_sample_quantile_estimates(
+        docs, "doc_id", "n_chars", qs_pct=QSAMPLE_QS, sample_mod=QSAMPLE_MOD
+    ).select("q_pct", F.col("v_est").alias("v_sample"))
+    joint = est_sk.join(est_sm, "q_pct")
+    audit = (
+        docs.select(F.col("n_chars").alias("fv"))
+        .crossJoin(F.broadcast(joint))
+        .groupBy("q_pct", "v_sketch", "v_sample")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("fv") <= F.col("v_sketch"), 1).otherwise(0)).alias("n_le_sk"),
+            F.sum(F.when(F.col("fv") <= F.col("v_sample"), 1).otherwise(0)).alias("n_le_sm"),
+        )
+    )
+    ppm = (
+        "CAST((CAST({n} AS DECIMAL(38,0)) * 1000000) DIV n_total AS BIGINT)"
+    )
+    return audit.select(
+        "q_pct",
+        F.col("v_sketch").alias("v_est_sketch"),
+        F.col("v_sample").alias("v_est_sample"),
+        F.expr(ppm.format(n="n_le_sk")).alias("rank_sketch_ppm"),
+        F.expr(ppm.format(n="n_le_sm")).alias("rank_sample_ppm"),
+    ).withColumn(
+        "gap_ppm",
+        F.abs(F.col("rank_sketch_ppm") - F.col("rank_sample_ppm")),
+    )
+
+
+def sql_quantile_cross_audit() -> str:
+    h = sql_md5_int60("CAST(doc_id AS VARCHAR)")
+    q_rows = ", ".join(f"({q})" for q in RKS_QS)
+    return f"""
+WITH sk AS (
+  SELECT n_chars AS v, {h} AS h FROM documents
+  ORDER BY h LIMIT {RKS_K}
+),
+sk_ranked AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn FROM sk),
+sk_ns AS (SELECT count(*) AS n_sketch FROM sk),
+qs(q_pct) AS (VALUES {q_rows}),
+sk_est AS (
+  SELECT q_pct, v AS v_sketch
+  FROM qs, sk_ns
+  JOIN sk_ranked ON (q_pct * n_sketch + 99) // 100 = rn
+),
+samp AS (
+  SELECT n_chars AS v, doc_id AS k FROM documents
+  WHERE {h} % {QSAMPLE_MOD} = 0
+),
+sm_ranked AS (SELECT v, row_number() OVER (ORDER BY v, k) AS rn FROM samp),
+sm_ns AS (SELECT count(*) AS n_sample FROM samp),
+sm_est AS (
+  SELECT q_pct, v AS v_sample
+  FROM qs, sm_ns
+  JOIN sm_ranked ON (q_pct * n_sample + 99) // 100 = rn
+),
+joint AS (SELECT a.q_pct, v_sketch, v_sample FROM sk_est a JOIN sm_est b ON a.q_pct = b.q_pct),
+audit AS (
+  SELECT q_pct, v_sketch, v_sample, count(*) AS n_total,
+         sum(CASE WHEN d.n_chars <= v_sketch THEN 1 ELSE 0 END) AS n_le_sk,
+         sum(CASE WHEN d.n_chars <= v_sample THEN 1 ELSE 0 END) AS n_le_sm
+  FROM documents d CROSS JOIN joint
+  GROUP BY 1, 2, 3
+)
+SELECT q_pct, v_sketch AS v_est_sketch, v_sample AS v_est_sample,
+       CAST((CAST(n_le_sk AS HUGEINT) * 1000000) // n_total AS BIGINT)
+         AS rank_sketch_ppm,
+       CAST((CAST(n_le_sm AS HUGEINT) * 1000000) // n_total AS BIGINT)
+         AS rank_sample_ppm,
+       abs(CAST((CAST(n_le_sk AS HUGEINT) * 1000000) // n_total AS BIGINT)
+           - CAST((CAST(n_le_sm AS HUGEINT) * 1000000) // n_total AS BIGINT))
+         AS gap_ppm
+FROM audit
+"""

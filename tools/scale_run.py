@@ -251,6 +251,7 @@ def main() -> None:
         # round 13: audio modality joins the dedup family
         "dedup_audio_fp",
         "audio_fp_recall_audit",
+        "quantile_cross_audit",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -302,6 +303,7 @@ def main() -> None:
         "source_length_quantiles_sketch",
         "dedup_audio_fp",
         "audio_fp_recall_audit",
+        "quantile_cross_audit",
     }
     if only:
         names = [n for n in names if n in only]
