@@ -277,6 +277,7 @@ BENCH_QUERIES = [
     "dedup_audio_fp",
     "audio_fp_recall_audit",
     "quantile_cross_audit",
+    "distinct_cross_audit",
 ]
 
 

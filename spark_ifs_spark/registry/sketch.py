@@ -903,3 +903,101 @@ SELECT q_pct, v_sketch AS v_est_sketch, v_sample AS v_est_sample,
          AS gap_ppm
 FROM audit
 """
+
+
+def q_distinct_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV route and the portable-HLL route estimate the SAME
+    per-source distinct vocabularies INDEPENDENTLY — the cross-audit
+    pattern (heavy hitters: CMS↔MG; quantiles: sketch↔sample) applied
+    to the cardinality family: bottom-k order statistics vs register
+    maxima share nothing but the md5 hash, so correlated failure
+    requires a bug in the hash itself (which the exact column would
+    then expose). Output per source: the exact count, both estimates,
+    both measured errors, and ``gap_ppm`` — the inter-estimator gap
+    that blows up if either route drifts. Both estimators are exact
+    deterministic functions of the value multiset (integer register
+    arithmetic / bottom-k hashes), so the gate hash-checks an
+    *approximate* statistic with an *exact* differential test. One
+    corpus scan per route (KMV: digest-distinct; HLL: register fold),
+    both shuffle-bounded by keys·k and keys·2^p — at 100 TB the exact
+    column is the audit you drop, the family convention."""
+    from spark_ifs_spark.operators import sketches
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    kmv = sketches.kmv_estimate(
+        sketches.kmv_sketch(terms, ["source"], "term", k=KMV_K),
+        ["source"],
+        k=KMV_K,
+    ).select("source", F.col("est_distinct").alias("kmv_est"))
+    hll = sketches.hll_distinct(terms, ["source"], "term", p=HLL_P).select(
+        "source", F.col("est_distinct").alias("hll_raw")
+    )
+    ex = terms.groupBy("source").agg(
+        F.countDistinct("term").alias("n_exact")
+    )
+    out = ex.join(kmv, "source").join(hll, "source")
+
+    def _ppm(expr):
+        return F.floor(
+            (F.abs(expr).cast("double") * 1e6) / F.col("n_exact").cast("double")
+        ).cast("long")
+
+    return out.select(
+        "source",
+        "n_exact",
+        "kmv_est",
+        F.round("hll_raw", 4).alias("hll_est"),
+        _ppm(F.col("kmv_est") - F.col("n_exact")).alias("kmv_err_ppm"),
+        _ppm(F.col("hll_raw") - F.col("n_exact")).alias("hll_err_ppm"),
+        _ppm(F.col("kmv_est") - F.col("hll_raw")).alias("gap_ppm"),
+    )
+
+
+def sql_distinct_cross_audit() -> str:
+    from spark_ifs_spark.operators.sketches import _kmv_num, sql_hll_distinct
+
+    k = KMV_K
+    num = repr(_kmv_num(k))
+    h = sql_md5_int60("term")
+    terms_sub = (
+        "(SELECT source, unnest(string_split(text, ' ')) AS term"
+        " FROM documents)"
+    )
+    hll_body = sql_hll_distinct(terms_sub, ["source"], "term", p=HLL_P)
+    est = (
+        f"CASE WHEN n_sketch < {k} THEN CAST(n_sketch AS BIGINT) "
+        f"ELSE CAST(floor(CAST({num} AS DOUBLE) / CAST(kth_h AS DOUBLE)) AS BIGINT) END"
+    )
+    return f"""
+WITH terms AS MATERIALIZED (
+  SELECT source, term, {h} AS h FROM {terms_sub}
+),
+d AS (SELECT DISTINCT source, h FROM terms),
+sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM d
+  ) WHERE rn <= {k}
+),
+kmv AS (
+  SELECT source, {est} AS kmv_est
+  FROM (
+    SELECT source, CAST(count(*) AS INT) AS n_sketch, max(h) AS kth_h
+    FROM sk GROUP BY 1
+  )
+),
+hll AS (SELECT source, est_distinct AS hll_raw FROM ({hll_body})),
+ex AS (SELECT source, count(DISTINCT term) AS n_exact FROM terms GROUP BY 1)
+SELECT e.source, CAST(n_exact AS BIGINT) AS n_exact, kmv_est,
+       round(hll_raw, 4) AS hll_est,
+       CAST(floor(CAST(abs(kmv_est - n_exact) AS DOUBLE) * 1e6
+                  / CAST(n_exact AS DOUBLE)) AS BIGINT) AS kmv_err_ppm,
+       CAST(floor(abs(hll_raw - CAST(n_exact AS DOUBLE)) * 1e6
+                  / CAST(n_exact AS DOUBLE)) AS BIGINT) AS hll_err_ppm,
+       CAST(floor(abs(CAST(kmv_est AS DOUBLE) - hll_raw) * 1e6
+                  / CAST(n_exact AS DOUBLE)) AS BIGINT) AS gap_ppm
+FROM ex e JOIN kmv USING (source) JOIN hll USING (source)
+"""
