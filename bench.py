@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "audio_fp_recall_audit",
     "quantile_cross_audit",
     "distinct_cross_audit",
+    "overlap_cross_audit",
 ]
 
 

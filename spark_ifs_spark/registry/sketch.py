@@ -1001,3 +1001,229 @@ SELECT e.source, CAST(n_exact AS BIGINT) AS n_exact, kmv_est,
                   / CAST(n_exact AS DOUBLE)) AS BIGINT) AS gap_ppm
 FROM ex e JOIN kmv USING (source) JOIN hll USING (source)
 """
+
+
+OV_MH_H = 128  # MinHash-route signature width for the overlap cross-audit
+
+
+def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth and final member of the cross-estimator audit family
+    (heavy hitters: CMS↔MG; quantiles: sketch↔sample; distincts:
+    KMV↔HLL; THIS: set overlap KMV↔MinHash): the bottom-k route
+    (``kmv_overlap`` — one hash, order statistics of the pair UNION)
+    and the signature route (``minhash_signatures`` — ``OV_MH_H``
+    independent universal hashes, per-key minima compared coordinate-
+    wise) estimate the SAME pairwise source BIGRAM-vocabulary Jaccard
+    from structurally different sufficient statistics, sharing nothing
+    but the md5 digest. Word bigrams, not unigrams: this corpus's
+    sources share nearly all single words (unigram Jaccard ≈ 0.97–1.0
+    at sf0.01 — a degenerate statistic), while bigram sets separate
+    them (≈ 0.54–0.70), so the estimators' errors are measured on a
+    statistic that actually discriminates. Output per source pair:
+    both estimates, the exact Jaccard, both measured errors, and
+    ``gap_ppm`` — the
+    inter-estimator gap that blows up if either route drifts. Both
+    estimators are exact deterministic functions of the value set
+    (bottom-k hashes / coordinate-wise minima), so the gate
+    hash-checks approximate statistics with an exact differential
+    test, the family convention.
+
+    Scale shape: each route touches the corpus once via a per-source
+    digest-distinct; everything pairwise runs on sketch relations
+    bounded by sources·k (KMV) and sources·H (MinHash) rows — pair
+    fan-out never sees the corpus. The exact column pays the
+    vocabulary self-join and is the audit you drop at 100 TB, exactly
+    ``kmv_source_overlap``'s posture."""
+    from spark_ifs_spark.operators.dedup import minhash_signatures
+    from spark_ifs_spark.operators.sketches import kmv_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    # word-bigram relation, built JVM-side: slice off the last token,
+    # then a positional transform pairs each token with its successor
+    bigrams = docs.select(
+        "source", F.split("text", " ").alias("ws")
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (w, i) -> concat(w, ' ', ws[i + 1]))"
+            )
+        ).alias("term"),
+    )
+    est = kmv_overlap(bigrams, "source", "term", k=KMV_OV_K).select(
+        F.col("key_a").alias("src_a"),
+        F.col("key_b").alias("src_b"),
+        F.col("jaccard_est").alias("jaccard_kmv"),
+    )
+    # MinHash route: per-source signature over the DISTINCT vocabulary
+    # (min is idempotent, distinct just bounds the explode); the
+    # signature relation is sources·H rows — broadcast it.
+    toks = bigrams.select(
+        F.col("source").alias("id"), F.col("term").alias("sh")
+    ).distinct()
+    sig = minhash_signatures(toks, num_hashes=OV_MH_H)
+    sa = sig.select(F.col("id").alias("src_a"), "i", F.col("minh").alias("ha"))
+    sb = sig.select(F.col("id").alias("src_b"), "i", F.col("minh").alias("hb"))
+    mh = (
+        sa.join(F.broadcast(sb), "i")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)
+                ).cast("double")
+                / F.lit(float(OV_MH_H)),
+                6,
+            ).alias("jaccard_mh")
+        )
+    )
+    # exact audit side (the column you drop at scale)
+    voc = bigrams.select(F.col("source").alias("src"), "term").distinct()
+    sizes = voc.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        voc.select(F.col("src").alias("src_a"), "term")
+        .join(voc.select(F.col("src").alias("src_b"), "term"), "term")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        inter.join(
+            sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard_exact"),
+        )
+    )
+
+    def _ppm(expr):
+        return F.floor(
+            F.abs(expr) * 1e6 / F.col("jaccard_exact")
+        ).cast("long")
+
+    return (
+        est.join(mh, ["src_a", "src_b"])
+        .join(exact, ["src_a", "src_b"])
+        .select(
+            "src_a",
+            "src_b",
+            "jaccard_kmv",
+            "jaccard_mh",
+            "jaccard_exact",
+            _ppm(F.col("jaccard_kmv") - F.col("jaccard_exact")).alias(
+                "kmv_err_ppm"
+            ),
+            _ppm(F.col("jaccard_mh") - F.col("jaccard_exact")).alias(
+                "mh_err_ppm"
+            ),
+            _ppm(F.col("jaccard_kmv") - F.col("jaccard_mh")).alias("gap_ppm"),
+        )
+    )
+
+
+def sql_overlap_cross_audit() -> str:
+    k = KMV_OV_K
+    hh = sql_md5_int60("w")
+    params = minhash_params(OV_MH_H)
+    hash_rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH tk AS (
+  SELECT source, doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+terms AS MATERIALIZED (
+  SELECT w, source, {hh} AS h FROM (
+    SELECT a.source, a.w || ' ' || b.w AS w
+    FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  )
+),
+d AS MATERIALIZED (SELECT DISTINCT source, h FROM terms),
+sk AS MATERIALIZED (
+  SELECT source AS key, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM d
+  ) WHERE rn <= {k}
+),
+ks AS (SELECT DISTINCT key FROM sk),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b FROM ks a JOIN ks b ON a.key < b.key
+),
+rws AS (
+  SELECT p.key_a, p.key_b, s.h,
+         CASE WHEN s.key = p.key_a THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN s.key = p.key_b THEN 1 ELSE 0 END AS in_b
+  FROM pairs p JOIN sk s ON s.key = p.key_a OR s.key = p.key_b
+),
+uboth AS (
+  SELECT key_a, key_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM rws GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rn
+    FROM uboth
+  ) WHERE rn <= {k}
+),
+est AS (
+  SELECT key_a AS src_a, key_b AS src_b,
+         round(sum(in_a * in_b) * 1.0 / count(*), 6) AS jaccard_kmv
+  FROM kept GROUP BY 1, 2
+),
+hp(i, a, b) AS (VALUES {hash_rows}),
+sig AS (
+  SELECT source, hp.i,
+         min((hp.a * (h % {MINHASH_P}) + hp.b) % {MINHASH_P}) AS minh
+  FROM d CROSS JOIN hp GROUP BY 1, 2
+),
+mh AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         round(sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) * 1.0
+               / {OV_MH_H}, 6) AS jaccard_mh
+  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2
+),
+voc AS MATERIALIZED (SELECT DISTINCT source AS src, w FROM terms),
+sizes AS (SELECT src, count(*) AS n FROM voc GROUP BY 1),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+  FROM voc a JOIN voc b ON a.w = b.w AND a.src < b.src
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT i.src_a, i.src_b,
+         round(i.n_common * 1.0 / (sa.n + sb.n - i.n_common), 6)
+           AS jaccard_exact
+  FROM inter i
+  JOIN sizes sa ON sa.src = i.src_a
+  JOIN sizes sb ON sb.src = i.src_b
+)
+SELECT e.src_a, e.src_b, e.jaccard_kmv, m.jaccard_mh, x.jaccard_exact,
+       CAST(floor(abs(e.jaccard_kmv - x.jaccard_exact) * 1e6
+                  / x.jaccard_exact) AS BIGINT) AS kmv_err_ppm,
+       CAST(floor(abs(m.jaccard_mh - x.jaccard_exact) * 1e6
+                  / x.jaccard_exact) AS BIGINT) AS mh_err_ppm,
+       CAST(floor(abs(e.jaccard_kmv - m.jaccard_mh) * 1e6
+                  / x.jaccard_exact) AS BIGINT) AS gap_ppm
+FROM est e
+JOIN mh m ON m.src_a = e.src_a AND m.src_b = e.src_b
+JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+"""

@@ -253,6 +253,7 @@ def main() -> None:
         "audio_fp_recall_audit",
         "quantile_cross_audit",
         "distinct_cross_audit",
+        "overlap_cross_audit",
     ]
     # queries whose output is a unique-keyed join or an aggregate whose
     # value columns a bare count() would let Catalyst PRUNE — force the
@@ -306,6 +307,7 @@ def main() -> None:
         "audio_fp_recall_audit",
         "quantile_cross_audit",
         "distinct_cross_audit",
+        "overlap_cross_audit",
     }
     if only:
         names = [n for n in names if n in only]
