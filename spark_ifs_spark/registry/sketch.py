@@ -1005,15 +1005,70 @@ FROM ex e JOIN kmv USING (source) JOIN hll USING (source)
 
 OV_MH_H = 128  # MinHash-route signature width for the overlap cross-audit
 
+#: (sf_dir, documents-mtime) -> staged distinct-bigram-vocab parquet
+#: (same lifecycle contract as ``_HH_TOKS_STAGED``)
+_OV_VOC_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_ov_voc_staged() -> None:
+    import shutil
+
+    for src in _OV_VOC_STAGED.values():
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    _OV_VOC_STAGED.clear()
+
+
+def _ov_voc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlap cross-audit's DISTINCT ``(source, term)``
+    word-bigram vocabulary for ``sf_dir`` — built once per (corpus,
+    session) and staged to parquet (the ``_hh_toks`` pattern): the
+    audit's four consumers (KMV digest, MinHash minima, both sides of
+    the exact self-join) read the staged relation instead of paying
+    scan + explode + distinct each. EAGERLY evaluated at first call
+    (a Spark write job at DataFrame-construction time), keyed on the
+    source file's mtime; determinism precondition as ``_hh_toks``."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _OV_VOC_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        for old_key in [k for k in _OV_VOC_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_OV_VOC_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents")
+        # word-bigram relation, built JVM-side: slice off the last
+        # token, then a positional transform pairs each token with
+        # its successor
+        bigrams = docs.select(
+            "source", F.split("text", " ").alias("ws")
+        ).select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                    " (w, i) -> concat(w, ' ', ws[i + 1]))"
+                )
+            ).alias("term"),
+        )
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_ov_voc_"), "voc")
+        bigrams.distinct().write.mode("overwrite").parquet(src)
+        _OV_VOC_STAGED[key] = src
+    return spark.read.parquet(src)
+
 
 def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fourth and final member of the cross-estimator audit family
     (heavy hitters: CMS↔MG; quantiles: sketch↔sample; distincts:
     KMV↔HLL; THIS: set overlap KMV↔MinHash): the bottom-k route
     (``kmv_overlap`` — one hash, order statistics of the pair UNION)
-    and the signature route (``minhash_signatures`` — ``OV_MH_H``
-    independent universal hashes, per-key minima compared coordinate-
-    wise) estimate the SAME pairwise source BIGRAM-vocabulary Jaccard
+    and the signature route (``minhash_signatures``'s maths —
+    ``OV_MH_H`` independent universal hashes, per-key minima compared
+    coordinate-wise) estimate the SAME pairwise source BIGRAM-vocabulary Jaccard
     from structurally different sufficient statistics, sharing nothing
     but the md5 digest. Word bigrams, not unigrams: this corpus's
     sources share nearly all single words (unigram Jaccard ≈ 0.97–1.0
@@ -1034,37 +1089,56 @@ def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out never sees the corpus. The exact column pays the
     vocabulary self-join and is the audit you drop at 100 TB, exactly
     ``kmv_source_overlap``'s posture."""
-    from spark_ifs_spark.operators.dedup import minhash_signatures
+    from spark_ifs_spark.functions.hashing import md5_int60, universal_hash
     from spark_ifs_spark.operators.sketches import kmv_overlap
 
-    docs = _read(spark, sf_dir, "documents")
-    # word-bigram relation, built JVM-side: slice off the last token,
-    # then a positional transform pairs each token with its successor
-    bigrams = docs.select(
-        "source", F.split("text", " ").alias("ws")
-    ).select(
-        "source",
-        F.explode(
-            F.expr(
-                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
-                " (w, i) -> concat(w, ' ', ws[i + 1]))"
-            )
-        ).alias("term"),
-    )
-    est = kmv_overlap(bigrams, "source", "term", k=KMV_OV_K).select(
+    # ONE session-staged distinct bigram-vocabulary relation feeds all
+    # routes (the staged-token convention of heavy_hitter_cross_audit):
+    # the estimators' maths stay fully independent, but the corpus-
+    # scale scan + explode + distinct happens once and the four
+    # consumers read the staged parquet. Distinct is idempotent for
+    # every route (KMV digest-distincts again on the hash; min over a
+    # set ignores multiplicity; the exact side wants the set anyway).
+    dvoc = _ov_voc(spark, sf_dir)
+    est = kmv_overlap(dvoc, "source", "term", k=KMV_OV_K).select(
         F.col("key_a").alias("src_a"),
         F.col("key_b").alias("src_b"),
         F.col("jaccard_est").alias("jaccard_kmv"),
     )
-    # MinHash route: per-source signature over the DISTINCT vocabulary
-    # (min is idempotent, distinct just bounds the explode); the
-    # signature relation is sources·H rows — broadcast it.
-    toks = bigrams.select(
-        F.col("source").alias("id"), F.col("term").alias("sh")
-    ).distinct()
-    sig = minhash_signatures(toks, num_hashes=OV_MH_H)
-    sa = sig.select(F.col("id").alias("src_a"), "i", F.col("minh").alias("ha"))
-    sb = sig.select(F.col("id").alias("src_b"), "i", F.col("minh").alias("hb"))
+    # MinHash route: per-source signature. The H minima are computed
+    # as H parallel min-aggregate COLUMNS over one scan of the
+    # vocabulary (identical maths to ``minhash_signatures``, same
+    # params/hash), not an explode — the explode form multiplies the
+    # corpus-scale distinct relation by H rows before aggregating,
+    # this form keeps the scan at 1× and shuffles sources·H partial
+    # minima. The wide row unpivots AFTER aggregation (sources rows).
+    params = minhash_params(OV_MH_H)
+    xs = dvoc.select("source", md5_int60(F.col("term")).alias("x"))
+    mins = xs.groupBy("source").agg(
+        *[
+            F.min(universal_hash(F.col("x"), a, b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    sig = mins.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"m{i}").alias("minh")
+                    )
+                    for i in range(OV_MH_H)
+                ]
+            )
+        ).alias("im"),
+    ).select("source", F.col("im.i").alias("i"), F.col("im.minh").alias("minh"))
+    sa = sig.select(
+        F.col("source").alias("src_a"), "i", F.col("minh").alias("ha")
+    )
+    sb = sig.select(
+        F.col("source").alias("src_b"), "i", F.col("minh").alias("hb")
+    )
     mh = (
         sa.join(F.broadcast(sb), "i")
         .filter(F.col("src_a") < F.col("src_b"))
@@ -1080,7 +1154,7 @@ def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # exact audit side (the column you drop at scale)
-    voc = bigrams.select(F.col("source").alias("src"), "term").distinct()
+    voc = dvoc.select(F.col("source").alias("src"), "term")
     sizes = voc.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         voc.select(F.col("src").alias("src_a"), "term")
