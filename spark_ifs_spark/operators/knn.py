@@ -477,16 +477,24 @@ def knn_graph_recall(
     truth = salted_topk_per_key(
         _scored(pairs, q), ["id"], "score", k=k, tiebreak_cols=["nb"]
     ).select("id", "nb")
-    hits = truth.join(edges, ["id", "nb"], "left_semi").agg(
-        F.count(F.lit(1)).alias("hits")
+    # hits and possible in ONE pass over truth: the expensive truth
+    # subtree (sample x corpus scoring + salted top-k) used to be
+    # evaluated twice (semi-join count + plain count); a left join
+    # against the distinct edge relation preserves exactly one row per
+    # truth pair (knn_graph emits one row per (id, nb)), so count(*) is
+    # `possible` and count(flag) is `hits` — identical output, half the
+    # truth cost at any scale.
+    flagged = truth.join(
+        edges.withColumn("_hit", F.lit(1)), ["id", "nb"], "left"
     )
-    poss = truth.agg(F.count(F.lit(1)).alias("possible"))
+    hp = flagged.agg(
+        F.count("_hit").alias("hits"), F.count(F.lit(1)).alias("possible")
+    )
     nn = df.agg(F.count(F.lit(1)).alias("n_nodes"))
     ns = sq.agg(F.count(F.lit(1)).alias("n_sample"))
     return (
         nn.crossJoin(F.broadcast(ns))
-        .crossJoin(F.broadcast(hits))
-        .crossJoin(F.broadcast(poss))
+        .crossJoin(F.broadcast(hp))
         .select(
             "n_nodes",
             F.lit(k).cast("int").alias("k"),
@@ -1011,14 +1019,23 @@ def graph_search_recall(
         _scored_vs_queries(pairs, q, qq),
         ["qid"], "score", k=k, tiebreak_cols=["id"],
     ).select("qid", "id")
-    hits = truth.join(got, ["qid", "id"], "left_semi").agg(
-        F.count(F.lit(1)).alias("hits")
+    # one pass over the expensive exact-truth subtree (corpus x queries
+    # scoring + salted top-k): left join against the distinct search
+    # results keeps exactly one row per truth pair, so count(*) is
+    # `possible` and count(flag) is `hits` — graph_recall_audit's
+    # restructure applied here too
+    # got is <= |queries| x k rows (a bounded serving batch) but sits
+    # behind localCheckpoints whose size statistics default to huge —
+    # hint the broadcast so the truth side never rides an exchange
+    flagged = truth.join(
+        F.broadcast(got.withColumn("_hit", F.lit(1))), ["qid", "id"], "left"
     )
-    poss = truth.agg(F.count(F.lit(1)).alias("possible"))
+    hp = flagged.agg(
+        F.count("_hit").alias("hits"), F.count(F.lit(1)).alias("possible")
+    )
     nq = qq.agg(F.count(F.lit(1)).alias("n_queries"))
     return (
-        nq.crossJoin(F.broadcast(hits))
-        .crossJoin(F.broadcast(poss))
+        nq.crossJoin(F.broadcast(hp))
         .select(
             "n_queries",
             F.lit(k).cast("int").alias("k"),

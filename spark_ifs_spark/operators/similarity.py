@@ -965,34 +965,45 @@ def kmeans_train_stats_q8(
         int(r["id"]): ([int(x) for x in r["v8"]], 1) for r in seeds
     }
 
-    def cell_expr() -> Column:
-        scored = []
-        for cid in sorted(state):
-            s_vec, _ = state[cid]
-            ssq = sum(x * x for x in s_vec)
-            denom = math.sqrt(float(ssq)) or 1.0
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col("v8"),
-                    F.array(*[F.lit(x).cast("long") for x in s_vec]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            scored.append(
-                F.struct(
-                    (dot.cast("double") / F.lit(denom)).alias("s"),
-                    F.lit(-cid).alias("ncid"),
-                )
-            )
-        return -F.array_max(F.array(*scored))["ncid"]
-
     def assigned() -> DataFrame:
-        # two projections: mixing the struct-array argmax with a
-        # generator in one select loses the struct field names during
-        # resolution (the kmeans_step lesson)
-        tagged = src.select(cell_expr().alias("cell"), "v8")
+        # Arrow-batched integer GEMM assigner. The original spelling
+        # built a fresh k x d literal expression tree per iteration (16
+        # centroids x 64 lits + one aggregate-fold each), paying
+        # analysis + janino codegen every Lloyd round — ~2 s/round of
+        # pure driver overhead at any data size. The INTEGER state makes
+        # the numpy route bit-exact: V8 @ S.T is exact int64 (no float
+        # reassociation), the score is the same int-as-double / denom
+        # division, and argmax's first-max rule over cid-ascending rows
+        # equals the struct max's min-cid tie-break. Still a pure
+        # per-row projection — no shuffle, centroids ship in the task
+        # closure (k x d ints).
+        import numpy as np
+        import pandas as pd
+
+        ordered = sorted(state)
+        S = np.array([state[cid][0] for cid in ordered], dtype=np.int64)
+        denoms = np.array(
+            [
+                math.sqrt(float(sum(x * x for x in state[cid][0]))) or 1.0
+                for cid in ordered
+            ]
+        )
+        cids = np.array(ordered, dtype=np.int64)
+
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["v8"].tolist(), dtype=np.int64)
+                scores = (V @ S.T).astype(np.float64) / denoms
+                cells = cids[np.argmax(scores, axis=1)]
+                yield pd.DataFrame({"cell": cells, "v8": pdf["v8"]})
+
+        # pass ONLY v8 across the boundary (guide §4: opaque functions
+        # defeat column pruning — select first)
+        tagged = src.select("v8").mapInPandas(
+            _assign, "cell int, v8 array<bigint>"
+        )
         return tagged.select("cell", F.posexplode("v8").alias("dim", "x"))
 
     dims = len(state[min(state)][0]) if state else 0

@@ -1147,7 +1147,6 @@ def poisson_bootstrap_mean_ci(
     """
     from spark_ifs_spark.functions.hashing import md5_int60
 
-    cdf = F.array(*[F.lit(c) for c in POISSON1_CDF_PPM])
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("b")
     rows = df.select(
         F.col(id_col).alias("id"), F.col(value_col).cast("long").alias("v")
@@ -1156,7 +1155,16 @@ def poisson_bootstrap_mean_ci(
         F.concat(F.lit(f"boot{seed}:"), F.col("b").cast("string"),
                  F.lit(":"), F.col("id").cast("string"))
     ) % 1_000_000
-    m = F.size(F.filter(cdf, lambda c: c <= u))
+    # m = |{c in CDF : c <= u}| spelled as a when-sum, NOT
+    # size(filter(cdf, c -> c <= u)): Catalyst inlines the md5 draw
+    # into the lambda body and higher-order lambdas are interpreted,
+    # so the filter spelling evaluated md5+conv once PER CDF ENTRY per
+    # (row, replica) — 9 interpreted digests instead of 1 codegen'd
+    # one (measured 3.8 s -> 0.6 s at sf0.1; same count, same m).
+    m = sum(
+        (F.when(F.lit(c) <= u, 1).otherwise(0) for c in POISSON1_CDF_PPM),
+        start=F.lit(0),
+    )
     reps = (
         rows.select("b", m.alias("m"), "v")
         .groupBy("b")

@@ -315,17 +315,25 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=EMB_LSH_TABLES,
         seed=EMB_LSH_SEED,
     ).select("id_a", "id_b")
-    hits = exact.join(found, ["id_a", "id_b"], "left_semi")
-    return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
-        .select(
-            "n_exact",
-            "n_lsh",
-            "n_hit",
-            F.expr("(1000000 * n_hit) div n_exact").alias("recall_ppm"),
-        )
+    # all three counts in ONE pass: a full outer join of the two
+    # distinct pair sets keeps one row per pair in either set, so
+    # count(_e) = n_exact, count(_f) = n_lsh, and rows carrying both
+    # flags are the hits — the former shape evaluated the blocked-GEMM
+    # kernel and the 240-plane LSH pass twice each (agg + semi-join)
+    j = exact.withColumn("_e", F.lit(1)).join(
+        found.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    return j.agg(
+        F.count("_e").alias("n_exact"),
+        F.count("_f").alias("n_lsh"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.expr("(1000000 * n_hit) div n_exact").alias("recall_ppm"),
     )
 
 
@@ -389,13 +397,17 @@ def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFram
     n·(n−1)/2). At production thresholds cand_ppm sits orders of
     magnitude below 1e6; the 0.4-threshold demo cannot show that."""
     # aug feeds four pipelines (exact kernel, LSH verify, candidate
-    # census, n_allpairs) and exact/found each feed two aggregates —
-    # persist them or the 120-plane signature pass and the blocked GEMM
-    # run twice each (measured 17 s -> ~9 s at sf0.1)
+    # census, n_allpairs) — persist it or the planted-replica union is
+    # recomputed by each. exact/found used to be persisted because each
+    # fed two aggregates (count + semi-join); the full-outer-join
+    # restructure below evaluates each pair set exactly ONCE, so the
+    # persists (and the second evaluation they guarded against) are gone
+    # (measured 17 s -> ~9 s with persists at sf0.1; the one-pass shape
+    # drops the persist memory too)
     aug = _aug_hi_embeddings(spark, sf_dir).persist()
     exact = similarity.cosine_threshold_pairs_blocked(
         aug, "vec_id", "embedding", threshold=EMB_LSH_HI_THRESHOLD, num_blocks=4
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b")
     found = similarity.cosine_lsh_pairs(
         aug,
         "vec_id",
@@ -405,7 +417,7 @@ def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFram
         num_planes=EMB_LSH_HI_PLANES,
         num_tables=EMB_LSH_HI_TABLES,
         seed=EMB_LSH_SEED,
-    ).select("id_a", "id_b").persist()
+    ).select("id_a", "id_b")
     cand = similarity.lsh_candidate_pairs(
         aug,
         "vec_id",
@@ -415,12 +427,19 @@ def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFram
         num_tables=EMB_LSH_HI_TABLES,
         seed=EMB_LSH_SEED,
     )
-    hits = exact.join(found, ["id_a", "id_b"], "left_semi")
+    efh = (
+        exact.withColumn("_e", F.lit(1))
+        .join(found.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "full")
+        .agg(
+            F.count("_e").alias("n_exact"),
+            F.count("_f").alias("n_lsh"),
+            F.count(
+                F.when(F.col("_e").isNotNull() & F.col("_f").isNotNull(), 1)
+            ).alias("n_hit"),
+        )
+    )
     return (
-        exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
-        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        efh.crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
         .crossJoin(
             aug.agg(
                 (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
@@ -1249,11 +1268,17 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = math.floor(
         (1.0 - (1.0 - PREFIX_THRESHOLD**MINHASH_ROWS_PER_BAND) ** bands) * 1e6
     )
-    tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
-    dc = truth.join(det, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_detected")
+    # one pass over the expensive truth subtree (prefix-filter exact
+    # join): left join against the distinct detected pairs keeps one
+    # row per truth pair, so count(*) = n_true and count(flag) =
+    # n_detected — the former two-consumer shape evaluated truth twice
+    tcdc = truth.join(
+        det.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("_hit").alias("n_detected"),
     )
-    return tc.crossJoin(dc).select(
+    return tcdc.select(
         "n_true",
         "n_detected",
         F.when(F.col("n_true") == 0, F.lit(1_000_000))
@@ -1868,11 +1893,21 @@ def q_audio_fp_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = audio_fingerprint(
         payloads, "id", "payload", frames=AFP_FRAMES, frame_len=AFP_FRAME_LEN
     ).withColumn("g", F.expr("id DIV 3"))
-    a, b = fp.alias("a"), fp.alias("b")
-    pairs = a.join(
-        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.bit_count(F.col("a.afp").bitwiseXOR(F.col("b.afp"))).alias("hamming")
+    # the self-join evaluated the fingerprint pipeline (audio DECODE in
+    # Python) once per side; groups are <= 3 clips by construction, so
+    # one groupBy-g + in-array pair generation decodes the corpus ONCE
+    # and bounds per-group state at 3 structs — same unordered pair set
+    grp = fp.groupBy("g").agg(
+        F.collect_list(F.struct("id", "afp")).alias("ms")
+    )
+    pairs = grp.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, a -> transform("
+                "filter(ms, b -> b.id > a.id),"
+                " b -> bit_count(a.afp ^ b.afp))))"
+            )
+        ).alias("hamming")
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_planted"),

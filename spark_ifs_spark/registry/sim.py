@@ -1131,18 +1131,18 @@ def q_ann_ivfpq_trained_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = similarity.topk_ivfpq(
         emb, "vec_id", "embedding", q, centroids=cents, **kw
     ).select("id")
-    return (
-        exact.join(seed, "id", "inner")
-        .agg(
-            F.count(F.lit(1)).alias("n_seed"),
-            F.round(F.count(F.lit(1)) / F.lit(ANN_K), 6).alias("recall_seed"),
-        )
-        .crossJoin(
-            exact.join(trained, "id", "inner").agg(
-                F.count(F.lit(1)).alias("n_trained"),
-                F.round(F.count(F.lit(1)) / F.lit(ANN_K), 6).alias("recall_trained"),
-            )
-        )
+    # one pass over the brute-force exact subtree: both overlap counts
+    # come from a single left-join chain (seed/trained emit one row per
+    # id, so the joins preserve exact's k rows) instead of evaluating
+    # the exact top-k once per leg and crossJoining the two aggregates
+    flagged = exact.join(
+        seed.withColumn("_s", F.lit(1)), "id", "left"
+    ).join(trained.withColumn("_t", F.lit(1)), "id", "left")
+    return flagged.agg(
+        F.count("_s").alias("n_seed"),
+        F.round(F.count("_s") / F.lit(ANN_K), 6).alias("recall_seed"),
+        F.count("_t").alias("n_trained"),
+        F.round(F.count("_t") / F.lit(ANN_K), 6).alias("recall_trained"),
     )
 
 
