@@ -242,24 +242,23 @@ def all_pairs_mi(
         (i, j) for i in range(C) for j in range(i + 1, C)
     ]
 
-    def _val(cid: int):
+    def _val(cid: int) -> str:
         col = label_col if cid == LABEL_COL_ID else feature_cols[cid]
-        return F.col(col).cast("double")
+        return f"CAST(`{col}` AS DOUBLE)"
 
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(a).alias("a"),
-                _val(a).alias("a_val"),
-                F.lit(b).alias("b"),
-                _val(b).alias("b_val"),
-            )
-            for a, b in pairs
-        ]
+    # Built as ONE SQL string, not nested Column calls: the Column-API
+    # spelling issued a py4j round-trip per struct field — ~6·(C²/2+C)
+    # driver-blocking calls (seconds of pure construction overhead at
+    # C=16) for the IDENTICAL expression tree.  Integer literals and
+    # CAST(col AS DOUBLE) parse to the same typed expressions as
+    # F.lit(int) / F.col(...).cast("double").
+    structs = ",".join(
+        f"struct({a} AS a, {_val(a)} AS a_val, {b} AS b, {_val(b)} AS b_val)"
+        for a, b in pairs
     )
-    tuples = df.select(F.explode(arr).alias("_p")).select(
-        "_p.a", "_p.a_val", "_p.b", "_p.b_val"
-    )
+    tuples = df.select(
+        F.expr(f"explode(array({structs}))").alias("_p")
+    ).select("_p.a", "_p.a_val", "_p.b", "_p.b_val")
     joint = tuples.groupBy("a", "b", "a_val", "b_val").agg(
         F.count(F.lit(1)).alias("cnt")
     )

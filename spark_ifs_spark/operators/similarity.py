@@ -617,21 +617,26 @@ def ivf_cell_expr(cents: Sequence[tuple[int, Sequence[float]]], vec_col: str) ->
     probing touches each row once, and the cell column doubles as the
     write partition key (see ``sources.sinks.write_ivf_corpus``).
     """
-    v = as_double_array(vec_col)
     units = []
     for cid, cvec in cents:
         n = math.sqrt(sum(x * x for x in cvec)) or 1.0
         units.append((cid, [float(x) / n for x in cvec]))
-    scored = F.array(
-        *[
-            F.struct(
-                _dot(v, F.array(*[F.lit(x) for x in cunit])).alias("dot"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cunit in units
-        ]
-    )
-    return -F.array_max(scored)["ncid"]
+    # Built as ONE SQL string, not nested Column calls: the Column API
+    # spelling issued a py4j round-trip per centroid-coordinate literal
+    # (k x d calls, ~0.8 s of driver time per 16 x 64 expression before
+    # Spark even sees the plan); parsing one string is a single call for
+    # the IDENTICAL expression tree — same fold order, same doubles
+    # (repr round-trips exactly), same struct-max tie-break.
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    structs = []
+    for cid, cunit in units:
+        arr = ",".join(repr(x) + "D" for x in cunit)
+        dot = (
+            f"aggregate(zip_with({v}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        structs.append(f"struct({dot} AS dot, {-cid} AS ncid)")
+    return -F.expr(f"array_max(array({','.join(structs)}))")["ncid"]
 
 
 def scaled_num_centroids(
