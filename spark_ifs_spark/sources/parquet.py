@@ -10,20 +10,58 @@ The driver's ``events`` table stores ``ts`` as parquet
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: path -> number of scan splits Spark gives the file, memoized so the
+#: fan-out decision costs one physical-planning pass per table per
+#: process (metadata only — never rows or results)
+_SCAN_SPLITS: dict[str, int] = {}
+
+
+def fan_out(df: DataFrame, path: str | None = None) -> DataFrame:
+    """Scale-adaptive scan rebalance (optimization guide §2.3): when the
+    source yields fewer scan splits than the session has cores, add ONE
+    round-robin repartition to core count so downstream map-heavy work
+    (shingle hashing, scoring, feature extraction) uses the whole
+    machine instead of a single task.
+
+    The local gate fixtures are single-row-group parquet files — one
+    scan task regardless of ``maxPartitionBytes``, so every pipeline
+    was serialized on one core out of N. At production scale inputs
+    arrive pre-split (many files / many row groups), the condition is
+    false, and this function is an identity: NO exchange is added. The
+    split count is read from the plan (``df.rdd.getNumPartitions()``,
+    planning only, no job) and memoized per path. Set
+    ``SPARK_GRAFT_FANOUT=off`` to disable.
+    """
+    if os.environ.get("SPARK_GRAFT_FANOUT", "auto") == "off":
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    splits = _SCAN_SPLITS.get(path) if path is not None else None
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+        if path is not None:
+            _SCAN_SPLITS[path] = splits
+    if splits * 2 <= cores:
+        return df.repartition(cores)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    return fan_out(spark.read.parquet(path), path)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
         # integer division: ns values (~1.7e18) exceed double's exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return fan_out(df, path)
