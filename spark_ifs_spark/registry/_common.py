@@ -70,10 +70,16 @@ def _cleanup_staged_dirs() -> None:
     _USER_STATS_STAGED.clear()
 def _t(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """Load a base table; ``fan_out=True`` opts the read into the
+    scale-adaptive scan rebalance (identity on well-split inputs) —
+    set it ONLY where the downstream is per-row expensive, see
+    :func:`spark_ifs_spark.sources.parquet.fan_out`."""
     from spark_ifs_spark.sources.parquet import load_table
 
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, fan_out_scan=fan_out)
 def _quantized_wide(spark: SparkSession, sf_dir: str, dims: int) -> tuple[DataFrame, list[str]]:
     emb = _read(spark, sf_dir, "embeddings")
     cols = [f"f{j}" for j in range(dims)]

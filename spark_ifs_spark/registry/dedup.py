@@ -86,7 +86,7 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin, Bayardo et al. WWW'07) — the lossless counterpart to
     ``dedup_minhash`` on bigram shingle sets; see
     :func:`~spark_ifs_spark.operators.dedup.jaccard_prefix_pairs`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = dedup.jaccard_prefix_pairs(
         docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
     )
@@ -144,7 +144,7 @@ WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = dedup.minhash_lsh_pairs(
         docs, "doc_id", "text",
         n=NGRAM_N, num_hashes=MINHASH_HASHES,
@@ -274,7 +274,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate exactly (the ``sql_ann_topk_lsh`` pattern) — approximate ≠
     unchecked. Recall vs the exact blocked kernel is audited by
     ``dedup_embedding_lsh_recall``."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", fan_out=True)
     out = similarity.cosine_lsh_pairs(
         emb,
         "vec_id",
@@ -487,7 +487,7 @@ SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_exact,
 def q_decontam_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing ≥1 word 4-gram with
     the held-out eval subset (doc_id % 97 == 0)."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     eval_set = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
     return dedup.contaminated_ids(corpus, eval_set, "doc_id", "text", n=DECONTAM_N)
@@ -651,7 +651,7 @@ def q_dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     2022): islands of consecutive positions whose overlapping 8-token
     shingle occurs >= 2 times corpus-wide, kept at >= 16 covered tokens
     — see :func:`~spark_ifs_spark.operators.dedup.duplicate_substring_runs`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return dedup.duplicate_substring_runs(
         docs, "doc_id", "text", k=SUBSTR_K, min_run_tokens=SUBSTR_MIN_RUN
     )
@@ -742,7 +742,7 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded benchmark contamination: per-corpus-doc fraction (integer
     ppm) of distinct word 4-grams shared with the held-out eval subset
     (doc_id % 97 == 0) — the thresholdable form of ``decontam_ids``."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     eval_set = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0)
     return dedup.contamination_overlap(
@@ -801,7 +801,7 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, so false positives never reach the result and the oracle
     is the plain overlap SQL. See :func:`~spark_ifs_spark.operators.
     dedup.contaminated_ids_bloom`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     eval_set = docs.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
     return dedup.contaminated_ids_bloom(
@@ -944,7 +944,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-containment (quote/subset) pairs: documents whose
     shingle set is >= CONTAIN_THRESHOLD contained in another doc's."""
     out = dedup.containment_pairs(
-        _read(spark, sf_dir, "documents"),
+        _read(spark, sf_dir, "documents", fan_out=True),
         "doc_id",
         "text",
         n=NGRAM_N,
@@ -1024,7 +1024,7 @@ def q_dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr REMOVAL: cut duplicated-run tokens and re-emit the
     cleaned corpus (reported as counts + cleaned-text digest) — see
     :func:`~spark_ifs_spark.operators.dedup.substring_removal`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = dedup.substring_removal(
         docs, "doc_id", "text", k=SUBSTR_K, min_run_tokens=SUBSTR_MIN_RUN
     )
@@ -1142,7 +1142,7 @@ def q_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~spark_ifs_spark.operators.c4.line_dedup`."""
     from spark_ifs_spark.operators import c4
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
+    docs = _read(spark, sf_dir, "documents", fan_out=True).withColumn(
         "ws", F.split("text", " ")
     )
     line = _c4_line_fixture_expr("spark")
@@ -1255,7 +1255,7 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale, exactly like the ANN recall audits."""
     import math
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     truth = dedup.jaccard_prefix_pairs(
         docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
     ).select("id_a", "id_b")
@@ -1322,7 +1322,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) document fingerprints: windowed-argmin selected
     k-gram hashes with the rightmost-tie robust convention — see
     :func:`~spark_ifs_spark.operators.dedup.winnow_fingerprints`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = dedup.winnow_fingerprints(
         docs, "doc_id", "text", k=WINNOW_K, window=WINNOW_WINDOW
     )
@@ -1386,7 +1386,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing-selected fingerprint hashes, with the document-frequency
     boilerplate cap — see
     :func:`~spark_ifs_spark.operators.dedup.winnow_matches`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return dedup.winnow_matches(
         docs, "doc_id", "text",
         k=WINNOW_K, window=WINNOW_WINDOW,
@@ -1613,7 +1613,7 @@ def q_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     payloads = attach_phash_payloads(docs, "doc_id")
     fp = image_dhash(payloads, "id", "payload", grid=PHASH_GRID).select(
         "id", F.col("dhash").alias("simhash")

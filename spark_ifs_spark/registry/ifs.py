@@ -333,7 +333,7 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the id alone. Completes the codec ladder: PNG proved the
     predictive-filter + DEFLATE path; this proves the transform-coding +
     entropy-coding path end-to-end."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     payloads = attach_jpeg_payloads(docs, "doc_id")
     return extract_jpeg_features(payloads, "id", "payload")
 

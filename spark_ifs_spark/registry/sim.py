@@ -296,7 +296,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 5-NN classification accuracy of the embedding
     space against its label column, per label — see
     :func:`~spark_ifs_spark.operators.similarity.knn_label_accuracy`."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", fan_out=True)
     return similarity.knn_label_accuracy(emb, "vec_id", "embedding", "label", k=KNN_K)
 
 
@@ -348,7 +348,7 @@ GROUP BY 1
 def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd iteration over the embeddings (cosine assignment to the
     IVF seed centroids): per-(cell, dim) population and updated mean."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", fan_out=True)
     out = similarity.kmeans_step(emb, "vec_id", "embedding", IVF_CENTROIDS)
     return out.select("cell", "dim", "n", F.round("mean", 6).alias("mean"))
 
@@ -1273,7 +1273,7 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~spark_ifs_spark.operators.selection.doremi_weights`."""
     from spark_ifs_spark.operators.selection import doremi_weights
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return doremi_weights(
         docs, "source", "doc_id", "text",
         eta=DOREMI_ETA, smoothing=DOREMI_SMOOTHING,
@@ -1318,7 +1318,7 @@ def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.sampling import weighted_mix
     from spark_ifs_spark.operators.selection import doremi_weights
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     rates = doremi_weights(
         docs, "source", "doc_id", "text",
         eta=DOREMI_ETA, smoothing=DOREMI_SMOOTHING,
@@ -1441,7 +1441,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``int_dot / sqrt(int_ssq)``, so both engines compute bit-identical
     scores and exact ties break identically — the float spelling
     diverged on a mathematically exact tie at sf0.1."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", fan_out=True)
     return similarity.kmeans_train_stats_q8(
         emb, "vec_id", "embedding", IVF_CENTROIDS, iters=KMEANS_ITERS
     )
@@ -1633,7 +1633,7 @@ def q_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized metric) on the deterministic node sample — the
     ``minhash_recall_audit`` discipline for the graph family, run over
     the staged edge relation (audit-what-you-serve)."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = _read(spark, sf_dir, "embeddings", fan_out=True)
     return _knn.knn_graph_recall(
         emb, "vec_id", "embedding", k=KNN_GRAPH_K,
         scale=KNN_GRAPH_SCALE, sample_mod=KNN_GRAPH_SAMPLE_MOD,

@@ -74,7 +74,7 @@ def q_cms_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the absent probe shows the collision floor."""
     from spark_ifs_spark.operators import sketches
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     cms = sketches.cms_build(
         toks, "w", depth=CMS_DEPTH, width=CMS_WIDTH, seed=CMS_SEED
@@ -129,7 +129,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the measured CMS overcount."""
     from spark_ifs_spark.operators import sketches
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     return sketches.cms_heavy_hitters(
         toks, "w", phi_ppm=HH_PHI_PPM, depth=CMS_DEPTH, width=CMS_WIDTH,
@@ -619,7 +619,7 @@ def _hh_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.dirname(_HH_TOKS_STAGED.pop(old_key)),
                 ignore_errors=True,
             )
-        docs = _read(spark, sf_dir, "documents")
+        docs = _read(spark, sf_dir, "documents", fan_out=True)
         toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
         src = os.path.join(tempfile.mkdtemp(prefix="sis_hh_toks_"), "toks")
         toks.write.mode("overwrite").parquet(src)

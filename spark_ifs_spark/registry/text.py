@@ -259,7 +259,7 @@ def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional filter with a DuckDB list comprehension."""
     from spark_ifs_spark.operators.textstats import collapse_repeated_tokens
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = collapse_repeated_tokens(docs, "doc_id", "text")
     return out.select("id", "n_before", "n_after", F.md5("clean_text").alias("clean_md5"))
 
@@ -695,7 +695,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct word (vocabulary relation), not per occurrence."""
     from spark_ifs_spark.operators import bpe
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     merges = [
         (r["x"], r["y"])
         for r in bpe.bpe_train(docs, "text", BPE_MERGES)
@@ -1408,7 +1408,7 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace split both engines already share. Map-side per doc (one
     interpreted-HOF position filter + slices); the only shuffle is the
     deterministic (doc, pos) TakeOrdered cut."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     toks = F.split(F.col("text"), " ")
     m = F.size(toks)
     hits = F.filter(
@@ -1794,7 +1794,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     look most like the target subcorpus (here: the English docs)."""
     from spark_ifs_spark.operators.selection import dsir_scores, dsir_top_k
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     scores = dsir_scores(
         docs,
         "doc_id",
@@ -2138,7 +2138,7 @@ def q_retrieval_eval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     vecs = chunk_bow_vectors(
         docs,
         "doc_id",
@@ -2607,7 +2607,7 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation) — the unigram complement of ``bpe_token_counts``."""
     from spark_ifs_spark.operators.unigram import unigram_token_counts
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return unigram_token_counts(
         docs, "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
@@ -2620,7 +2620,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     see :func:`~spark_ifs_spark.operators.unigram.tokenizer_fertility`."""
     from spark_ifs_spark.operators.unigram import tokenizer_fertility
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return tokenizer_fertility(
         docs, "source", "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,

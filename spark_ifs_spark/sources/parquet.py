@@ -25,17 +25,26 @@ def fan_out(df: DataFrame, path: str | None = None) -> DataFrame:
     """Scale-adaptive scan rebalance (optimization guide §2.3): when the
     source yields fewer scan splits than the session has cores, add ONE
     round-robin repartition to core count so downstream map-heavy work
-    (shingle hashing, scoring, feature extraction) uses the whole
+    (shingle hashing, fingerprint decode, scoring) uses the whole
     machine instead of a single task.
 
     The local gate fixtures are single-row-group parquet files — one
-    scan task regardless of ``maxPartitionBytes``, so every pipeline
-    was serialized on one core out of N. At production scale inputs
-    arrive pre-split (many files / many row groups), the condition is
-    false, and this function is an identity: NO exchange is added. The
-    split count is read from the plan (``df.rdd.getNumPartitions()``,
-    planning only, no job) and memoized per path. Set
-    ``SPARK_GRAFT_FANOUT=off`` to disable.
+    scan task regardless of ``maxPartitionBytes``, so CPU-heavy
+    pipelines were serialized on one core out of N. At production scale
+    inputs arrive pre-split (many files / many row groups), the
+    condition is false, and this function is an identity: NO exchange
+    is added. The split count is read from the plan
+    (``df.rdd.getNumPartitions()``, planning only, no job) and memoized
+    per path. Set ``SPARK_GRAFT_FANOUT=off`` to disable.
+
+    OPT-IN per read site (``load_table(..., fan_out=True)``), never a
+    blanket: the exchange pays for itself only when the downstream work
+    is per-row expensive (measured 3–4.5x on winnowing, substring
+    shingling, Poisson bootstrap, k-means assignment). Applying it to
+    every read cost more than it saved — cheap scan-aggregate queries
+    paid a full-table shuffle for parallelism they did not need, and
+    the accumulated extra exchanges degraded long shared sessions
+    (measured +145 s across a 246-query bench run).
     """
     if os.environ.get("SPARK_GRAFT_FANOUT", "auto") == "off":
         return df
@@ -50,18 +59,23 @@ def fan_out(df: DataFrame, path: str | None = None) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out_scan: bool = False
+) -> DataFrame:
     if name == "events":
-        return load_events(spark, sf_dir)
+        return load_events(spark, sf_dir, fan_out_scan=fan_out_scan)
     path = f"{sf_dir}/{name}.parquet"
-    return fan_out(spark.read.parquet(path), path)
+    df = spark.read.parquet(path)
+    return fan_out(df, path) if fan_out_scan else df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events(
+    spark: SparkSession, sf_dir: str, fan_out_scan: bool = False
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
         # integer division: ns values (~1.7e18) exceed double's exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return fan_out(df, path)
+    return fan_out(df, path) if fan_out_scan else df
