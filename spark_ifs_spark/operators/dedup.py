@@ -240,21 +240,32 @@ def containment_pairs(
     those matter.
     """
     scored = _exact_intersections(df, id_col, text_col, n, max_df)
-    fwd = scored.select(
-        F.col("id_a").alias("id_sub"),
-        F.col("id_b").alias("id_sup"),
-        (F.col("i") / F.col("na")).alias("containment"),
-        F.col("na").alias("n_sub"),
-    )
-    rev = scored.select(
-        F.col("id_b").alias("id_sub"),
-        F.col("id_a").alias("id_sup"),
-        (F.col("i") / F.col("nb")).alias("containment"),
-        F.col("nb").alias("n_sub"),
-    )
+    # both containment directions from ONE evaluation of the
+    # intersection pipeline: the former fwd/rev union of two
+    # projections of `scored` planned the whole shingle self-join
+    # TWICE (union branches are separate physical subtrees — measured
+    # 108 Exchanges vs 54 at sf0.1); an explode of the two direction
+    # structs emits the identical row set off a single subtree
+    both = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_sub"),
+                    F.col("id_b").alias("id_sup"),
+                    (F.col("i") / F.col("na")).alias("containment"),
+                    F.col("na").alias("n_sub"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_sub"),
+                    F.col("id_a").alias("id_sup"),
+                    (F.col("i") / F.col("nb")).alias("containment"),
+                    F.col("nb").alias("n_sub"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     return (
-        fwd.unionByName(rev)
-        .filter(
+        both.filter(
             (F.col("containment") >= threshold)
             & (F.col("n_sub") >= min_sub_shingles)
         )

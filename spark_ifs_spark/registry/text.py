@@ -1042,13 +1042,17 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver). Unweighted-edge variant; integer-micro ranks."""
     from spark_ifs_spark.operators import graph
 
-    docs = _read(spark, sf_dir, "documents")
+    # edges branch reads with the adaptive fan-out (replacing a
+    # hard-coded repartition(32) — identical exchange locally, identity
+    # on well-split inputs); the nodes branch reads plain, keeping its
+    # cheap distinct off the exchange exactly as before
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
+    nodes_docs = _read(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     m = F.size(toks)
     # both edge directions emitted in ONE zip_with pass (HOFs are
     # interpreted, so a union of fwd + reversed-fwd would evaluate the
-    # pair build twice — measured 3.4x slower); repartition spreads the
-    # single-file doc scan across cores before the interpreted explode
+    # pair build twice — measured 3.4x slower)
     pairs = F.zip_with(
         F.slice(toks, 1, m - 1),
         F.slice(toks, 2, m - 1),
@@ -1058,13 +1062,13 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     edges = (
-        docs.repartition(32)
+        docs
         .select(F.explode(F.flatten(pairs)).alias("p"))
         .select("p.src", "p.dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nodes = docs.select(F.explode(toks).alias("term")).distinct()
+    nodes = nodes_docs.select(F.explode(toks).alias("term")).distinct()
     out = graph.pagerank(
         edges, nodes, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING
     )
@@ -1742,7 +1746,7 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stopword hub vertices."""
     from spark_ifs_spark.operators import graph
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     toks = F.split(F.col("text"), " ")
     m = F.size(toks)
     pairs = F.zip_with(
@@ -1753,7 +1757,7 @@ def q_word_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     edges = (
-        docs.repartition(32)
+        docs
         .select(F.explode(pairs).alias("p"))
         .select("p.wa", "p.wb")
         .filter(F.col("wa") != F.col("wb"))
@@ -2147,6 +2151,11 @@ def q_retrieval_eval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap=CHUNK_OVERLAP,
         num_buckets=MAXSIM_BUCKETS,
     )
+    # dense feeds two consumers (the RRF fusion and the eval's truth
+    # side) — left UNSTAGED deliberately: the two subtrees are
+    # canonically identical, so AQE's runtime exchange reuse already
+    # evaluates the MaxSim pipeline once; an eager localCheckpoint was
+    # measured 1.7x SLOWER (5.6 -> 9.6 s) than letting reuse fire
     dense = maxsim_topk(
         spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS
     )
