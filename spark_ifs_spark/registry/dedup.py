@@ -1,5 +1,7 @@
 """Deduplication & decontamination queries (exact through embedding-LSH)."""
 
+import atexit
+
 from spark_ifs_spark.registry._common import *  # noqa: F401,F403
 from spark_ifs_spark.registry._common import (  # noqa: F401
     _BENFORD_PPM,
@@ -144,12 +146,7 @@ WHERE levenshtein(a.text, b.text) <= {EDIT_MAX_DIST}
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
-    out = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
+    out = _minhash_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -513,21 +510,99 @@ WHERE c.doc_id % {DECONTAM_EVAL_MOD} != 0
 """
 
 
+#: (sf_dir, documents-mtime) -> staged (id_a, id_b, jaccard) parquet
+#: path; the `_knn_edges` build-once pattern applied to the gate-knob
+#: minhash pair relation — four registry surfaces (the pairs query,
+#: the source matrix, the shard-locality audit, the cluster builder)
+#: consume the identical relation and each used to run the full
+#: signature + verify pipeline separately
+_MINHASH_PAIRS_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_dedup_staged() -> None:
+    import shutil
+
+    for reg in (_MINHASH_PAIRS_STAGED, _DUP_CLUSTERS_STAGED):
+        for src in reg.values():
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+        reg.clear()
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's minhash-LSH near-dup pair relation
+    ``(id_a, id_b, jaccard)`` at the gate knobs — built once per
+    (corpus, session) and staged to parquet."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _MINHASH_PAIRS_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        for old_key in [k for k in _MINHASH_PAIRS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_MINHASH_PAIRS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents", fan_out=True)
+        pairs = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text",
+            n=NGRAM_N, num_hashes=MINHASH_HASHES,
+            rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+        ).select("id_a", "id_b", "jaccard")
+        src = os.path.join(
+            tempfile.mkdtemp(prefix="sis_minhash_pairs_"), "pairs"
+        )
+        pairs.write.mode("overwrite").parquet(src)
+        _MINHASH_PAIRS_STAGED[key] = src
+    return spark.read.parquet(src)
+
+
+#: (sf_dir, documents-mtime) -> staged (doc_id, cluster) parquet path;
+#: the `_knn_edges` build-once pattern applied to the minhash cluster
+#: relation — EIGHT registry queries consume the identical clustering
+#: (same corpus, same LSH knobs), and each used to pay the eager
+#: connected-components build (~3 s at sf0.1) separately
+_DUP_CLUSTERS_STAGED: dict[tuple[str, float], str] = {}
+
+
+def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's minhash cluster relation ``(doc_id, cluster)``
+    for ``sf_dir`` — built once per (corpus, session) with the gate
+    knobs and staged to parquet; see ``_DUP_CLUSTERS_STAGED``."""
+    import shutil
+    import tempfile
+
+    from spark_ifs_spark.operators.graph import connected_components
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _DUP_CLUSTERS_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        for old_key in [k for k in _DUP_CLUSTERS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_DUP_CLUSTERS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        pairs = _minhash_pairs(spark, sf_dir)
+        cc = connected_components(pairs).select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster")
+        )
+        src = os.path.join(
+            tempfile.mkdtemp(prefix="sis_dup_clusters_"), "clusters"
+        )
+        cc.write.mode("overwrite").parquet(src)
+        _DUP_CLUSTERS_STAGED[key] = src
+    return spark.read.parquet(src)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → clusters: connected components over the minhash-LSH pair
     graph (min-id label). The step that turns pairwise near-dup output
-    into "keep one per cluster"."""
-    from spark_ifs_spark.operators.graph import connected_components
-
-    docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
-    return connected_components(pairs).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    into "keep one per cluster". Served from the session-staged build
+    (:func:`_dup_clusters`) shared by all eight cluster consumers."""
+    return _dup_clusters(spark, sf_dir)
 
 
 def sql_dup_clusters() -> str:
@@ -836,15 +911,9 @@ def q_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster demand different dedup policies). Plan: two bounded
     aggregates over the cluster relation, which is already
     corpus-sublinear (only docs with ≥1 near-dup edge appear)."""
-    from spark_ifs_spark.operators.graph import connected_components
-
-    docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    cc = _dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster").alias("component")
     )
-    cc = connected_components(pairs)
     return (
         cc.groupBy("component")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -872,16 +941,12 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl of a page is rarely its cleanest copy. One ``max_by``-style
     ``max(struct(quality, -id))`` aggregate over the cluster relation
     joined with the (map-side) quality scores; no window, no sort."""
-    from spark_ifs_spark.operators.graph import connected_components
     from spark_ifs_spark.operators.textstats import quality_score
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    cc = _dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("cluster").alias("component")
     )
-    cc = connected_components(pairs)
     qual = quality_score(docs, "doc_id", "text").select("id", "quality")
     best = (
         cc.join(qual, "id")
@@ -1200,11 +1265,7 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair jaccards fold as exact integer ppm (round-9-before-floor
     guard), so the relation is engine-exact."""
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
     sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
     ppm = F.floor(F.round(F.col("jaccard"), 9) * 1e6).cast("long")
@@ -1421,11 +1482,7 @@ def q_shard_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.sampling import rendezvous_shard
 
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    ).select("id_a", "id_b")
+    pairs = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
     sh = rendezvous_shard(docs.select("doc_id"), "doc_id", MANIFEST_SHARDS)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shard").alias("sha"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shard").alias("shb"))
@@ -1476,17 +1533,8 @@ def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc-id pairs only) left-joined to the corpus id/source/n_chars
     projection — bodies never move — plus two source-bounded
     aggregates."""
-    from spark_ifs_spark.operators.graph import connected_components
-
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
-    cc = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    cc = _dup_clusters(spark, sf_dir)
     # no broadcast hint: the clustered-id relation is id-pairs only but
     # grows with the dup mass — let AQE pick broadcast vs shuffle join
     d = docs.select("doc_id", "source", "n_chars").join(cc, "doc_id", "left")
@@ -1537,17 +1585,8 @@ def q_dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition: the `dup_clusters` relation joined to the id→source
     projection, a cluster-bounded (cluster, source) count, then two
     bounded aggregates. Bodies never move."""
-    from spark_ifs_spark.operators.graph import connected_components
-
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
-    cc = connected_components(pairs).select(
-        F.col("id").alias("doc_id"), F.col("component").alias("cluster")
-    )
+    cc = _dup_clusters(spark, sf_dir)
     j = cc.join(docs.select("doc_id", "source"), "doc_id")
     per = j.groupBy("cluster", "source").agg(F.count(F.lit(1)).alias("n"))
     cl = per.groupBy("cluster").agg(

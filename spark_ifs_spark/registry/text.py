@@ -1238,12 +1238,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-unique), and the final aggregate is bounded by split² rows."""
     from spark_ifs_spark.operators.sampling import split_assign
 
+    from spark_ifs_spark.registry.dedup import _minhash_pairs
+
     docs = _read(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     sp = split_assign(docs, "doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED).select(
         "doc_id", "split"
     )

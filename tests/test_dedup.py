@@ -611,3 +611,46 @@ def test_winnowing_is_scan_fused(spark, sf_dir):
     assert_no_exchange(
         winnow_fingerprints(docs, "doc_id", "text"), "winnow_fingerprints"
     )
+
+
+def test_staged_minhash_pairs_builds_once_and_matches(spark, sf_dir):
+    """The session-staged pair/cluster relations must (a) equal a fresh
+    operator run and (b) reuse the staged parquet on re-entry instead
+    of rebuilding (the `_knn_edges` build-once contract)."""
+    import importlib
+
+    rd = importlib.import_module("spark_ifs_spark.registry.dedup")
+    from spark_ifs_spark.registry._common import (
+        JACCARD_THRESHOLD,
+        MINHASH_HASHES,
+        MINHASH_ROWS_PER_BAND,
+        NGRAM_N,
+        _read,
+    )
+
+    rd._cleanup_dedup_staged()
+    staged = rd._minhash_pairs(spark, sf_dir)
+    path_after_first = dict(rd._MINHASH_PAIRS_STAGED)
+    again = rd._minhash_pairs(spark, sf_dir)
+    assert dict(rd._MINHASH_PAIRS_STAGED) == path_after_first  # no rebuild
+
+    direct = dedup.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n=NGRAM_N, num_hashes=MINHASH_HASHES,
+        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+    ).select("id_a", "id_b", "jaccard")
+    got = sorted(map(tuple, staged.collect()))
+    assert sorted(map(tuple, again.collect())) == got
+    assert sorted(map(tuple, direct.collect())) == got
+
+    clusters = rd._dup_clusters(spark, sf_dir)
+    assert set(clusters.columns) == {"doc_id", "cluster"}
+    # every clustered doc appears exactly once, labeled by the min id
+    rows = clusters.collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    bycl: dict = {}
+    for r in rows:
+        bycl.setdefault(r["cluster"], []).append(r["doc_id"])
+    for cl, members in bycl.items():
+        assert cl == min(members)
