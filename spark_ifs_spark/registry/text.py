@@ -1123,7 +1123,7 @@ def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~spark_ifs_spark.operators.textstats.boilerplate_fraction`."""
     from spark_ifs_spark.operators.textstats import boilerplate_fraction
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = boilerplate_fraction(
         docs, "doc_id", "text", n=3, max_frac=NOVELTY_MAX_FRAC
     )
@@ -1975,7 +1975,7 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: fraction of the doc's distinct 3-shingles
     with corpus DF = 1 — see
     :func:`~spark_ifs_spark.operators.textstats.novelty_scores`."""
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     return textstats.novelty_scores(docs, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )

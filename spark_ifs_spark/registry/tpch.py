@@ -1017,7 +1017,7 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df DESC, sh ASC) order is total."""
     from spark_ifs_spark.operators.textstats import shingle_doc_freq
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", fan_out=True)
     out = shingle_doc_freq(docs, "doc_id", "text", n=3)
     return (
         out.filter(F.col("frac") >= BOILER_MIN_FRAC)
