@@ -127,6 +127,7 @@ def doremi_weights(
     text_col: str,
     eta: float = 8.0,
     smoothing: float = 0.2,
+    ll: DataFrame | None = None,
 ) -> DataFrame:
     """DoReMi-style domain-weight update (Xie et al., 2023,
     arXiv:2305.10429): re-weight corpus domains by their *excess loss*
@@ -166,7 +167,9 @@ def doremi_weights(
     from spark_ifs_spark.operators.textstats import bigram_logprob
 
     dom = df.select(F.col(id_col).alias("id"), F.col(domain_col).alias("domain"))
-    scored = bigram_logprob(df, id_col, text_col)
+    # ``ll`` optionally injects a prebuilt (id, n_bigrams, ll_micronats)
+    # relation (e.g. session-staged) in place of the inline LM run
+    scored = ll if ll is not None else bigram_logprob(df, id_col, text_col)
     per = (
         scored.join(dom, "id")
         .groupBy("domain")

@@ -650,6 +650,7 @@ def ppl_buckets(
     id_col: str,
     text_col: str,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    ll: DataFrame | None = None,
 ) -> DataFrame:
     """``(bucket, n_docs, sum_bigrams, min_ppl_micro, max_ppl_micro)``
     — CCNet-style perplexity partitioning (Wenzek et al., 2020, LREC):
@@ -676,7 +677,7 @@ def ppl_buckets(
     Thresholds are rounded to 6 decimals before the comparison — the
     cross-engine interpolation-ulp guard.
     """
-    return ppl_doc_buckets(df, id_col, text_col, cuts).groupBy("bucket").agg(
+    return ppl_doc_buckets(df, id_col, text_col, cuts, ll=ll).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bigrams").alias("sum_bigrams"),
         F.min("ppl_micro").alias("min_ppl_micro"),
@@ -689,12 +690,17 @@ def ppl_doc_buckets(
     id_col: str,
     text_col: str,
     cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    ll: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document CCNet assignment ``(id, n_bigrams, ppl_micro,
     bucket)`` — the relation :func:`ppl_buckets` aggregates, exposed so
     pipelines can FILTER on the bucket (keep head/middle, resample
-    tail) rather than only report on it."""
-    scored = bigram_logprob(df, id_col, text_col).select(
+    tail) rather than only report on it.
+
+    ``ll`` optionally injects a prebuilt ``(id, n_bigrams,
+    ll_micronats)`` relation (e.g. a session-staged one) in place of
+    an inline :func:`bigram_logprob` run — same maths either way."""
+    scored = (ll if ll is not None else bigram_logprob(df, id_col, text_col)).select(
         "id",
         "n_bigrams",
         F.floor(

@@ -518,15 +518,55 @@ GROUP BY 1
 """
 
 
+#: (sf_dir, documents-mtime) -> staged (id, n_bigrams, ll_micronats)
+#: parquet path; the `_knn_edges` build-once pattern applied to the
+#: corpus bigram-LM scoring relation — five registry queries
+#: (lm_bigram_logprob, ppl_buckets, ccnet_mix, doremi_weights,
+#: doremi_mix) consume the identical relation and each used to rerun
+#: the full train-then-score pipeline
+_BIGRAM_LL_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_bigram_staged() -> None:
+    import shutil
+
+    for src_ in _BIGRAM_LL_STAGED.values():
+        shutil.rmtree(os.path.dirname(src_), ignore_errors=True)
+    _BIGRAM_LL_STAGED.clear()
+
+
+def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's bigram-LM scoring relation ``(id, n_bigrams,
+    ll_micronats)`` over the documents table — built once per (corpus,
+    session) and staged to parquet. Exact integer micronats, so the
+    staged rows are bit-identical to an inline run."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src_ = _BIGRAM_LL_STAGED.get(key)
+    if src_ is None or not os.path.isdir(src_):
+        for old_key in [k for k in _BIGRAM_LL_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_BIGRAM_LL_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents", fan_out=True)
+        ll = textstats.bigram_logprob(docs, "doc_id", "text")
+        src_ = os.path.join(tempfile.mkdtemp(prefix="sis_bigram_ll_"), "ll")
+        ll.write.mode("overwrite").parquet(src_)
+        _BIGRAM_LL_STAGED[key] = src_
+    return spark.read.parquet(src_)
+
+
 def q_lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram LM scoring (the CCNet/Gopher "perplexity
     filter" signal) — see :func:`~spark_ifs_spark.operators.textstats.
     bigram_logprob` for the integer-micronat determinism contract and
     plan shape."""
-    docs = _read(spark, sf_dir, "documents")
-    return textstats.bigram_logprob(docs, "doc_id", "text").withColumnRenamed(
-        "id", "doc_id"
-    )
+    return _bigram_ll(spark, sf_dir).withColumnRenamed("id", "doc_id")
 
 
 def sql_lm_bigram_logprob() -> str:
@@ -560,7 +600,9 @@ def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     global tertiles of the bigram-LM score — see
     :func:`~spark_ifs_spark.operators.textstats.ppl_buckets`."""
     docs = _read(spark, sf_dir, "documents")
-    return textstats.ppl_buckets(docs, "doc_id", "text")
+    return textstats.ppl_buckets(
+        docs, "doc_id", "text", ll=_bigram_ll(spark, sf_dir)
+    )
 
 
 def _sql_bigram_ll_cte() -> str:
@@ -1273,10 +1315,11 @@ def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~spark_ifs_spark.operators.selection.doremi_weights`."""
     from spark_ifs_spark.operators.selection import doremi_weights
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
+    docs = _read(spark, sf_dir, "documents")
     return doremi_weights(
         docs, "source", "doc_id", "text",
         eta=DOREMI_ETA, smoothing=DOREMI_SMOOTHING,
+        ll=_bigram_ll(spark, sf_dir),
     )
 
 
@@ -1318,10 +1361,11 @@ def q_doremi_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.sampling import weighted_mix
     from spark_ifs_spark.operators.selection import doremi_weights
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
+    docs = _read(spark, sf_dir, "documents")
     rates = doremi_weights(
         docs, "source", "doc_id", "text",
         eta=DOREMI_ETA, smoothing=DOREMI_SMOOTHING,
+        ll=_bigram_ll(spark, sf_dir),
     )
     targets = {
         r["domain"]: r["rate_ppm"] * DOREMI_MIX_CHARS // 1_000_000

@@ -2009,9 +2009,11 @@ def q_ccnet_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators.sampling import token_budget_allocation
     from spark_ifs_spark.operators.textstats import ppl_doc_buckets
 
+    from spark_ifs_spark.registry.sim import _bigram_ll
+
     docs = _read(spark, sf_dir, "documents")
     kept_ids = (
-        ppl_doc_buckets(docs, "doc_id", "text")
+        ppl_doc_buckets(docs, "doc_id", "text", ll=_bigram_ll(spark, sf_dir))
         .filter(F.col("bucket") != "tail")
         .select(F.col("id").alias("doc_id"))
     )

@@ -433,3 +433,22 @@ def test_kneser_ney_properties(spark):
             for b in n1r
         )
         assert abs(full - 1.0) < 1e-9
+
+
+def test_ppl_doc_buckets_ll_injection_identical(spark, sf_dir):
+    """Injecting a prebuilt ll relation must reproduce the inline run
+    bit-for-bit (the session-staging contract)."""
+    from spark_ifs_spark.operators.textstats import (
+        bigram_logprob,
+        ppl_doc_buckets,
+    )
+    from spark_ifs_spark.registry._common import _read
+
+    docs = _read(spark, sf_dir, "documents")
+    inline = ppl_doc_buckets(docs, "doc_id", "text")
+    injected = ppl_doc_buckets(
+        docs, "doc_id", "text", ll=bigram_logprob(docs, "doc_id", "text")
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, injected.collect())
+    )
