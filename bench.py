@@ -365,12 +365,24 @@ def main() -> int:
         traceback.print_exc(file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # One-time session-staging builds (minhash pairs/clusters, kNN edges,
+    # bigram LL, ...) are paid on the first consumer's rep 1, which the
+    # min-of-2 protocol discards — charge them explicitly so the reported
+    # vector accounts for every second of computed work (r13 verdict,
+    # "What's wrong" #1). Accounting only: the timed region, the timing
+    # protocol, and every existing queries-entry are unchanged.
+    from spark_ifs_spark.registry._common import STAGED_BUILD_SECS
+
+    staged_builds = {k: round(v, 3) for k, v in sorted(STAGED_BUILD_SECS.items())}
+    staged_total = round(sum(staged_builds.values()), 3)
     report = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "staged_builds": staged_builds,
+        "staged_builds_sec": staged_total,
         "config": {
             "pyspark": spark.version,
             "master": f"local[{cpus}]",
@@ -386,12 +398,29 @@ def main() -> int:
     # SECOND compact summary line LAST (always < 2000 chars, so it
     # always survives the tail), and persist the full per-query report
     # to bench_full.json so the complete timing history lives in git.
+    # Compact per-query signal for the driver (r13 verdict, "What's
+    # wrong" #2): the full report line above is ~6 KB and loses its head
+    # to the driver's 2000-char tail, so ALSO print the top-40 slowest
+    # entries as their own short line (~1.3 KB) ahead of the final
+    # summary — additions only, both existing lines are unchanged.
+    top40 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
+    print(
+        json.dumps(
+            {
+                "metric": "top_slowest_sec",
+                "top": top40,
+                "staged_builds_sec": staged_total,
+                "sf": sf,
+            }
+        )
+    )
     summary = {
         "metric": "total_bench_sec",
         "value": total,
         "unit": "sec",
         "n": len(timings),
         "n_errors": len(errors),
+        "staged_builds_sec": staged_total,
         "sf": sf,
         "config": report["config"],
     }

@@ -244,7 +244,9 @@ def all_pairs_mi(
 
     def _val(cid: int) -> str:
         col = label_col if cid == LABEL_COL_ID else feature_cols[cid]
-        return f"CAST(`{col}` AS DOUBLE)"
+        # escape embedded backticks the way F.col does, so any legal
+        # column name round-trips through the SQL-string spelling
+        return f"CAST(`{col.replace('`', '``')}` AS DOUBLE)"
 
     # Built as ONE SQL string, not nested Column calls: the Column-API
     # spelling issued a py4j round-trip per struct field — ~6·(C²/2+C)

@@ -5,6 +5,7 @@ registry; see __init__.py for the domain layout and dict build)."""
 from __future__ import annotations
 import atexit
 import os
+import time
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +62,22 @@ PROJ_SEED = 7
 SAMPLE_N = 100
 SAMPLE_SEED = 13
 _USER_STATS_STAGED: dict[tuple[str, float], str] = {}
+#: builder-name -> wall-clock seconds spent inside the build branch of a
+#: session-staging helper (_minhash_pairs, _knn_edges, _bigram_ll, ...).
+#: The bench's min-of-2 protocol discards rep 1 — exactly where the
+#: one-time staged build is paid — so bench.py reads this dict after the
+#: run and charges the builds explicitly as ``staged_builds_sec``
+#: (r13 verdict, "What's wrong" #1). Measurement accounting only; the
+#: staging semantics are unchanged.
+STAGED_BUILD_SECS: dict[str, float] = {}
+
+
+def _note_staged_build(name: str, seconds: float) -> None:
+    STAGED_BUILD_SECS[name] = round(
+        STAGED_BUILD_SECS.get(name, 0.0) + seconds, 3
+    )
+
+
 @atexit.register
 def _cleanup_staged_dirs() -> None:
     import shutil

@@ -8,6 +8,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _SQL_WORDS,
     _USER_STATS_STAGED,
     _cleanup_staged_dirs,
+    _note_staged_build,
     _lr_features,
     _quantized_wide,
     _read,
@@ -153,6 +154,7 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _USER_STATS_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _USER_STATS_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_USER_STATS_STAGED.pop(old_key)),
@@ -161,6 +163,7 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tempfile.mkdtemp(prefix="sis_stateful_"), "src")
         ev.repartition(2).write.mode("overwrite").parquet(src)
         _USER_STATS_STAGED[key] = src
+        _note_staged_build("user_stats_src", time.perf_counter() - _t0)
     d = tempfile.mkdtemp(prefix="sis_stateful_ckpt_")
     try:
         stream = (
@@ -1298,6 +1301,7 @@ def q_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _USER_STATS_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _USER_STATS_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_USER_STATS_STAGED.pop(old_key)),
@@ -1306,6 +1310,7 @@ def q_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tempfile.mkdtemp(prefix="sis_stateful_"), "src")
         ev.repartition(2).write.mode("overwrite").parquet(src)
         _USER_STATS_STAGED[key] = src
+        _note_staged_build("user_stats_src", time.perf_counter() - _t0)
     d = tempfile.mkdtemp(prefix="sis_tws_ckpt_")
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)

@@ -8,6 +8,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _SQL_WORDS,
     _USER_STATS_STAGED,
     _cleanup_staged_dirs,
+    _note_staged_build,
     _lr_features,
     _quantized_wide,
     _read,
@@ -548,6 +549,7 @@ def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src_ = _BIGRAM_LL_STAGED.get(key)
     if src_ is None or not os.path.isdir(src_):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _BIGRAM_LL_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_BIGRAM_LL_STAGED.pop(old_key)),
@@ -558,6 +560,7 @@ def _bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_ = os.path.join(tempfile.mkdtemp(prefix="sis_bigram_ll_"), "ll")
         ll.write.mode("overwrite").parquet(src_)
         _BIGRAM_LL_STAGED[key] = src_
+        _note_staged_build("bigram_ll", time.perf_counter() - _t0)
     return spark.read.parquet(src_)
 
 
@@ -1644,6 +1647,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _KNN_GRAPH_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _KNN_GRAPH_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_KNN_GRAPH_STAGED.pop(old_key)),
@@ -1659,6 +1663,7 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tempfile.mkdtemp(prefix="sis_knn_graph_"), "edges")
         edges.write.mode("overwrite").parquet(src)
         _KNN_GRAPH_STAGED[key] = src
+        _note_staged_build("knn_edges", time.perf_counter() - _t0)
     return spark.read.parquet(src)
 
 

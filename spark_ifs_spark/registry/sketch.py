@@ -10,6 +10,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _SQL_WORDS,
     _USER_STATS_STAGED,
     _cleanup_staged_dirs,
+    _note_staged_build,
     _lr_features,
     _quantized_wide,
     _read,
@@ -614,6 +615,7 @@ def _hh_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _HH_TOKS_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _HH_TOKS_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_HH_TOKS_STAGED.pop(old_key)),
@@ -624,6 +626,7 @@ def _hh_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tempfile.mkdtemp(prefix="sis_hh_toks_"), "toks")
         toks.write.mode("overwrite").parquet(src)
         _HH_TOKS_STAGED[key] = src
+        _note_staged_build("hh_toks", time.perf_counter() - _t0)
     return spark.read.parquet(src)
 
 
@@ -1035,6 +1038,7 @@ def _ov_voc(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _OV_VOC_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _OV_VOC_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_OV_VOC_STAGED.pop(old_key)),
@@ -1058,6 +1062,7 @@ def _ov_voc(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = os.path.join(tempfile.mkdtemp(prefix="sis_ov_voc_"), "voc")
         bigrams.distinct().write.mode("overwrite").parquet(src)
         _OV_VOC_STAGED[key] = src
+        _note_staged_build("ov_voc", time.perf_counter() - _t0)
     return spark.read.parquet(src)
 
 

@@ -15,10 +15,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: path -> number of scan splits Spark gives the file, memoized so the
-#: fan-out decision costs one physical-planning pass per table per
-#: process (metadata only — never rows or results)
-_SCAN_SPLITS: dict[str, int] = {}
+#: (path, file-mtime) -> number of scan splits Spark gives the file,
+#: memoized so the fan-out decision costs one physical-planning pass per
+#: table per process (metadata only — never rows or results); keyed on
+#: mtime like the registry staging caches, so a table rewritten in-place
+#: during a session re-probes instead of keeping a stale split count
+_SCAN_SPLITS: dict[tuple[str, float], int] = {}
 
 
 def fan_out(df: DataFrame, path: str | None = None) -> DataFrame:
@@ -49,11 +51,17 @@ def fan_out(df: DataFrame, path: str | None = None) -> DataFrame:
     if os.environ.get("SPARK_GRAFT_FANOUT", "auto") == "off":
         return df
     cores = df.sparkSession.sparkContext.defaultParallelism
-    splits = _SCAN_SPLITS.get(path) if path is not None else None
+    key = None
+    if path is not None:
+        try:
+            key = (path, os.path.getmtime(path))
+        except OSError:
+            key = None
+    splits = _SCAN_SPLITS.get(key) if key is not None else None
     if splits is None:
         splits = df.rdd.getNumPartitions()
-        if path is not None:
-            _SCAN_SPLITS[path] = splits
+        if key is not None:
+            _SCAN_SPLITS[key] = splits
     if splits * 2 <= cores:
         return df.repartition(cores)
     return df
