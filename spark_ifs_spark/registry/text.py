@@ -1,5 +1,7 @@
 """Text/corpus statistics, sampling, BPE, pipelines, misc analytics."""
 
+import atexit
+
 from spark_ifs_spark.registry._common import *  # noqa: F401,F403
 from spark_ifs_spark.registry._common import (  # noqa: F401
     _BENFORD_PPM,
@@ -8,6 +10,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _SQL_WORDS,
     _USER_STATS_STAGED,
     _cleanup_staged_dirs,
+    _note_staged_build,
     _lr_features,
     _punct_fixture_expr,
     _quantized_wide,
@@ -1867,21 +1870,104 @@ GROUP BY 1
 """
 
 
-def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ColBERT-style late-interaction retrieval: top-MAXSIM_K docs per
-    query by sum-of-max chunk similarity (hashed-BoW encoder)."""
+#: (sf_dir, documents-mtime) -> staged parquet paths for the two
+#: retrieval legs at the gate knobs: the MaxSim late-interaction
+#: ranking (query, rank, id, score) and the BM25 lexical ranking
+#: (query, rank, id, score_micro) over MAXSIM_QUERIES. Three queries
+#: (maxsim_topk, hybrid_rrf, retrieval_eval_rrf) ran the identical
+#: chunk + score + top-k pipeline and two of them also the identical
+#: BM25 leg — the `_minhash_pairs` build-once pattern applied to both.
+#: Bounded artifacts: ≤ |queries| x k rows each.
+_MAXSIM_RANK_STAGED: dict[tuple[str, float], str] = {}
+_BM25_RANK_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_retrieval_staged() -> None:
+    import shutil
+
+    for reg in (_MAXSIM_RANK_STAGED, _BM25_RANK_STAGED):
+        for src in reg.values():
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+        reg.clear()
+
+
+def _maxsim_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's MaxSim ranking ``(query, rank, id, score)`` for
+    ``MAXSIM_QUERIES`` at the gate knobs — built once per (corpus,
+    session) and staged to parquet. ``score`` is already rounded to 6
+    by the operator and parquet round-trips doubles exactly, so the
+    staged rows are bit-identical to an inline run. Single-file-fixture
+    mtime caveat as ``_minhash_pairs``."""
+    import shutil
+    import tempfile
+
     from spark_ifs_spark.operators.retrieval import chunk_bow_vectors, maxsim_topk
 
-    docs = _read(spark, sf_dir, "documents")
-    vecs = chunk_bow_vectors(
-        docs,
-        "doc_id",
-        "text",
-        chunk_tokens=CHUNK_TOKENS,
-        overlap=CHUNK_OVERLAP,
-        num_buckets=MAXSIM_BUCKETS,
-    )
-    out = maxsim_topk(spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS)
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _MAXSIM_RANK_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _MAXSIM_RANK_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_MAXSIM_RANK_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents")
+        vecs = chunk_bow_vectors(
+            docs,
+            "doc_id",
+            "text",
+            chunk_tokens=CHUNK_TOKENS,
+            overlap=CHUNK_OVERLAP,
+            num_buckets=MAXSIM_BUCKETS,
+        )
+        out = maxsim_topk(
+            spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS
+        )
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_maxsim_rank_"), "rank")
+        out.write.mode("overwrite").parquet(src)
+        _MAXSIM_RANK_STAGED[key] = src
+        _note_staged_build("maxsim_ranking", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
+
+
+def _bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's BM25 lexical ranking ``(query, rank, id,
+    score_micro)`` for ``MAXSIM_QUERIES`` at the gate knobs — built once
+    per (corpus, session) and staged (integer micro-scores, bit-exact
+    staged or inline). Shared by the two RRF consumers."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _BM25_RANK_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _BM25_RANK_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_BM25_RANK_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents")
+        lex = textstats.bm25_multi_topk(
+            docs, "doc_id", "text", MAXSIM_QUERIES, k=MAXSIM_K
+        )
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_bm25_rank_"), "rank")
+        lex.write.mode("overwrite").parquet(src)
+        _BM25_RANK_STAGED[key] = src
+        _note_staged_build("bm25_ranking", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
+
+
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: top-MAXSIM_K docs per
+    query by sum-of-max chunk similarity (hashed-BoW encoder). Served
+    from the session-staged ranking (:func:`_maxsim_ranking`) shared
+    with the two RRF consumers."""
+    out = _maxsim_ranking(spark, sf_dir)
     return out.withColumnRenamed("id", "doc_id")
 
 
@@ -2135,33 +2221,15 @@ def q_retrieval_eval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hybrid RRF ranking against the pure late-interaction ranking as
     ground truth — "what does lexical fusion change" as a query; see
     :func:`~spark_ifs_spark.operators.retrieval.retrieval_eval`."""
-    from spark_ifs_spark.operators.retrieval import (
-        chunk_bow_vectors,
-        maxsim_topk,
-        retrieval_eval,
-        rrf_fuse,
-    )
+    from spark_ifs_spark.operators.retrieval import retrieval_eval, rrf_fuse
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
-    vecs = chunk_bow_vectors(
-        docs,
-        "doc_id",
-        "text",
-        chunk_tokens=CHUNK_TOKENS,
-        overlap=CHUNK_OVERLAP,
-        num_buckets=MAXSIM_BUCKETS,
-    )
-    # dense feeds two consumers (the RRF fusion and the eval's truth
-    # side) — left UNSTAGED deliberately: the two subtrees are
-    # canonically identical, so AQE's runtime exchange reuse already
-    # evaluates the MaxSim pipeline once; an eager localCheckpoint was
-    # measured 1.7x SLOWER (5.6 -> 9.6 s) than letting reuse fire
-    dense = maxsim_topk(
-        spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS
-    )
-    lex = textstats.bm25_multi_topk(
-        docs, "doc_id", "text", MAXSIM_QUERIES, k=MAXSIM_K
-    ).select("query", "rank", "id")
+    # both legs come from the session-staged rankings (one MaxSim
+    # pipeline + one BM25 pipeline per session instead of one each per
+    # consumer); the doubly-consumed dense relation is now a bounded
+    # staged parquet, so the r13 AQE-reuse concern is moot — nothing
+    # corpus-shaped is read here at all
+    dense = _maxsim_ranking(spark, sf_dir)
+    lex = _bm25_ranking(spark, sf_dir).select("query", "rank", "id")
     fused = rrf_fuse(
         [lex, dense.select("query", "rank", "id")],
         ["query"],
@@ -2284,26 +2352,11 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed-BoW chunks) — the calibration-free way production stacks
     combine sparse and dense rankers (only ranks cross the fusion
     boundary; see ``retrieval.rrf_fuse``)."""
-    from spark_ifs_spark.operators.retrieval import (
-        chunk_bow_vectors,
-        maxsim_topk,
-        rrf_fuse,
-    )
+    from spark_ifs_spark.operators.retrieval import rrf_fuse
 
-    docs = _read(spark, sf_dir, "documents")
-    vecs = chunk_bow_vectors(
-        docs,
-        "doc_id",
-        "text",
-        chunk_tokens=CHUNK_TOKENS,
-        overlap=CHUNK_OVERLAP,
-        num_buckets=MAXSIM_BUCKETS,
-    )
-    dense = maxsim_topk(
-        spark, vecs, MAXSIM_QUERIES, k=MAXSIM_K, num_buckets=MAXSIM_BUCKETS
-    ).select("query", "rank", "id")
-    lex = textstats.bm25_multi_topk(
-        docs, "doc_id", "text", MAXSIM_QUERIES, k=MAXSIM_K
+    # both legs from the session-staged rankings (see _maxsim_ranking)
+    dense = _maxsim_ranking(spark, sf_dir).select("query", "rank", "id")
+    lex = _bm25_ranking(spark, sf_dir
     ).select("query", "rank", "id")
     out = rrf_fuse([lex, dense], ["query"], "id", k=HYBRID_K, rrf_k=RRF_K)
     return out.withColumnRenamed("id", "doc_id")
