@@ -330,9 +330,27 @@ def knn_label_accuracy(
     pairs = _gemm_pairs_kernel(
         df, id_col, vec_col, broadcast_limit_rows, threshold=-1.01
     )
-    fwd = pairs.select(F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cos")
-    rev = pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "cos")
-    sym = fwd.unionByName(rev).withColumn("cos_r", F.round("cos", 6))
+    # symmetrize by exploding both directions off ONE subtree: the
+    # fwd/rev unionByName spelling plans the all-pairs GEMM twice, and
+    # the duplicated branch is a MapInPandas stage AQE exchange reuse
+    # cannot dedup (it fires on Exchange nodes, not Python stages) — so
+    # the corpus GEMM ran twice per query (dedup_containment's f67e36a
+    # restructure applied here). Identical row multiset.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id"), F.col("id_b").alias("nb")
+                ),
+                F.struct(
+                    F.col("id_b").alias("id"), F.col("id_a").alias("nb")
+                ),
+            )
+        ).alias("_d"),
+        "cos",
+    ).select(
+        F.col("_d.id").alias("id"), F.col("_d.nb").alias("nb"), "cos"
+    ).withColumn("cos_r", F.round("cos", 6))
     knn = salted_topk_per_key(sym, ["id"], "cos_r", k, tiebreak_cols=["nb"])
     labels = df.select(F.col(id_col).alias("_lid"), F.col(label_col).alias("_lbl"))
     votes = (

@@ -10,6 +10,7 @@ from spark_ifs_spark.registry._common import (  # noqa: F401
     _SQL_WORDS,
     _USER_STATS_STAGED,
     _cleanup_staged_dirs,
+    _note_staged_build,
     _lr_features,
     _quantized_wide,
     _read,
@@ -532,7 +533,13 @@ def _cleanup_dedup_staged() -> None:
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registry's minhash-LSH near-dup pair relation
     ``(id_a, id_b, jaccard)`` at the gate knobs — built once per
-    (corpus, session) and staged to parquet."""
+    (corpus, session) and staged to parquet.
+
+    Cache-key caveat (applies to every ``*_STAGED`` helper): the key is
+    ``getmtime`` of the dataset path. Fixtures here are single parquet
+    files, where any rewrite bumps it; for a *directory* dataset an
+    in-place file rewrite would not bump the directory mtime, so key on
+    the max member mtime before pointing these at directory tables."""
     import shutil
     import tempfile
 
@@ -540,6 +547,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _MINHASH_PAIRS_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _MINHASH_PAIRS_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_MINHASH_PAIRS_STAGED.pop(old_key)),
@@ -556,6 +564,7 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pairs.write.mode("overwrite").parquet(src)
         _MINHASH_PAIRS_STAGED[key] = src
+        _note_staged_build("minhash_pairs", time.perf_counter() - _t0)
     return spark.read.parquet(src)
 
 
@@ -580,6 +589,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, mtime)
     src = _DUP_CLUSTERS_STAGED.get(key)
     if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
         for old_key in [k for k in _DUP_CLUSTERS_STAGED if k[0] == sf_dir]:
             shutil.rmtree(
                 os.path.dirname(_DUP_CLUSTERS_STAGED.pop(old_key)),
@@ -594,6 +604,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cc.write.mode("overwrite").parquet(src)
         _DUP_CLUSTERS_STAGED[key] = src
+        _note_staged_build("dup_clusters", time.perf_counter() - _t0)
     return spark.read.parquet(src)
 
 
@@ -1747,18 +1758,22 @@ def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    tpairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
-    )
+    # the text side IS the registry's gate-knob minhash pair relation —
+    # read the session-staged build (same function, same knobs as
+    # _minhash_pairs' builder) instead of re-running the full LSH
+    # signature + verify pipeline inside this query
+    tpairs = _minhash_pairs(spark, sf_dir)
     tdup = (
         tpairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(tpairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
         .withColumn("_t", F.lit(1))
     )
-    payloads = attach_phash_payloads(docs, "doc_id")
+    # fan out the decode read (the dedup_phash convention): the dHash
+    # decode is per-row CPU-heavy and the fixture scan is one split
+    payloads = attach_phash_payloads(
+        _read(spark, sf_dir, "documents", fan_out=True), "doc_id"
+    )
     fp = image_dhash(payloads, "id", "payload", grid=PHASH_GRID).select(
         "id", F.col("dhash").alias("simhash")
     )
