@@ -835,6 +835,8 @@ def label_propagation(
         )
         if new.limit(1).count() == 0:
             break
+        # eager stays: a lazy checkpoint here was A/B'd 1.9 -> 2.2 s
+        # (the same AQE-interaction trap as graph_search's hop loop)
         labels = labels.unionByName(new).localCheckpoint(eager=True)
     return labels
 
@@ -955,19 +957,27 @@ def graph_search(
         ids.crossJoin(F.broadcast(qids)).select("qid", "id", h.alias("score")),
         ["qid"], "score", k=n_entry, tiebreak_cols=["id"],
     ).select("qid", "id")
+    # Per-hop beams stay EAGER localCheckpoints (lazy checkpoints were
+    # A/B'd and measured ~1.3x slower across the family — the r13
+    # AQE-interaction trap again), but every per-hop join hints the
+    # bounded side: beam/candidates are ≤ Q·ef(·deg) serving-batch rows
+    # sitting behind checkpoints whose size statistics default to huge,
+    # so the planner was shuffle-joining the corpus-sized edge and
+    # vector relations against a ~hundred-row beam EVERY hop. The hints
+    # keep nav/q un-shuffled across all hops (guide §3.1).
     beam = topk_per_key(
-        _scored_vs_queries(entry, q, qq),
+        _scored_vs_queries(F.broadcast(entry), q, qq),
         ["qid"], "score", k=ef, tiebreak_cols=["id"],
     ).select("qid", "id", "score").localCheckpoint(eager=True)
     for _ in range(hops):
         cand = (
-            beam.select("qid", "id")
+            F.broadcast(beam.select("qid", "id"))
             .join(nav, "id")
             .select("qid", F.col("nb").alias("id"))
             .distinct()
         )
         pool = beam.unionByName(
-            _scored_vs_queries(cand, q, qq)
+            _scored_vs_queries(F.broadcast(cand), q, qq)
         ).distinct()  # same (qid, id) scores are bit-identical
         beam = topk_per_key(
             pool, ["qid"], "score", k=ef, tiebreak_cols=["id"]
