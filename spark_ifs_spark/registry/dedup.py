@@ -264,6 +264,97 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+#: (sf_dir, embeddings-mtime) -> staged (id_a, id_b, cos) parquet paths
+#: for the two sign-LSH embedding pair relations (the 0.4-threshold
+#: demo knobs and the 0.9 production knobs): each fed TWO queries (the
+#: pair query and its recall audit's detect side), which re-ran the
+#: full 192/120-plane LSH + verify pipeline each — the _minhash_pairs
+#: build-once pattern. cos is the kernel's raw double (rounding happens
+#: at the consumer), and parquet round-trips doubles exactly.
+_EMB_LSH_PAIRS_STAGED: dict[tuple[str, float], str] = {}
+_EMB_LSH_HI_PAIRS_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_emb_lsh_staged() -> None:
+    import shutil
+
+    for reg in (_EMB_LSH_PAIRS_STAGED, _EMB_LSH_HI_PAIRS_STAGED):
+        for src in reg.values():
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+        reg.clear()
+
+
+def _emb_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The demo-knob sign-LSH embedding pair relation ``(id_a, id_b,
+    cos)`` — built once per (corpus, session) and staged; see
+    ``_EMB_LSH_PAIRS_STAGED``."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "embeddings"))
+    key = (sf_dir, mtime)
+    src = _EMB_LSH_PAIRS_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _EMB_LSH_PAIRS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_EMB_LSH_PAIRS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        emb = _read(spark, sf_dir, "embeddings", fan_out=True)
+        out = similarity.cosine_lsh_pairs(
+            emb,
+            "vec_id",
+            "embedding",
+            EMB_DIMS,
+            threshold=EMB_DEDUP_THRESHOLD,
+            num_planes=EMB_LSH_PLANES,
+            num_tables=EMB_LSH_TABLES,
+            seed=EMB_LSH_SEED,
+        ).select("id_a", "id_b", "cos")
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_emb_lsh_"), "pairs")
+        out.write.mode("overwrite").parquet(src)
+        _EMB_LSH_PAIRS_STAGED[key] = src
+        _note_staged_build("emb_lsh_pairs", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
+
+
+def _emb_lsh_hi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-knob (threshold 0.9) sign-LSH pair relation over
+    the augmented corpus — built once per (corpus, session) and staged;
+    see ``_EMB_LSH_HI_PAIRS_STAGED``."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "embeddings"))
+    key = (sf_dir, mtime)
+    src = _EMB_LSH_HI_PAIRS_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _EMB_LSH_HI_PAIRS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_EMB_LSH_HI_PAIRS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        aug = _aug_hi_embeddings(spark, sf_dir)
+        out = similarity.cosine_lsh_pairs(
+            aug,
+            "vec_id",
+            "embedding",
+            EMB_DIMS,
+            threshold=EMB_LSH_HI_THRESHOLD,
+            num_planes=EMB_LSH_HI_PLANES,
+            num_tables=EMB_LSH_HI_TABLES,
+            seed=EMB_LSH_SEED,
+        ).select("id_a", "id_b", "cos")
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_emb_lsh_hi_"), "pairs")
+        out.write.mode("overwrite").parquet(src)
+        _EMB_LSH_HI_PAIRS_STAGED[key] = src
+        _note_staged_build("emb_lsh_hi_pairs", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs through the LSH-bucketed scale path:
     candidates only from hyperplane-sign bucket collisions (P=6 bits ×
@@ -271,18 +362,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME seeded hyperplanes as SQL VALUES and replicates the bucket
     gate exactly (the ``sql_ann_topk_lsh`` pattern) — approximate ≠
     unchecked. Recall vs the exact blocked kernel is audited by
-    ``dedup_embedding_lsh_recall``."""
-    emb = _read(spark, sf_dir, "embeddings", fan_out=True)
-    out = similarity.cosine_lsh_pairs(
-        emb,
-        "vec_id",
-        "embedding",
-        EMB_DIMS,
-        threshold=EMB_DEDUP_THRESHOLD,
-        num_planes=EMB_LSH_PLANES,
-        num_tables=EMB_LSH_TABLES,
-        seed=EMB_LSH_SEED,
-    )
+    ``dedup_embedding_lsh_recall``. Served from the session-staged
+    build (:func:`_emb_lsh_pairs`) shared with that audit."""
+    out = _emb_lsh_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -303,16 +385,10 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_threshold_pairs_blocked(
         emb, "vec_id", "embedding", threshold=EMB_DEDUP_THRESHOLD, num_blocks=4
     ).select("id_a", "id_b")
-    found = similarity.cosine_lsh_pairs(
-        emb,
-        "vec_id",
-        "embedding",
-        EMB_DIMS,
-        threshold=EMB_DEDUP_THRESHOLD,
-        num_planes=EMB_LSH_PLANES,
-        num_tables=EMB_LSH_TABLES,
-        seed=EMB_LSH_SEED,
-    ).select("id_a", "id_b")
+    # detect side from the session-staged build — the audited pair
+    # relation IS q_dedup_embedding_lsh's relation, so auditing the
+    # staged parquet audits exactly what that query serves
+    found = _emb_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     # all three counts in ONE pass: a full outer join of the two
     # distinct pair sets keeps one row per pair in either set, so
     # count(_e) = n_exact, count(_f) = n_lsh, and rows carrying both
@@ -361,17 +437,7 @@ def q_dedup_embedding_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     no ≥0.9 pairs, so the query plants deterministic near-dup replicas
     (cosine ≈ 0.9998) via exact rational perturbation both engines
     compute bit-identically."""
-    aug = _aug_hi_embeddings(spark, sf_dir)
-    out = similarity.cosine_lsh_pairs(
-        aug,
-        "vec_id",
-        "embedding",
-        EMB_DIMS,
-        threshold=EMB_LSH_HI_THRESHOLD,
-        num_planes=EMB_LSH_HI_PLANES,
-        num_tables=EMB_LSH_HI_TABLES,
-        seed=EMB_LSH_SEED,
-    )
+    out = _emb_lsh_hi_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -406,16 +472,9 @@ def q_dedup_embedding_lsh_hi_audit(spark: SparkSession, sf_dir: str) -> DataFram
     exact = similarity.cosine_threshold_pairs_blocked(
         aug, "vec_id", "embedding", threshold=EMB_LSH_HI_THRESHOLD, num_blocks=4
     ).select("id_a", "id_b")
-    found = similarity.cosine_lsh_pairs(
-        aug,
-        "vec_id",
-        "embedding",
-        EMB_DIMS,
-        threshold=EMB_LSH_HI_THRESHOLD,
-        num_planes=EMB_LSH_HI_PLANES,
-        num_tables=EMB_LSH_HI_TABLES,
-        seed=EMB_LSH_SEED,
-    ).select("id_a", "id_b")
+    # detect side from the session-staged build shared with
+    # q_dedup_embedding_lsh_hi (the audited relation IS that query's)
+    found = _emb_lsh_hi_pairs(spark, sf_dir).select("id_a", "id_b")
     cand = similarity.lsh_candidate_pairs(
         aug,
         "vec_id",
@@ -1331,11 +1390,16 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = dedup.jaccard_prefix_pairs(
         docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
     ).select("id_a", "id_b")
-    det = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text",
-        n=NGRAM_N, num_hashes=MINHASH_HASHES,
-        rows_per_band=MINHASH_ROWS_PER_BAND, threshold=PREFIX_THRESHOLD,
-    ).select("id_a", "id_b")
+    # detect side from the session-staged gate-knob pair relation: the
+    # LSH candidate set depends only on the band signatures (never the
+    # verify threshold), so pairs-verified-at-0.75 is EXACTLY the
+    # staged pairs-verified-at-0.5 filtered on the stored raw jaccard
+    # (parquet round-trips the double; same >= comparison)
+    det = (
+        _minhash_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= PREFIX_THRESHOLD)
+        .select("id_a", "id_b")
+    )
     bands = MINHASH_HASHES // MINHASH_ROWS_PER_BAND
     expected = math.floor(
         (1.0 - (1.0 - PREFIX_THRESHOLD**MINHASH_ROWS_PER_BAND) ** bands) * 1e6

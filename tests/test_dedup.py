@@ -654,3 +654,82 @@ def test_staged_minhash_pairs_builds_once_and_matches(spark, sf_dir):
         bycl.setdefault(r["cluster"], []).append(r["doc_id"])
     for cl, members in bycl.items():
         assert cl == min(members)
+
+
+def test_staged_emb_lsh_pairs_match_direct(spark, sf_dir):
+    """The session-staged embedding-LSH pair relations (demo and
+    production knobs) must equal a fresh operator run row-for-row, and
+    the recall audit's detect side must equal the filtered staged
+    minhash relation — the staged-vs-direct contract of
+    test_staged_minhash_pairs_builds_once_and_matches extended to the
+    r14 staged relations."""
+    import importlib
+
+    from spark_ifs_spark.operators import similarity
+    from spark_ifs_spark.registry._common import (
+        EMB_DEDUP_THRESHOLD,
+        EMB_DIMS,
+        EMB_LSH_PLANES,
+        EMB_LSH_SEED,
+        EMB_LSH_TABLES,
+        JACCARD_THRESHOLD,
+        MINHASH_HASHES,
+        MINHASH_ROWS_PER_BAND,
+        NGRAM_N,
+        _read,
+    )
+
+    rd = importlib.import_module("spark_ifs_spark.registry.dedup")
+    rd._cleanup_emb_lsh_staged()
+    staged = rd._emb_lsh_pairs(spark, sf_dir)
+    paths = dict(rd._EMB_LSH_PAIRS_STAGED)
+    again = rd._emb_lsh_pairs(spark, sf_dir)
+    assert dict(rd._EMB_LSH_PAIRS_STAGED) == paths  # no rebuild
+    direct = similarity.cosine_lsh_pairs(
+        _read(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        EMB_DIMS, threshold=EMB_DEDUP_THRESHOLD,
+        num_planes=EMB_LSH_PLANES, num_tables=EMB_LSH_TABLES,
+        seed=EMB_LSH_SEED,
+    ).select("id_a", "id_b", "cos")
+    got = sorted(map(tuple, staged.collect()))
+    assert sorted(map(tuple, again.collect())) == got
+    assert sorted(map(tuple, direct.collect())) == got
+
+    hi = rd._emb_lsh_hi_pairs(spark, sf_dir)
+    hi_direct = similarity.cosine_lsh_pairs(
+        rd._aug_hi_embeddings(spark, sf_dir), "vec_id", "embedding",
+        EMB_DIMS, threshold=rd.EMB_LSH_HI_THRESHOLD,
+        num_planes=rd.EMB_LSH_HI_PLANES, num_tables=rd.EMB_LSH_HI_TABLES,
+        seed=EMB_LSH_SEED,
+    ).select("id_a", "id_b", "cos")
+    assert sorted(map(tuple, hi.collect())) == sorted(
+        map(tuple, hi_direct.collect())
+    )
+
+    # the recall audit's detect route: staged 0.5-verified pairs
+    # filtered at 0.75 == a fresh 0.75-verified LSH run (candidates
+    # depend only on band signatures, never the verify threshold)
+    det_staged = sorted(
+        map(
+            tuple,
+            rd._minhash_pairs(spark, sf_dir)
+            .filter(F.col("jaccard") >= rd.PREFIX_THRESHOLD)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    det_direct = sorted(
+        map(
+            tuple,
+            dedup.minhash_lsh_pairs(
+                _read(spark, sf_dir, "documents"), "doc_id", "text",
+                n=NGRAM_N, num_hashes=MINHASH_HASHES,
+                rows_per_band=MINHASH_ROWS_PER_BAND,
+                threshold=rd.PREFIX_THRESHOLD,
+            )
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert det_staged == det_direct
+    assert JACCARD_THRESHOLD <= rd.PREFIX_THRESHOLD  # filter is a subset
