@@ -148,6 +148,12 @@ def _exact_intersections(
         rare: DataFrame = flagged
         high: DataFrame | None = None
     else:
+        # NOTE r14: a count-window spelling of this flag (the
+        # winnow_matches cap shape) was A/B'd and reverted — it drops an
+        # exchange but adds a full SORT of the string-keyed shingle
+        # relation (WindowExec sorts partitions), measured net-neutral
+        # at best (ngram_jaccard 2.35 -> 2.76 s, containment
+        # 2.65 -> 2.21 s); the window form only wins on 8-byte hash keys
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         flagged = sh.join(dfreq, "sh").persist()
         rare = flagged.filter(F.col("df_") <= max_df).select("id", "sh")
