@@ -1158,14 +1158,31 @@ def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_mh")
         )
     )
-    # exact audit side (the column you drop at scale)
+    # exact audit side (the column you drop at scale). The intersection
+    # counts come from a basket fold (term -> sorted source set, pairs
+    # expanded map-side — the co_occurrence_pairs shape, uncapped since
+    # the per-term fan-out is bounded by the SOURCE count) instead of a
+    # term-keyed self-join: one exchange of (term, source) + one of
+    # bounded pair keys, where the join shuffled the string-keyed
+    # vocabulary twice and joined it against itself. Identical counts —
+    # each shared term contributes exactly one row per unordered pair.
     voc = dvoc.select(F.col("source").alias("src"), "term")
     sizes = voc.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    per_term = voc.groupBy("term").agg(
+        F.array_sort(F.collect_set("src")).alias("ss")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ss"), i + 2, F.size("ss")),
+                lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+            ),
+        )
+    )
     inter = (
-        voc.select(F.col("src").alias("src_a"), "term")
-        .join(voc.select(F.col("src").alias("src_b"), "term"), "term")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        per_term.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     exact = (
