@@ -957,27 +957,28 @@ def graph_search(
         ids.crossJoin(F.broadcast(qids)).select("qid", "id", h.alias("score")),
         ["qid"], "score", k=n_entry, tiebreak_cols=["id"],
     ).select("qid", "id")
-    # Per-hop beams stay EAGER localCheckpoints (lazy checkpoints were
-    # A/B'd and measured ~1.3x slower across the family — the r13
-    # AQE-interaction trap again), but every per-hop join hints the
-    # bounded side: beam/candidates are ≤ Q·ef(·deg) serving-batch rows
-    # sitting behind checkpoints whose size statistics default to huge,
-    # so the planner was shuffle-joining the corpus-sized edge and
-    # vector relations against a ~hundred-row beam EVERY hop. The hints
-    # keep nav/q un-shuffled across all hops (guide §3.1).
+    # Per-hop beams stay EAGER localCheckpoints. Two r14 A/Bs pinned
+    # this shape: (1) lazy checkpoints measured ~1.3x slower across the
+    # family (ann_topk_graph 3.4 -> 4.5 s, audit 4.2 -> 6.1 s — the r13
+    # AQE-interaction trap again); (2) broadcast-hinting the beam side
+    # of every hop join produced a BIT-IDENTICAL physical plan
+    # (plans/r14/graph_search_hop_{before,after}.txt, 6 BroadcastHash-
+    # Joins either way) because Dataset.localCheckpoint PRESERVES the
+    # child plan's statistics, so the bounded beam already auto-
+    # broadcasts — the hints were dead code and were removed.
     beam = topk_per_key(
-        _scored_vs_queries(F.broadcast(entry), q, qq),
+        _scored_vs_queries(entry, q, qq),
         ["qid"], "score", k=ef, tiebreak_cols=["id"],
     ).select("qid", "id", "score").localCheckpoint(eager=True)
     for _ in range(hops):
         cand = (
-            F.broadcast(beam.select("qid", "id"))
+            beam.select("qid", "id")
             .join(nav, "id")
             .select("qid", F.col("nb").alias("id"))
             .distinct()
         )
         pool = beam.unionByName(
-            _scored_vs_queries(F.broadcast(cand), q, qq)
+            _scored_vs_queries(cand, q, qq)
         ).distinct()  # same (qid, id) scores are bit-identical
         beam = topk_per_key(
             pool, ["qid"], "score", k=ef, tiebreak_cols=["id"]
