@@ -186,6 +186,7 @@ def unigram_train(
     prune_top: int = 64,
     vocab_keep: int = 48,
     incore_vocab_budget: int = 1_000_000,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """``(rank, piece, n_tokens, score_micro)`` — the trained unigram-LM
     vocabulary head (top ``vocab_keep`` pieces by final usage).
@@ -194,8 +195,22 @@ def unigram_train(
     collected-EM when the vocabulary fits the budget, distributed EM
     (mapInPandas Viterbi + DataFrame M-steps) past it. Both paths run
     the identical integer recurrence (asserted by tests).
+
+    ``trained`` optionally injects a precomputed in-core EM state
+    ``(words, singles, vocab)`` — exactly what this function derives
+    from the collected word-frequency relation at the same knobs (the
+    registry's session memo uses it); only the output tail runs.
     """
     spark = df.sparkSession
+    if trained is not None:
+        words, _singles, vocab = trained
+        total = sum(vocab.values())
+        ranked = sorted(vocab.items(), key=lambda t: (-t[1], t[0]))[:vocab_keep]
+        out = [
+            (r + 1, p, n, _score_micro(n, total))
+            for r, (p, n) in enumerate(ranked)
+        ]
+        return spark.createDataFrame(out, VOCAB_SCHEMA)
     wf = word_frequencies(df, text_col)
     if incore_vocab_budget > 0:
         head = wf.limit(incore_vocab_budget + 1).collect()
@@ -218,6 +233,7 @@ def unigram_token_counts(
     em_rounds: int = 2,
     prune_top: int = 64,
     incore_vocab_budget: int = 1_000_000,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """``(rank, piece, n_tokens)`` — token counts of ENCODING the corpus
     with the trained vocabulary: one more Viterbi pass under the final
@@ -228,24 +244,35 @@ def unigram_token_counts(
     (count(word) x pieces(word)), never re-tokenizing each document —
     the same reason training scales; a per-document token stream is one
     ``encode_words`` join away when a pipeline needs it.
+
+    ``trained`` injects a precomputed in-core EM state (the
+    ``unigram_train`` contract).
     """
     spark = df.sparkSession
-    wf = word_frequencies(df, text_col)
-    if incore_vocab_budget > 0:
-        head = wf.limit(incore_vocab_budget + 1).collect()
-        if len(head) <= incore_vocab_budget:
+    if trained is not None or incore_vocab_budget > 0:
+        if trained is not None:
+            words, _singles, vocab = trained
+        else:
+            wf = word_frequencies(df, text_col)
+            head = wf.limit(incore_vocab_budget + 1).collect()
+            if len(head) > incore_vocab_budget:
+                return _unigram_distributed(
+                    wf, max_piece, min_count, em_rounds, prune_top,
+                    vocab_keep=0, encode=True,
+                )
             words, singles = _prep_words(
                 [(r["w"], r["c"]) for r in head]
             )
             vocab = _em_vocab(
                 words, singles, max_piece, min_count, em_rounds, prune_top
             )
-            usage = _usage_pass(words, vocab, max_piece)
-            ranked = sorted(usage.items(), key=lambda t: (-t[1], t[0]))
-            return spark.createDataFrame(
-                [(r + 1, p, n) for r, (p, n) in enumerate(ranked)],
-                "rank int, piece string, n_tokens long",
-            )
+        usage = _usage_pass(words, vocab, max_piece)
+        ranked = sorted(usage.items(), key=lambda t: (-t[1], t[0]))
+        return spark.createDataFrame(
+            [(r + 1, p, n) for r, (p, n) in enumerate(ranked)],
+            "rank int, piece string, n_tokens long",
+        )
+    wf = word_frequencies(df, text_col)
     return _unigram_distributed(
         wf, max_piece, min_count, em_rounds, prune_top,
         vocab_keep=0, encode=True,
@@ -446,6 +473,7 @@ def tokenizer_fertility(
     em_rounds: int = 2,
     prune_top: int = 64,
     incore_vocab_budget: int = 1_000_000,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """``(source, n_words, n_tokens, n_chars, tokens_per_word_ppm,
     chars_per_token_ppm)`` — tokenizer FERTILITY by corpus domain: how
@@ -470,11 +498,17 @@ def tokenizer_fertility(
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wf = word_frequencies(df, text_col)
-    head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
-    if incore_vocab_budget and len(head) <= incore_vocab_budget:
-        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
-        vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+    if trained is not None:
+        words, _singles, vocab = trained
+    else:
+        wf = word_frequencies(df, text_col)
+        head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
+        if incore_vocab_budget and len(head) <= incore_vocab_budget:
+            words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+            vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+        else:
+            words, vocab = None, None
+    if words is not None:
         total = sum(vocab.values())
         scores = {p: _score_micro(n, total) for p, n in vocab.items()}
         np_rows = [(w, len(_viterbi(w, scores, max_piece))) for w, _ in words]
@@ -517,6 +551,7 @@ def unigram_doc_fingerprints(
     em_rounds: int = 2,
     prune_top: int = 64,
     incore_vocab_budget: int = 1_000_000,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """``(doc_id, n_tokens, fp)`` — the per-document TOKEN STREAM under
     the trained unigram vocab, gated by an order-sensitive fingerprint:
@@ -535,11 +570,17 @@ def unigram_doc_fingerprints(
     from spark_ifs_spark.functions.hashing import md5_int60
 
     spark = df.sparkSession
-    wf = word_frequencies(df, text_col)
-    head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
-    if incore_vocab_budget and len(head) <= incore_vocab_budget:
-        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
-        vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+    if trained is not None:
+        words, _singles, vocab = trained
+    else:
+        wf = word_frequencies(df, text_col)
+        head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
+        if incore_vocab_budget and len(head) <= incore_vocab_budget:
+            words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+            vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+        else:
+            words, vocab = None, None
+    if words is not None:
         total = sum(vocab.values())
         scores = {p: _score_micro(n, total) for p, n in vocab.items()}
         rows = []

@@ -2498,11 +2498,55 @@ SELECT query, rank, doc_id, rrf_micro FROM frk WHERE rank <= {HYBRID_K}
     )
 
 
+#: (sf_dir, documents-mtime) -> the in-core unigram EM state
+#: (words, singles, vocab) at the gate knobs — FOUR queries
+#: (unigram_lm_vocab, unigram_token_counts, unigram_doc_tokens,
+#: tokenizer_fertility) each collected the word-frequency relation and
+#: re-ran the identical EM; the state is corpus-VOCABULARY-bounded
+#: driver memory (the same object every consumer already collected per
+#: call), so it is memoized rather than parquet-staged. Budget-gated:
+#: past the operators' in-core budget the memo declines (returns None)
+#: and consumers fall back to the operator's own distributed path.
+_UNI_TRAINED: dict[tuple[str, float], tuple] = {}
+
+
+def _uni_trained(spark: SparkSession, sf_dir: str):
+    from spark_ifs_spark.operators.unigram import (
+        _em_vocab,
+        _prep_words,
+        word_frequencies,
+    )
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    state = _UNI_TRAINED.get(key)
+    if state is None:
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _UNI_TRAINED if k[0] == sf_dir]:
+            _UNI_TRAINED.pop(old_key)
+        budget = 1_000_000  # the operators' incore_vocab_budget default
+        docs = _read(spark, sf_dir, "documents", fan_out=True)
+        wf = word_frequencies(docs, "text")
+        head = wf.limit(budget + 1).collect()
+        if len(head) > budget:
+            return None  # past the in-core budget: use the operator path
+        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+        vocab = _em_vocab(
+            words, singles, UNI_MAX_PIECE, UNI_MIN_COUNT,
+            UNI_EM_ROUNDS, UNI_PRUNE_TOP,
+        )
+        state = (words, singles, vocab)
+        _UNI_TRAINED[key] = state
+        _note_staged_build("unigram_em", time.perf_counter() - _t0)
+    return state
+
+
 def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (SentencePiece ``unigram``,
     hard-EM variant): candidate substrings -> integer-micronat scores ->
     Viterbi E-step / renormalizing M-step / prune, EM_ROUNDS times —
-    see :mod:`spark_ifs_spark.operators.unigram`."""
+    see :mod:`spark_ifs_spark.operators.unigram`. Served from the
+    session-memoized EM state (:func:`_uni_trained`)."""
     from spark_ifs_spark.operators.unigram import unigram_train
 
     docs = _read(spark, sf_dir, "documents")
@@ -2511,6 +2555,7 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
         vocab_keep=UNI_VOCAB_KEEP,
+        trained=_uni_trained(spark, sf_dir),
     )
 
 
@@ -2715,6 +2760,7 @@ def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+        trained=_uni_trained(spark, sf_dir),
     )
 
 
@@ -2728,6 +2774,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+        trained=_uni_trained(spark, sf_dir),
     )
 
 
@@ -2742,6 +2789,7 @@ def q_unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+        trained=_uni_trained(spark, sf_dir),
     )
 
 
