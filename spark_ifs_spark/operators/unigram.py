@@ -628,6 +628,7 @@ def tokenizer_compare(
     em_rounds: int = 2,
     prune_top: int = 64,
     incore_vocab_budget: int = 1_000_000,
+    trained: tuple | None = None,
 ) -> DataFrame:
     """``(source, n_words, uni_tokens, bpe_tokens,
     uni_tokens_per_word_ppm, bpe_tokens_per_word_ppm)`` — fertility of
@@ -668,10 +669,21 @@ def tokenizer_compare(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     wf = wsrc.groupBy("w").agg(F.sum("c").alias("c"))
-    head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
-    if incore_vocab_budget and len(head) <= incore_vocab_budget:
-        words, singles = _prep_words([(r["w"], r["c"]) for r in head])
-        vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+    # an injected EM state is valid here even though this wf filters
+    # length BEFORE aggregating: the filter only drops whole words, so
+    # counts of surviving words are identical to the unfiltered
+    # relation's, and _prep_words applies the same filter — the same
+    # (words, vocab) either way (EM/BPE folds are order-insensitive)
+    if trained is not None:
+        words, _singles, vocab = trained
+    else:
+        head = wf.limit(incore_vocab_budget + 1).collect() if incore_vocab_budget else []
+        if incore_vocab_budget and len(head) <= incore_vocab_budget:
+            words, singles = _prep_words([(r["w"], r["c"]) for r in head])
+            vocab = _em_vocab(words, singles, max_piece, min_count, em_rounds, prune_top)
+        else:
+            words, vocab = None, None
+    if words is not None:
         total = sum(vocab.values())
         scores = {p: _score_micro(n, total) for p, n in vocab.items()}
         merges = [(x, y) for _, x, y, _ in _bpe_incore(words, n_merges)]

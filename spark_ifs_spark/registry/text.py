@@ -2972,6 +2972,7 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_merges=BPE_MERGES,
         max_piece=UNI_MAX_PIECE, min_count=UNI_MIN_COUNT,
         em_rounds=UNI_EM_ROUNDS, prune_top=UNI_PRUNE_TOP,
+        trained=_uni_trained(spark, sf_dir),
     )
 
 
