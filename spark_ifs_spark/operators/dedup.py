@@ -125,6 +125,7 @@ def _exact_intersections(
     text_col: str,
     n: int,
     max_df: int | None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise shingle-set statistics ``(id_a, id_b, i, na, nb)``
     for every unordered candidate pair (``id_a < id_b``) sharing ≥1
@@ -142,7 +143,8 @@ def _exact_intersections(
     # the DF-flagged shingle relation feeds several consumers (both
     # self-join sides, the correction sides, sizes) — persist THAT, not
     # the bare shingles, or the dfreq+join recomputes per consumer
-    sh = word_shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n)
     if max_df is None:
         flagged = sh.persist()
         rare: DataFrame = flagged
@@ -193,6 +195,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard ≥ threshold:
     ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
@@ -207,7 +210,7 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_pairs` if those matter).
     """
     return (
-        _exact_intersections(df, id_col, text_col, n, max_df)
+        _exact_intersections(df, id_col, text_col, n, max_df, sh=sh)
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -222,6 +225,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int | None = 1000,
     min_sub_shingles: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-containment pairs ``(id_sub, id_sup, containment)``
     with ``containment = |S(sub) ∩ S(sup)| / |S(sub)| ≥ threshold`` and
@@ -245,7 +249,7 @@ def containment_pairs(
     ≥ 0.8 that means boilerplate-only fragments; raise ``max_df`` if
     those matter.
     """
-    scored = _exact_intersections(df, id_col, text_col, n, max_df)
+    scored = _exact_intersections(df, id_col, text_col, n, max_df, sh=sh)
     # both containment directions from ONE evaluation of the
     # intersection pipeline: the former fwd/rev union of two
     # projections of `scored` planned the whole shingle self-join
@@ -476,6 +480,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard:
     ``(id_a, id_b, jaccard)``, ``id_a < id_b``, Jaccard ≥ threshold.
@@ -499,9 +504,15 @@ def minhash_lsh_pairs(
     paths (:func:`exact_duplicates` / :func:`duplicate_spans`), which
     is both cheaper and recall-complete for them; pairs that also
     collide in a non-full band are still found here.
+
+    ``sh`` optionally injects a prebuilt ``(id, sh)`` relation that
+    must row-equal ``word_shingles(df, id_col, text_col, n)`` (the
+    registry's session-staged build); ``df`` is then unused.
     """
     # persist: consumed by signatures, sizes, and both verify join sides
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n)
+    sh = sh.persist()
     bands = _lsh_bands(sh, num_hashes, rows_per_band, seed)
     if max_bucket is not None:
         sizes = bands.groupBy("band", "bkey").agg(
@@ -534,6 +545,8 @@ def minhash_lsh_pairs_against(
     rows_per_band: int = 2,
     threshold: float = 0.5,
     seed: int = 42,
+    sh_new: DataFrame | None = None,
+    sh_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingestion dedup: near-dup pairs of NEW documents
     against an EXISTING corpus — ``(id_a, id_b, jaccard)`` with ``id_a``
@@ -546,9 +559,18 @@ def minhash_lsh_pairs_against(
     band key, making the per-batch collision join exchange-free on the
     corpus side), which is the standard incremental dedup layout.
     Hash/band parameters must match the corpus's stored signatures.
+
+    ``sh_new`` / ``sh_corpus`` optionally inject prebuilt ``(id, sh)``
+    relations that must row-equal ``word_shingles`` of the respective
+    side (the registry filters its session-staged corpus build); the
+    matching ``*_df`` argument is then unused.
     """
-    sh_new = word_shingles(new_df, id_col, text_col, n).persist()
-    sh_cor = word_shingles(corpus_df, id_col, text_col, n).persist()
+    if sh_new is None:
+        sh_new = word_shingles(new_df, id_col, text_col, n)
+    if sh_corpus is None:
+        sh_corpus = word_shingles(corpus_df, id_col, text_col, n)
+    sh_new = sh_new.persist()
+    sh_cor = sh_corpus.persist()
     bn = _lsh_bands(sh_new, num_hashes, rows_per_band, seed).alias("a")
     bc = _lsh_bands(sh_cor, num_hashes, rows_per_band, seed).alias("b")
     cand = (
@@ -741,6 +763,7 @@ def jaccard_prefix_pairs(
     text_col: str,
     n: int = 2,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with word-``n``-gram-SET Jaccard ≥ threshold:
     ``(id_a, id_b, jaccard)``, ``id_a < id_b`` — EXACT and LOSSLESS via
@@ -772,9 +795,9 @@ def jaccard_prefix_pairs(
     # four consumers (df counts, per-doc ranking, both verify sides) —
     # persist the digest relation once, same pattern as
     # ngram_jaccard_pairs' flagged relation
-    sh = word_shingles(df, id_col, text_col, n).select(
-        "id", md5_int60(F.col("sh")).alias("h")
-    ).persist()
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n)
+    sh = sh.select("id", md5_int60(F.col("sh")).alias("h")).persist()
     dfq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df_"))
     t = float(threshold)
     ranked = (

@@ -523,6 +523,7 @@ def novelty_scores(
     id_col: str,
     text_col: str,
     n: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, n_shingles, n_novel, novelty_ppm)`` — per-document
     novelty: the fraction of the document's distinct word ``n``-gram
@@ -544,11 +545,17 @@ def novelty_scores(
     the Spark plan and the SQL oracle identically (both count digests,
     not strings). Docs with fewer than ``n`` tokens have no shingles
     and are excluded, as in the dedup family.
+
+    ``sh`` optionally injects a prebuilt ``(id, sh)`` relation that must
+    row-equal ``word_shingles(df, id_col, text_col, n)`` (the registry
+    passes its session-staged build so the shingle pass runs once per
+    corpus, not once per consumer); ``df`` is then unused.
     """
     from spark_ifs_spark.functions.hashing import md5_int60
     from spark_ifs_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     novel = (
         sh.select("id", md5_int60(F.col("sh")).alias("d"))
@@ -967,7 +974,11 @@ def pmi_top_pairs(
 
 
 def shingle_doc_freq(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """``(sh, df, frac)`` — document frequency of distinct word
     ``n``-gram shingles, with ``frac`` = df / corpus size.
@@ -982,10 +993,16 @@ def shingle_doc_freq(
     size joins in as a broadcast literal-sized aggregate. At 100 TB
     swap the string shingle key for its 60-bit digest — same plan,
     ~16-byte shuffle keys.
+
+    ``sh`` optionally injects a prebuilt ``(id, sh)`` relation that
+    must row-equal ``word_shingles(df, id_col, text_col, n)`` (the
+    registry's session-staged build); ``df`` then serves only the
+    corpus-size count.
     """
     from spark_ifs_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     total = df.select(F.count(F.lit(1)).alias("n_docs"))
     return dfreq.crossJoin(F.broadcast(total)).select(
@@ -999,6 +1016,7 @@ def boilerplate_fraction(
     text_col: str,
     n: int = 5,
     max_frac: float = 0.02,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """``(id, n_shingles, n_boiler, boiler_frac)`` — per-document share
     of distinct shingles that are corpus boilerplate (shingle document
@@ -1012,10 +1030,16 @@ def boilerplate_fraction(
     boilerplate skew is bounded by the cap itself: a shingle's join
     fan-out IS its df, already counted), one groupBy(id). Shuffles
     carry (sh) and (id) keys only.
+
+    ``sh`` optionally injects a prebuilt ``(id, sh)`` relation that
+    must row-equal ``word_shingles(df, id_col, text_col, n)`` (the
+    registry's session-staged build); ``df`` then serves only the
+    corpus-size count.
     """
     from spark_ifs_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(df, id_col, text_col, n)
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n)
     n_docs = F.broadcast(df.select(F.count(F.lit(1)).alias("n_docs")))
     dfreq = (
         sh.groupBy("sh")

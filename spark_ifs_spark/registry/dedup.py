@@ -39,6 +39,12 @@ def sql_dedup_exact() -> str:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fed from the staged shingle relation: word_shingles is a
+    # scan-fused projection, and a paired A/B measured the staged-parquet
+    # read (≈3× corpus bytes) strictly worse here (1.80 -> 2.39 s at
+    # sf0.1) — injection only pays where downstream work is eliminated
+    # (the staged PAIR relations), not where it merely replaces a cheap
+    # map-side build with a bigger read
     docs = _read(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", NGRAM_N, JACCARD_THRESHOLD, max_df=NGRAM_MAX_DF
@@ -89,10 +95,7 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     PPJoin, Bayardo et al. WWW'07) — the lossless counterpart to
     ``dedup_minhash`` on bigram shingle sets; see
     :func:`~spark_ifs_spark.operators.dedup.jaccard_prefix_pairs`."""
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
-    out = dedup.jaccard_prefix_pairs(
-        docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
-    )
+    out = _prefix_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -578,15 +581,100 @@ WHERE c.doc_id % {DECONTAM_EVAL_MOD} != 0
 #: signature + verify pipeline separately
 _MINHASH_PAIRS_STAGED: dict[tuple[str, float], str] = {}
 
+#: (sf_dir, documents-mtime) -> staged (id, sh) parquet path; the §5
+#: pattern one level DOWN (r13 verdict item 4): the distinct word
+#: NGRAM_N-shingle relation itself is consumed by FIVE surfaces — the
+#: minhash pair build, incremental dedup, and the three shingle
+#: statistics (doc/docs novelty, boilerplate top-k) — and each used to
+#: re-run the tokenize + slice + explode pass over the corpus. String
+#: rows, so the parquet round-trip is exact.
+_SHINGLES_STAGED: dict[tuple[str, float], str] = {}
+
+#: (sf_dir, documents-mtime) -> staged (id_a, id_b, jaccard) parquet
+#: path for the LOSSLESS prefix-filter exact-Jaccard join at the gate
+#: knobs (PREFIX_N, PREFIX_THRESHOLD) — consumed identically by
+#: q_dedup_jaccard_prefix and minhash_recall_audit's truth side, which
+#: each used to run the full AllPairs/PPJoin pipeline.
+_PREFIX_PAIRS_STAGED: dict[tuple[str, float], str] = {}
+
 
 @atexit.register
 def _cleanup_dedup_staged() -> None:
     import shutil
 
-    for reg in (_MINHASH_PAIRS_STAGED, _DUP_CLUSTERS_STAGED):
+    for reg in (
+        _MINHASH_PAIRS_STAGED,
+        _DUP_CLUSTERS_STAGED,
+        _SHINGLES_STAGED,
+        _PREFIX_PAIRS_STAGED,
+    ):
         for src in reg.values():
             shutil.rmtree(os.path.dirname(src), ignore_errors=True)
         reg.clear()
+
+
+def _prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's lossless prefix-filter exact-Jaccard pair relation
+    ``(id_a, id_b, jaccard)`` at the gate knobs — built once per
+    (corpus, session) from the staged shingles and staged to parquet
+    (doubles round-trip parquet exactly). Shared by the pair query and
+    the recall audit's truth side. Single-file-fixture mtime caveat as
+    :func:`_minhash_pairs`."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _PREFIX_PAIRS_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _PREFIX_PAIRS_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_PREFIX_PAIRS_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents")
+        pairs = dedup.jaccard_prefix_pairs(
+            docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD,
+            sh=_shingles(spark, sf_dir),
+        ).select("id_a", "id_b", "jaccard")
+        src = os.path.join(
+            tempfile.mkdtemp(prefix="sis_prefix_pairs_"), "pairs"
+        )
+        pairs.write.mode("overwrite").parquet(src)
+        _PREFIX_PAIRS_STAGED[key] = src
+        _note_staged_build("prefix_pairs", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registry's distinct ``(id, sh)`` word ``NGRAM_N``-shingle
+    relation over ``documents`` — built once per (corpus, session) and
+    staged to parquet. Shared by :func:`_minhash_pairs`,
+    ``q_dedup_incremental`` and the novelty/boilerplate statistics, so
+    the per-query shingle rebuild (and the r13 cache-hit coupling
+    between those "independent" queries) disappears. Single-file-fixture
+    mtime caveat as :func:`_minhash_pairs`."""
+    import shutil
+    import tempfile
+
+    mtime = os.path.getmtime(_t(sf_dir, "documents"))
+    key = (sf_dir, mtime)
+    src = _SHINGLES_STAGED.get(key)
+    if src is None or not os.path.isdir(src):
+        _t0 = time.perf_counter()
+        for old_key in [k for k in _SHINGLES_STAGED if k[0] == sf_dir]:
+            shutil.rmtree(
+                os.path.dirname(_SHINGLES_STAGED.pop(old_key)),
+                ignore_errors=True,
+            )
+        docs = _read(spark, sf_dir, "documents", fan_out=True)
+        sh = dedup.word_shingles(docs, "doc_id", "text", NGRAM_N)
+        src = os.path.join(tempfile.mkdtemp(prefix="sis_shingles_"), "sh")
+        sh.write.mode("overwrite").parquet(src)
+        _SHINGLES_STAGED[key] = src
+        _note_staged_build("shingles", time.perf_counter() - _t0)
+    return spark.read.parquet(src)
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,11 +700,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.dirname(_MINHASH_PAIRS_STAGED.pop(old_key)),
                 ignore_errors=True,
             )
-        docs = _read(spark, sf_dir, "documents", fan_out=True)
+        docs = _read(spark, sf_dir, "documents")
         pairs = dedup.minhash_lsh_pairs(
             docs, "doc_id", "text",
             n=NGRAM_N, num_hashes=MINHASH_HASHES,
             rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+            sh=_shingles(spark, sf_dir),
         ).select("id_a", "id_b", "jaccard")
         src = os.path.join(
             tempfile.mkdtemp(prefix="sis_minhash_pairs_"), "pairs"
@@ -706,10 +795,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 10 == 0)
     corpus = docs.where(F.col("doc_id") % 10 != 0)
+    # shingles are per-doc, so the batch split commutes with the build:
+    # filtering the session-staged corpus relation by the same predicate
+    # yields exactly word_shingles(new/corpus) without re-tokenizing
+    sh = _shingles(spark, sf_dir)
     out = dedup.minhash_lsh_pairs_against(
         new, corpus, "doc_id", "text",
         n=NGRAM_N, num_hashes=MINHASH_HASHES,
         rows_per_band=MINHASH_ROWS_PER_BAND, threshold=JACCARD_THRESHOLD,
+        sh_new=sh.where(F.col("id") % 10 == 0),
+        sh_corpus=sh.where(F.col("id") % 10 != 0),
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1078,6 +1173,8 @@ GROUP BY j.cluster
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-containment (quote/subset) pairs: documents whose
     shingle set is >= CONTAIN_THRESHOLD contained in another doc's."""
+    # direct shingle build kept (same A/B verdict as dedup_ngram_jaccard:
+    # staged-shingle injection measured 1.76 -> 1.91 s at sf0.1)
     out = dedup.containment_pairs(
         _read(spark, sf_dir, "documents", fan_out=True),
         "doc_id",
@@ -1386,10 +1483,7 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale, exactly like the ANN recall audits."""
     import math
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
-    truth = dedup.jaccard_prefix_pairs(
-        docs, "doc_id", "text", n=PREFIX_N, threshold=PREFIX_THRESHOLD
-    ).select("id_a", "id_b")
+    truth = _prefix_pairs(spark, sf_dir).select("id_a", "id_b")
     # detect side from the session-staged gate-knob pair relation: the
     # LSH candidate set depends only on the band signatures (never the
     # verify threshold), so pairs-verified-at-0.75 is EXACTLY the

@@ -1166,10 +1166,12 @@ def q_docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level score that template filtering thresholds on. See
     :func:`~spark_ifs_spark.operators.textstats.boilerplate_fraction`."""
     from spark_ifs_spark.operators.textstats import boilerplate_fraction
+    from spark_ifs_spark.registry.dedup import _shingles
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
+    docs = _read(spark, sf_dir, "documents")
     out = boilerplate_fraction(
-        docs, "doc_id", "text", n=3, max_frac=NOVELTY_MAX_FRAC
+        docs, "doc_id", "text", n=3, max_frac=NOVELTY_MAX_FRAC,
+        sh=_shingles(spark, sf_dir),
     )
     return out.select(
         "id", "n_shingles", "n_boiler", F.round("boiler_frac", 6).alias("boiler_frac")
@@ -2102,10 +2104,12 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: fraction of the doc's distinct 3-shingles
     with corpus DF = 1 — see
     :func:`~spark_ifs_spark.operators.textstats.novelty_scores`."""
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
-    return textstats.novelty_scores(docs, "doc_id", "text").withColumnRenamed(
-        "id", "doc_id"
-    )
+    from spark_ifs_spark.registry.dedup import _shingles
+
+    docs = _read(spark, sf_dir, "documents")
+    return textstats.novelty_scores(
+        docs, "doc_id", "text", sh=_shingles(spark, sf_dir)
+    ).withColumnRenamed("id", "doc_id")
 
 
 def sql_doc_novelty() -> str:

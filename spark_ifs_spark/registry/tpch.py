@@ -1065,9 +1065,12 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — template chrome, not content. Deterministic top-k: the
     (df DESC, sh ASC) order is total."""
     from spark_ifs_spark.operators.textstats import shingle_doc_freq
+    from spark_ifs_spark.registry.dedup import _shingles
 
-    docs = _read(spark, sf_dir, "documents", fan_out=True)
-    out = shingle_doc_freq(docs, "doc_id", "text", n=3)
+    docs = _read(spark, sf_dir, "documents")
+    out = shingle_doc_freq(
+        docs, "doc_id", "text", n=3, sh=_shingles(spark, sf_dir)
+    )
     return (
         out.filter(F.col("frac") >= BOILER_MIN_FRAC)
         .orderBy(F.col("df").desc(), F.col("sh").asc())

@@ -733,3 +733,42 @@ def test_staged_emb_lsh_pairs_match_direct(spark, sf_dir):
     )
     assert det_staged == det_direct
     assert JACCARD_THRESHOLD <= rd.PREFIX_THRESHOLD  # filter is a subset
+
+
+def test_staged_shingles_match_direct(spark, sf_dir):
+    """The session-staged (id, sh) shingle relation must equal a fresh
+    word_shingles run row-for-row, reuse the staged parquet on re-entry,
+    and its consumers (novelty, boilerplate stats, incremental dedup)
+    must be unchanged by the injection — the staged-vs-direct contract
+    extended to the r14 shingle staging (r13 verdict item 4)."""
+    import importlib
+
+    from spark_ifs_spark.operators import textstats
+    from spark_ifs_spark.registry._common import NGRAM_N, _read
+
+    rd = importlib.import_module("spark_ifs_spark.registry.dedup")
+    rd._cleanup_dedup_staged()
+    staged = rd._shingles(spark, sf_dir)
+    paths = dict(rd._SHINGLES_STAGED)
+    again = rd._shingles(spark, sf_dir)
+    assert dict(rd._SHINGLES_STAGED) == paths  # no rebuild
+
+    docs = _read(spark, sf_dir, "documents")
+    direct = dedup.word_shingles(docs, "doc_id", "text", NGRAM_N)
+    got = sorted(map(tuple, staged.collect()))
+    assert sorted(map(tuple, again.collect())) == got
+    assert sorted(map(tuple, direct.collect())) == got
+
+    # consumer equality: injected == inline for one statistics operator
+    inline = sorted(
+        map(tuple, textstats.novelty_scores(docs, "doc_id", "text").collect())
+    )
+    injected = sorted(
+        map(
+            tuple,
+            textstats.novelty_scores(
+                docs, "doc_id", "text", sh=staged
+            ).collect(),
+        )
+    )
+    assert injected == inline
