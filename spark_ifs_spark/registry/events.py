@@ -1319,6 +1319,16 @@ def q_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # Production-posture RocksDB commit path (r13 verdict item 6):
+    # changelog checkpointing uploads the per-batch changelog instead of
+    # snapshotting every store at every commit — the recommended setting
+    # for RocksDB state stores, and the measured local lever
+    ckpt_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    prev_ckpt = spark.conf.get(ckpt_key, None)
+    spark.conf.set(ckpt_key, "true")
     try:
         stream = (
             spark.readStream.schema(ev.schema)
@@ -1342,6 +1352,10 @@ def q_events_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev_provider)
+        if prev_ckpt is None:
+            spark.conf.unset(ckpt_key)
+        else:
+            spark.conf.set(ckpt_key, prev_ckpt)
         shutil.rmtree(d, ignore_errors=True)
     updates = spark.table(name)
     return updates.groupBy("user_id").agg(
