@@ -1094,7 +1094,10 @@ def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out never sees the corpus. The exact column pays the
     vocabulary self-join and is the audit you drop at 100 TB, exactly
     ``kmv_source_overlap``'s posture."""
-    from spark_ifs_spark.functions.hashing import md5_int60, universal_hash
+    from spark_ifs_spark.functions.hashing import (
+        md5_int60,
+        sql_universal_hash,
+    )
     from spark_ifs_spark.operators.sketches import kmv_overlap
 
     # ONE session-staged distinct bigram-vocabulary relation feeds all
@@ -1111,33 +1114,27 @@ def q_overlap_cross_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard_est").alias("jaccard_kmv"),
     )
     # MinHash route: per-source signature. The H minima are computed
-    # as H parallel min-aggregate COLUMNS over one scan of the
+    # as H parallel min-aggregate columns over one scan of the
     # vocabulary (identical maths to ``minhash_signatures``, same
     # params/hash), not an explode — the explode form multiplies the
     # corpus-scale distinct relation by H rows before aggregating,
     # this form keeps the scan at 1× and shuffles sources·H partial
     # minima. The wide row unpivots AFTER aggregation (sources rows).
+    # The whole aggregate is parsed from ONE SQL array string: the
+    # Column-API spelling issued ~10 driver-blocking py4j round-trips
+    # per hash (~1.5 s of pure construction per call at H=128) for the
+    # identical expression tree — the dedup_simhash / ivf_cell_expr
+    # lesson. posexplode's 0-based position IS the former struct index.
     params = minhash_params(OV_MH_H)
     xs = dvoc.select("source", md5_int60(F.col("term")).alias("x"))
-    mins = xs.groupBy("source").agg(
-        *[
-            F.min(universal_hash(F.col("x"), a, b)).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+    mins_arr = ", ".join(
+        f"min({sql_universal_hash('x', a, b)})" for a, b in params
     )
-    sig = mins.select(
-        "source",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"), F.col(f"m{i}").alias("minh")
-                    )
-                    for i in range(OV_MH_H)
-                ]
-            )
-        ).alias("im"),
-    ).select("source", F.col("im.i").alias("i"), F.col("im.minh").alias("minh"))
+    sig = (
+        xs.groupBy("source")
+        .agg(F.expr(f"array({mins_arr})").alias("ms"))
+        .selectExpr("source", "posexplode(ms) AS (i, minh)")
+    )
     sa = sig.select(
         F.col("source").alias("src_a"), "i", F.col("minh").alias("ha")
     )
